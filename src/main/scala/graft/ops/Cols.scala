@@ -1,0 +1,70 @@
+package graft.ops
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+/** Shared column builders.
+  *
+  * Two cross-cutting concerns shape these helpers:
+  *
+  *  1. '''Oracle determinism.''' The driver hash-compares our output
+  *     against DuckDB running equivalent ANSI SQL. Floating-point
+  *     aggregation order differs between engines, so every money/metric
+  *     aggregate goes through exact DECIMAL arithmetic (order-free) and
+  *     is cast to DOUBLE only at the very end — one deterministic IEEE
+  *     conversion on both sides.
+  *  2. '''Scale.''' Everything here is a pure `Column` expression —
+  *     whole-stage-codegen friendly, no UDFs, no driver-side state —
+  *     so plans stay distributed and pushdown-transparent.
+  */
+object Cols {
+
+  /** Exact sum of a 2-decimal-valued double column, returned as DOUBLE.
+    * `sum(decimal)` is exact and commutative, so partial/final agg
+    * splits and shuffle order can't perturb the result; the final
+    * decimal→double cast is deterministic. DuckDB twin:
+    * `CAST(SUM(CAST(x AS DECIMAL(18,2))) AS DOUBLE)`.
+    */
+  def moneySum(c: Column): Column =
+    sum(c.cast(DecimalType(18, 2))).cast("double")
+
+  /** Exact revenue sum: Σ extendedprice · (1 − discount), computed in
+    * decimal, emitted as double. DuckDB twin:
+    * `CAST(SUM(CAST(p AS DECIMAL(18,2)) * (1 - CAST(d AS DECIMAL(18,2)))) AS DOUBLE)`.
+    */
+  def revenueSum(price: Column, discount: Column): Column =
+    sum(price.cast(DecimalType(18, 2)) *
+        (lit(1).cast(DecimalType(18, 2)) - discount.cast(DecimalType(18, 2))))
+      .cast("double")
+
+  /** Integral-valued double (e.g. l_quantity) summed exactly as long. */
+  def intSum(c: Column): Column = sum(c.cast("long"))
+
+  /** Event-time formatted like the reference's `dd-MM-yyyy`
+    * (semantics of /root/reference/src/main/scala/FlinkAssignment.scala:130-131;
+    * UTC session timezone makes this epoch-day aligned like Flink).
+    * DuckDB twin: `strftime(ts, '%d-%m-%Y')`.
+    */
+  def dayKey(ts: Column): Column = date_format(ts, "dd-MM-yyyy")
+
+  /** Repo name from a GitHub API commit URL — one-regex equivalent of
+    * the reference's split/indexOf extraction
+    * (FlinkAssignment.scala:174-183). */
+  def repoFromUrl(url: Column): Column =
+    regexp_extract(url, "repos/([^/]+/[^/]+)", 1)
+
+  /** Last dot-separated path segment ("extension"), "" when no dot —
+    * semantics of FlinkAssignment.scala:88. */
+  def fileExtension(name: Column): Column =
+    when(name.contains("."), element_at(split(name, "\\."), -1)).otherwise(lit(""))
+
+  /** Distinct, sorted token array of a whitespace-tokenized text.
+    * DuckDB twin: `list_sort(list_distinct(string_split(text, ' ')))`. */
+  def tokenSet(text: Column): Column =
+    array_sort(array_distinct(split(text, " ")))
+
+  /** Canonical token-set signature for exact near-dup grouping. */
+  def tokenSetSig(text: Column): Column =
+    md5(array_join(tokenSet(text), " "))
+}

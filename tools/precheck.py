@@ -1,0 +1,59 @@
+#!/usr/bin/env python3
+"""Dev-only mirror of the driver's correctness gate (NOT part of the
+Spark library). Runs each oracle SQL from Verify's oracle_sql.json in
+DuckDB over the same testdata parquet, loads the corresponding Spark
+result parquet, and compares: columns sorted by name, rows sorted,
+exact value equality (floats compared bitwise-exact).
+
+Usage: python3 tools/precheck.py <sfDir> <verifyOutDir>
+"""
+import json, sys, glob
+import duckdb
+import pandas as pd
+
+TABLES = ["region","nation","customer","supplier","part","orders",
+          "lineitem","events","documents","embeddings"]
+
+def norm(df: pd.DataFrame) -> pd.DataFrame:
+    df = df.reindex(sorted(df.columns), axis=1)
+    # stringify for a total, type-insensitive ordering + compare
+    s = df.astype(str)
+    order = s.sort_values(by=list(s.columns), kind="mergesort").index
+    return df.loc[order].reset_index(drop=True)
+
+def main(sf_dir: str, out_dir: str) -> int:
+    con = duckdb.connect()
+    for t in TABLES:
+        con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+    oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
+    n_ok = n_bad = 0
+    for name, sql in sorted(oracle.items()):
+        files = glob.glob(f"{out_dir}/{name}/*.parquet")
+        if not files:
+            print(f"FAIL {name}: no spark output"); n_bad += 1; continue
+        try:
+            got = con.sql(f"SELECT * FROM read_parquet({files!r})").df()
+            exp = con.sql(sql).df()
+        except Exception as e:
+            print(f"FAIL {name}: {e}"); n_bad += 1; continue
+        g, e = norm(got), norm(exp)
+        if sorted(g.columns) != sorted(e.columns):
+            print(f"FAIL {name}: columns {list(g.columns)} vs {list(e.columns)}")
+            n_bad += 1; continue
+        if len(g) != len(e):
+            print(f"FAIL {name}: rows {len(g)} vs {len(e)}"); n_bad += 1; continue
+        ga, ea = g.astype(str), e.astype(str)
+        if not ga.equals(ea):
+            diff = (ga != ea).any(axis=1)
+            i = diff.idxmax()
+            print(f"FAIL {name}: {int(diff.sum())}/{len(g)} rows differ; first at {i}:")
+            print("  spark :", g.loc[i].to_dict())
+            print("  oracle:", e.loc[i].to_dict())
+            n_bad += 1; continue
+        print(f"ok   {name}: {len(g)} rows")
+        n_ok += 1
+    print(f"== {n_ok} ok, {n_bad} fail ==")
+    return 1 if n_bad else 0
+
+if __name__ == "__main__":
+    sys.exit(main(sys.argv[1], sys.argv[2]))
