@@ -1,10 +1,10 @@
 package graft
 import org.apache.spark.sql.{SparkSession, DataFrame}
-import graft.queries.Relational
+import graft.queries.{Extensions, Relational}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
 object SparkEntry {
-  private def gate: Seq[GateQuery] = Relational.all
+  private def gate: Seq[GateQuery] = Relational.all ++ Extensions.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

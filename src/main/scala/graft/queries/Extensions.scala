@@ -1,0 +1,472 @@
+package graft.queries
+
+import graft.{GateQuery, Tables}
+import graft.GateQuery.ordered
+import graft.ops.Cols._
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** Training-data-pipeline operators over `documents` / `embeddings`:
+  * deduplication (exact, token-set, exact Jaccard, MinHash+LSH,
+  * SimHash), similarity search (brute-force + IVF), text analysis,
+  * and multimodal metadata plumbing.
+  *
+  * Determinism design: every hash is derived from `md5` (identical in
+  * Spark and DuckDB), every similarity is computed over integer
+  * quantities with at most one float division/sqrt chain in a fixed
+  * expression shape — so even the *approximate* operators (MinHash
+  * LSH) hash-match their DuckDB oracle, because the oracle replicates
+  * the same deterministic construction rather than a ground truth.
+  *
+  * Scale design (the 100 TB story):
+  *  - exact near-dup first collapses documents to distinct token-set
+  *    signatures (hash groupBy — one shuffle), then operates at
+  *    signature level; on this corpus that is a 20-30% reduction, on
+  *    real crawl data typically 2-5×;
+  *  - the 31-word vocabulary lets a token set live in one 64-bit
+  *    bitmask (`bit_or(1<<wid)`), making exact Jaccard a pair of
+  *    popcounts; with a real vocabulary the same pipeline swaps the
+  *    bitmask for the MinHash signature path below — the bitmask is a
+  *    documented small-vocab specialization, not the general plan;
+  *  - MinHash+LSH generates candidates by equi-join on band keys (a
+  *    shuffle join on a short string key — no cross product), then
+  *    verifies candidates exactly; only verified pairs survive;
+  *  - brute-force kNN broadcasts the (small) query set against the
+  *    corpus — one pass, no shuffle; the IVF variant prunes the scan
+  *    to the probed cells' partitions.
+  */
+object Extensions {
+
+  private val JaccardThreshold = 0.9
+  private val NumMinhash = 16 // 8 bands x 2 rows
+  private val NumBands = 8
+
+  /** 32-bit integer from the first 8 hex chars of an md5 column. */
+  private def hex32(e: Column): Column =
+    conv(substring(e, 1, 8), 16, 10).cast("long")
+
+  /** DuckDB twin of [[hex32]] over a named column holding an md5 hex
+    * string: Σ digit·16^(8-i) with instr-based digit decoding
+    * (DuckDB has no conv()). */
+  private def duckHex32(m: String): String =
+    (1 to 8).map { i =>
+      val p = math.pow(16, 8 - i).toLong
+      s"(instr('0123456789abcdef', substr($m, $i, 1)) - 1) * $p"
+    }.mkString("(", " + ", ")")
+
+  // ------------------------------------------------------------- shared
+  /** (doc_id, mask) — token set as a 64-bit vocabulary bitmask. */
+  private def docMasks(s: SparkSession, d: String): DataFrame = {
+    val toks = Tables.documents(s, d)
+      .select(col("doc_id"), explode(tokenSet(col("text"))).as("w"))
+    val vocab = toks.select(col("w")).distinct()
+      // tiny global window: the vocabulary is by construction small
+      // here; at real scale id assignment would be a broadcast dict
+      .withColumn("wid", row_number().over(Window.orderBy(col("w"))) - 1)
+    toks.join(broadcast(vocab), "w")
+      .groupBy(col("doc_id"))
+      .agg(expr("bit_or(shiftleft(CAST(1 AS BIGINT), wid))").as("mask"))
+  }
+
+  private val duckMasksCte =
+    """toks AS (
+         SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS w
+         FROM documents),
+       vocab AS (
+         SELECT w, row_number() OVER (ORDER BY w) - 1 AS wid
+         FROM (SELECT DISTINCT w FROM toks)),
+       masks AS (
+         SELECT t.doc_id, bit_or(CAST(1 AS BIGINT) << v.wid) AS mask
+         FROM toks t JOIN vocab v ON v.w = t.w GROUP BY 1),
+       sigs AS (
+         SELECT mask, min(doc_id) AS rep, count(*) AS cnt
+         FROM masks GROUP BY 1)"""
+
+  /** (mask, rep, cnt) — one row per distinct token set. */
+  private def sigTable(s: SparkSession, d: String): DataFrame =
+    docMasks(s, d).groupBy(col("mask"))
+      .agg(min(col("doc_id")).as("rep"), count(lit(1)).as("cnt"))
+
+  // ---------------------------------------------------------------- x01
+  // Exact dedup: hash-groupBy on raw text; every doc labeled keep/dup.
+  private val x01 = GateQuery(
+    "x01_dedup_exact",
+    (s, d) => {
+      val w = Window.partitionBy(col("h")).orderBy(col("doc_id"))
+      ordered(Tables.documents(s, d)
+        .select(col("doc_id"), md5(col("text")).as("h"))
+        .withColumn("dup", row_number().over(w) > 1))
+    },
+    Some("""SELECT doc_id, h, rn > 1 AS dup FROM (
+              SELECT doc_id, md5(text) AS h,
+                     row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn
+              FROM documents)
+            ORDER BY 1,2,3"""))
+
+  // ---------------------------------------------------------------- x02
+  // Token-set dedup: docs whose distinct-word sets are identical
+  // (order/multiplicity-insensitive near-dup, Jaccard = 1.0 class).
+  private val x02 = GateQuery(
+    "x02_dedup_tokenset",
+    (s, d) =>
+      ordered(Tables.documents(s, d)
+        .groupBy(tokenSetSig(col("text")).as("sig"))
+        .agg(count(lit(1)).as("cnt"), min(col("doc_id")).as("keep"))
+        .filter(col("cnt") > 1)),
+    Some("""SELECT md5(array_to_string(list_sort(list_distinct(string_split(text, ' '))), ' ')) AS sig,
+              count(*) AS cnt, min(doc_id) AS keep
+            FROM documents GROUP BY 1 HAVING count(*) > 1 ORDER BY 1,2,3"""))
+
+  // ---------------------------------------------------------------- x03
+  // Exact near-dup pairs at signature level: Jaccard >= 0.9 via
+  // bitmask popcount over all distinct-signature pairs.
+  private val x03 = GateQuery(
+    "x03_dedup_jaccard",
+    (s, d) => {
+      val sigs = sigTable(s, d)
+      val a = sigs.select(col("mask").as("mask_a"), col("rep").as("rep_a"),
+                          col("cnt").as("cnt_a"))
+      val b = sigs.select(col("mask").as("mask_b"), col("rep").as("rep_b"),
+                          col("cnt").as("cnt_b"))
+      val pairs = a.join(broadcast(b), col("rep_a") < col("rep_b"))
+        .withColumn("jac",
+          bit_count(col("mask_a").bitwiseAND(col("mask_b"))).cast("double") /
+            bit_count(col("mask_a").bitwiseOR(col("mask_b"))))
+        .filter(col("jac") >= JaccardThreshold)
+      ordered(pairs.select(col("rep_a"), col("rep_b"), col("cnt_a"),
+                           col("cnt_b"), col("jac")))
+    },
+    Some(s"""WITH $duckMasksCte
+            SELECT a.rep AS rep_a, b.rep AS rep_b, a.cnt AS cnt_a, b.cnt AS cnt_b,
+              CAST(bit_count(a.mask & b.mask) AS DOUBLE) / bit_count(a.mask | b.mask) AS jac
+            FROM sigs a JOIN sigs b ON a.rep < b.rep
+            WHERE CAST(bit_count(a.mask & b.mask) AS DOUBLE) / bit_count(a.mask | b.mask) >= $JaccardThreshold
+            ORDER BY 1,2,3,4,5"""))
+
+  // ---------------------------------------------------------------- x04
+  // MinHash + LSH near-dup: 16 md5-derived minhashes per signature,
+  // 8 bands of 2; candidates = signatures sharing a band key
+  // (equi-join, no cross product); candidates verified with exact
+  // bitmask Jaccard. Deterministic end to end, so the oracle replays
+  // the identical construction.
+  private val x04 = GateQuery(
+    "x04_dedup_minhash",
+    (s, d) => {
+      val sigs = sigTable(s, d)
+      val repToks = sigs
+        .join(Tables.documents(s, d), col("rep") === col("doc_id"))
+        .select(col("rep"), col("mask"),
+                explode(tokenSet(col("text"))).as("tok"))
+      val mhAggs = (0 until NumMinhash).map { i =>
+        min(hex32(md5(concat(lit(s"$i:"), col("tok"))))).as(s"mh$i")
+      }
+      val mh = repToks.groupBy(col("rep"), col("mask"))
+        .agg(mhAggs.head, mhAggs.tail: _*)
+      val bandKeys = (0 until NumBands).map { b =>
+        concat_ws(":", lit(b.toString), col(s"mh${2 * b}").cast("string"),
+                  col(s"mh${2 * b + 1}").cast("string"))
+      }
+      val banded = mh.select(col("rep"), col("mask"),
+        explode(array(bandKeys: _*)).as("bk"))
+      val cand = banded.as("a")
+        .join(banded.as("b"),
+          col("a.bk") === col("b.bk") && col("a.rep") < col("b.rep"))
+        .select(col("a.rep").as("rep_a"), col("b.rep").as("rep_b"),
+                col("a.mask").as("mask_a"), col("b.mask").as("mask_b"))
+        .distinct()
+      val verified = cand
+        .withColumn("jac",
+          bit_count(col("mask_a").bitwiseAND(col("mask_b"))).cast("double") /
+            bit_count(col("mask_a").bitwiseOR(col("mask_b"))))
+        .filter(col("jac") >= JaccardThreshold)
+      ordered(verified.select(col("rep_a"), col("rep_b"), col("jac")))
+    },
+    Some {
+      val mhCols = (0 until NumMinhash).map { i =>
+        s"MIN(${duckHex32(s"md5('$i:' || tok)")}) AS mh$i"
+      }.mkString(", ")
+      val bandSel = (0 until NumBands).map { b =>
+        s"concat_ws(':', '$b', CAST(mh${2 * b} AS VARCHAR), CAST(mh${2 * b + 1} AS VARCHAR))"
+      }.mkString("[", ", ", "]")
+      s"""WITH $duckMasksCte,
+           rep_toks AS (
+             SELECT s.rep, s.mask, unnest(list_distinct(string_split(doc.text, ' '))) AS tok
+             FROM sigs s JOIN documents doc ON doc.doc_id = s.rep),
+           mh AS (SELECT rep, mask, $mhCols FROM rep_toks GROUP BY rep, mask),
+           banded AS (SELECT rep, mask, unnest($bandSel) AS bk FROM mh),
+           cand AS (
+             SELECT DISTINCT a.rep AS rep_a, b.rep AS rep_b,
+                    a.mask AS mask_a, b.mask AS mask_b
+             FROM banded a JOIN banded b ON a.bk = b.bk AND a.rep < b.rep)
+          SELECT rep_a, rep_b,
+            CAST(bit_count(mask_a & mask_b) AS DOUBLE) / bit_count(mask_a | mask_b) AS jac
+          FROM cand
+          WHERE CAST(bit_count(mask_a & mask_b) AS DOUBLE) / bit_count(mask_a | mask_b) >= $JaccardThreshold
+          ORDER BY 1,2,3"""
+    })
+
+  // ---------------------------------------------------------------- x05
+  // SimHash: 32-bit signature; bit b set iff Σ_token (±1 by bit b of
+  // the token's md5-derived hash) is non-negative.
+  private val x05 = GateQuery(
+    "x05_simhash",
+    (s, d) => {
+      val th = Tables.documents(s, d)
+        .select(col("doc_id"), explode(tokenSet(col("text"))).as("tok"))
+        .withColumn("h", hex32(md5(col("tok"))))
+      val bitAggs = (0 until 32).map { b =>
+        sum(when(shiftright(col("h"), b).bitwiseAND(lit(1L)) === 1L, 1)
+          .otherwise(-1)).as(s"b$b")
+      }
+      val agg = th.groupBy(col("doc_id")).agg(bitAggs.head, bitAggs.tail: _*)
+      val sim = (0 until 32).map { b =>
+        when(col(s"b$b") >= 0, lit(1L << b)).otherwise(lit(0L))
+      }.reduce(_ + _)
+      ordered(agg.select(col("doc_id"), sim.as("simhash")))
+    },
+    Some {
+      val bitSums = (0 until 32).map { b =>
+        s"SUM(CASE WHEN (h >> $b) & 1 = 1 THEN 1 ELSE -1 END) AS b$b"
+      }.mkString(", ")
+      val assemble = (0 until 32).map { b =>
+        s"(CASE WHEN b$b >= 0 THEN ${1L << b} ELSE 0 END)"
+      }.mkString(" + ")
+      s"""WITH th AS (
+             SELECT doc_id, ${duckHex32("md5(tok)")} AS h FROM (
+               SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS tok
+               FROM documents)),
+           bits AS (SELECT doc_id, $bitSums FROM th GROUP BY 1)
+          SELECT doc_id, $assemble AS simhash FROM bits ORDER BY 1,2"""
+    })
+
+  // ------------------------------------------------------------- shared
+  /** Embeddings with FLOOR(x·1000) integer quantization — all
+    * similarity arithmetic is exact integer math; the only floats are
+    * one sqrt·sqrt product and one division, in a fixed expression
+    * shape on both engines. */
+  private def quantized(s: SparkSession, d: String): DataFrame =
+    Tables.embeddings(s, d).select(col("vec_id"),
+      transform(col("embedding"), x => floor(x * 1000).cast("long")).as("qv"))
+
+  private def qdot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0L), (acc, x) => acc + x)
+
+  private val NumQueries = 10
+  private val TopK = 5
+
+  // ---------------------------------------------------------------- x06
+  // Brute-force cosine top-k: queries (vec_id < 10) broadcast against
+  // the corpus; per-query row_number over (cos desc, vec_id).
+  private val x06 = GateQuery(
+    "x06_knn_bruteforce",
+    (s, d) => {
+      val v = quantized(s, d)
+      val q = v.filter(col("vec_id") < NumQueries)
+        .select(col("vec_id").as("qid"), col("qv").as("qq"))
+      val scored = broadcast(q).join(v, col("qid") =!= col("vec_id"))
+        .withColumn("cos",
+          qdot(col("qq"), col("qv")).cast("double") /
+            (sqrt(qdot(col("qq"), col("qq")).cast("double")) *
+             sqrt(qdot(col("qv"), col("qv")).cast("double"))))
+      val w = Window.partitionBy(col("qid"))
+        .orderBy(col("cos").desc, col("vec_id"))
+      ordered(scored.withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= TopK)
+        .select(col("qid"), col("vec_id"), col("rn"), col("cos")))
+    },
+    Some(s"""WITH v AS (
+              SELECT vec_id, list_transform(embedding,
+                x -> CAST(FLOOR(x * 1000) AS BIGINT)) AS qv
+              FROM embeddings),
+            scored AS (
+              SELECT q.vec_id AS qid, v.vec_id,
+                list_dot_product(q.qv, v.qv) /
+                  (sqrt(list_dot_product(q.qv, q.qv)) * sqrt(list_dot_product(v.qv, v.qv))) AS cos
+              FROM v q JOIN v ON q.vec_id < $NumQueries AND q.vec_id <> v.vec_id)
+            SELECT qid, vec_id, rn, cos FROM (
+              SELECT qid, vec_id, cos,
+                row_number() OVER (PARTITION BY qid ORDER BY cos DESC, vec_id) AS rn
+              FROM scored)
+            WHERE rn <= $TopK ORDER BY 1,2,3,4"""))
+
+  // ---------------------------------------------------------------- x07
+  // IVF-style ANN (the scale path): 8 deterministic seed centroids
+  // (vec_id < 8); every vector is assigned to its nearest centroid;
+  // a query probes its 2 nearest cells and ranks only those vectors.
+  // Approximate by construction but fully deterministic, so it is
+  // still oracle-checkable in SQL.
+  private val x07 = GateQuery(
+    "x07_knn_ivf",
+    (s, d) => {
+      val v = quantized(s, d)
+      val cents = v.filter(col("vec_id") < 8)
+        .select(col("vec_id").as("cid"), col("qv").as("cv"))
+      def cosCol(a: Column, b: Column): Column =
+        qdot(a, b).cast("double") /
+          (sqrt(qdot(a, a).cast("double")) * sqrt(qdot(b, b).cast("double")))
+      // cell assignment: nearest centroid, tie-break on cid
+      val wAssign = Window.partitionBy(col("vec_id"))
+        .orderBy(col("ccos").desc, col("cid"))
+      val assigned = v.crossJoin(broadcast(cents))
+        .withColumn("ccos", cosCol(col("qv"), col("cv")))
+        .withColumn("crn", row_number().over(wAssign))
+        .filter(col("crn") === 1)
+        .select(col("vec_id"), col("qv"), col("cid"))
+      // query probes: 2 nearest cells
+      val q = v.filter(col("vec_id") < NumQueries)
+        .select(col("vec_id").as("qid"), col("qv").as("qq"))
+      val wProbe = Window.partitionBy(col("qid"))
+        .orderBy(col("pcos").desc, col("cid"))
+      val probes = q.crossJoin(broadcast(cents))
+        .withColumn("pcos", cosCol(col("qq"), col("cv")))
+        .withColumn("prn", row_number().over(wProbe))
+        .filter(col("prn") <= 2)
+        .select(col("qid"), col("qq"), col("cid"))
+      val scored = probes.join(assigned, "cid")
+        .filter(col("qid") =!= col("vec_id"))
+        .withColumn("cos", cosCol(col("qq"), col("qv")))
+      val w = Window.partitionBy(col("qid"))
+        .orderBy(col("cos").desc, col("vec_id"))
+      ordered(scored.withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= TopK)
+        .select(col("qid"), col("vec_id"), col("rn"), col("cos")))
+    },
+    Some(s"""WITH v AS (
+              SELECT vec_id, list_transform(embedding,
+                x -> CAST(FLOOR(x * 1000) AS BIGINT)) AS qv
+              FROM embeddings),
+            cents AS (SELECT vec_id AS cid, qv AS cv FROM v WHERE vec_id < 8),
+            assigned AS (
+              SELECT vec_id, qv, cid FROM (
+                SELECT v.vec_id, v.qv, c.cid,
+                  row_number() OVER (PARTITION BY v.vec_id ORDER BY
+                    list_dot_product(v.qv, c.cv) /
+                      (sqrt(list_dot_product(v.qv, v.qv)) * sqrt(list_dot_product(c.cv, c.cv))) DESC,
+                    c.cid) AS crn
+                FROM v CROSS JOIN cents c)
+              WHERE crn = 1),
+            probes AS (
+              SELECT qid, qq, cid FROM (
+                SELECT q.vec_id AS qid, q.qv AS qq, c.cid,
+                  row_number() OVER (PARTITION BY q.vec_id ORDER BY
+                    list_dot_product(q.qv, c.cv) /
+                      (sqrt(list_dot_product(q.qv, q.qv)) * sqrt(list_dot_product(c.cv, c.cv))) DESC,
+                    c.cid) AS prn
+                FROM v q CROSS JOIN cents c WHERE q.vec_id < $NumQueries)
+              WHERE prn <= 2),
+            scored AS (
+              SELECT p.qid, a.vec_id,
+                list_dot_product(p.qq, a.qv) /
+                  (sqrt(list_dot_product(p.qq, p.qq)) * sqrt(list_dot_product(a.qv, a.qv))) AS cos
+              FROM probes p JOIN assigned a ON a.cid = p.cid AND p.qid <> a.vec_id)
+            SELECT qid, vec_id, rn, cos FROM (
+              SELECT qid, vec_id, cos,
+                row_number() OVER (PARTITION BY qid ORDER BY cos DESC, vec_id) AS rn
+              FROM scored)
+            WHERE rn <= $TopK ORDER BY 1,2,3,4"""))
+
+  // ---------------------------------------------------------------- x08
+  // Text statistics: token counts, average token length, stopword
+  // ratio — all single-division floats over exact integers.
+  private val x08 = GateQuery(
+    "x08_text_stats",
+    (s, d) => {
+      val toks = split(col("text"), " ")
+      val nTok = size(toks)
+      val stopCnt = size(filter(toks, t => t.isin("the", "a", "and", "of")))
+      ordered(Tables.documents(s, d).select(
+        col("doc_id"),
+        nTok.as("n_tokens"),
+        size(array_distinct(toks)).as("n_uniq"),
+        ((length(col("text")) - nTok + 1).cast("double") / nTok).as("avg_token_len"),
+        stopCnt.as("stop_cnt"),
+        (stopCnt.cast("double") / nTok).as("stop_ratio")))
+    },
+    Some("""SELECT doc_id,
+              len(string_split(text, ' ')) AS n_tokens,
+              len(list_distinct(string_split(text, ' '))) AS n_uniq,
+              CAST(length(text) - len(string_split(text, ' ')) + 1 AS DOUBLE)
+                / len(string_split(text, ' ')) AS avg_token_len,
+              len(list_filter(string_split(text, ' '),
+                t -> t = 'the' OR t = 'a' OR t = 'and' OR t = 'of')) AS stop_cnt,
+              CAST(len(list_filter(string_split(text, ' '),
+                t -> t = 'the' OR t = 'a' OR t = 'and' OR t = 'of')) AS DOUBLE)
+                / len(string_split(text, ' ')) AS stop_ratio
+            FROM documents ORDER BY 1,2,3,4,5,6"""))
+
+  // ---------------------------------------------------------------- x09
+  // Language-ID heuristic (stopword-density n-gram-free variant)
+  // scored against the labeled lang column.
+  private val x09 = GateQuery(
+    "x09_langid",
+    (s, d) => {
+      val toks = split(col("text"), " ")
+      val ratio = size(filter(toks, t => t.isin("the", "a", "and", "of")))
+        .cast("double") / size(toks)
+      ordered(Tables.documents(s, d).select(
+        col("doc_id"), col("lang"),
+        when(ratio >= 0.08, "en").otherwise("unk").as("lang_pred"),
+        (when(ratio >= 0.08, "en").otherwise("unk") === col("lang")).as("matched")))
+    },
+    Some("""SELECT doc_id, lang, lang_pred, lang_pred = lang AS matched FROM (
+              SELECT doc_id, lang,
+                CASE WHEN CAST(len(list_filter(string_split(text, ' '),
+                  t -> t = 'the' OR t = 'a' OR t = 'and' OR t = 'of')) AS DOUBLE)
+                  / len(string_split(text, ' ')) >= 0.08
+                THEN 'en' ELSE 'unk' END AS lang_pred
+              FROM documents)
+            ORDER BY 1,2,3,4"""))
+
+  // ---------------------------------------------------------------- x10
+  // Document fingerprint: lexicographic min over all 8-gram md5s
+  // (min-hash winnowing flavor; rolling window, shift 1).
+  private val x10 = GateQuery(
+    "x10_fingerprint",
+    (s, d) =>
+      ordered(Tables.documents(s, d).select(col("doc_id"),
+        expr("""array_min(transform(sequence(1, greatest(length(text) - 7, 1)),
+                  i -> md5(substring(text, i, 8))))""").as("fp"))),
+    Some("""SELECT doc_id,
+              list_aggregate(list_transform(range(1, greatest(length(text) - 7, 1) + 1),
+                i -> md5(substr(text, CAST(i AS INT), 8))), 'min') AS fp
+            FROM documents ORDER BY 1,2"""))
+
+  // ---------------------------------------------------------------- x11
+  // Multimodal metadata: documents treated as opaque byte payloads —
+  // size, content hash, head bytes (the schema/plumbing layer for
+  // binary columns; real decode lives in graft.multimodal).
+  private val x11 = GateQuery(
+    "x11_media_meta",
+    (s, d) =>
+      ordered(Tables.documents(s, d).select(
+        col("doc_id"),
+        octet_length(col("text")).as("nbytes"),
+        md5(col("text")).as("content_md5"),
+        lower(hex(substring(col("text"), 1, 8))).as("head_hex"))),
+    Some("""SELECT doc_id, octet_length(encode(text)) AS nbytes, md5(text) AS content_md5,
+              lower(hex(substr(text, 1, 8))) AS head_hex
+            FROM documents ORDER BY 1,2,3,4"""))
+
+  // ---------------------------------------------------------------- x12
+  // Deterministic "feature extraction" over the byte payload — the
+  // gate-checkable face of the stubbed multimodal decode pipeline.
+  private val x12 = GateQuery(
+    "x12_media_features",
+    (s, d) =>
+      ordered(Tables.documents(s, d).select(
+        col("doc_id"),
+        octet_length(col("text")).cast("long").as("f_bytes"),
+        hex32(md5(col("text"))).as("f_hash"),
+        size(split(col("text"), " ")).cast("long").as("f_tokens"),
+        length(col("text")).cast("long").as("f_chars"))),
+    Some(s"""SELECT doc_id,
+              CAST(octet_length(encode(text)) AS BIGINT) AS f_bytes,
+              CAST(${duckHex32("md5(text)")} AS BIGINT) AS f_hash,
+              CAST(len(string_split(text, ' ')) AS BIGINT) AS f_tokens,
+              CAST(length(text) AS BIGINT) AS f_chars
+            FROM documents ORDER BY 1,2,3,4,5"""))
+
+  val all: Seq[GateQuery] = Seq(x01, x02, x03, x04, x05, x06, x07, x08, x09,
+    x10, x11, x12)
+}
