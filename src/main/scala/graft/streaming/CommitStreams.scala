@@ -1,0 +1,199 @@
+package graft.streaming
+
+import org.apache.spark.sql.{Column, DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import graft.ops.Cols._
+
+/** Structured Streaming forms of the reference queries whose point is
+  * incremental emission — running counters (Q3/Q4), per-window firing
+  * (Q5-Q7), the time-bounded stream-stream join (Q8), and the CEP
+  * sequence pattern (Q9) as an explicit keyed state machine.
+  *
+  * Inputs are streaming DataFrames with the commit schema
+  * ([[graft.schema.Protocol.commitSchema]]). The reference assumes
+  * in-order streams (its AscendingTimestampExtractor,
+  * FlinkAssignment.scala:124-127), so watermarks here carry zero
+  * slack; real deployments widen them.
+  *
+  * Scale: state is always keyed (hash-distributed across executors)
+  * and bounded — watermarks expire window state, the CEP state holds
+  * only pending 'added' timestamps inside the 1-day horizon, and the
+  * running counters keep one long per key. Nothing buffers raw
+  * events except the windowed summary's per-committer pairs (Q7),
+  * which is bounded by committers-per-repo-day, not events.
+  */
+object CommitStreams {
+
+  private val ts: Column = col("commit.committer.date")
+
+  /** Q3 (FlinkAssignment.scala:83-97) running counts per extension.
+    * `outputMode(Update)` emits a row per key per micro-batch — the
+    * micro-batch analogue of Flink's one-row-per-input running sum;
+    * [[runningCountsPerRecord]] reproduces exact per-record emission. */
+  def runningCounts(commits: DataFrame): DataFrame =
+    commits.select(explode(col("files")).as("file"))
+      .select(fileExtension(col("file.filename")).as("ext"))
+      .filter(col("ext").isin("java", "scala"))
+      .groupBy(col("ext")).count()
+
+  /** Q4 (:103-115) running composite-key totals (update mode). */
+  def runningChanges(commits: DataFrame): DataFrame =
+    commits.select(explode(col("files")).as("file"))
+      .filter(col("file.filename").endsWith(".js") ||
+              col("file.filename").endsWith(".py"))
+      .select(
+        when(col("file.filename").endsWith(".js"), ".js").otherwise(".py").as("ext"),
+        coalesce(col("file.status"), lit("unknown")).as("status"),
+        col("file.changes").as("changes"))
+      .groupBy(col("ext"), col("status"))
+      .agg(sum(col("changes")).as("changes"))
+
+  /** Exact per-input-record emission of the Q3 running counter
+    * (`(java,1)(java,2)…` per reference README) via keyed state:
+    * one output row per consumed element, state = one long per key. */
+  def runningCountsPerRecord(commits: DataFrame): Dataset[(String, Long)] = {
+    import commits.sparkSession.implicits._
+    val exts = commits.select(explode(col("files")).as("file"))
+      .select(fileExtension(col("file.filename")).as("ext"))
+      .filter(col("ext").isin("java", "scala"))
+      .as[String]
+    exts.groupByKey(identity)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (ext: String, in: Iterator[String], state: GroupState[Long]) =>
+          var n = state.getOption.getOrElse(0L)
+          val out = in.map { _ => n += 1; (ext, n) }.toVector
+          state.update(n)
+          out.iterator
+      }
+  }
+
+  /** Q5 (:122-134) daily commit counts; append mode — a window's row
+    * is emitted once, when the watermark passes its end. (Event time
+    * is projected to a top-level column first: watermarks attach to
+    * attributes, not nested paths.) */
+  def dailyCounts(commits: DataFrame): DataFrame =
+    commits.select(ts.as("ets"))
+      .withWatermark("ets", "0 seconds")
+      .groupBy(window(col("ets"), "1 day"))
+      .agg(count(lit(1)).as("cnt"))
+      .select(dayKey(col("window.start")).as("date"), col("cnt"))
+
+  /** Q6 (:141-155) sliding 48h/12h small/large counts. */
+  def slidingTypeCounts(commits: DataFrame): DataFrame =
+    commits.select(ts.as("ets"),
+        when(coalesce(col("stats.total"), lit(0)) > 20, "large")
+          .otherwise("small").as("commit_type"))
+      .withWatermark("ets", "0 seconds")
+      .groupBy(window(col("ets"), "48 hours", "12 hours"), col("commit_type"))
+      .agg(count(lit(1)).as("cnt"))
+      .select(col("window.start").as("window_start"), col("commit_type"), col("cnt"))
+
+  /** Q7 (:172-239) streaming daily summaries. Streaming forbids
+    * chained aggregations and exact `countDistinct`, so the rollup is
+    * one windowed aggregation collecting (bounded) per-committer
+    * pairs, with distinct-count and tie-joined mode computed by array
+    * expressions at emission. */
+  def dailySummaries(commits: DataFrame): DataFrame = {
+    val committers = col("committers")
+    val counts = transform(array_distinct(committers),
+      c => struct(size(filter(committers, x => x === c)).as("cnt"), c.as("name")))
+    val mx = array_max(transform(counts, p => p.getField("cnt")))
+    commits.select(ts.as("ets"), repoFromUrl(col("url")).as("repo"),
+        col("commit.committer.name").as("committer"),
+        coalesce(col("stats.total"), lit(0)).as("total"))
+      .withWatermark("ets", "0 seconds")
+      .groupBy(window(col("ets"), "1 day"), col("repo"))
+      .agg(count(lit(1)).as("amountOfCommits"),
+           collect_list(col("committer")).as("committers"),
+           sum(col("total")).as("totalChanges"))
+      .filter(col("amountOfCommits") > 20 &&
+              size(array_distinct(committers)) <= 2)
+      .select(col("repo"), dayKey(col("window.start")).as("date"),
+        col("amountOfCommits"),
+        size(array_distinct(committers)).cast("long").as("amountOfCommitters"),
+        col("totalChanges"),
+        array_join(array_sort(transform(
+          filter(counts, p => p.getField("cnt") === mx),
+          p => p.getField("name"))), ",").as("mostPopularCommitter"))
+  }
+
+  /** Q8 (:249-291) streaming interval join + weekly rollup: both
+    * sides watermarked, range condition bounds the join state; the
+    * downstream windowed aggregation is a second stateful operator
+    * (append mode). */
+  def weeklyContinentChanges(commits: DataFrame, geo: DataFrame): DataFrame = {
+    // Watermark divergence from Flink: Flink propagates watermarks
+    // through filters as control events, so a commit stream with no
+    // java files still closes windows. Spark derives the watermark
+    // from event rows observed at the watermark node after plan
+    // optimization, so only rows surviving the explode+filter advance
+    // it — a fully-filtered stream stalls downstream windows. The
+    // watermark is declared ahead of the explode/filter to keep as
+    // many rows as possible contributing.
+    val javaFiles = commits
+      .select(col("sha"), ts.as("c_ts"), col("files"))
+      .withWatermark("c_ts", "0 seconds")
+      .select(col("sha"), col("c_ts"), explode(col("files")).as("file"))
+      .filter(col("file.filename").endsWith(".java"))
+      .select(col("sha"), col("c_ts"), col("file.changes").as("changes"))
+    val geoW = geo.withWatermark("createdAt", "0 seconds")
+    javaFiles.join(geoW,
+        javaFiles("sha") === geoW("sha") &&
+          geoW("createdAt") >= col("c_ts") - expr("INTERVAL 1 HOUR") &&
+          geoW("createdAt") <= col("c_ts") + expr("INTERVAL 30 MINUTE"))
+      .groupBy(window(col("c_ts"), "7 days"), col("continent"))
+      .agg(sum(col("changes")).as("changes"))
+      .select(col("window.start").as("week"), col("continent"), col("changes"))
+  }
+
+  /** One (repo, filename) file event for the CEP state machine. */
+  private[streaming] case class FileEvent(repo: String, filename: String,
+                                          status: String, ets: java.sql.Timestamp)
+
+  /** Q9 (:299-348): CEP "added followedBy removed within 1 day" as a
+    * keyed NFA-lite. State = pending 'added' timestamps (millis)
+    * within the horizon; each 'removed' consumes every pending
+    * 'added' no older than one day (first-match semantics: a
+    * consumed 'added' can't match again). Event-time timeout prunes
+    * state one day after the newest pending 'added'. */
+  def addedThenRemoved(commits: DataFrame): Dataset[(String, String)] = {
+    import commits.sparkSession.implicits._
+    val dayMs = 24L * 3600 * 1000
+    val events = commits
+      .select(repoFromUrl(col("url")).as("repo"), ts.as("ets"), col("files"))
+      .withWatermark("ets", "0 seconds") // before explode/filter — see weeklyContinentChanges
+      .select(col("repo"), col("ets"), explode(col("files")).as("file"))
+      .filter(col("file.filename").isNotNull &&
+              col("file.status").isin("added", "removed"))
+      .select(col("repo"), col("file.filename").as("filename"),
+              col("file.status").as("status"), col("ets"))
+      .as[FileEvent]
+    events.groupByKey(e => (e.repo, e.filename))
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (key: (String, String), in: Iterator[FileEvent], state: GroupState[List[Long]]) =>
+          if (in.isEmpty && state.hasTimedOut) { // horizon passed: drop state
+            state.remove(); Iterator.empty
+          } else {
+            var pending = state.getOption.getOrElse(Nil)
+            val out = Vector.newBuilder[(String, String)]
+            in.toVector.sortBy(_.ets.getTime).foreach { e =>
+              val t = e.ets.getTime
+              if (e.status == "added") pending = t :: pending
+              else { // removed: consume all pending addeds within 1 day
+                val (hit, keep) = pending.partition(a => t >= a && t <= a + dayMs)
+                hit.foreach(_ => out += ((key._1, key._2)))
+                pending = keep
+              }
+            }
+            pending = pending.filter(_ + dayMs >= state.getCurrentWatermarkMs())
+            if (pending.isEmpty) state.remove()
+            else {
+              state.update(pending)
+              state.setTimeoutTimestamp(pending.max + dayMs)
+            }
+            out.result().iterator
+          }
+      }
+  }
+}

@@ -1,0 +1,134 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.streaming.{OutputMode, StreamingQuery}
+import graft.streaming.CommitStreams
+import graft.schema.Protocol._
+import CommitFixtures._
+
+/** Streaming semantics: update-mode running counters (incremental
+  * emission across micro-batches), append-mode window firing on
+  * watermark, the stream-stream interval join, and the keyed CEP
+  * state machine with first-match consumption and timeout pruning. */
+class CommitStreamsSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+  implicit lazy val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+
+  private var sinkId = 0
+  private def startQuery(df: DataFrame, mode: OutputMode): (StreamingQuery, String) = {
+    sinkId += 1
+    val name = s"sink$sinkId"
+    val q = df.writeStream.format("memory").queryName(name)
+      .outputMode(mode).start()
+    (q, name)
+  }
+
+  test("running counts emit growing totals across micro-batches (update mode)") {
+    val in = MemoryStream[Commit]
+    val (q, sink) = startQuery(CommitStreams.runningCounts(in.toDF()), OutputMode.Update)
+    in.addData(commit("a", t("2019-06-26T10:00:00Z"),
+      files = Seq(file(Some("A.java")), file(Some("B.scala")))))
+    q.processAllAvailable()
+    val batch1 = spark.table(sink).as[(String, Long)].collect().toSet
+    assert(batch1 == Set("java" -> 1L, "scala" -> 1L))
+    in.addData(commit("b", t("2019-06-26T11:00:00Z"),
+      files = Seq(file(Some("C.java")))))
+    q.processAllAvailable()
+    // update mode re-emits only the changed key, with its running total
+    val all = spark.table(sink).as[(String, Long)].collect().toSeq
+    assert(all.count(_ == ("java" -> 2L)) == 1)
+    assert(all.toSet == Set("java" -> 1L, "scala" -> 1L, "java" -> 2L))
+    q.stop()
+  }
+
+  test("per-record running counter reproduces the reference's (java,1)(java,2) emission") {
+    val in = MemoryStream[Commit]
+    val (q, sink) = startQuery(
+      CommitStreams.runningCountsPerRecord(in.toDF()).toDF("ext", "n"),
+      OutputMode.Append)
+    in.addData(commit("a", t("2019-06-26T10:00:00Z"),
+      files = Seq(file(Some("A.java")), file(Some("B.java")), file(Some("C.scala")))))
+    q.processAllAvailable()
+    in.addData(commit("b", t("2019-06-26T11:00:00Z"),
+      files = Seq(file(Some("D.java")))))
+    q.processAllAvailable()
+    val got = spark.table(sink).as[(String, Long)].collect().toSet
+    assert(got == Set(("java", 1L), ("java", 2L), ("java", 3L), ("scala", 1L)))
+    q.stop()
+  }
+
+  test("daily counts fire once per window when the watermark passes (append mode)") {
+    val in = MemoryStream[Commit]
+    val (q, sink) = startQuery(CommitStreams.dailyCounts(in.toDF()), OutputMode.Append)
+    in.addData(
+      commit("a", t("2019-06-26T10:00:00Z")),
+      commit("b", t("2019-06-26T12:00:00Z")))
+    q.processAllAvailable()
+    assert(spark.table(sink).count() == 0) // window still open
+    in.addData(commit("c", t("2019-06-27T00:00:01Z"))) // advances watermark past day 26
+    q.processAllAvailable()
+    val got = spark.table(sink).as[(String, Long)].collect().toSet
+    assert(got == Set(("26-06-2019", 2L)))
+    q.stop()
+  }
+
+  test("streaming interval join + weekly rollup honors the [-1h,+30m] bounds") {
+    val commits = MemoryStream[Commit]
+    val geos = MemoryStream[CommitGeo]
+    val (q, sink) = startQuery(
+      CommitStreams.weeklyContinentChanges(commits.toDF(), geos.toDF()),
+      OutputMode.Append)
+    commits.addData(commit("s1", t("2019-06-26T12:00:00Z"),
+      files = Seq(file(Some("A.java"), Some("modified"), changes = 5))))
+    geos.addData(
+      geo("s1", t("2019-06-26T11:00:00Z"), "Europe"),  // -1h inclusive: in
+      geo("s1", t("2019-06-26T12:30:00Z"), "Asia"),    // +30m inclusive: in
+      geo("s1", t("2019-06-26T10:59:59Z"), "Africa"))  // out
+    q.processAllAvailable()
+    // advance both watermarks past the 7-day window end (2019-06-27).
+    // Spark's watermark advances only on rows that reach the watermark
+    // node post-filter (see CommitStreams.weeklyContinentChanges), so
+    // the closing commits must themselves carry a java file; with
+    // chained stateful operators propagation lags one micro-batch, so
+    // push two closing batches.
+    commits.addData(commit("s2", t("2019-07-05T00:00:00Z"),
+      files = Seq(file(Some("Close.java"), Some("modified"), changes = 1))))
+    geos.addData(geo("s2", t("2019-07-05T00:00:00Z"), "Europe"))
+    q.processAllAvailable()
+    commits.addData(commit("s3", t("2019-07-20T00:00:00Z"),
+      files = Seq(file(Some("Close.java"), Some("modified"), changes = 1))))
+    geos.addData(geo("s3", t("2019-07-20T00:00:00Z"), "Europe"))
+    q.processAllAvailable()
+    val firstWeek = t("2019-06-20T00:00:00Z")
+    val got = spark.table(sink)
+      .as[(java.sql.Timestamp, String, Long)].collect()
+      .filter(_._1 == firstWeek).map(r => r._2 -> r._3).toSet
+    assert(got == Set("Europe" -> 5L, "Asia" -> 5L))
+    q.stop()
+  }
+
+  test("CEP state machine: match within a day, first-match consumption, no stale matches") {
+    val in = MemoryStream[Commit]
+    val (q, sink) = startQuery(
+      CommitStreams.addedThenRemoved(in.toDF()).toDF("repo", "filename"),
+      OutputMode.Append)
+    val mk = (sha: String, ts0: String, name: String, status: String) =>
+      commit(sha, t(ts0), files = Seq(file(Some(name), Some(status))))
+    in.addData(
+      mk("a1", "2019-06-26T10:00:00Z", "doomed.txt", "added"),
+      mk("a2", "2019-06-26T10:00:00Z", "stale.txt", "added"))
+    q.processAllAvailable()
+    in.addData(
+      mk("r1", "2019-06-26T20:00:00Z", "doomed.txt", "removed"), // within day: match
+      mk("r2", "2019-06-26T21:00:00Z", "doomed.txt", "removed")) // added consumed: no 2nd match
+    q.processAllAvailable()
+    in.addData(mk("r3", "2019-06-28T10:00:00Z", "stale.txt", "removed")) // > 1 day: no match
+    q.processAllAvailable()
+    val got = spark.table(sink).as[(String, String)].collect().toSeq
+    assert(got == Seq(("apache/flink", "doomed.txt")))
+    q.stop()
+  }
+}
