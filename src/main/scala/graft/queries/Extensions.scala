@@ -241,16 +241,15 @@ object Extensions {
     })
 
   // ------------------------------------------------------------- shared
-  /** Embeddings with FLOOR(x·1000) integer quantization — all
-    * similarity arithmetic is exact integer math; the only floats are
-    * one sqrt·sqrt product and one division, in a fixed expression
-    * shape on both engines. */
-  private def quantized(s: SparkSession, d: String): DataFrame =
-    Tables.embeddings(s, d).select(col("vec_id"),
-      transform(col("embedding"), x => floor(x * 1000).cast("long")).as("qv"))
-
-  private def qdot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x * y), lit(0L), (acc, x) => acc + x)
+  /** FLOOR(x·1000) integer-quantized cosine — all similarity
+    * arithmetic is exact integer math; the only floats are one
+    * sqrt·sqrt product and one division, in a fixed expression shape
+    * on both engines. Computed by the native codegen'd
+    * [[graft.functions.QuantizedCosine]] expression (one fused loop;
+    * bit-identical to the HOF composition the oracle mirrors — see
+    * QuantizedCosineSpec). */
+  private def cosCol(a: Column, b: Column): Column =
+    graft.functions.QuantizedCosine.quantizedCosine(a, b)
 
   private val NumQueries = 10
   private val TopK = 5
@@ -261,14 +260,11 @@ object Extensions {
   private val x06 = GateQuery(
     "x06_knn_bruteforce",
     (s, d) => {
-      val v = quantized(s, d)
+      val v = Tables.embeddings(s, d).select(col("vec_id"), col("embedding").as("qv"))
       val q = v.filter(col("vec_id") < NumQueries)
         .select(col("vec_id").as("qid"), col("qv").as("qq"))
       val scored = broadcast(q).join(v, col("qid") =!= col("vec_id"))
-        .withColumn("cos",
-          qdot(col("qq"), col("qv")).cast("double") /
-            (sqrt(qdot(col("qq"), col("qq")).cast("double")) *
-             sqrt(qdot(col("qv"), col("qv")).cast("double"))))
+        .withColumn("cos", cosCol(col("qq"), col("qv")))
       val w = Window.partitionBy(col("qid"))
         .orderBy(col("cos").desc, col("vec_id"))
       ordered(scored.withColumn("rn", row_number().over(w))
@@ -299,12 +295,9 @@ object Extensions {
   private val x07 = GateQuery(
     "x07_knn_ivf",
     (s, d) => {
-      val v = quantized(s, d)
+      val v = Tables.embeddings(s, d).select(col("vec_id"), col("embedding").as("qv"))
       val cents = v.filter(col("vec_id") < 8)
         .select(col("vec_id").as("cid"), col("qv").as("cv"))
-      def cosCol(a: Column, b: Column): Column =
-        qdot(a, b).cast("double") /
-          (sqrt(qdot(a, a).cast("double")) * sqrt(qdot(b, b).cast("double")))
       // cell assignment: nearest centroid, tie-break on cid
       val wAssign = Window.partitionBy(col("vec_id"))
         .orderBy(col("ccos").desc, col("cid"))
