@@ -25,9 +25,12 @@ object Tables {
   private def normalizeTs(df: DataFrame, colName: String): DataFrame =
     df.schema(colName).dataType match {
       case org.apache.spark.sql.types.LongType =>
+        // `div` (integer division), NOT `/`: Column./ is double
+        // division, and nanosecond epochs exceed 2^53 — the round-trip
+        // through double perturbs microseconds by ±1
         df.withColumn(colName,
           org.apache.spark.sql.functions.timestamp_micros(
-            org.apache.spark.sql.functions.col(colName) / 1000L cast "long"))
+            org.apache.spark.sql.functions.expr(s"$colName div 1000")))
       case _ => df
     }
 

@@ -93,6 +93,37 @@ object Extensions {
     docMasks(s, d).groupBy(col("mask"))
       .agg(min(col("doc_id")).as("rep"), count(lit(1)).as("cnt"))
 
+  /** LSH candidate pairs from a minhash table (`rep`, `mh0..mh15`):
+    * one posexplode pass emits the 4 band rows per signature, then a
+    * broadcast numeric equi-join on whole bands yields (rep_a, rep_b)
+    * with rep_a < rep_b, dedup'd. Shared by the token-set (x04) and
+    * bigram (x14) dedup paths. */
+  private def lshCandidates(mh: DataFrame): DataFrame = {
+    val bandStructs = (0 until NumBands).map { b =>
+      struct((0 until BandRows)
+        .map(j => col(s"mh${BandRows * b + j}").as(s"k$j")): _*)
+    }
+    val banded = mh.select(col("rep"),
+      posexplode(array(bandStructs: _*)).as(Seq("band", "ks")))
+      .select(col("rep") +: col("band") +:
+        (0 until BandRows).map(j => col(s"ks.k$j").as(s"k$j")): _*)
+    val joinCond = col("a.band") === col("b.band") &&
+      (0 until BandRows).map(j => col(s"a.k$j") === col(s"b.k$j")).reduce(_ && _) &&
+      col("a.rep") < col("b.rep")
+    banded.as("a").join(broadcast(banded.as("b")), joinCond)
+      .select(col("a.rep").as("rep_a"), col("b.rep").as("rep_b"))
+      .distinct()
+  }
+
+  /** 16 md5-derived minhashes over an exploded token column
+    * (`rep`, `tok`), seeds prefixed with [[prefix]]. */
+  private def minhashTable(toks: DataFrame, prefix: String): DataFrame = {
+    val mhAggs = (0 until NumMinhash).map { i =>
+      min(hex32(md5(concat(lit(s"$prefix$i:"), col("tok"))))).as(s"mh$i")
+    }
+    toks.groupBy(col("rep")).agg(mhAggs.head, mhAggs.tail: _*)
+  }
+
   // ---------------------------------------------------------------- x01
   // Exact dedup: hash-groupBy on raw text; every doc labeled keep/dup.
   private val x01 = GateQuery(
@@ -163,30 +194,7 @@ object Extensions {
       val repToks = sigs
         .join(Tables.documents(s, d), col("rep") === col("doc_id"))
         .select(col("rep"), explode(tokenSet(col("text"))).as("tok"))
-      val mhAggs = (0 until NumMinhash).map { i =>
-        min(hex32(md5(concat(lit(s"$i:"), col("tok"))))).as(s"mh$i")
-      }
-      val mh = repToks.groupBy(col("rep")).agg(mhAggs.head, mhAggs.tail: _*)
-      // one pass over mh: each signature emits its 4 band rows via
-      // posexplode (the union-of-projections alternative re-executes
-      // the minhash aggregation once per band)
-      val bandStructs = (0 until NumBands).map { b =>
-        struct((0 until BandRows)
-          .map(j => col(s"mh${BandRows * b + j}").as(s"k$j")): _*)
-      }
-      val banded = mh.select(col("rep"),
-        posexplode(array(bandStructs: _*)).as(Seq("band", "ks")))
-        .select(col("rep") +: col("band") +:
-          (0 until BandRows).map(j => col(s"ks.k$j").as(s"k$j")): _*)
-      val joinCond = col("a.band") === col("b.band") &&
-        (0 until BandRows).map(j => col(s"a.k$j") === col(s"b.k$j")).reduce(_ && _) &&
-        col("a.rep") < col("b.rep")
-      // the banded table is tiny relative to the corpus (4 rows per
-      // distinct signature) — broadcast the build side so candidate
-      // generation is shuffle-free
-      val cand = banded.as("a").join(broadcast(banded.as("b")), joinCond)
-        .select(col("a.rep").as("rep_a"), col("b.rep").as("rep_b"))
-        .distinct()
+      val cand = lshCandidates(minhashTable(repToks, ""))
       val ma = broadcast(sigs.select(col("rep").as("rep_a"), col("mask").as("mask_a")))
       val mb = broadcast(sigs.select(col("rep").as("rep_b"), col("mask").as("mask_b")))
       val verified = cand.join(ma, "rep_a").join(mb, "rep_b")
@@ -479,6 +487,102 @@ object Extensions {
               CAST(length(text) AS BIGINT) AS f_chars
             FROM documents ORDER BY 1,2,3,4,5"""))
 
+  // ---------------------------------------------------------------- x13
+  // Embedding-cosine near-dup: all vector pairs above a cosine
+  // threshold under the same exact quantized metric as the kNN
+  // queries. (Brute-force pair scan — at scale this reuses the IVF
+  // cell assignment to prune pairs to same-cell candidates.)
+  private val x13 = GateQuery(
+    "x13_dedup_embedding",
+    (s, d) => {
+      val v = Tables.embeddings(s, d).select(col("vec_id"), col("embedding"))
+      val a = v.select(col("vec_id").as("id_a"), col("embedding").as("ea"))
+      val b = v.select(col("vec_id").as("id_b"), col("embedding").as("eb"))
+      ordered(a.join(broadcast(b), col("id_a") < col("id_b"))
+        .withColumn("cos", cosCol(col("ea"), col("eb")))
+        .filter(col("cos") >= 0.5)
+        .select(col("id_a"), col("id_b"), col("cos")))
+    },
+    Some("""WITH v AS (
+              SELECT vec_id, list_transform(embedding,
+                x -> CAST(FLOOR(x * 1000) AS BIGINT)) AS qv
+              FROM embeddings)
+            SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+              list_dot_product(a.qv, b.qv) /
+                (sqrt(list_dot_product(a.qv, a.qv)) * sqrt(list_dot_product(b.qv, b.qv))) AS cos
+            FROM v a JOIN v b ON a.vec_id < b.vec_id
+            WHERE list_dot_product(a.qv, b.qv) /
+                (sqrt(list_dot_product(a.qv, a.qv)) * sqrt(list_dot_product(b.qv, b.qv))) >= 0.5
+            ORDER BY 1,2,3"""))
+
+  // ---------------------------------------------------------------- x14
+  // n-gram (token-bigram) Jaccard near-dup: order-sensitive shingles
+  // catch docs that share word *sequences*, not just word sets.
+  // Same LSH machinery as x04 over bigram shingles (seed-prefixed so
+  // the hash family is independent), exact set-intersection verify.
+  private val NgramThreshold = 0.8
+  private val x14 = GateQuery(
+    "x14_dedup_ngram",
+    (s, d) => {
+      // zip the token array with its own shift-by-one — split() is
+      // evaluated per ROW here; the element_at(split(...), i) lambda
+      // formulation re-tokenizes the whole text once per element
+      // (O(len²) per doc, measured 10x slower end to end)
+      val bigramsExpr = expr(
+        """array_distinct(zip_with(
+             slice(split(text, ' '), 1, size(split(text, ' ')) - 1),
+             slice(split(text, ' '), 2, size(split(text, ' ')) - 1),
+             (a, b) -> concat(a, ' ', b)))""")
+      val reps = sigTable(s, d)
+        .join(Tables.documents(s, d), col("rep") === col("doc_id"))
+        .select(col("rep"), bigramsExpr.as("bgs"))
+      val cand = lshCandidates(
+        minhashTable(reps.select(col("rep"), explode(col("bgs")).as("tok")), "b"))
+      val ba = broadcast(reps.select(col("rep").as("rep_a"), col("bgs").as("bgs_a")))
+      val bb = broadcast(reps.select(col("rep").as("rep_b"), col("bgs").as("bgs_b")))
+      val inter = size(array_intersect(col("bgs_a"), col("bgs_b")))
+      val jac = inter.cast("double") /
+        (size(col("bgs_a")) + size(col("bgs_b")) - inter)
+      ordered(cand.join(ba, "rep_a").join(bb, "rep_b")
+        .withColumn("jac", jac)
+        .filter(col("jac") >= NgramThreshold)
+        .select(col("rep_a"), col("rep_b"), col("jac")))
+    },
+    Some {
+      val mhCols = (0 until NumMinhash).map { i =>
+        s"MIN(${duckHex32(s"md5('b$i:' || tok)")}) AS mh$i"
+      }.mkString(", ")
+      val bandSelects = (0 until NumBands).map { b =>
+        val ks = (0 until BandRows)
+          .map(j => s"mh${BandRows * b + j} AS k$j").mkString(", ")
+        s"SELECT rep, $b AS band, $ks FROM mh"
+      }.mkString(" UNION ALL ")
+      val joinKeys = "a.band = b.band AND " +
+        (0 until BandRows).map(j => s"a.k$j = b.k$j").mkString(" AND ")
+      s"""WITH $duckMasksCte,
+           reps AS (
+             SELECT s.rep,
+               list_distinct([tk[i] || ' ' || tk[i+1] FOR i IN range(1, len(tk))]) AS bgs
+             FROM sigs s
+             JOIN (SELECT doc_id, string_split(text, ' ') AS tk FROM documents) d2
+               ON d2.doc_id = s.rep),
+           bg_toks AS (SELECT rep, unnest(bgs) AS tok FROM reps),
+           mh AS (SELECT rep, $mhCols FROM bg_toks GROUP BY rep),
+           banded AS ($bandSelects),
+           cand AS (
+             SELECT DISTINCT a.rep AS rep_a, b.rep AS rep_b
+             FROM banded a JOIN banded b ON $joinKeys AND a.rep < b.rep)
+          SELECT c.rep_a, c.rep_b,
+            CAST(len(list_intersect(ra.bgs, rb.bgs)) AS DOUBLE) /
+              (len(ra.bgs) + len(rb.bgs) - len(list_intersect(ra.bgs, rb.bgs))) AS jac
+          FROM cand c
+          JOIN reps ra ON ra.rep = c.rep_a
+          JOIN reps rb ON rb.rep = c.rep_b
+          WHERE CAST(len(list_intersect(ra.bgs, rb.bgs)) AS DOUBLE) /
+              (len(ra.bgs) + len(rb.bgs) - len(list_intersect(ra.bgs, rb.bgs))) >= $NgramThreshold
+          ORDER BY 1,2,3"""
+    })
+
   val all: Seq[GateQuery] = Seq(x01, x02, x03, x04, x05, x06, x07, x08, x09,
-    x10, x11, x12)
+    x10, x11, x12, x13, x14)
 }

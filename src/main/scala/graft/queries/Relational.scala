@@ -407,6 +407,42 @@ object Relational {
             WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey AND o_orderstatus = 'P')
             ORDER BY 1,2"""))
 
+  // ---------------------------------------------------------------- q18
+  // T5 session windows (unused by the reference but part of the
+  // engine's window surface): per-user sessions with a 30-minute gap.
+  // A new session starts when the inter-event gap EXCEEDS the gap
+  // duration — probed empirically: Spark merges events exactly
+  // gap-apart (session end is inclusive for the merge test). The
+  // oracle is the classic gaps-and-islands rewrite with `>`.
+  private val q18 = GateQuery(
+    "q18_session_window",
+    (s, d) =>
+      ordered(Tables.events(s, d)
+        .groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
+        .agg(count(lit(1)).as("n_events"), moneySum(col("value")).as("sum_value"))
+        .select(col("user_id"),
+                // string output: Spark parquet timestamps are
+                // UTC-adjusted, DuckDB's are naive — a raw timestamp
+                // column can never hash-match across engines
+                date_format(col("session_window.start"),
+                  "yyyy-MM-dd HH:mm:ss.SSSSSS").as("session_start"),
+                col("n_events"), col("sum_value"))),
+    Some("""WITH flags AS (
+              SELECT user_id, ts, value,
+                CASE WHEN lag(ts) OVER w IS NULL
+                       OR ts - lag(ts) OVER w > INTERVAL 30 MINUTE
+                     THEN 1 ELSE 0 END AS nf
+              FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+            sess AS (
+              SELECT user_id, ts, value,
+                SUM(nf) OVER (PARTITION BY user_id ORDER BY ts
+                              ROWS UNBOUNDED PRECEDING) AS sid
+              FROM flags)
+            SELECT user_id, strftime(min(ts), '%Y-%m-%d %H:%M:%S.%f') AS session_start,
+              count(*) AS n_events,
+              CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+            FROM sess GROUP BY user_id, sid ORDER BY 1,2,3,4"""))
+
   val all: Seq[GateQuery] = Seq(q01, q02, q03, q04, q05, q06, q07, q08, q09,
-    q10, q11, q12, q13, q14, q15, q16, q17)
+    q10, q11, q12, q13, q14, q15, q16, q17, q18)
 }
