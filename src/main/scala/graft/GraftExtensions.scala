@@ -1,0 +1,22 @@
+package graft
+
+import org.apache.spark.sql.SparkSessionExtensions
+import graft.functions.QuantizedCosine
+
+/** SparkSessionExtensions entry point: makes graft's native
+  * expressions available in any session via configuration —
+  * {{{ spark.sql.extensions=graft.GraftExtensions }}} —
+  * the standard deployment route for cluster-wide custom functions
+  * (no code changes in user jobs; `SELECT quantized_cosine(a, b)`
+  * just resolves).
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectFunction((
+      new org.apache.spark.sql.catalyst.FunctionIdentifier("quantized_cosine"),
+      new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
+        classOf[QuantizedCosine].getName, "quantized_cosine"),
+      (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        QuantizedCosine(exprs(0), exprs(1))))
+  }
+}

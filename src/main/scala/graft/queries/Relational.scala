@@ -443,6 +443,32 @@ object Relational {
               CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
             FROM sess GROUP BY user_id, sid ORDER BY 1,2,3,4"""))
 
+  // ---------------------------------------------------------------- q19
+  // Rollup / grouping-sets surface (beyond the reference, standard
+  // OLAP): per (returnflag, linestatus) with subtotal and grand-total
+  // rows. Rollup emits NULL group keys, which can never hash-match
+  // across engines at the sort step — so keys are coalesced to 'ALL'
+  // via grouping() on both sides.
+  private val q19 = GateQuery(
+    "q19_rollup",
+    (s, d) =>
+      ordered(Tables.lineitem(s, d)
+        .rollup(col("l_returnflag"), col("l_linestatus"))
+        .agg(count(lit(1)).as("cnt"), intSum(col("l_quantity")).as("sum_qty"),
+             grouping(col("l_returnflag")).as("g1"),
+             grouping(col("l_linestatus")).as("g2"))
+        .select(
+          when(col("g1") === 1, "ALL").otherwise(col("l_returnflag")).as("rf"),
+          when(col("g2") === 1, "ALL").otherwise(col("l_linestatus")).as("ls"),
+          col("cnt"), col("sum_qty"))),
+    Some("""SELECT
+              CASE WHEN GROUPING(l_returnflag) = 1 THEN 'ALL' ELSE l_returnflag END AS rf,
+              CASE WHEN GROUPING(l_linestatus) = 1 THEN 'ALL' ELSE l_linestatus END AS ls,
+              count(*) AS cnt,
+              CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty
+            FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+            ORDER BY 1,2,3,4"""))
+
   val all: Seq[GateQuery] = Seq(q01, q02, q03, q04, q05, q06, q07, q08, q09,
-    q10, q11, q12, q13, q14, q15, q16, q17, q18)
+    q10, q11, q12, q13, q14, q15, q16, q17, q18, q19)
 }

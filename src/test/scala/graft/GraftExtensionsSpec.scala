@@ -1,0 +1,31 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.SparkSession
+
+/** The extensions class must make quantized_cosine resolvable in a
+  * session constructed with it. (The `spark.sql.extensions` config
+  * route is a STATIC conf — only honored by a fresh SparkContext —
+  * covered by [[ExtensionsDemo]] in its own forked JVM.) */
+class GraftExtensionsSpec extends AnyFunSuite {
+  test("quantized_cosine resolves via builder.withExtensions") {
+    val shared = TestSpark.spark
+    SparkSession.clearActiveSession()
+    SparkSession.clearDefaultSession()
+    val s2 = SparkSession.builder()
+      .master("local[2]")
+      .withExtensions(new GraftExtensions().apply(_))
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    try {
+      val r = s2.sql(
+        """SELECT quantized_cosine(array(CAST(0.5 AS FLOAT), CAST(0.25 AS FLOAT)),
+                                   array(CAST(0.5 AS FLOAT), CAST(0.25 AS FLOAT))) AS c""")
+        .collect().head.getDouble(0)
+      assert(r == 1.0)
+    } finally {
+      SparkSession.setActiveSession(shared)
+      SparkSession.setDefaultSession(shared)
+    }
+  }
+}
