@@ -115,13 +115,24 @@ object Extensions {
       .distinct()
   }
 
-  /** 16 md5-derived minhashes over an exploded token column
-    * (`rep`, `tok`), seeds prefixed with [[prefix]]. */
+  /** Affine coefficients for the minhash family: h_i = (a·h + b) mod
+    * 2^32 over one md5-derived 32-bit base hash — the textbook
+    * construction, and 16× less hashing than one md5 per seed.
+    * a·h < 2^52, so the arithmetic is exact in both BIGINT and the
+    * doubles DuckDB might route through. */
+  private def mhA(i: Int): Long = 1000003L + 2L * i
+  private def mhB(i: Int): Long = 12345L + 7919L * i
+  private val Mod32 = 4294967296L
+
+  /** 16 minhashes over an exploded token column (`rep`, `tok`); the
+    * base hash is md5-derived with a [[prefix]] so token-set (x04)
+    * and bigram (x14) families are independent. */
   private def minhashTable(toks: DataFrame, prefix: String): DataFrame = {
+    val h = toks.withColumn("h", hex32(md5(concat(lit(prefix), col("tok")))))
     val mhAggs = (0 until NumMinhash).map { i =>
-      min(hex32(md5(concat(lit(s"$prefix$i:"), col("tok"))))).as(s"mh$i")
+      min((col("h") * mhA(i) + mhB(i)) % Mod32).as(s"mh$i")
     }
-    toks.groupBy(col("rep")).agg(mhAggs.head, mhAggs.tail: _*)
+    h.groupBy(col("rep")).agg(mhAggs.head, mhAggs.tail: _*)
   }
 
   // ---------------------------------------------------------------- x01
@@ -194,7 +205,7 @@ object Extensions {
       val repToks = sigs
         .join(Tables.documents(s, d), col("rep") === col("doc_id"))
         .select(col("rep"), explode(tokenSet(col("text"))).as("tok"))
-      val cand = lshCandidates(minhashTable(repToks, ""))
+      val cand = lshCandidates(minhashTable(repToks, "t:"))
       val ma = broadcast(sigs.select(col("rep").as("rep_a"), col("mask").as("mask_a")))
       val mb = broadcast(sigs.select(col("rep").as("rep_b"), col("mask").as("mask_b")))
       val verified = cand.join(ma, "rep_a").join(mb, "rep_b")
@@ -206,7 +217,7 @@ object Extensions {
     },
     Some {
       val mhCols = (0 until NumMinhash).map { i =>
-        s"MIN(${duckHex32(s"md5('$i:' || tok)")}) AS mh$i"
+        s"MIN((h * ${mhA(i)} + ${mhB(i)}) % $Mod32) AS mh$i"
       }.mkString(", ")
       val bandSelects = (0 until NumBands).map { b =>
         val ks = (0 until BandRows)
@@ -219,7 +230,8 @@ object Extensions {
            rep_toks AS (
              SELECT s.rep, unnest(list_distinct(string_split(doc.text, ' '))) AS tok
              FROM sigs s JOIN documents doc ON doc.doc_id = s.rep),
-           mh AS (SELECT rep, $mhCols FROM rep_toks GROUP BY rep),
+           th AS (SELECT rep, ${duckHex32("md5('t:' || tok)")} AS h FROM rep_toks),
+           mh AS (SELECT rep, $mhCols FROM th GROUP BY rep),
            banded AS ($bandSelects),
            cand AS (
              SELECT DISTINCT a.rep AS rep_a, b.rep AS rep_b
@@ -537,7 +549,7 @@ object Extensions {
         .join(Tables.documents(s, d), col("rep") === col("doc_id"))
         .select(col("rep"), bigramsExpr.as("bgs"))
       val cand = lshCandidates(
-        minhashTable(reps.select(col("rep"), explode(col("bgs")).as("tok")), "b"))
+        minhashTable(reps.select(col("rep"), explode(col("bgs")).as("tok")), "b:"))
       val ba = broadcast(reps.select(col("rep").as("rep_a"), col("bgs").as("bgs_a")))
       val bb = broadcast(reps.select(col("rep").as("rep_b"), col("bgs").as("bgs_b")))
       val inter = size(array_intersect(col("bgs_a"), col("bgs_b")))
@@ -550,7 +562,7 @@ object Extensions {
     },
     Some {
       val mhCols = (0 until NumMinhash).map { i =>
-        s"MIN(${duckHex32(s"md5('b$i:' || tok)")}) AS mh$i"
+        s"MIN((h * ${mhA(i)} + ${mhB(i)}) % $Mod32) AS mh$i"
       }.mkString(", ")
       val bandSelects = (0 until NumBands).map { b =>
         val ks = (0 until BandRows)
@@ -567,7 +579,8 @@ object Extensions {
              JOIN (SELECT doc_id, string_split(text, ' ') AS tk FROM documents) d2
                ON d2.doc_id = s.rep),
            bg_toks AS (SELECT rep, unnest(bgs) AS tok FROM reps),
-           mh AS (SELECT rep, $mhCols FROM bg_toks GROUP BY rep),
+           th AS (SELECT rep, ${duckHex32("md5('b:' || tok)")} AS h FROM bg_toks),
+           mh AS (SELECT rep, $mhCols FROM th GROUP BY rep),
            banded AS ($bandSelects),
            cand AS (
              SELECT DISTINCT a.rep AS rep_a, b.rep AS rep_b
