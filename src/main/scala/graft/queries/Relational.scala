@@ -469,6 +469,32 @@ object Relational {
             FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
             ORDER BY 1,2,3,4"""))
 
+  // ---------------------------------------------------------------- q20
+  // As-of join (operator Spark lacks; see graft.ops.AsOf): for every
+  // click, the user's most recent purchase at or before it. Oracle is
+  // DuckDB's native ASOF JOIN — an independent implementation of the
+  // same semantics, not a replay of our construction.
+  private val q20 = GateQuery(
+    "q20_asof_join",
+    (s, d) => {
+      val e = Tables.events(s, d)
+      val clicks = e.filter(col("event_type") === "click")
+        .select(col("user_id"), col("ts"), col("event_id"))
+      val purchases = e.filter(col("event_type") === "purchase")
+        .groupBy(col("user_id"), col("ts"))
+        .agg(max(col("event_id")).as("p_id")) // unique per (key, ts)
+      ordered(graft.ops.AsOf.asOfJoin(clicks, purchases, "user_id", "ts")
+        .select(col("event_id"), col("user_id"),
+                coalesce(col("p_id"), lit(-1L)).as("last_purchase")))
+    },
+    Some("""SELECT c.event_id, c.user_id, coalesce(p.event_id, -1) AS last_purchase
+            FROM (SELECT user_id, ts, event_id FROM events WHERE event_type = 'click') c
+            ASOF LEFT JOIN (
+              SELECT user_id, ts, max(event_id) AS event_id
+              FROM events WHERE event_type = 'purchase' GROUP BY user_id, ts) p
+              ON c.user_id = p.user_id AND c.ts >= p.ts
+            ORDER BY 1,2,3"""))
+
   val all: Seq[GateQuery] = Seq(q01, q02, q03, q04, q05, q06, q07, q08, q09,
-    q10, q11, q12, q13, q14, q15, q16, q17, q18, q19)
+    q10, q11, q12, q13, q14, q15, q16, q17, q18, q19, q20)
 }
