@@ -1,0 +1,50 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import graft.ops.Cols.moneySum
+
+/** Streaming forms of the testdata `events` queries — the same
+  * declarative plans as the batch gate queries, driven incrementally.
+  * Input: any streaming DataFrame with the events schema
+  * ([[EventStreams.schema]]); [[fileSource]] builds one from a
+  * parquet directory (the pattern a production job uses for
+  * continuously-landing files).
+  */
+object EventStreams {
+
+  val schema: StructType = StructType(Seq(
+    StructField("event_id", LongType),
+    StructField("ts", TimestampType),
+    StructField("user_id", LongType),
+    StructField("event_type", StringType),
+    StructField("value", DoubleType),
+    StructField("props", StringType)))
+
+  /** File-stream source over a directory of parquet drops. */
+  def fileSource(spark: SparkSession, dir: String): DataFrame =
+    spark.readStream.schema(schema).parquet(dir)
+
+  /** q03 streaming: running per-type counts (update mode). */
+  def runningTypeCounts(events: DataFrame): DataFrame =
+    events.groupBy(col("event_type")).agg(count(lit(1)).as("cnt"))
+
+  /** q05/q07-style: per-day per-type exact revenue, append mode on
+    * watermark close. */
+  def dailyTypeRevenue(events: DataFrame): DataFrame =
+    events.withWatermark("ts", "0 seconds")
+      .groupBy(window(col("ts"), "1 day"), col("event_type"))
+      .agg(count(lit(1)).as("cnt"), moneySum(col("value")).as("revenue"))
+      .select(col("window.start").as("day"), col("event_type"),
+              col("cnt"), col("revenue"))
+
+  /** q18 streaming: session windows work natively under watermark —
+    * a session emits once the watermark passes last_ts + gap. */
+  def userSessions(events: DataFrame): DataFrame =
+    events.withWatermark("ts", "0 seconds")
+      .groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
+      .agg(count(lit(1)).as("n_events"), moneySum(col("value")).as("sum_value"))
+      .select(col("user_id"), col("session_window.start").as("session_start"),
+              col("n_events"), col("sum_value"))
+}

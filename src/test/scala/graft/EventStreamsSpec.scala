@@ -1,0 +1,69 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import graft.streaming.EventStreams
+import java.sql.Timestamp
+import CommitFixtures.t
+
+case class Ev(event_id: Long, ts: Timestamp, user_id: Long,
+              event_type: String, value: Double, props: String)
+
+/** Streaming events queries: update-mode counts, watermark-closed
+  * daily revenue, and streaming session windows (merge + emit). */
+class EventStreamsSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+  implicit lazy val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
+
+  private def ev(id: Long, ts0: String, user: Long, typ: String, v: Double) =
+    Ev(id, t(ts0), user, typ, v, "{}")
+
+  test("running type counts grow across batches (update mode)") {
+    val in = MemoryStream[Ev]
+    val q = EventStreams.runningTypeCounts(in.toDF()).writeStream
+      .format("memory").queryName("etc").outputMode("update").start()
+    in.addData(ev(1, "2024-01-01T10:00:00Z", 1, "click", 1.0))
+    q.processAllAvailable()
+    in.addData(ev(2, "2024-01-01T11:00:00Z", 1, "click", 1.0))
+    q.processAllAvailable()
+    val got = spark.table("etc").as[(String, Long)].collect().toSeq
+    assert(got.sorted == Seq(("click", 1L), ("click", 2L)))
+    q.stop()
+  }
+
+  test("daily revenue fires on watermark with exact decimal sums") {
+    val in = MemoryStream[Ev]
+    val q = EventStreams.dailyTypeRevenue(in.toDF()).writeStream
+      .format("memory").queryName("rev").outputMode("append").start()
+    in.addData(
+      ev(1, "2024-01-01T10:00:00Z", 1, "purchase", 10.10),
+      ev(2, "2024-01-01T11:00:00Z", 2, "purchase", 0.20))
+    q.processAllAvailable()
+    in.addData(ev(3, "2024-01-02T00:00:01Z", 1, "click", 1.0))
+    q.processAllAvailable()
+    val got = spark.table("rev")
+      .as[(Timestamp, String, Long, Double)].collect()
+    assert(got.length == 1)
+    assert(got.head._2 == "purchase" && got.head._3 == 2 && got.head._4 == 10.30)
+    q.stop()
+  }
+
+  test("streaming session windows merge and emit after the gap passes") {
+    val in = MemoryStream[Ev]
+    val q = EventStreams.userSessions(in.toDF()).writeStream
+      .format("memory").queryName("sess").outputMode("append").start()
+    in.addData( // one session: 10:00 + 10:20 (gap 20m < 30m)
+      ev(1, "2024-01-01T10:00:00Z", 1, "click", 1.0),
+      ev(2, "2024-01-01T10:20:00Z", 1, "click", 2.0))
+    q.processAllAvailable()
+    assert(spark.table("sess").count() == 0) // session still open
+    in.addData(ev(3, "2024-01-01T12:00:00Z", 1, "click", 4.0)) // closes it
+    q.processAllAvailable()
+    val got = spark.table("sess")
+      .as[(Long, Timestamp, Long, Double)].collect()
+    assert(got.length == 1)
+    assert(got.head == ((1L, t("2024-01-01T10:00:00Z"), 2L, 3.0)))
+    q.stop()
+  }
+}
