@@ -550,8 +550,13 @@ object Extensions {
         .select(col("rep"), bigramsExpr.as("bgs"))
       val cand = lshCandidates(
         minhashTable(reps.select(col("rep"), explode(col("bgs")).as("tok")), "b:"))
-      val ba = broadcast(reps.select(col("rep").as("rep_a"), col("bgs").as("bgs_a")))
-      val bb = broadcast(reps.select(col("rep").as("rep_b"), col("bgs").as("bgs_b")))
+      // verify-side bigrams are rebuilt only for the (few) candidate
+      // reps instead of re-deriving the whole rep table twice
+      def candBigrams(side: String) = broadcast(
+        Tables.documents(s, d)
+          .select(col("doc_id").as(s"rep_$side"), bigramsExpr.as(s"bgs_$side")))
+      val ba = candBigrams("a")
+      val bb = candBigrams("b")
       val inter = size(array_intersect(col("bgs_a"), col("bgs_b")))
       val jac = inter.cast("double") /
         (size(col("bgs_a")) + size(col("bgs_b")) - inter)
