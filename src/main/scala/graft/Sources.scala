@@ -1,0 +1,32 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.types.StructType
+
+/** Source/sink matrix beyond the parquet testdata: schema'd CSV and
+  * newline-delimited JSON readers/writers with lossless round-trip
+  * settings (explicit schema — no inference scan — UTC timestamps,
+  * quoted CSV). The reference ingests only NDJSON
+  * (FlinkAssignment.scala:37-44); these cover the rest of the batch
+  * ingestion surface, and each reader has a `readStream` twin by
+  * construction (same format/schema options).
+  */
+object Sources {
+  private val tsFmt = "yyyy-MM-dd'T'HH:mm:ss.SSSSSSXXX"
+
+  def writeCsv(df: DataFrame, path: String): Unit =
+    df.write.mode("overwrite")
+      .option("header", "true").option("timestampFormat", tsFmt)
+      .csv(path)
+
+  def readCsv(spark: SparkSession, schema: StructType, path: String): DataFrame =
+    spark.read.schema(schema)
+      .option("header", "true").option("timestampFormat", tsFmt)
+      .csv(path)
+
+  def writeJson(df: DataFrame, path: String): Unit =
+    df.write.mode("overwrite").option("timestampFormat", tsFmt).json(path)
+
+  def readJson(spark: SparkSession, schema: StructType, path: String): DataFrame =
+    spark.read.schema(schema).option("timestampFormat", tsFmt).json(path)
+}

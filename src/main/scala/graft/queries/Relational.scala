@@ -179,11 +179,15 @@ object Relational {
       val b = e.select(col("user_id").as("b_user"), col("ts").as("b_ts"),
                        col("event_id").as("b_id"), col("event_type").as("b_type"),
                        col("value").as("b_value"))
-      val joined = a.join(b,
-        col("a_user") === col("b_user") &&
-          col("b_ts") >= col("a_ts") - expr("INTERVAL 1 HOUR") &&
-          col("b_ts") <= col("a_ts") + expr("INTERVAL 30 MINUTE") &&
-          col("a_id") =!= col("b_id"))
+      // time-bucketed rewrite (graft.ops.IntervalJoin): equi-join on
+      // (user, bucket) + exact residual range — same rows as the
+      // naive key-join + filter (spec-verified), but pair generation
+      // is bounded by the interval's neighborhood, not key history
+      val joined = graft.ops.IntervalJoin.bucketed(
+          a.withColumnRenamed("a_user", "user_id"),
+          b.withColumnRenamed("b_user", "user_id"),
+          "user_id", "a_ts", "b_ts", -3600L, 1800L, bucketSeconds = 5400L)
+        .filter(col("a_id") =!= col("b_id"))
       ordered(joined.groupBy(col("b_type"))
         .agg(count(lit(1)).as("cnt"), moneySum(col("b_value")).as("sum_value")))
     },

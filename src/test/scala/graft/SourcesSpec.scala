@@ -1,0 +1,36 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import java.nio.file.Files
+
+/** CSV and NDJSON round-trips must be lossless against the real
+  * events table (timestamps to the microsecond, doubles exact). */
+class SourcesSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+
+  private def roundTrip(fmt: String): Unit = {
+    val src = Tables.events(spark, "/root/testdata/sf0.001")
+    val dir = Files.createTempDirectory(s"graft-$fmt").toString + "/out"
+    val schema = src.schema
+    fmt match {
+      case "csv" =>
+        Sources.writeCsv(src, dir)
+        val back = Sources.readCsv(spark, schema, dir)
+        assertLossless(src, back)
+      case "json" =>
+        Sources.writeJson(src, dir)
+        val back = Sources.readJson(spark, schema, dir)
+        assertLossless(src, back)
+    }
+  }
+
+  private def assertLossless(a: org.apache.spark.sql.DataFrame,
+                             b: org.apache.spark.sql.DataFrame): Unit = {
+    assert(b.schema == a.schema)
+    assert(a.count() == b.count())
+    assert(a.exceptAll(b).count() == 0 && b.exceptAll(a).count() == 0)
+  }
+
+  test("csv round-trip is lossless on real events")(roundTrip("csv"))
+  test("json round-trip is lossless on real events")(roundTrip("json"))
+}
