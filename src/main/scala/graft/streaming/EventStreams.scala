@@ -39,6 +39,16 @@ object EventStreams {
       .select(col("window.start").as("day"), col("event_type"),
               col("cnt"), col("revenue"))
 
+  /** Streaming exact dedup: keep the first occurrence per content
+    * key, with state bounded by the watermark horizon — the streaming
+    * face of x01 (a crawl pipeline dedups in-flight before landing).
+    * Uses dropDuplicatesWithinWatermark so a duplicate arriving
+    * within the horizon of its first occurrence is dropped even when
+    * their event times differ. */
+  def dedupStream(events: DataFrame, horizon: String, keyCols: Seq[String]): DataFrame =
+    events.withWatermark("ts", horizon)
+      .dropDuplicatesWithinWatermark(keyCols)
+
   /** q18 streaming: session windows work natively under watermark —
     * a session emits once the watermark passes last_ts + gap. */
   def userSessions(events: DataFrame): DataFrame =

@@ -49,6 +49,22 @@ class EventStreamsSpec extends AnyFunSuite {
     q.stop()
   }
 
+  test("streaming dedup drops in-horizon duplicates, keeps first occurrence") {
+    val in = MemoryStream[Ev]
+    val q = EventStreams.dedupStream(in.toDF(), "1 hour", Seq("props"))
+      .writeStream.format("memory").queryName("dedup").outputMode("append").start()
+    in.addData(
+      ev(1, "2024-01-01T10:00:00Z", 1, "click", 1.0).copy(props = "contentA"),
+      ev(2, "2024-01-01T10:10:00Z", 2, "click", 2.0).copy(props = "contentA"), // dup in horizon
+      ev(3, "2024-01-01T10:20:00Z", 3, "click", 3.0).copy(props = "contentB"))
+    q.processAllAvailable()
+    in.addData(ev(4, "2024-01-01T10:30:00Z", 4, "click", 4.0).copy(props = "contentA")) // still dup
+    q.processAllAvailable()
+    val got = spark.table("dedup").as[Ev].collect().map(_.event_id).toSet
+    assert(got == Set(1L, 3L))
+    q.stop()
+  }
+
   test("streaming session windows merge and emit after the gap passes") {
     val in = MemoryStream[Ev]
     val q = EventStreams.userSessions(in.toDF()).writeStream
