@@ -14,6 +14,14 @@ import org.apache.spark.sql.functions._
   * PRECEDING)`. Right rows sort before left rows at equal
   * timestamps, giving inclusive (`<=`) semantics.
   *
+  * The carried value is ONE struct wrapping all right payload
+  * columns — the struct is non-null whenever a right row exists,
+  * even if every payload field in it is NULL, so a genuinely-NULL
+  * right value is carried as NULL rather than being skipped by
+  * `ignoreNulls` (which would wrongly surface the previous older
+  * row's value). It also makes the carry a single window expression
+  * instead of one per payload column.
+  *
   * Scale: ONE hash shuffle on the key plus an in-partition sort —
   * the same cost Flink/kdb pay for temporal joins — versus a range
   * join's O(|left|·|right-per-key|) pair blowup. The window never
@@ -35,19 +43,23 @@ object AsOf {
     val rightPayload = right.columns.filterNot(c => c == key || c == ts).toSeq
     require(leftPayload.intersect(rightPayload).isEmpty,
       s"overlapping payload columns: ${leftPayload.intersect(rightPayload).mkString(",")}")
+    require(!(left.columns ++ right.columns).exists(Set("__side", "__r")),
+      "__side/__r are reserved column names")
+    if (rightPayload.isEmpty) return left
 
-    def side(df: DataFrame, tag: Int, own: Seq[String], other: Seq[String]): DataFrame =
-      df.select(
-        (col(key) +: col(ts) +: lit(tag).as("__side") +:
-          (own.map(col) ++ other.map(c => lit(null).as(c)))): _*)
+    val rStructType = org.apache.spark.sql.types.StructType(
+      rightPayload.map(c => right.schema(c)))
+    val rightSide = right.select(col(key), col(ts), lit(0).as("__side"),
+      struct(rightPayload.map(col): _*).as("__r"))
+    val leftSide = left.select(col(key) +: col(ts) +: lit(1).as("__side") +:
+      lit(null).cast(rStructType).as("__r") +: leftPayload.map(col): _*)
 
-    val unioned = side(right, 0, rightPayload, leftPayload)
-      .unionByName(side(left, 1, leftPayload, rightPayload))
     val w = Window.partitionBy(col(key)).orderBy(col(ts), col("__side"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val carried = rightPayload.foldLeft(unioned) { (df, c) =>
-      df.withColumn(c, last(col(c), ignoreNulls = true).over(w))
-    }
-    carried.filter(col("__side") === 1).drop("__side")
+    rightSide.unionByName(leftSide, allowMissingColumns = true)
+      .withColumn("__r", last(col("__r"), ignoreNulls = true).over(w))
+      .filter(col("__side") === 1)
+      .select((col(key) +: col(ts) +: leftPayload.map(col)) ++
+        rightPayload.map(c => col("__r").getField(c).as(c)): _*)
   }
 }

@@ -48,16 +48,35 @@ object Cols {
     */
   def dayKey(ts: Column): Column = date_format(ts, "dd-MM-yyyy")
 
-  /** Repo name from a GitHub API commit URL — one-regex equivalent of
-    * the reference's split/indexOf extraction
-    * (FlinkAssignment.scala:174-183). */
-  def repoFromUrl(url: Column): Column =
-    regexp_extract(url, "repos/([^/]+/[^/]+)", 1)
+  /** Repo name from a commit URL — full semantics of the reference's
+    * extractRepo (FlinkAssignment.scala:174-183): strip the query
+    * string, split on '/', take the two segments after "repos" when
+    * present, else the positional owner/repo fallback
+    * `parts(len-3)/parts(len-2)` for ≥4-segment URLs, else the
+    * cleaned URL itself. Trailing '/'s are stripped before the split
+    * to mirror Scala's `String.split` dropping trailing empty
+    * segments. All branches are a single CaseWhen — codegen'd, no UDF. */
+  def repoFromUrl(url: Column): Column = {
+    val cleaned = regexp_replace(url, "\\?.*$", "")
+    val parts = split(regexp_replace(cleaned, "/+$", ""), "/")
+    val n = size(parts)
+    val p = array_position(parts, "repos").cast("int") // 1-based; 0 = absent
+    when(p > 0 && p + 1 < n,
+        concat_ws("/", element_at(parts, p + 1), element_at(parts, p + 2)))
+      .when(n >= 4,
+        concat_ws("/", element_at(parts, n - 2), element_at(parts, n - 1)))
+      .otherwise(cleaned)
+  }
 
-  /** Last dot-separated path segment ("extension"), "" when no dot —
-    * semantics of FlinkAssignment.scala:88. */
+  /** Last dot-separated segment ("extension") — semantics of the
+    * reference's `name.split("\\.").lastOption`
+    * (FlinkAssignment.scala:88): a dotless name returns the whole
+    * name (a file literally named "java" counts). Trailing dots are
+    * stripped first, mirroring Scala split's trailing-empty-segment
+    * removal; an all-dots name yields "" where the reference yields
+    * no row — downstream `isin` filters make the two identical. */
   def fileExtension(name: Column): Column =
-    when(name.contains("."), element_at(split(name, "\\."), -1)).otherwise(lit(""))
+    element_at(split(regexp_replace(name, "\\.+$", ""), "\\."), -1)
 
   /** Distinct, sorted token array of a whitespace-tokenized text.
     * DuckDB twin: `list_sort(list_distinct(string_split(text, ' ')))`. */

@@ -113,7 +113,11 @@ object CommitQueries {
 
   /** Q8 (:249-291): weekly java-file changes per continent via the
     * interval join — geo events within [commit.ts − 1h, commit.ts + 30m]
-    * (bounds inclusive, FlinkAssignment.scala:277). */
+    * (bounds inclusive, FlinkAssignment.scala:277). The weekly window
+    * is assigned from `greatest(commit.ts, geo.createdAt)`: Flink's
+    * intervalJoin timestamps each emitted pair with
+    * `max(leftTs, rightTs)`, so a pair whose geo event crosses a
+    * 7-day boundary lands in the later week. */
   def q8(commits: DataFrame, geo: DataFrame): DataFrame = {
     val javaFiles = commits
       .select(col("sha"), ts.as("c_ts"), explode(col("files")).as("file"))
@@ -123,7 +127,8 @@ object CommitQueries {
         javaFiles("sha") === geo("sha") &&
           geo("createdAt") >= col("c_ts") - expr("INTERVAL 1 HOUR") &&
           geo("createdAt") <= col("c_ts") + expr("INTERVAL 30 MINUTE"))
-      .groupBy(window(col("c_ts"), "7 days").getField("start").as("week"),
+      .groupBy(window(greatest(col("c_ts"), col("createdAt")), "7 days")
+                 .getField("start").as("week"),
                col("continent"))
       .agg(sum(col("changes")).as("changes"))
       .select(col("week"), col("continent"), col("changes"))

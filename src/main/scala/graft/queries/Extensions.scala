@@ -171,7 +171,7 @@ object Extensions {
   private val x03 = GateQuery(
     "x03_dedup_jaccard",
     (s, d) => {
-      val sigs = sigTable(s, d)
+      val sigs = sigTable(s, d).persist() // two consumers (a / b sides)
       val a = sigs.select(col("mask").as("mask_a"), col("rep").as("rep_a"),
                           col("cnt").as("cnt_a"))
       val b = sigs.select(col("mask").as("mask_b"), col("rep").as("rep_b"),
@@ -201,7 +201,9 @@ object Extensions {
   private val x04 = GateQuery(
     "x04_dedup_minhash",
     (s, d) => {
-      val sigs = sigTable(s, d)
+      // three consumers (minhash tokens + both verify sides): persist
+      // so the tokenize → vocab → mask collapse runs once
+      val sigs = sigTable(s, d).persist()
       val repToks = sigs
         .join(Tables.documents(s, d), col("rep") === col("doc_id"))
         .select(col("rep"), explode(tokenSet(col("text"))).as("tok"))
@@ -545,22 +547,30 @@ object Extensions {
              slice(split(text, ' '), 1, size(split(text, ' ')) - 1),
              slice(split(text, ' '), 2, size(split(text, ' ')) - 1),
              (a, b) -> concat(a, ' ', b)))""")
+      // the rep bigram table and the candidate pairs are each used by
+      // several downstream joins — persist both so the signature
+      // collapse + LSH pipeline runs once, not once per consumer (at
+      // 100 TB these are the small materialized index tables: distinct
+      // signatures, not documents)
       val reps = sigTable(s, d)
         .join(Tables.documents(s, d), col("rep") === col("doc_id"))
         .select(col("rep"), bigramsExpr.as("bgs"))
+        .persist()
       val cand = lshCandidates(
         minhashTable(reps.select(col("rep"), explode(col("bgs")).as("tok")), "b:"))
-      // verify-side bigrams are rebuilt only for the (few) candidate
-      // reps instead of re-deriving the whole rep table twice
-      def candBigrams(side: String) = broadcast(
-        Tables.documents(s, d)
-          .select(col("doc_id").as(s"rep_$side"), bigramsExpr.as(s"bgs_$side")))
-      val ba = candBigrams("a")
-      val bb = candBigrams("b")
+        .persist()
+      // verify-side bigrams: semi-join reps down to the ids that
+      // actually appear in a candidate pair, and broadcast only those —
+      // never the full corpus' bigram arrays
+      val candIds = cand.select(col("rep_a").as("rep"))
+        .union(cand.select(col("rep_b").as("rep"))).distinct()
+      val candReps = reps.join(candIds, "rep")
+      def side(n: String) = broadcast(
+        candReps.select(col("rep").as(s"rep_$n"), col("bgs").as(s"bgs_$n")))
       val inter = size(array_intersect(col("bgs_a"), col("bgs_b")))
       val jac = inter.cast("double") /
         (size(col("bgs_a")) + size(col("bgs_b")) - inter)
-      ordered(cand.join(ba, "rep_a").join(bb, "rep_b")
+      ordered(cand.join(side("a"), "rep_a").join(side("b"), "rep_b")
         .withColumn("jac", jac)
         .filter(col("jac") >= NgramThreshold)
         .select(col("rep_a"), col("rep_b"), col("jac")))

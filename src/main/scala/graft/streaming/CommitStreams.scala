@@ -121,7 +121,17 @@ object CommitStreams {
   /** Q8 (:249-291) streaming interval join + weekly rollup: both
     * sides watermarked, range condition bounds the join state; the
     * downstream windowed aggregation is a second stateful operator
-    * (append mode). */
+    * (append mode).
+    *
+    * Week-assignment divergence from Flink (like the watermark note
+    * below): Flink timestamps each joined pair with
+    * `max(commitTs, geoTs)`, so a pair whose geo event crosses a
+    * 7-day boundary lands in the later week. Spark's post-join window
+    * must be over a watermarked event-time attribute — a derived
+    * `greatest(c_ts, createdAt)` column carries no watermark — so this
+    * streaming form windows on `c_ts`. The batch form
+    * ([[graft.queries.CommitQueries.q8]]) windows on the greatest and
+    * is strictly reference-faithful. */
   def weeklyContinentChanges(commits: DataFrame, geo: DataFrame): DataFrame = {
     // Watermark divergence from Flink: Flink propagates watermarks
     // through filters as control events, so a commit stream with no

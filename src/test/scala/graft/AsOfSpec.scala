@@ -29,6 +29,20 @@ class AsOfSpec extends AnyFunSuite {
                       102L -> None, 103L -> None))
   }
 
+  test("genuinely-NULL right payload carries as NULL, not the previous row's value") {
+    val left = Seq(
+      (1L, t("2024-01-01T10:00:00Z"), 100L), // -> r@09:00 (payload 7)
+      (1L, t("2024-01-01T11:00:00Z"), 101L)  // -> r@10:30 whose payload IS null
+    ).toDF("k", "ts", "l_id")
+    val right = Seq(
+      (1L, t("2024-01-01T09:00:00Z"), Some(7L)),
+      (1L, t("2024-01-01T10:30:00Z"), None)
+    ).toDF("k", "ts", "r_val")
+    val got = AsOf.asOfJoin(left, right, "k", "ts")
+      .select($"l_id", $"r_val").as[(Long, Option[Long])].collect().toMap
+    assert(got == Map(100L -> Some(7L), 101L -> None))
+  }
+
   test("equivalent to brute-force scan on random data") {
     val rnd = new scala.util.Random(7)
     val rights = Seq.tabulate(60)(i =>

@@ -33,12 +33,14 @@ class CommitQueriesSpec extends AnyFunSuite {
   }
 
   test("q3 counts java/scala via last-dot extension, ignores others") {
+    // "java" (dotless) counts: the reference's split(".").lastOption
+    // returns the whole name when there is no dot
     val in = df(commit("a", t("2019-06-26T10:00:00Z"), files = Seq(
       file(Some("A.java")), file(Some("B.java")), file(Some("C.scala")),
       file(Some("README")), file(Some("x.py")), file(Some("tar.gz.java")),
-      file(None))))
+      file(Some("java")), file(None))))
     val got = CommitQueries.q3(in).as[(String, Long)].collect().toMap
-    assert(got == Map("java" -> 3L, "scala" -> 1L))
+    assert(got == Map("java" -> 4L, "scala" -> 1L))
   }
 
   test("q4 sums changes per (.js/.py, status) with unknown default") {
