@@ -611,6 +611,103 @@ object Extensions {
           ORDER BY 1,2,3"""
     })
 
+  // ---------------------------------------------------------------- x15
+  // BPE-ish tokenization: letter runs, digit runs, and punctuation
+  // runs as separate tokens (the regex shape GPT-style tokenizers
+  // pre-split on), counted per document. Same RE2/Java-compatible
+  // character-class-only pattern on both engines.
+  private val BpePattern = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]+"
+  private val x15 = GateQuery(
+    "x15_token_bpe",
+    (s, d) => {
+      val toks = regexp_extract_all(col("text"), lit(BpePattern), lit(0))
+      ordered(Tables.documents(s, d).select(
+        col("doc_id"),
+        size(toks).as("n_bpe"),
+        size(array_distinct(toks)).as("n_bpe_uniq"),
+        size(filter(toks, t => t.rlike("^[0-9]+$"))).as("n_digit_runs")))
+    },
+    Some(s"""SELECT doc_id,
+              len(regexp_extract_all(text, '$BpePattern')) AS n_bpe,
+              len(list_distinct(regexp_extract_all(text, '$BpePattern'))) AS n_bpe_uniq,
+              len(list_filter(regexp_extract_all(text, '$BpePattern'),
+                t -> regexp_matches(t, '^[0-9]+$$'))) AS n_digit_runs
+            FROM documents ORDER BY 1,2,3,4"""))
+
+  // ---------------------------------------------------------------- x16
+  // Quality scoring: integer point system over exact token statistics
+  // (the filter stage of a training-data pipeline). Every term is an
+  // integer comparison or a single-division ratio — deterministic on
+  // both engines; docs pass at score >= 3.
+  private val x16 = GateQuery(
+    "x16_quality_score",
+    (s, d) => {
+      val toks = split(col("text"), " ")
+      val nTok = size(toks)
+      val nUniq = size(array_distinct(toks))
+      val stopCnt = size(filter(toks, t => t.isin("the", "a", "and", "of")))
+      val avgLen = (length(col("text")) - nTok + 1).cast("double") / nTok
+      val score =
+        when(nTok >= 5 && nTok <= 2000, 1).otherwise(0) +
+        when(avgLen >= 2.0 && avgLen <= 15.0, 1).otherwise(0) +
+        when(stopCnt.cast("double") / nTok >= 0.01, 1).otherwise(0) +
+        when(nUniq.cast("double") / nTok >= 0.3, 1).otherwise(0)
+      ordered(Tables.documents(s, d).select(
+        col("doc_id"), score.as("quality_score"), (score >= 3).as("keep")))
+    },
+    Some("""WITH t AS (
+              SELECT doc_id,
+                len(string_split(text, ' ')) AS n_tok,
+                len(list_distinct(string_split(text, ' '))) AS n_uniq,
+                len(list_filter(string_split(text, ' '),
+                  x -> x = 'the' OR x = 'a' OR x = 'and' OR x = 'of')) AS stop_cnt,
+                CAST(length(text) - len(string_split(text, ' ')) + 1 AS DOUBLE)
+                  / len(string_split(text, ' ')) AS avg_len
+              FROM documents),
+            sc AS (
+              SELECT doc_id,
+                (CASE WHEN n_tok >= 5 AND n_tok <= 2000 THEN 1 ELSE 0 END) +
+                (CASE WHEN avg_len >= 2.0 AND avg_len <= 15.0 THEN 1 ELSE 0 END) +
+                (CASE WHEN CAST(stop_cnt AS DOUBLE) / n_tok >= 0.01 THEN 1 ELSE 0 END) +
+                (CASE WHEN CAST(n_uniq AS DOUBLE) / n_tok >= 0.3 THEN 1 ELSE 0 END)
+                AS quality_score
+              FROM t)
+            SELECT doc_id, quality_score, quality_score >= 3 AS keep
+            FROM sc ORDER BY 1,2,3"""))
+
+  // ---------------------------------------------------------------- x17
+  // Language ID, n-gram flavor: density of the most frequent English
+  // character bigrams over all character bigrams of the text —
+  // the classic n-gram-profile heuristic (x09 is the stopword-density
+  // variant). Same substring windowing as the x10 fingerprint.
+  private val EnBigrams = Seq("th", "he", "in", "er", "an", "re", "on", "at", "en", "nd")
+  private val x17 = GateQuery(
+    "x17_langid_ngram",
+    (s, d) => {
+      val profile = array(EnBigrams.map(lit): _*)
+      val bgs = expr("transform(sequence(1, greatest(length(text) - 1, 1)), i -> substring(text, i, 2))")
+      val ratio = size(filter(bgs, b => array_contains(profile, b))).cast("double") /
+        size(bgs)
+      val pred = when(ratio >= 0.06, "en").otherwise("unk")
+      ordered(Tables.documents(s, d).select(
+        col("doc_id"), col("lang"), pred.as("lang_pred"),
+        (pred === col("lang")).as("matched")))
+    },
+    Some {
+      val profList = EnBigrams.map(b => s"'$b'").mkString("[", ", ", "]")
+      s"""SELECT doc_id, lang, lang_pred, lang_pred = lang AS matched FROM (
+            SELECT doc_id, lang,
+              CASE WHEN CAST(len(list_filter(bgs, b -> list_contains($profList, b))) AS DOUBLE)
+                     / len(bgs) >= 0.06
+                   THEN 'en' ELSE 'unk' END AS lang_pred
+            FROM (
+              SELECT doc_id, lang,
+                list_transform(range(1, greatest(length(text) - 1, 1) + 1),
+                  i -> substr(text, CAST(i AS INT), 2)) AS bgs
+              FROM documents))
+          ORDER BY 1,2,3,4"""
+    })
+
   val all: Seq[GateQuery] = Seq(x01, x02, x03, x04, x05, x06, x07, x08, x09,
-    x10, x11, x12, x13, x14)
+    x10, x11, x12, x13, x14, x15, x16, x17)
 }

@@ -499,6 +499,87 @@ object Relational {
               ON c.user_id = p.user_id AND c.ts >= p.ts
             ORDER BY 1,2,3"""))
 
+  // ---------------------------------------------------------------- q21
+  // Pivot: per-user event-type counts as columns. Spark's relational
+  // pivot with an explicit value list — one hash aggregation, no
+  // per-value scans; the explicit list keeps the plan static (no
+  // value-discovery job) exactly as one would at 100 TB. Oracle is
+  // the ANSI conditional-aggregation rewrite.
+  private val q21 = GateQuery(
+    "q21_pivot",
+    (s, d) => {
+      val types = Seq("click", "error", "purchase", "signup", "view")
+      ordered(Tables.events(s, d)
+        .groupBy(col("user_id"))
+        .pivot("event_type", types)
+        .agg(count(lit(1)))
+        .select(col("user_id") +:
+          types.map(t => coalesce(col(t), lit(0L)).as(s"n_$t")): _*))
+    },
+    Some("""SELECT user_id,
+              count(*) FILTER (WHERE event_type = 'click')    AS n_click,
+              count(*) FILTER (WHERE event_type = 'error')    AS n_error,
+              count(*) FILTER (WHERE event_type = 'purchase') AS n_purchase,
+              count(*) FILTER (WHERE event_type = 'signup')   AS n_signup,
+              count(*) FILTER (WHERE event_type = 'view')     AS n_view
+            FROM events GROUP BY 1 ORDER BY 1,2,3,4,5,6"""))
+
+  // ---------------------------------------------------------------- q22
+  // Exact percentiles (continuous interpolation): quartiles of
+  // l_quantity per return flag. Both engines compute the same
+  // (n-1)·p linear interpolation over integral values, so the doubles
+  // match bit-for-bit. Spark's percentile is a single-pass exact
+  // aggregate (partial/final split like any other agg).
+  private val q22 = GateQuery(
+    "q22_percentile",
+    (s, d) =>
+      ordered(Tables.lineitem(s, d)
+        .groupBy(col("l_returnflag"))
+        .agg(percentile(col("l_quantity"), lit(0.25)).as("p25"),
+             percentile(col("l_quantity"), lit(0.5)).as("p50"),
+             percentile(col("l_quantity"), lit(0.75)).as("p75"),
+             min(col("l_quantity")).cast("long").as("mn"),
+             max(col("l_quantity")).cast("long").as("mx"))),
+    Some("""SELECT l_returnflag,
+              quantile_cont(l_quantity, 0.25) AS p25,
+              quantile_cont(l_quantity, 0.5)  AS p50,
+              quantile_cont(l_quantity, 0.75) AS p75,
+              CAST(min(l_quantity) AS BIGINT) AS mn,
+              CAST(max(l_quantity) AS BIGINT) AS mx
+            FROM lineitem GROUP BY 1 ORDER BY 1,2,3,4,5,6"""))
+
+  // ---------------------------------------------------------------- q23
+  // Window frames: running total (ROWS UNBOUNDED PRECEDING) and a
+  // trailing 3-row frame sum/count per user over event time. Exact
+  // decimal arithmetic inside the frames; one shuffle on user_id
+  // shared by all three window expressions (same partitioning+order).
+  private val q23 = GateQuery(
+    "q23_window_frames",
+    (s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val base = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      val run = base.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val tri = base.rowsBetween(-2, Window.currentRow)
+      val vdec = col("value").cast("decimal(18,2)")
+      ordered(Tables.events(s, d)
+        .select(col("user_id"), col("event_id"), col("ts"), col("value"))
+        .withColumn("running_sum", sum(vdec).over(run).cast("double"))
+        .withColumn("tri_sum", sum(vdec).over(tri).cast("double"))
+        .withColumn("tri_cnt", count(lit(1)).over(tri))
+        .drop("ts", "value"))
+    },
+    Some("""SELECT user_id, event_id,
+              CAST(SUM(CAST(value AS DECIMAL(18,2))) OVER
+                (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS UNBOUNDED PRECEDING) AS DOUBLE) AS running_sum,
+              CAST(SUM(CAST(value AS DECIMAL(18,2))) OVER
+                (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS DOUBLE) AS tri_sum,
+              COUNT(*) OVER
+                (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS tri_cnt
+            FROM events ORDER BY 1,2,3,4,5"""))
+
   val all: Seq[GateQuery] = Seq(q01, q02, q03, q04, q05, q06, q07, q08, q09,
-    q10, q11, q12, q13, q14, q15, q16, q17, q18, q19, q20)
+    q10, q11, q12, q13, q14, q15, q16, q17, q18, q19, q20, q21, q22, q23)
 }
