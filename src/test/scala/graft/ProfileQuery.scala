@@ -13,8 +13,19 @@ object ProfileQuery {
       .config("spark.sql.shuffle.partitions", "32")
       .config("spark.ui.enabled", "false")).getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // Print any stage that takes >500ms wall, to localize stalls.
+    spark.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
+      override def onStageCompleted(
+          sc: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit = {
+        val i = sc.stageInfo
+        val ms = (for {s <- i.submissionTime; c <- i.completionTime} yield c - s).getOrElse(-1L)
+        if (ms > 500)
+          println(f"    [stage ${i.stageId}%4d] ${ms / 1e3}%6.2f s  ${i.numTasks}%4d tasks  ${i.name.takeWhile(_ != '\n').take(80)}")
+      }
+    })
     val fn = SparkEntry.queries(name)
-    for (i <- 1 to 3) {
+    val runs = sys.env.getOrElse("PROFILE_RUNS", "3").toInt
+    for (i <- 1 to runs) {
       val t0 = System.nanoTime()
       val n = fn(spark, sfDir).count()
       println(f"== run $i: ${(System.nanoTime() - t0) / 1e9}%.2f s, $n rows")
