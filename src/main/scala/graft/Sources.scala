@@ -29,4 +29,13 @@ object Sources {
 
   def readJson(spark: SparkSession, schema: StructType, path: String): DataFrame =
     spark.read.schema(schema).option("timestampFormat", tsFmt).json(path)
+
+  /** ORC: the columnar alternative to parquet — binary-typed, so no
+    * timestamp format round-trip concerns; schema passed explicitly
+    * for parity with the other readers (no inference scan). */
+  def writeOrc(df: DataFrame, path: String): Unit =
+    df.write.mode("overwrite").orc(path)
+
+  def readOrc(spark: SparkSession, schema: StructType, path: String): DataFrame =
+    spark.read.schema(schema).orc(path)
 }

@@ -172,6 +172,7 @@ object Extensions {
     "x03_dedup_jaccard",
     (s, d) => {
       val sigs = sigTable(s, d).persist() // two consumers (a / b sides)
+      sigs.count() // eager: the b side is a broadcast subtree (see x14)
       val a = sigs.select(col("mask").as("mask_a"), col("rep").as("rep_a"),
                           col("cnt").as("cnt_a"))
       val b = sigs.select(col("mask").as("mask_b"), col("rep").as("rep_b"),
@@ -201,51 +202,67 @@ object Extensions {
   private val x04 = GateQuery(
     "x04_dedup_minhash",
     (s, d) => {
-      // three consumers (minhash tokens + both verify sides): persist
-      // so the tokenize → vocab → mask collapse runs once
+      // three consumers (minhash tokens + both verify sides), two of
+      // them broadcast subtrees: persist AND materialize eagerly so
+      // the tokenize → vocab → mask collapse runs once instead of
+      // once per racing consumer (see the x14 comment)
       val sigs = sigTable(s, d).persist()
-      val repToks = sigs
-        .join(Tables.documents(s, d), col("rep") === col("doc_id"))
-        .select(col("rep"), explode(tokenSet(col("text"))).as("tok"))
-      val cand = lshCandidates(minhashTable(repToks, "t:"))
-      val ma = broadcast(sigs.select(col("rep").as("rep_a"), col("mask").as("mask_a")))
-      val mb = broadcast(sigs.select(col("rep").as("rep_b"), col("mask").as("mask_b")))
-      val verified = cand.join(ma, "rep_a").join(mb, "rep_b")
-        .withColumn("jac",
-          bit_count(col("mask_a").bitwiseAND(col("mask_b"))).cast("double") /
-            bit_count(col("mask_a").bitwiseOR(col("mask_b"))))
-        .filter(col("jac") >= JaccardThreshold)
-      ordered(verified.select(col("rep_a"), col("rep_b"), col("jac")))
+      sigs.count()
+      ordered(verifiedMinhashPairs(s, d, sigs)
+        .select(col("rep_a"), col("rep_b"), col("jac")))
     },
-    Some {
-      val mhCols = (0 until NumMinhash).map { i =>
-        s"MIN((h * ${mhA(i)} + ${mhB(i)}) % $Mod32) AS mh$i"
-      }.mkString(", ")
-      val bandSelects = (0 until NumBands).map { b =>
-        val ks = (0 until BandRows)
-          .map(j => s"mh${BandRows * b + j} AS k$j").mkString(", ")
-        s"SELECT rep, $b AS band, $ks FROM mh"
-      }.mkString(" UNION ALL ")
-      val joinKeys = "a.band = b.band AND " +
-        (0 until BandRows).map(j => s"a.k$j = b.k$j").mkString(" AND ")
-      s"""WITH $duckMasksCte,
-           rep_toks AS (
-             SELECT s.rep, unnest(list_distinct(string_split(doc.text, ' '))) AS tok
-             FROM sigs s JOIN documents doc ON doc.doc_id = s.rep),
-           th AS (SELECT rep, ${duckHex32("md5('t:' || tok)")} AS h FROM rep_toks),
-           mh AS (SELECT rep, $mhCols FROM th GROUP BY rep),
-           banded AS ($bandSelects),
-           cand AS (
-             SELECT DISTINCT a.rep AS rep_a, b.rep AS rep_b
-             FROM banded a JOIN banded b ON $joinKeys AND a.rep < b.rep)
+    Some(s"""WITH $duckMasksCte, $duckMinhashCtes
+          SELECT rep_a, rep_b, jac FROM verified
+          ORDER BY 1,2,3"""))
+
+  /** x04's candidate generation + exact verify, parameterized on a
+    * persisted-and-materialized signature table: minhash the rep
+    * docs' token sets, LSH-band join for candidates, exact bitmask
+    * Jaccard verify. @return (rep_a, rep_b, jac), rep_a < rep_b. */
+  private def verifiedMinhashPairs(s: SparkSession, d: String,
+                                   sigs: DataFrame): DataFrame = {
+    val repToks = sigs
+      .join(Tables.documents(s, d), col("rep") === col("doc_id"))
+      .select(col("rep"), explode(tokenSet(col("text"))).as("tok"))
+    val cand = lshCandidates(minhashTable(repToks, "t:"))
+    val ma = broadcast(sigs.select(col("rep").as("rep_a"), col("mask").as("mask_a")))
+    val mb = broadcast(sigs.select(col("rep").as("rep_b"), col("mask").as("mask_b")))
+    cand.join(ma, "rep_a").join(mb, "rep_b")
+      .withColumn("jac",
+        bit_count(col("mask_a").bitwiseAND(col("mask_b"))).cast("double") /
+          bit_count(col("mask_a").bitwiseOR(col("mask_b"))))
+      .filter(col("jac") >= JaccardThreshold)
+  }
+
+  /** x04's oracle CTE chain (everything after sigs), shared with x19. */
+  private def duckMinhashCtes: String = {
+    val mhCols = (0 until NumMinhash).map { i =>
+      s"MIN((h * ${mhA(i)} + ${mhB(i)}) % $Mod32) AS mh$i"
+    }.mkString(", ")
+    val bandSelects = (0 until NumBands).map { b =>
+      val ks = (0 until BandRows)
+        .map(j => s"mh${BandRows * b + j} AS k$j").mkString(", ")
+      s"SELECT rep, $b AS band, $ks FROM mh"
+    }.mkString(" UNION ALL ")
+    val joinKeys = "a.band = b.band AND " +
+      (0 until BandRows).map(j => s"a.k$j = b.k$j").mkString(" AND ")
+    s"""rep_toks AS (
+          SELECT s.rep, unnest(list_distinct(string_split(doc.text, ' '))) AS tok
+          FROM sigs s JOIN documents doc ON doc.doc_id = s.rep),
+        th AS (SELECT rep, ${duckHex32("md5('t:' || tok)")} AS h FROM rep_toks),
+        mh AS (SELECT rep, $mhCols FROM th GROUP BY rep),
+        banded AS ($bandSelects),
+        cand AS (
+          SELECT DISTINCT a.rep AS rep_a, b.rep AS rep_b
+          FROM banded a JOIN banded b ON $joinKeys AND a.rep < b.rep),
+        verified AS (
           SELECT c.rep_a, c.rep_b,
             CAST(bit_count(sa.mask & sb.mask) AS DOUBLE) / bit_count(sa.mask | sb.mask) AS jac
           FROM cand c
           JOIN sigs sa ON sa.rep = c.rep_a
           JOIN sigs sb ON sb.rep = c.rep_b
-          WHERE CAST(bit_count(sa.mask & sb.mask) AS DOUBLE) / bit_count(sa.mask | sb.mask) >= $JaccardThreshold
-          ORDER BY 1,2,3"""
-    })
+          WHERE CAST(bit_count(sa.mask & sb.mask) AS DOUBLE) / bit_count(sa.mask | sb.mask) >= $JaccardThreshold)"""
+  }
 
   // ---------------------------------------------------------------- x05
   // SimHash: 32-bit signature; bit b set iff Σ_token (±1 by bit b of
@@ -512,9 +529,14 @@ object Extensions {
       val v = Tables.embeddings(s, d).select(col("vec_id"), col("embedding"))
       val a = v.select(col("vec_id").as("id_a"), col("embedding").as("ea"))
       val b = v.select(col("vec_id").as("id_b"), col("embedding").as("eb"))
-      ordered(a.join(broadcast(b), col("id_a") < col("id_b"))
+      // the cosine threshold lives INSIDE the join condition: the
+      // broadcast nested-loop join then evaluates the codegen'd
+      // cosine per candidate pair and only materializes survivors
+      // (~0.0001% here), instead of building n²/2 wide rows carrying
+      // both embedding arrays and filtering afterwards
+      ordered(a.join(broadcast(b),
+          col("id_a") < col("id_b") && cosCol(col("ea"), col("eb")) >= 0.5)
         .withColumn("cos", cosCol(col("ea"), col("eb")))
-        .filter(col("cos") >= 0.5)
         .select(col("id_a"), col("id_b"), col("cos")))
     },
     Some("""WITH v AS (
@@ -547,18 +569,34 @@ object Extensions {
              slice(split(text, ' '), 1, size(split(text, ' ')) - 1),
              slice(split(text, ' '), 2, size(split(text, ' ')) - 1),
              (a, b) -> concat(a, ' ', b)))""")
-      // the rep bigram table and the candidate pairs are each used by
-      // several downstream joins — persist both so the signature
-      // collapse + LSH pipeline runs once, not once per consumer (at
-      // 100 TB these are the small materialized index tables: distinct
-      // signatures, not documents)
-      val reps = sigTable(s, d)
+      // signature collapse WITHOUT the bitmask/vocab machinery: x14's
+      // verify uses bigram arrays, not masks, so the class signature
+      // can be the md5 of the sorted token set (x02's tokenSetSig) —
+      // the same equivalence classes and the same min-doc_id reps as
+      // sigTable, in ONE groupBy instead of explode → vocab window →
+      // join → bit_or (4 fewer stages on the cold path).
+      //
+      // The rep bigram table and the candidate pairs are each used by
+      // several downstream joins — persist both AND materialize them
+      // eagerly (count) before the dependent joins are even built.
+      // Lazy persist is not enough: the consumers include broadcast
+      // subtrees, which execute concurrently on the driver; with a
+      // cold cache they race and each recomputes the whole signature
+      // collapse + LSH pipeline (measured 83s for a plan whose stages
+      // sum to 11s when forced in order). At 100 TB these are the
+      // small materialized index tables: distinct signatures, not
+      // documents — materializing them is the intended checkpoint.
+      val reps = Tables.documents(s, d)
+        .groupBy(tokenSetSig(col("text")).as("sig"))
+        .agg(min(col("doc_id")).as("rep"))
         .join(Tables.documents(s, d), col("rep") === col("doc_id"))
         .select(col("rep"), bigramsExpr.as("bgs"))
         .persist()
+      reps.count()
       val cand = lshCandidates(
         minhashTable(reps.select(col("rep"), explode(col("bgs")).as("tok")), "b:"))
         .persist()
+      cand.count()
       // verify-side bigrams: semi-join reps down to the ids that
       // actually appear in a candidate pair, and broadcast only those —
       // never the full corpus' bigram arrays
@@ -586,7 +624,10 @@ object Extensions {
       }.mkString(" UNION ALL ")
       val joinKeys = "a.band = b.band AND " +
         (0 until BandRows).map(j => s"a.k$j = b.k$j").mkString(" AND ")
-      s"""WITH $duckMasksCte,
+      s"""WITH sigs AS (
+             SELECT md5(array_to_string(list_sort(list_distinct(string_split(text, ' '))), ' ')) AS sig,
+                    min(doc_id) AS rep
+             FROM documents GROUP BY 1),
            reps AS (
              SELECT s.rep,
                list_distinct([tk[i] || ' ' || tk[i+1] FOR i IN range(1, len(tk))]) AS bgs
@@ -620,12 +661,25 @@ object Extensions {
   private val x15 = GateQuery(
     "x15_token_bpe",
     (s, d) => {
-      val toks = regexp_extract_all(col("text"), lit(BpePattern), lit(0))
-      ordered(Tables.documents(s, d).select(
+      // staged projection: the regexp tokenization is evaluated ONCE
+      // per row and then referenced — Catalyst keeps the projects
+      // separate when a non-cheap expression is used more than once
+      // (inlining it would re-run the regex per use-site; measured
+      // 18s → sub-second on this corpus). Digit runs come from a
+      // second direct regexp: the BPE alternation emits maximal digit
+      // runs, so extracting '[0-9]+' yields the same list as
+      // filtering the BPE tokens — without a per-element interpreted
+      // lambda over every token.
+      val staged = Tables.documents(s, d).select(
         col("doc_id"),
-        size(toks).as("n_bpe"),
-        size(array_distinct(toks)).as("n_bpe_uniq"),
-        size(filter(toks, t => t.rlike("^[0-9]+$"))).as("n_digit_runs")))
+        regexp_extract_all(col("text"), lit(BpePattern), lit(0)).as("toks"),
+        size(regexp_extract_all(col("text"), lit("[0-9]+"), lit(0)))
+          .as("n_digit_runs"))
+      ordered(staged.select(
+        col("doc_id"),
+        size(col("toks")).as("n_bpe"),
+        size(array_distinct(col("toks"))).as("n_bpe_uniq"),
+        col("n_digit_runs")))
     },
     Some(s"""SELECT doc_id,
               len(regexp_extract_all(text, '$BpePattern')) AS n_bpe,
@@ -642,18 +696,30 @@ object Extensions {
   private val x16 = GateQuery(
     "x16_quality_score",
     (s, d) => {
+      // staged projection: tokenize once into integer stats, then
+      // score over the stat COLUMNS. Writing `score` as one
+      // expression tree over the raw text duplicates the split()
+      // inside every when() branch and again for `keep` (~20
+      // evaluations per row; measured 16s vs 0.3s for the x08 stats
+      // over the same corpus).
       val toks = split(col("text"), " ")
-      val nTok = size(toks)
-      val nUniq = size(array_distinct(toks))
-      val stopCnt = size(filter(toks, t => t.isin("the", "a", "and", "of")))
-      val avgLen = (length(col("text")) - nTok + 1).cast("double") / nTok
-      val score =
-        when(nTok >= 5 && nTok <= 2000, 1).otherwise(0) +
-        when(avgLen >= 2.0 && avgLen <= 15.0, 1).otherwise(0) +
-        when(stopCnt.cast("double") / nTok >= 0.01, 1).otherwise(0) +
-        when(nUniq.cast("double") / nTok >= 0.3, 1).otherwise(0)
-      ordered(Tables.documents(s, d).select(
-        col("doc_id"), score.as("quality_score"), (score >= 3).as("keep")))
+      val stats = Tables.documents(s, d).select(
+        col("doc_id"),
+        size(toks).as("n_tok"),
+        size(array_distinct(toks)).as("n_uniq"),
+        size(filter(toks, t => t.isin("the", "a", "and", "of"))).as("stop_cnt"),
+        length(col("text")).as("n_chars"))
+      val avgLen = (col("n_chars") - col("n_tok") + 1).cast("double") / col("n_tok")
+      val scored = stats.select(
+        col("doc_id"),
+        (when(col("n_tok") >= 5 && col("n_tok") <= 2000, 1).otherwise(0) +
+         when(avgLen >= 2.0 && avgLen <= 15.0, 1).otherwise(0) +
+         when(col("stop_cnt").cast("double") / col("n_tok") >= 0.01, 1).otherwise(0) +
+         when(col("n_uniq").cast("double") / col("n_tok") >= 0.3, 1).otherwise(0))
+          .as("quality_score"))
+      ordered(scored.select(
+        col("doc_id"), col("quality_score"),
+        (col("quality_score") >= 3).as("keep")))
     },
     Some("""WITH t AS (
               SELECT doc_id,
@@ -684,12 +750,27 @@ object Extensions {
   private val x17 = GateQuery(
     "x17_langid_ngram",
     (s, d) => {
-      val profile = array(EnBigrams.map(lit): _*)
-      val bgs = expr("transform(sequence(1, greatest(length(text) - 1, 1)), i -> substring(text, i, 2))")
-      val ratio = size(filter(bgs, b => array_contains(profile, b))).cast("double") /
-        size(bgs)
-      val pred = when(ratio >= 0.06, "en").otherwise("unk")
-      ordered(Tables.documents(s, d).select(
+      // Count profile-bigram hits WITHOUT materializing the bigram
+      // list: for a 2-char pattern whose chars differ (true for all
+      // 10 profile bigrams), overlapping occurrences are impossible,
+      // so `(length(text) - length(replace(text, p))) / 2` is exactly
+      // the number of positions the per-position scan would match.
+      // Each replace is one codegen'd pass over the text, versus one
+      // interpreted lambda call per character position (measured
+      // 21s → sub-second on this corpus). The oracle keeps the
+      // independent list-comprehension construction — values match
+      // because the hit COUNT and the final cast/divide are identical.
+      val cnt = EnBigrams.map { p =>
+        expr(s"(length(text) - length(replace(text, '$p', ''))) div 2")
+      }.reduce(_ + _).cast("int")
+      val staged = Tables.documents(s, d).select(
+        col("doc_id"), col("lang"),
+        cnt.as("hits"),
+        greatest(length(col("text")) - 1, lit(1)).as("n_bigrams"))
+      val pred = when(
+        col("hits").cast("double") / col("n_bigrams") >= 0.06, "en")
+        .otherwise("unk")
+      ordered(staged.select(
         col("doc_id"), col("lang"), pred.as("lang_pred"),
         (pred === col("lang")).as("matched")))
     },
@@ -708,6 +789,63 @@ object Extensions {
           ORDER BY 1,2,3,4"""
     })
 
+  // ---------------------------------------------------------------- x18
+  // HLL++ distinct sketch: the streaming/at-scale replacement for
+  // exact countDistinct (Q7's distinct-committer count is the
+  // reference use case — exact distinct is unsupported in streaming
+  // and shuffle-heavy at 100 TB). The sketch value itself is
+  // engine-specific, so the gate asserts the documented error bound
+  // instead: |approx − exact| / exact ≤ 0.1 (2× the requested 5%
+  // rsd), which the oracle pins as a constant-true column next to
+  // the exact counts it CAN check. Deterministic: HLL++ hashes are
+  // fixed, so the same input set always yields the same estimate.
+  private val x18 = GateQuery(
+    "x18_sketch_hll",
+    (s, d) =>
+      ordered(Tables.events(s, d)
+        .groupBy(col("event_type"))
+        .agg(countDistinct(col("user_id")).as("n_exact"),
+             approx_count_distinct(col("user_id"), 0.05).as("n_approx"))
+        .select(col("event_type"), col("n_exact"),
+          (abs(col("n_approx") - col("n_exact")).cast("double") / col("n_exact")
+            <= 0.1).as("approx_ok"))),
+    Some("""SELECT event_type, count(DISTINCT user_id) AS n_exact, TRUE AS approx_ok
+            FROM events GROUP BY 1 ORDER BY 1,2,3"""))
+
+  // ---------------------------------------------------------------- x19
+  // End-to-end dedup keep-list: the materialized artifact a training
+  // pipeline actually ships — one keep/drop decision per document.
+  // A doc survives iff (a) it is the canonical rep (min doc_id) of
+  // its token-set signature class, and (b) its class was not merged
+  // away by the MinHash+LSH near-dup pass (greedy one-level merge:
+  // every verified pair (rep_a < rep_b) drops rep_b's class; no
+  // transitive closure — the standard single-sweep LSH dedup).
+  private val x19 = GateQuery(
+    "x19_dedup_keep",
+    (s, d) => {
+      val masks = docMasks(s, d).persist()
+      masks.count()
+      val sigs = masks.groupBy(col("mask"))
+        .agg(min(col("doc_id")).as("rep"), count(lit(1)).as("cnt"))
+        .persist()
+      sigs.count()
+      val losers = verifiedMinhashPairs(s, d, sigs)
+        .select(col("rep_b").as("loser")).distinct()
+      ordered(masks
+        .join(broadcast(sigs.select(col("mask"), col("rep"))), "mask")
+        .join(broadcast(losers), col("rep") === col("loser"), "left_outer")
+        .select(col("doc_id"),
+          (col("doc_id") === col("rep") && col("loser").isNull).as("keep")))
+    },
+    Some(s"""WITH $duckMasksCte, $duckMinhashCtes,
+           losers AS (SELECT DISTINCT rep_b FROM verified)
+          SELECT m.doc_id,
+            (m.doc_id = s.rep AND l.rep_b IS NULL) AS keep
+          FROM masks m
+          JOIN sigs s ON s.mask = m.mask
+          LEFT JOIN losers l ON l.rep_b = s.rep
+          ORDER BY 1,2"""))
+
   val all: Seq[GateQuery] = Seq(x01, x02, x03, x04, x05, x06, x07, x08, x09,
-    x10, x11, x12, x13, x14, x15, x16, x17)
+    x10, x11, x12, x13, x14, x15, x16, x17, x18, x19)
 }

@@ -580,6 +580,62 @@ object Relational {
                  ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS tri_cnt
             FROM events ORDER BY 1,2,3,4,5"""))
 
+  // ---------------------------------------------------------------- q24
+  // Correlated scalar subquery (orders above their customer's average
+  // order value), decorrelated by hand into a per-key aggregate +
+  // broadcast join — exactly the plan Catalyst's decorrelation
+  // produces for the SQL form, written declaratively. The average is
+  // exact-decimal sum / count with ONE final double division, so both
+  // engines compare identical doubles.
+  private val q24 = GateQuery(
+    "q24_scalar_subquery",
+    (s, d) => {
+      val o = Tables.orders(s, d)
+      val cavg = o.groupBy(col("o_custkey").as("ck"))
+        .agg((moneySum(col("o_totalprice")) / count(lit(1))).as("cust_avg"))
+      ordered(o.join(broadcast(cavg), col("o_custkey") === col("ck"))
+        .filter(col("o_totalprice") > col("cust_avg"))
+        .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"),
+                col("cust_avg")))
+    },
+    Some("""SELECT o_orderkey, o_custkey, o_totalprice, cust_avg FROM (
+              SELECT o_orderkey, o_custkey, o_totalprice,
+                (SELECT CAST(SUM(CAST(o2.o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+                   / count(*)
+                 FROM orders o2 WHERE o2.o_custkey = o.o_custkey) AS cust_avg
+              FROM orders o)
+            WHERE o_totalprice > cust_avg ORDER BY 1,2,3,4"""))
+
+  // ---------------------------------------------------------------- q25
+  // Cube (all four grouping sets over two dims) — completes the
+  // grouping-sets surface next to q19's rollup. Same NULL-key
+  // discipline: grouping() → 'ALL' on both sides; the year dimension
+  // is emitted as a string so the 'ALL' coalesce stays one type.
+  private val q25 = GateQuery(
+    "q25_cube",
+    (s, d) =>
+      ordered(Tables.lineitem(s, d)
+        // the year is projected BEFORE the cube: grouping() resolves
+        // against grouping columns, not aliased grouping expressions
+        .withColumn("yr", year(col("l_shipdate")))
+        .cube(col("l_returnflag"), col("yr"))
+        .agg(count(lit(1)).as("cnt"), intSum(col("l_quantity")).as("sum_qty"),
+             grouping(col("l_returnflag")).as("g1"),
+             grouping(col("yr")).as("g2"))
+        .select(
+          when(col("g1") === 1, "ALL").otherwise(col("l_returnflag")).as("rf"),
+          when(col("g2") === 1, "ALL").otherwise(col("yr").cast("string")).as("yr"),
+          col("cnt"), col("sum_qty"))),
+    Some("""SELECT
+              CASE WHEN GROUPING(l_returnflag) = 1 THEN 'ALL' ELSE l_returnflag END AS rf,
+              CASE WHEN GROUPING(year(l_shipdate)) = 1 THEN 'ALL'
+                   ELSE CAST(year(l_shipdate) AS VARCHAR) END AS yr,
+              count(*) AS cnt,
+              CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty
+            FROM lineitem GROUP BY CUBE (l_returnflag, year(l_shipdate))
+            ORDER BY 1,2,3,4"""))
+
   val all: Seq[GateQuery] = Seq(q01, q02, q03, q04, q05, q06, q07, q08, q09,
-    q10, q11, q12, q13, q14, q15, q16, q17, q18, q19, q20, q21, q22, q23)
+    q10, q11, q12, q13, q14, q15, q16, q17, q18, q19, q20, q21, q22, q23,
+    q24, q25)
 }

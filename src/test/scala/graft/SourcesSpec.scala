@@ -21,6 +21,10 @@ class SourcesSpec extends AnyFunSuite {
         Sources.writeJson(src, dir)
         val back = Sources.readJson(spark, schema, dir)
         assertLossless(src, back)
+      case "orc" =>
+        Sources.writeOrc(src, dir)
+        val back = Sources.readOrc(spark, schema, dir)
+        assertLossless(src, back)
     }
   }
 
@@ -33,4 +37,5 @@ class SourcesSpec extends AnyFunSuite {
 
   test("csv round-trip is lossless on real events")(roundTrip("csv"))
   test("json round-trip is lossless on real events")(roundTrip("json"))
+  test("orc round-trip is lossless on real events")(roundTrip("orc"))
 }
