@@ -2,7 +2,6 @@ package graft.ops
 
 import org.apache.spark.sql.{Encoder, Encoders}
 import org.apache.spark.sql.expressions.Aggregator
-import scala.collection.immutable.TreeMap
 
 /** Typed single-pass alternative to the two-level Q7 rollup
   * (CommitQueries.q7): one `Aggregator` computing the full
@@ -16,18 +15,23 @@ import scala.collection.immutable.TreeMap
   * partial/merge/finish aggregation tree, so it composes with any
   * `KeyValueGroupedDataset` and stays correct under partial
   * aggregation and shuffle merges.
+  *
+  * The buffer is a plain product (`Map[String, Long]` field) so it
+  * rides the built-in ExpressionEncoder as a MapType — Tungsten
+  * binary rows end to end, no kryo blobs in the shuffle. The
+  * alphabetical tie-break is applied once, at `finish`, so merge
+  * order can't affect the result.
   */
 object CommitSummaryAggregator {
 
-  /** (committerName, totalChanges) input; TreeMap keeps merges and
-    * the alphabetical tie-break deterministic. */
-  final case class Buf(counts: TreeMap[String, Long], totalChanges: Long)
+  /** (committerName → commitCount) plus running total changes. */
+  final case class Buf(counts: Map[String, Long], totalChanges: Long)
   final case class Summary(amountOfCommits: Long, amountOfCommitters: Long,
                            totalChanges: Long, mostPopularCommitter: String)
 
   val agg: Aggregator[(String, Long), Buf, Summary] =
     new Aggregator[(String, Long), Buf, Summary] {
-      override def zero: Buf = Buf(TreeMap.empty, 0L)
+      override def zero: Buf = Buf(Map.empty, 0L)
       override def reduce(b: Buf, in: (String, Long)): Buf =
         Buf(b.counts.updated(in._1, b.counts.getOrElse(in._1, 0L) + 1L),
             b.totalChanges + in._2)
@@ -39,9 +43,10 @@ object CommitSummaryAggregator {
         val n = b.counts.values.sum
         val mx = if (b.counts.isEmpty) 0L else b.counts.values.max
         Summary(n, b.counts.size, b.totalChanges,
-          b.counts.collect { case (name, c) if c == mx => name }.mkString(","))
+          b.counts.collect { case (name, c) if c == mx => name }
+            .toSeq.sorted.mkString(","))
       }
-      override def bufferEncoder: Encoder[Buf] = Encoders.kryo[Buf]
+      override def bufferEncoder: Encoder[Buf] = Encoders.product[Buf]
       override def outputEncoder: Encoder[Summary] = Encoders.product[Summary]
     }
 }
