@@ -103,10 +103,16 @@ object Extensions {
       struct((0 until BandRows)
         .map(j => col(s"mh${BandRows * b + j}").as(s"k$j")): _*)
     }
+    // the band table feeds BOTH sides of the candidate join (spine +
+    // broadcast); persist and materialize so the minhash aggregation
+    // upstream runs once, not once per side (same rule as the x14
+    // index tables)
     val banded = mh.select(col("rep"),
       posexplode(array(bandStructs: _*)).as(Seq("band", "ks")))
       .select(col("rep") +: col("band") +:
         (0 until BandRows).map(j => col(s"ks.k$j").as(s"k$j")): _*)
+      .persist()
+    banded.count()
     val joinCond = col("a.band") === col("b.band") &&
       (0 until BandRows).map(j => col(s"a.k$j") === col(s"b.k$j")).reduce(_ && _) &&
       col("a.rep") < col("b.rep")
