@@ -1,0 +1,57 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import graft.streaming.EventStreams
+
+/** Dev tool: throughput of the streaming operators over the real
+  * sf events table, fed through MemoryStream in micro-batches and
+  * written to the noop sink — isolates pipeline + state-store cost
+  * from source/sink IO. Reports rows/s per operator. */
+object StreamingBench {
+  def main(args: Array[String]): Unit = {
+    val sfDir = if (args.length > 0) args(0) else "/root/testdata/sf0.1"
+    val batchRows = 10000
+    // Streaming state partitioning ≠ batch shuffle partitioning: the
+    // state store loads + commits every partition EVERY micro-batch,
+    // so partitions are sized to state volume, not core count
+    // (measured ~4x throughput at 8 vs 32 partitions on this state;
+    // see PERF.md).
+    val parts = sys.env.getOrElse("STREAM_PARTS", "8")
+    val spark: SparkSession = Sessions.tune(SparkSession.builder()
+      .master("local[32]")
+      .config("spark.sql.shuffle.partitions", parts)
+      .config("spark.ui.enabled", "false")).getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    import spark.implicits._
+    implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
+
+    val events = Tables.events(spark, sfDir).as[Ev]
+      .collect().sortBy(_.ts.getTime).toSeq
+    println(s"events: ${events.length} rows, batch=$batchRows")
+
+    def run(name: String, q: DataFrame => DataFrame,
+            mode: String): Unit = {
+      val in = MemoryStream[Ev]
+      val sq = q(in.toDF()).writeStream.format("noop")
+        .outputMode(mode).start()
+      val t0 = System.nanoTime()
+      events.grouped(batchRows).foreach { chunk =>
+        in.addData(chunk)
+        sq.processAllAvailable()
+      }
+      val sec = (System.nanoTime() - t0) / 1e9
+      sq.stop()
+      println(f"$name%-22s ${events.length / sec}%,10.0f rows/s  ($sec%.2f s, ${events.length / batchRows} batches)")
+    }
+
+    // warm once (JIT + state store init) then measure
+    run("warmup", EventStreams.runningTypeCounts, "update")
+    run("running_counts", EventStreams.runningTypeCounts, "update")
+    run("daily_revenue", EventStreams.dailyTypeRevenue, "append")
+    run("dedup_1h", EventStreams.dedupStream(_, "1 hour", Seq("event_id")), "append")
+    run("sessions_30m", EventStreams.userSessions, "append")
+    spark.stop()
+  }
+}
