@@ -79,4 +79,24 @@ object Media {
       posexplode(expr(
         s"transform(sequence(0, greatest(octet_length(bytes) - 1, 0), ${chunk * every}), " +
         s"i -> substring(bytes, i + 1, $chunk))")).as(Seq("frame_no", "frame")))
+
+  /** STUB resize — byte-stride downsample to ≤ targetBytes; a real
+    * implementation calls the codec's scaler with the same
+    * signature. */
+  def resizeStub(bytes: Array[Byte], targetBytes: Int): Array[Byte] =
+    if (bytes.length <= targetBytes) bytes
+    else {
+      val stride = (bytes.length + targetBytes - 1) / targetBytes
+      bytes.indices.collect { case i if i % stride == 0 => bytes(i) }.toArray
+    }
+
+  /** Resize every payload, batched per partition like
+    * [[extractFeatures]] (codec/scaler init amortizes across the
+    * partition; partition sizing bounds scaler memory). */
+  def resize(ds: Dataset[MediaRecord], targetBytes: Int): Dataset[MediaRecord] = {
+    import ds.sparkSession.implicits._
+    ds.mapPartitions { it =>
+      it.map(r => r.copy(bytes = resizeStub(r.bytes, targetBytes)))
+    }
+  }
 }
