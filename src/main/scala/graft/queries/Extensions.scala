@@ -132,13 +132,16 @@ object Extensions {
 
   /** 16 minhashes over an exploded token column (`rep`, `tok`); the
     * base hash is md5-derived with a [[prefix]] so token-set (x04)
-    * and bigram (x14) families are independent. */
+    * and bigram (x14) families are independent. The 16 minima come
+    * from ONE native [[graft.functions.MinHashAgg]] buffer (same
+    * affine family, bit-identical values — MinHashAggSpec) instead
+    * of 16 separate min() aggregate states. */
   private def minhashTable(toks: DataFrame, prefix: String): DataFrame = {
     val h = toks.withColumn("h", hex32(md5(concat(lit(prefix), col("tok")))))
-    val mhAggs = (0 until NumMinhash).map { i =>
-      min((col("h") * mhA(i) + mhB(i)) % Mod32).as(s"mh$i")
-    }
-    h.groupBy(col("rep")).agg(mhAggs.head, mhAggs.tail: _*)
+    h.groupBy(col("rep"))
+      .agg(graft.functions.MinHashAgg.minhashAgg(col("h"), NumMinhash).as("mhs"))
+      .select(col("rep") +: (0 until NumMinhash).map(i =>
+        element_at(col("mhs"), i + 1).as(s"mh$i")): _*)
   }
 
   // ---------------------------------------------------------------- x01

@@ -11,6 +11,20 @@ class BucketingSpec extends AnyFunSuite {
 
   test("bucketed equi-join runs without a shuffle exchange") {
     val d = "/root/testdata/sf0.001"
+    // the in-memory catalog dies with the JVM but the warehouse dirs
+    // survive — clear both or saveAsTable refuses the stale location
+    Seq("li_bucketed", "ord_bucketed").foreach { t =>
+      spark.sql(s"DROP TABLE IF EXISTS $t")
+      val loc = new java.io.File(
+        spark.conf.get("spark.sql.warehouse.dir").stripPrefix("file:"), t)
+      if (loc.exists()) {
+        def rm(f: java.io.File): Unit = {
+          if (f.isDirectory) f.listFiles().foreach(rm)
+          f.delete()
+        }
+        rm(loc)
+      }
+    }
     graft.ops.Bucketing.writeBucketed(
       Tables.lineitem(spark, d), "li_bucketed", "l_orderkey", 8)
     graft.ops.Bucketing.writeBucketed(
