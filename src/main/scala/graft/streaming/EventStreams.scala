@@ -49,6 +49,28 @@ object EventStreams {
     events.withWatermark("ts", horizon)
       .dropDuplicatesWithinWatermark(keyCols)
 
+  /** q08 streaming: stream-stream interval join — every purchase
+    * joined to the same user's events in [ts − 1h, ts + 30m]
+    * (bounds inclusive, the reference's intervalJoin contract).
+    * Watermarks on BOTH sides + the two-sided range condition let
+    * Spark bound join state: each side buffers only rows inside the
+    * other side's live interval horizon. */
+  def purchaseContext(purchases: DataFrame, events: DataFrame): DataFrame = {
+    val l = purchases.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("a_user"), col("ts").as("a_ts"),
+              col("event_id").as("a_id"))
+      .withWatermark("a_ts", "0 seconds")
+    val r = events
+      .select(col("user_id").as("b_user"), col("ts").as("b_ts"),
+              col("event_id").as("b_id"), col("event_type").as("b_type"),
+              col("value").as("b_value"))
+      .withWatermark("b_ts", "0 seconds")
+    l.join(r, expr(
+      """a_user = b_user
+         AND b_ts BETWEEN a_ts - INTERVAL 1 HOUR AND a_ts + INTERVAL 30 MINUTE
+         AND a_id <> b_id"""))
+  }
+
   /** q18 streaming: session windows work natively under watermark —
     * a session emits once the watermark passes last_ts + gap. */
   def userSessions(events: DataFrame): DataFrame =

@@ -65,6 +65,32 @@ class EventStreamsSpec extends AnyFunSuite {
     q.stop()
   }
 
+  test("stream-stream interval join honors inclusive [-1h, +30m] bounds") {
+    val inA = MemoryStream[Ev]
+    val inB = MemoryStream[Ev]
+    val q = EventStreams.purchaseContext(inA.toDF(), inB.toDF()).writeStream
+      .format("memory").queryName("pctx").outputMode("append").start()
+    val purchase = ev(100, "2024-01-01T10:00:00Z", 1, "purchase", 9.99)
+    inA.addData(purchase)
+    inB.addData(
+      purchase, // self — excluded by a_id <> b_id
+      ev(1, "2024-01-01T09:00:00Z", 1, "view", 1.0),     // exactly -1h: in
+      ev(2, "2024-01-01T08:59:59Z", 1, "view", 1.0),     // before: out
+      ev(3, "2024-01-01T10:30:00Z", 1, "click", 1.0),    // exactly +30m: in
+      ev(4, "2024-01-01T10:30:01Z", 1, "click", 1.0),    // after: out
+      ev(5, "2024-01-01T10:10:00Z", 2, "view", 1.0))     // other user: out
+    q.processAllAvailable()
+    // advance both watermarks past the horizon so all matches flush
+    inA.addData(ev(200, "2024-01-02T00:00:00Z", 9, "purchase", 1.0))
+    inB.addData(ev(201, "2024-01-02T00:00:00Z", 9, "click", 1.0))
+    q.processAllAvailable()
+    val got = spark.table("pctx").select("b_id")
+      .as[Long].collect().toSet
+    assert(got.contains(1L) && got.contains(3L))
+    assert(!got.contains(2L) && !got.contains(4L) && !got.contains(5L))
+    q.stop()
+  }
+
   test("streaming session windows merge and emit after the gap passes") {
     val in = MemoryStream[Ev]
     val q = EventStreams.userSessions(in.toDF()).writeStream

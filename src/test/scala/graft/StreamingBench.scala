@@ -46,12 +46,28 @@ object StreamingBench {
       println(f"$name%-22s ${events.length / sec}%,10.0f rows/s  ($sec%.2f s, ${events.length / batchRows} batches)")
     }
 
+    def runJoin(name: String): Unit = {
+      val inA = MemoryStream[Ev]
+      val inB = MemoryStream[Ev]
+      val sq = EventStreams.purchaseContext(inA.toDF(), inB.toDF())
+        .writeStream.format("noop").outputMode("append").start()
+      val t0 = System.nanoTime()
+      events.grouped(batchRows).foreach { chunk =>
+        inA.addData(chunk); inB.addData(chunk)
+        sq.processAllAvailable()
+      }
+      val sec = (System.nanoTime() - t0) / 1e9
+      sq.stop()
+      println(f"$name%-22s ${events.length / sec}%,10.0f rows/s  ($sec%.2f s, ${events.length / batchRows} batches)")
+    }
+
     // warm once (JIT + state store init) then measure
     run("warmup", EventStreams.runningTypeCounts, "update")
     run("running_counts", EventStreams.runningTypeCounts, "update")
     run("daily_revenue", EventStreams.dailyTypeRevenue, "append")
     run("dedup_1h", EventStreams.dedupStream(_, "1 hour", Seq("event_id")), "append")
     run("sessions_30m", EventStreams.userSessions, "append")
+    runJoin("interval_join")
     spark.stop()
   }
 }
