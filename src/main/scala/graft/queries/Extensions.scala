@@ -855,6 +855,29 @@ object Extensions {
           LEFT JOIN losers l ON l.rep_b = s.rep
           ORDER BY 1,2"""))
 
+  // ---------------------------------------------------------------- x20
+  // Quantile sketch (Greenwald-Khanna summaries): the at-scale
+  // replacement for exact percentiles (q22) — single pass, bounded
+  // memory, mergeable partials. Like x18, the sketch value is
+  // engine-internal, so the gate emits the exact quartiles it CAN
+  // cross-check plus a bound assertion: at accuracy=1000 the rank
+  // error is n/1000, which over 1..50-valued quantities keeps the
+  // approximate median within 1.0 of the exact one.
+  private val x20 = GateQuery(
+    "x20_sketch_quantiles",
+    (s, d) => {
+      val agged = Tables.lineitem(s, d)
+        .groupBy(col("l_returnflag"))
+        .agg(percentile(col("l_quantity"), lit(0.5)).as("p50_exact"),
+             approx_percentile(col("l_quantity"), lit(0.5), lit(1000))
+               .as("p50_approx"))
+      ordered(agged.select(col("l_returnflag"), col("p50_exact"),
+        (abs(col("p50_approx") - col("p50_exact")) <= 1.0).as("approx_ok")))
+    },
+    Some("""SELECT l_returnflag, quantile_cont(l_quantity, 0.5) AS p50_exact,
+              TRUE AS approx_ok
+            FROM lineitem GROUP BY 1 ORDER BY 1,2,3"""))
+
   val all: Seq[GateQuery] = Seq(x01, x02, x03, x04, x05, x06, x07, x08, x09,
-    x10, x11, x12, x13, x14, x15, x16, x17, x18, x19)
+    x10, x11, x12, x13, x14, x15, x16, x17, x18, x19, x20)
 }
