@@ -635,7 +635,33 @@ object Relational {
             FROM lineitem GROUP BY CUBE (l_returnflag, year(l_shipdate))
             ORDER BY 1,2,3,4"""))
 
+  // ---------------------------------------------------------------- q26
+  // The SQL layer itself (a surface the reference lacks entirely —
+  // SURVEY §3): the tables become temp views and ONE ANSI string is
+  // executed verbatim by BOTH engines — spark.sql here, DuckDB as
+  // the oracle. Ordinal GROUP BY/ORDER BY, decimal arithmetic, and
+  // multi-join syntax all parse and plan identically.
+  private val q26Sql =
+    """SELECT r_name, l_returnflag,
+         CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) *
+                  (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue,
+         count(*) AS cnt
+       FROM lineitem
+       JOIN orders   ON l_orderkey = o_orderkey
+       JOIN customer ON o_custkey = c_custkey
+       JOIN nation   ON c_nationkey = n_nationkey
+       JOIN region   ON n_regionkey = r_regionkey
+       GROUP BY 1, 2 ORDER BY 1, 2, 3, 4"""
+  private val q26 = GateQuery(
+    "q26_sql_interface",
+    (s, d) => {
+      Seq("region", "nation", "customer", "orders", "lineitem")
+        .foreach(t => Tables.table(s, d, t).createOrReplaceTempView(t))
+      s.sql(q26Sql)
+    },
+    Some(q26Sql))
+
   val all: Seq[GateQuery] = Seq(q01, q02, q03, q04, q05, q06, q07, q08, q09,
     q10, q11, q12, q13, q14, q15, q16, q17, q18, q19, q20, q21, q22, q23,
-    q24, q25)
+    q24, q25, q26)
 }

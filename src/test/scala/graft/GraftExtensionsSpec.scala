@@ -23,6 +23,11 @@ class GraftExtensionsSpec extends AnyFunSuite {
                                    array(CAST(0.5 AS FLOAT), CAST(0.25 AS FLOAT))) AS c""")
         .collect().head.getDouble(0)
       assert(r == 1.0)
+      val mh = s2.sql(
+        "SELECT minhash_agg(h) AS mhs FROM VALUES (42L), (7L) AS t(h)")
+        .collect().head.getSeq[Long](0)
+      // min over h∈{42,7} of (h·1000003 + 12345) mod 2^32
+      assert(mh.length == 16 && mh.head == 7L * 1000003L + 12345L)
     } finally {
       SparkSession.setActiveSession(shared)
       SparkSession.setDefaultSession(shared)
