@@ -878,6 +878,63 @@ object Extensions {
               TRUE AS approx_ok
             FROM lineitem GROUP BY 1 ORDER BY 1,2,3"""))
 
+  // ---------------------------------------------------------------- x21
+  // Embedding near-dup, the SCALE path: x13's brute-force pair scan
+  // replaced by IVF-cell-pruned pair generation — vectors are
+  // assigned to nearest-centroid cells (graft.ops.Ivf, same
+  // quantized cosine and tie-break as x07), and only SAME-CELL pairs
+  // are compared: an equi-join on the cell id, never a cross
+  // product. Approximate by construction (cross-cell near-dups are
+  // missed) but fully deterministic, so the oracle replays the
+  // identical assignment. At 100 TB the cell id is also the storage
+  // partition key (IvfPartitionSpec), making the join co-located.
+  private val x21 = GateQuery(
+    "x21_dedup_ivf",
+    (s, d) => {
+      val v = Tables.embeddings(s, d).select(col("vec_id"), col("embedding"))
+      val cents = v.filter(col("vec_id") < 8)
+        .select(col("vec_id").as("cid"), col("embedding").as("cv"))
+      val assigned = graft.ops.Ivf.assignCells(v, cents).persist()
+      assigned.count() // eager: both join sides consume it (see x14)
+      val a = assigned.select(col("cell"), col("vec_id").as("id_a"),
+                              col("embedding").as("ea"))
+      val b = assigned.select(col("cell").as("cell_b"), col("vec_id").as("id_b"),
+                              col("embedding").as("eb"))
+      // 0.4, not x13's 0.5: same-cell pairs are the candidate set the
+      // prune admits; at sf0.01 the only >=0.5 pair is cross-cell
+      // (the recall cost of 8 cells on 64-dim noise), while >=0.4
+      // keeps a 21-pair result that exercises the pruned join
+      ordered(a.join(b,
+          col("cell") === col("cell_b") && col("id_a") < col("id_b") &&
+            cosCol(col("ea"), col("eb")) >= 0.4)
+        .withColumn("cos", cosCol(col("ea"), col("eb")))
+        .select(col("id_a"), col("id_b"), col("cell").cast("long").as("cell"),
+                col("cos")))
+    },
+    Some("""WITH v AS (
+              SELECT vec_id, list_transform(embedding,
+                x -> CAST(FLOOR(x * 1000) AS BIGINT)) AS qv
+              FROM embeddings),
+            cents AS (SELECT vec_id AS cid, qv AS cv FROM v WHERE vec_id < 8),
+            assigned AS (
+              SELECT vec_id, qv, cid AS cell FROM (
+                SELECT v.vec_id, v.qv, c.cid,
+                  row_number() OVER (PARTITION BY v.vec_id ORDER BY
+                    list_dot_product(v.qv, c.cv) /
+                      (sqrt(list_dot_product(v.qv, v.qv)) * sqrt(list_dot_product(c.cv, c.cv))) DESC,
+                    c.cid) AS crn
+                FROM v CROSS JOIN cents c)
+              WHERE crn = 1)
+            SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+              CAST(a.cell AS BIGINT) AS cell,
+              list_dot_product(a.qv, b.qv) /
+                (sqrt(list_dot_product(a.qv, a.qv)) * sqrt(list_dot_product(b.qv, b.qv))) AS cos
+            FROM assigned a JOIN assigned b
+              ON a.cell = b.cell AND a.vec_id < b.vec_id
+            WHERE list_dot_product(a.qv, b.qv) /
+                (sqrt(list_dot_product(a.qv, a.qv)) * sqrt(list_dot_product(b.qv, b.qv))) >= 0.4
+            ORDER BY 1,2,3,4"""))
+
   val all: Seq[GateQuery] = Seq(x01, x02, x03, x04, x05, x06, x07, x08, x09,
-    x10, x11, x12, x13, x14, x15, x16, x17, x18, x19, x20)
+    x10, x11, x12, x13, x14, x15, x16, x17, x18, x19, x20, x21)
 }
