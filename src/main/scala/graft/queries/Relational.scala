@@ -661,7 +661,39 @@ object Relational {
     },
     Some(q26Sql))
 
+  // ---------------------------------------------------------------- q27
+  // The typed Dataset surface — the API shape the reference's users
+  // actually write (case-class streams, FlinkAssignment.scala:35-44):
+  // encoder-backed Dataset[Lineitem], typed groupByKey, one streamed
+  // foldLeft per group (O(1) state, no group buffering). The filter
+  // stays a COLUMN expression so predicate pushdown survives — typed
+  // lambdas are opaque to Catalyst, so the idiomatic hybrid is
+  // column filters at the scan, typed logic after.
+  private val q27 = GateQuery(
+    "q27_typed_dataset",
+    (s, d) => {
+      import s.implicits._
+      val ds = Tables.lineitem(s, d)
+        .select(col("l_returnflag"), col("l_quantity"))
+        .filter(col("l_quantity") >= 20) // pushed to the scan
+        .as[(String, Double)]
+      ds.groupByKey(_._1)
+        .mapGroups { (rf, it) =>
+          val (sumQty, cnt) = it.foldLeft((0L, 0L)) { case ((sq, n), r) =>
+            (sq + r._2.toLong, n + 1)
+          }
+          (rf, sumQty, cnt)
+        }
+        .toDF("l_returnflag", "sum_qty", "cnt")
+        .orderBy(col("l_returnflag"), col("sum_qty"), col("cnt"))
+    },
+    Some("""SELECT l_returnflag,
+              CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
+              count(*) AS cnt
+            FROM lineitem WHERE l_quantity >= 20
+            GROUP BY 1 ORDER BY 1,2,3"""))
+
   val all: Seq[GateQuery] = Seq(q01, q02, q03, q04, q05, q06, q07, q08, q09,
     q10, q11, q12, q13, q14, q15, q16, q17, q18, q19, q20, q21, q22, q23,
-    q24, q25, q26)
+    q24, q25, q26, q27)
 }
