@@ -61,29 +61,31 @@ object Extensions {
     }.mkString("(", " + ", ")")
 
   // ------------------------------------------------------------- shared
-  /** (doc_id, mask) — token set as a 64-bit vocabulary bitmask. */
-  private def docMasks(s: SparkSession, d: String): DataFrame = {
-    val toks = Tables.documents(s, d)
+  /** (doc_id, mask) — token set as a 64-bit HASHED bitmap: bit index
+    * = md5-derived hash of the word mod 64. No vocabulary table, no
+    * ordering, no join — one groupBy is the whole plan, and the bit
+    * assignment needs zero global coordination at any scale (the
+    * round-2 scale-killer was a single-partition `row_number()`
+    * window building dense word ids; a hash needs no ids). Two words
+    * may fold onto one bit, making mask-Jaccard a tight upper
+    * approximation of set-Jaccard; the construction is deterministic
+    * and the oracle replays it bit for bit. */
+  private def docMasks(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
       .select(col("doc_id"), explode(tokenSet(col("text"))).as("w"))
-    val vocab = toks.select(col("w")).distinct()
-      // tiny global window: the vocabulary is by construction small
-      // here; at real scale id assignment would be a broadcast dict
-      .withColumn("wid", row_number().over(Window.orderBy(col("w"))) - 1)
-    toks.join(broadcast(vocab), "w")
+      .select(col("doc_id"),
+        (hex32(md5(col("w"))) % 64).cast("int").as("wid"))
       .groupBy(col("doc_id"))
       .agg(expr("bit_or(shiftleft(CAST(1 AS BIGINT), wid))").as("mask"))
-  }
 
   private val duckMasksCte =
-    """toks AS (
+    s"""toks AS (
          SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS w
          FROM documents),
-       vocab AS (
-         SELECT w, row_number() OVER (ORDER BY w) - 1 AS wid
-         FROM (SELECT DISTINCT w FROM toks)),
        masks AS (
-         SELECT t.doc_id, bit_or(CAST(1 AS BIGINT) << v.wid) AS mask
-         FROM toks t JOIN vocab v ON v.w = t.w GROUP BY 1),
+         SELECT doc_id,
+           bit_or(CAST(1 AS BIGINT) << CAST(${duckHex32("md5(w)")} % 64 AS INT)) AS mask
+         FROM toks GROUP BY 1),
        sigs AS (
          SELECT mask, min(doc_id) AS rep, count(*) AS cnt
          FROM masks GROUP BY 1)"""
@@ -93,30 +95,24 @@ object Extensions {
     docMasks(s, d).groupBy(col("mask"))
       .agg(min(col("doc_id")).as("rep"), count(lit(1)).as("cnt"))
 
-  /** LSH candidate pairs from a minhash table (`rep`, `mh0..mh15`):
-    * one posexplode pass emits the 4 band rows per signature, then a
-    * broadcast numeric equi-join on whole bands yields (rep_a, rep_b)
-    * with rep_a < rep_b, dedup'd. Shared by the token-set (x04) and
-    * bigram (x14) dedup paths. */
-  private def lshCandidates(mh: DataFrame): DataFrame = {
-    val bandStructs = (0 until NumBands).map { b =>
-      struct((0 until BandRows)
-        .map(j => col(s"mh${BandRows * b + j}").as(s"k$j")): _*)
-    }
-    // the band table feeds BOTH sides of the candidate join (spine +
-    // broadcast); persist and materialize so the minhash aggregation
-    // upstream runs once, not once per side (same rule as the x14
-    // index tables)
-    val banded = mh.select(col("rep"),
-      posexplode(array(bandStructs: _*)).as(Seq("band", "ks")))
-      .select(col("rep") +: col("band") +:
-        (0 until BandRows).map(j => col(s"ks.k$j").as(s"k$j")): _*)
-      .persist()
-    banded.count()
+  /** LSH candidate pairs from a band table (`rep`, `band`, `k0..k3`):
+    * a self equi-join on the whole band yields (rep_a, rep_b) with
+    * rep_a < rep_b, dedup'd. Shared by the token-set (x04) and
+    * bigram (x14) dedup paths.
+    *
+    * Deliberately NO broadcast hint and NO persist: the join keys
+    * (band, k0..k3) make this a plain shuffle-able equi-join, and the
+    * two sides are the identical subtree, so exchange/stage reuse
+    * materializes the upstream minhash aggregation ONCE and reads it
+    * from the shuffle twice. At 100 TB the band table is proportional
+    * to |distinct signatures| — a forced broadcast (as this had in
+    * round 2) is an OOM, while size-gated AQE still picks broadcast
+    * when it genuinely fits (LshPlanSpec asserts the degraded path). */
+  private def lshCandidates(banded: DataFrame): DataFrame = {
     val joinCond = col("a.band") === col("b.band") &&
       (0 until BandRows).map(j => col(s"a.k$j") === col(s"b.k$j")).reduce(_ && _) &&
       col("a.rep") < col("b.rep")
-    banded.as("a").join(broadcast(banded.as("b")), joinCond)
+    banded.as("a").join(banded.as("b"), joinCond)
       .select(col("a.rep").as("rep_a"), col("b.rep").as("rep_b"))
       .distinct()
   }
@@ -130,18 +126,26 @@ object Extensions {
   private def mhB(i: Int): Long = 12345L + 7919L * i
   private val Mod32 = 4294967296L
 
-  /** 16 minhashes over an exploded token column (`rep`, `tok`); the
-    * base hash is md5-derived with a [[prefix]] so token-set (x04)
-    * and bigram (x14) families are independent. The 16 minima come
-    * from ONE native [[graft.functions.MinHashAgg]] buffer (same
-    * affine family, bit-identical values — MinHashAggSpec) instead
-    * of 16 separate min() aggregate states. */
-  private def minhashTable(toks: DataFrame, prefix: String): DataFrame = {
+  /** LSH band table (`rep`, `band`, `k0..k3`) over an exploded token
+    * column (`rep`, `tok`); the base hash is md5-derived with a
+    * [[prefix]] so token-set (x04) and bigram (x14) families are
+    * independent. The 16 minima come from ONE native
+    * [[graft.functions.MinHashAgg]] buffer (same affine family,
+    * bit-identical values — MinHashAggSpec), and the band structs are
+    * sliced straight off the aggregate's array output — no 16-column
+    * intermediate projection, no extra materialization between the
+    * aggregation and the candidate join. */
+  private def bandTable(toks: DataFrame, prefix: String): DataFrame = {
     val h = toks.withColumn("h", hex32(md5(concat(lit(prefix), col("tok")))))
-    h.groupBy(col("rep"))
+    val mh = h.groupBy(col("rep"))
       .agg(graft.functions.MinHashAgg.minhashAgg(col("h"), NumMinhash).as("mhs"))
-      .select(col("rep") +: (0 until NumMinhash).map(i =>
-        element_at(col("mhs"), i + 1).as(s"mh$i")): _*)
+    val bandStructs = (0 until NumBands).map { b =>
+      struct((0 until BandRows).map(j =>
+        element_at(col("mhs"), BandRows * b + j + 1).as(s"k$j")): _*)
+    }
+    mh.select(col("rep"), posexplode(array(bandStructs: _*)).as(Seq("band", "ks")))
+      .select(col("rep") +: col("band") +:
+        (0 until BandRows).map(j => col(s"ks.k$j").as(s"k$j")): _*)
   }
 
   // ---------------------------------------------------------------- x01
