@@ -237,7 +237,7 @@ object Extensions {
     val repToks = sigs
       .join(Tables.documents(s, d), col("rep") === col("doc_id"))
       .select(col("rep"), explode(tokenSet(col("text"))).as("tok"))
-    val cand = lshCandidates(minhashTable(repToks, "t:"))
+    val cand = lshCandidates(bandTable(repToks, "t:"))
     val ma = broadcast(sigs.select(col("rep").as("rep_a"), col("mask").as("mask_a")))
     val mb = broadcast(sigs.select(col("rep").as("rep_b"), col("mask").as("mask_b")))
     cand.join(ma, "rep_a").join(mb, "rep_b")
@@ -607,7 +607,7 @@ object Extensions {
         .persist()
       reps.count()
       val cand = lshCandidates(
-        minhashTable(reps.select(col("rep"), explode(col("bgs")).as("tok")), "b:"))
+        bandTable(reps.select(col("rep"), explode(col("bgs")).as("tok")), "b:"))
         .persist()
       cand.count()
       // verify-side bigrams: semi-join reps down to the ids that
