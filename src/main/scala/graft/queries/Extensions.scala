@@ -24,11 +24,16 @@ import org.apache.spark.sql.expressions.Window
   *    signatures (hash groupBy — one shuffle), then operates at
   *    signature level; on this corpus that is a 20-30% reduction, on
   *    real crawl data typically 2-5×;
-  *  - the 31-word vocabulary lets a token set live in one 64-bit
-  *    bitmask (`bit_or(1<<wid)`), making exact Jaccard a pair of
-  *    popcounts; with a real vocabulary the same pipeline swaps the
-  *    bitmask for the MinHash signature path below — the bitmask is a
-  *    documented small-vocab specialization, not the general plan;
+  *  - every token set also gets a HASHED 64-bit bitmask built in one
+  *    per-row projection (`aggregate(transform(tokens, w -> 1L <<
+  *    (hash(w) % 64)), 0, |)`) — no vocabulary table, no shuffle, no
+  *    global coordination at any scale. Distinct words can fold onto
+  *    one bit, so mask-Jaccard (a pair of popcounts) is a tight UPPER
+  *    approximation of set-Jaccard used for pair SCORING only; class
+  *    identity always comes from the exact [[tokenSetSig]] key, so a
+  *    mask collision can never merge two different token sets into
+  *    one dedup class (DocMasksSpec pins this with a deliberately
+  *    colliding fixture);
   *  - MinHash+LSH generates candidates by equi-join on band keys (a
   *    shuffle join on a short string key — no cross product), then
   *    verifies candidates exactly; only verified pairs survive;
@@ -61,38 +66,58 @@ object Extensions {
     }.mkString("(", " + ", ")")
 
   // ------------------------------------------------------------- shared
-  /** (doc_id, mask) — token set as a 64-bit HASHED bitmap: bit index
-    * = md5-derived hash of the word mod 64. No vocabulary table, no
-    * ordering, no join — one groupBy is the whole plan, and the bit
-    * assignment needs zero global coordination at any scale (the
-    * round-2 scale-killer was a single-partition `row_number()`
-    * window building dense word ids; a hash needs no ids). Two words
-    * may fold onto one bit, making mask-Jaccard a tight upper
-    * approximation of set-Jaccard; the construction is deterministic
-    * and the oracle replays it bit for bit. */
+  /** (doc_id, sig, mask) — the exact token-set signature
+    * ([[graft.ops.Cols.tokenSetSig]], the dedup CLASS key) plus the
+    * token set as a 64-bit HASHED bitmap: bit index = md5-derived
+    * hash of the word mod 64, OR-folded per row with an
+    * `aggregate(transform(...))` HOF. A pure projection — no
+    * vocabulary table, no explode, NO SHUFFLE — so the bit assignment
+    * needs zero global coordination at any scale (the round-2
+    * scale-killer was a single-partition `row_number()` window
+    * building dense word ids; a hash needs no ids, and folding
+    * per-row needs no groupBy). Two words may fold onto one bit,
+    * making mask-Jaccard a tight upper approximation of set-Jaccard —
+    * which is why the mask is never a class key: `sig` is exact, so
+    * colliding masks cannot merge different token sets into one class
+    * (DocMasksSpec). The construction is deterministic and the oracle
+    * replays it bit for bit. */
+  private[graft] def docMasksOf(docs: DataFrame): DataFrame =
+    docs.select(
+      col("doc_id"),
+      tokenSetSig(col("text")).as("sig"),
+      expr("""aggregate(
+           transform(array_sort(array_distinct(split(text, ' '))),
+             w -> shiftleft(CAST(1 AS BIGINT),
+                    CAST(CAST(conv(substring(md5(w), 1, 8), 16, 10) AS BIGINT) % 64 AS INT))),
+           CAST(0 AS BIGINT),
+           (acc, b) -> acc | b)""").as("mask"))
+
   private def docMasks(s: SparkSession, d: String): DataFrame =
-    Tables.documents(s, d)
-      .select(col("doc_id"), explode(tokenSet(col("text"))).as("w"))
-      .select(col("doc_id"),
-        (hex32(md5(col("w"))) % 64).cast("int").as("wid"))
-      .groupBy(col("doc_id"))
-      .agg(expr("bit_or(shiftleft(CAST(1 AS BIGINT), wid))").as("mask"))
+    docMasksOf(Tables.documents(s, d))
 
   private val duckMasksCte =
     s"""toks AS (
          SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS w
          FROM documents),
-       masks AS (
+       dmask AS (
          SELECT doc_id,
            bit_or(CAST(1 AS BIGINT) << CAST(${duckHex32("md5(w)")} % 64 AS INT)) AS mask
          FROM toks GROUP BY 1),
+       masks AS (
+         SELECT d.doc_id,
+           md5(array_to_string(list_sort(list_distinct(string_split(d.text, ' '))), ' ')) AS sig,
+           m.mask
+         FROM documents d JOIN dmask m ON m.doc_id = d.doc_id),
        sigs AS (
-         SELECT mask, min(doc_id) AS rep, count(*) AS cnt
-         FROM masks GROUP BY 1)"""
+         SELECT sig, mask, min(doc_id) AS rep, count(*) AS cnt
+         FROM masks GROUP BY 1, 2)"""
 
-  /** (mask, rep, cnt) — one row per distinct token set. */
+  /** (sig, mask, rep, cnt) — one row per distinct token set. The
+    * class key is the exact `sig`; `mask` is functionally dependent
+    * on it (same token set ⇒ same mask), so grouping by both yields
+    * exactly the `sig` classes while keeping the mask for scoring. */
   private def sigTable(s: SparkSession, d: String): DataFrame =
-    docMasks(s, d).groupBy(col("mask"))
+    docMasks(s, d).groupBy(col("sig"), col("mask"))
       .agg(min(col("doc_id")).as("rep"), count(lit(1)).as("cnt"))
 
   /** LSH candidate pairs from a band table (`rep`, `band`, `k0..k3`):
@@ -108,7 +133,7 @@ object Extensions {
     * to |distinct signatures| — a forced broadcast (as this had in
     * round 2) is an OOM, while size-gated AQE still picks broadcast
     * when it genuinely fits (LshPlanSpec asserts the degraded path). */
-  private def lshCandidates(banded: DataFrame): DataFrame = {
+  private[graft] def lshCandidates(banded: DataFrame): DataFrame = {
     val joinCond = col("a.band") === col("b.band") &&
       (0 until BandRows).map(j => col(s"a.k$j") === col(s"b.k$j")).reduce(_ && _) &&
       col("a.rep") < col("b.rep")
@@ -135,7 +160,7 @@ object Extensions {
     * sliced straight off the aggregate's array output — no 16-column
     * intermediate projection, no extra materialization between the
     * aggregation and the candidate join. */
-  private def bandTable(toks: DataFrame, prefix: String): DataFrame = {
+  private[graft] def bandTable(toks: DataFrame, prefix: String): DataFrame = {
     val h = toks.withColumn("h", hex32(md5(concat(lit(prefix), col("tok")))))
     val mh = h.groupBy(col("rep"))
       .agg(graft.functions.MinHashAgg.minhashAgg(col("h"), NumMinhash).as("mhs"))
@@ -179,8 +204,11 @@ object Extensions {
             FROM documents GROUP BY 1 HAVING count(*) > 1 ORDER BY 1,2,3"""))
 
   // ---------------------------------------------------------------- x03
-  // Exact near-dup pairs at signature level: Jaccard >= 0.9 via
-  // bitmask popcount over all distinct-signature pairs.
+  // Near-dup pairs at signature level: mask-Jaccard >= 0.9 via
+  // bitmask popcount over all distinct-signature pairs. The classes
+  // are exact (sig-keyed); the SCORE is the hashed-mask Jaccard — an
+  // upper approximation of set-Jaccard (colliding bits can only grow
+  // the intersection), so this admits, never misses, a >= t pair.
   private val x03 = GateQuery(
     "x03_dedup_jaccard",
     (s, d) => {
@@ -279,22 +307,20 @@ object Extensions {
 
   // ---------------------------------------------------------------- x05
   // SimHash: 32-bit signature; bit b set iff Σ_token (±1 by bit b of
-  // the token's md5-derived hash) is non-negative.
+  // the token's md5-derived hash) is non-negative. The 32 per-bit
+  // vote counters live in ONE fused [[graft.functions.SimHashAgg]]
+  // buffer (bit-identical to 32 separate sum(when) aggregate columns
+  // — SimHashAggSpec — but one agg state instead of 32, and 32× fewer
+  // aggregate expressions for codegen to carry). The oracle keeps the
+  // independent 32-column construction.
   private val x05 = GateQuery(
     "x05_simhash",
     (s, d) => {
       val th = Tables.documents(s, d)
         .select(col("doc_id"), explode(tokenSet(col("text"))).as("tok"))
         .withColumn("h", hex32(md5(col("tok"))))
-      val bitAggs = (0 until 32).map { b =>
-        sum(when(shiftright(col("h"), b).bitwiseAND(lit(1L)) === 1L, 1)
-          .otherwise(-1)).as(s"b$b")
-      }
-      val agg = th.groupBy(col("doc_id")).agg(bitAggs.head, bitAggs.tail: _*)
-      val sim = (0 until 32).map { b =>
-        when(col(s"b$b") >= 0, lit(1L << b)).otherwise(lit(0L))
-      }.reduce(_ + _)
-      ordered(agg.select(col("doc_id"), sim.as("simhash")))
+      ordered(th.groupBy(col("doc_id"))
+        .agg(graft.functions.SimHashAgg.simhashAgg(col("h")).as("simhash")))
     },
     Some {
       val bitSums = (0 until 32).map { b =>
@@ -838,14 +864,17 @@ object Extensions {
     (s, d) => {
       val masks = docMasks(s, d).persist()
       masks.count()
-      val sigs = masks.groupBy(col("mask"))
+      val sigs = masks.groupBy(col("sig"), col("mask"))
         .agg(min(col("doc_id")).as("rep"), count(lit(1)).as("cnt"))
         .persist()
       sigs.count()
       val losers = verifiedMinhashPairs(s, d, sigs)
         .select(col("rep_b").as("loser")).distinct()
+      // class membership joins on the EXACT sig key — a hashed-mask
+      // collision can therefore never route a doc to another class's
+      // rep and drop a non-duplicate (DocMasksSpec)
       ordered(masks
-        .join(broadcast(sigs.select(col("mask"), col("rep"))), "mask")
+        .join(broadcast(sigs.select(col("sig"), col("rep"))), "sig")
         .join(broadcast(losers), col("rep") === col("loser"), "left_outer")
         .select(col("doc_id"),
           (col("doc_id") === col("rep") && col("loser").isNull).as("keep")))
@@ -855,7 +884,7 @@ object Extensions {
           SELECT m.doc_id,
             (m.doc_id = s.rep AND l.rep_b IS NULL) AS keep
           FROM masks m
-          JOIN sigs s ON s.mask = m.mask
+          JOIN sigs s ON s.sig = m.sig
           LEFT JOIN losers l ON l.rep_b = s.rep
           ORDER BY 1,2"""))
 

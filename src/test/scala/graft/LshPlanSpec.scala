@@ -1,0 +1,71 @@
+package graft
+
+import graft.queries.Extensions
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Plan-shape assertions for the LSH candidate join (x04/x14's
+  * engine). The 100 TB contract: the band table is proportional to
+  * |distinct signatures|, so the self-join must be a plain
+  * shuffle-able equi-join — NEVER a forced broadcast (round 2's
+  * scale-killer) — and its two identical sides must materialize the
+  * upstream minhash aggregation ONCE via exchange reuse.
+  */
+class LshPlanSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def toks = Seq(
+    (1L, "a"), (1L, "b"), (1L, "c"),
+    (2L, "a"), (2L, "b"), (2L, "c"),
+    (3L, "x"), (3L, "y"))
+    .toDF("rep", "tok")
+
+  /** Run `body` with broadcast joins disabled (so any
+    * BroadcastExchange in the plan can only come from a forced hint)
+    * and AQE off (so the static plan, where ReuseExchange runs, is
+    * the executed plan). */
+  private def withDegradedConf[A](body: => A): A = {
+    val conf = spark.conf
+    val oldThresh = conf.get("spark.sql.autoBroadcastJoinThreshold")
+    val oldAqe = conf.get("spark.sql.adaptive.enabled")
+    conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    conf.set("spark.sql.adaptive.enabled", "false")
+    try body finally {
+      conf.set("spark.sql.autoBroadcastJoinThreshold", oldThresh)
+      conf.set("spark.sql.adaptive.enabled", oldAqe)
+    }
+  }
+
+  test("candidate join has no forced broadcast and reuses the band exchange") {
+    withDegradedConf {
+      val cand = Extensions.lshCandidates(Extensions.bandTable(toks, "t:"))
+      val plan = cand.queryExecution.executedPlan.toString
+      assert(!plan.contains("BroadcastExchange"),
+        s"a BroadcastExchange under threshold=-1 means a forced hint:\n$plan")
+      assert(plan.contains("ReusedExchange"),
+        s"the two identical band-table sides must share one exchange:\n$plan")
+      // and the join itself is the shuffle-able kind
+      assert(plan.contains("SortMergeJoin"), plan)
+    }
+  }
+
+  test("degraded-path plan still produces the right candidates") {
+    withDegradedConf {
+      val cand = Extensions.lshCandidates(Extensions.bandTable(toks, "t:"))
+        .as[(Long, Long)].collect().toSet
+      // reps 1 and 2 share the exact token set → all four bands agree;
+      // rep 3 shares no band with either
+      assert(cand == Set((1L, 2L)))
+    }
+  }
+
+  test("size-gated broadcast is still allowed when the table genuinely fits") {
+    // default threshold (10 MB) + tiny table: the planner MAY pick a
+    // broadcast join — the point is the choice is the OPTIMIZER's
+    // (size-gated), not hard-coded. Candidates must be identical.
+    val cand = Extensions.lshCandidates(Extensions.bandTable(toks, "t:"))
+      .as[(Long, Long)].collect().toSet
+    assert(cand == Set((1L, 2L)))
+  }
+}
