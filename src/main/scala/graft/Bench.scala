@@ -43,6 +43,12 @@ object Bench {
         val s0 = System.nanoTime()
         try { fn(spark, sfDir).count() } catch { case _: Throwable => () }
         best = math.min(best, (System.nanoTime() - s0) / 1e9)
+        // the dedup queries persist() intermediates they never
+        // unpersist (the returned plan still references them); once
+        // this pass's count() is done the entries are dead weight —
+        // dropping them keeps storage memory from polluting every
+        // later query's measurement (x19 read 10.3s vs 4s isolated)
+        spark.catalog.clearCache()
         r += 1
       }
       results = results.updated(name, best)
