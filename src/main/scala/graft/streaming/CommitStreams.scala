@@ -161,15 +161,14 @@ object CommitStreams {
   private[streaming] case class FileEvent(repo: String, filename: String,
                                           status: String, ets: java.sql.Timestamp)
 
-  /** Q9 (:299-348): CEP "added followedBy removed within 1 day" as a
-    * keyed NFA-lite. State = pending 'added' timestamps (millis)
-    * within the horizon; each 'removed' consumes every pending
-    * 'added' no older than one day (first-match semantics: a
-    * consumed 'added' can't match again). Event-time timeout prunes
-    * state one day after the newest pending 'added'. */
+  /** Q9 (:299-348): CEP "added followedBy removed within 1 day",
+    * declared as a generic [[EventPattern]] and executed by the
+    * [[Cep.detect]] keyed NFA — a 'removed' consumes every pending
+    * in-horizon 'added' (first-match: a consumed partial can't match
+    * again), event-time timeout prunes state one day after the newest
+    * open 'added'. */
   def addedThenRemoved(commits: DataFrame): Dataset[(String, String)] = {
     import commits.sparkSession.implicits._
-    val dayMs = 24L * 3600 * 1000
     val events = commits
       .select(repoFromUrl(col("url")).as("repo"), ts.as("ets"), col("files"))
       .withWatermark("ets", "0 seconds") // before explode/filter — see weeklyContinentChanges
@@ -179,31 +178,39 @@ object CommitStreams {
       .select(col("repo"), col("file.filename").as("filename"),
               col("file.status").as("status"), col("ets"))
       .as[FileEvent]
-    events.groupByKey(e => (e.repo, e.filename))
-      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
-        (key: (String, String), in: Iterator[FileEvent], state: GroupState[List[Long]]) =>
-          if (in.isEmpty && state.hasTimedOut) { // horizon passed: drop state
-            state.remove(); Iterator.empty
-          } else {
-            var pending = state.getOption.getOrElse(Nil)
-            val out = Vector.newBuilder[(String, String)]
-            in.toVector.sortBy(_.ets.getTime).foreach { e =>
-              val t = e.ets.getTime
-              if (e.status == "added") pending = t :: pending
-              else { // removed: consume all pending addeds within 1 day
-                val (hit, keep) = pending.partition(a => t >= a && t <= a + dayMs)
-                hit.foreach(_ => out += ((key._1, key._2)))
-                pending = keep
-              }
-            }
-            pending = pending.filter(_ + dayMs >= state.getCurrentWatermarkMs())
-            if (pending.isEmpty) state.remove()
-            else {
-              state.update(pending)
-              state.setTimeoutTimestamp(pending.max + dayMs)
-            }
-            out.result().iterator
-          }
+    val pattern = EventPattern.begin[FileEvent]("added")
+      .where(_.status == "added")
+      .followedBy("removed").where(_.status == "removed")
+      .within(java.time.Duration.ofDays(1))
+    Cep.detect(events, (e: FileEvent) => (e.repo, e.filename),
+               (e: FileEvent) => e.ets.getTime, pattern) { m =>
+      val a = m("added").head
+      (a.repo, a.filename)
+    }
+  }
+
+  /** Exact per-input-record emission of the Q4 running change totals
+    * (`(py, modified, 12) … (py, modified, 22)` per reference README
+    * :103-109): one output row per consumed file record carrying the
+    * key's new running sum; state = one long per (ext, status). */
+  def runningChangesPerRecord(commits: DataFrame): Dataset[(String, String, Long)] = {
+    import commits.sparkSession.implicits._
+    val recs = commits.select(explode(col("files")).as("file"))
+      .filter(col("file.filename").endsWith(".js") ||
+              col("file.filename").endsWith(".py"))
+      .select(
+        when(col("file.filename").endsWith(".js"), ".js").otherwise(".py").as("ext"),
+        coalesce(col("file.status"), lit("unknown")).as("status"),
+        coalesce(col("file.changes"), lit(0)).cast("long").as("changes"))
+      .as[(String, String, Long)]
+    recs.groupByKey(r => (r._1, r._2))
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (key: (String, String), in: Iterator[(String, String, Long)],
+         state: GroupState[Long]) =>
+          var total = state.getOption.getOrElse(0L)
+          val out = in.map { r => total += r._3; (key._1, key._2, total) }.toVector
+          state.update(total)
+          out.iterator
       }
   }
 }

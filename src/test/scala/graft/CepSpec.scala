@@ -1,0 +1,108 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.streaming.OutputMode
+import graft.streaming.{Cep, EventPattern}
+
+/** Sensor event for the generic-CEP tests. */
+case class Sensor(device: String, kind: String, ets: java.sql.Timestamp)
+
+/** The generic pattern API ([[graft.streaming.EventPattern]] →
+  * [[graft.streaming.Cep.detect]]): a three-stage A→B→C chain with
+  * relaxed contiguity, within-window expiry, first-match consumption,
+  * and per-stage event capture in the select function. */
+class CepSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+  implicit lazy val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+
+  private def t(iso: String) =
+    java.sql.Timestamp.from(java.time.Instant.parse(iso))
+
+  private val pattern = EventPattern.begin[Sensor]("spike")
+    .where(_.kind == "spike")
+    .followedBy("stall").where(_.kind == "stall")
+    .followedBy("crash").where(_.kind == "crash")
+    .within(java.time.Duration.ofHours(1))
+
+  private def detect(in: MemoryStream[Sensor]) =
+    Cep.detect(
+      in.toDS().withWatermark("ets", "0 seconds"),
+      (e: Sensor) => e.device, (e: Sensor) => e.ets.getTime, pattern) { m =>
+      (m("spike").head.device, m("spike").head.ets, m("crash").head.ets)
+    }.toDF("device", "spike_ts", "crash_ts")
+
+  test("A->B->C matches in order, skipping non-matching events (relaxed contiguity)") {
+    val in = MemoryStream[Sensor]
+    val q = detect(in).writeStream.format("memory").queryName("cep1")
+      .outputMode(OutputMode.Append).start()
+    in.addData(
+      Sensor("d1", "spike", t("2019-06-26T10:00:00Z")),
+      Sensor("d1", "noise", t("2019-06-26T10:05:00Z")), // skipped, not fatal
+      Sensor("d1", "stall", t("2019-06-26T10:10:00Z")),
+      Sensor("d1", "crash", t("2019-06-26T10:20:00Z")),
+      Sensor("d2", "spike", t("2019-06-26T10:00:00Z")), // other key: no stall/crash
+      Sensor("d2", "crash", t("2019-06-26T10:20:00Z")))
+    q.processAllAvailable()
+    val got = spark.table("cep1")
+      .as[(String, java.sql.Timestamp, java.sql.Timestamp)].collect().toSet
+    assert(got == Set(("d1", t("2019-06-26T10:00:00Z"), t("2019-06-26T10:20:00Z"))))
+    q.stop()
+  }
+
+  test("within() expires a partial; a fresh sequence after expiry still matches") {
+    val in = MemoryStream[Sensor]
+    val q = detect(in).writeStream.format("memory").queryName("cep2")
+      .outputMode(OutputMode.Append).start()
+    in.addData(
+      Sensor("d1", "spike", t("2019-06-26T10:00:00Z")),
+      Sensor("d1", "stall", t("2019-06-26T10:30:00Z")))
+    q.processAllAvailable()
+    // crash lands 90m after the spike: outside the 1h window
+    in.addData(Sensor("d1", "crash", t("2019-06-26T11:30:00Z")))
+    q.processAllAvailable()
+    assert(spark.table("cep2").count() == 0)
+    // a complete fresh sequence on the same key still matches
+    in.addData(
+      Sensor("d1", "spike", t("2019-06-26T12:00:00Z")),
+      Sensor("d1", "stall", t("2019-06-26T12:10:00Z")),
+      Sensor("d1", "crash", t("2019-06-26T12:20:00Z")))
+    q.processAllAvailable()
+    val got = spark.table("cep2")
+      .as[(String, java.sql.Timestamp, java.sql.Timestamp)].collect().toSet
+    assert(got == Set(("d1", t("2019-06-26T12:00:00Z"), t("2019-06-26T12:20:00Z"))))
+    q.stop()
+  }
+
+  test("first-match consumption: a completed partial cannot match a second closer") {
+    val in = MemoryStream[Sensor]
+    val q = detect(in).writeStream.format("memory").queryName("cep3")
+      .outputMode(OutputMode.Append).start()
+    in.addData(
+      Sensor("d1", "spike", t("2019-06-26T10:00:00Z")),
+      Sensor("d1", "stall", t("2019-06-26T10:10:00Z")),
+      Sensor("d1", "crash", t("2019-06-26T10:20:00Z")),
+      Sensor("d1", "crash", t("2019-06-26T10:25:00Z"))) // partial already consumed
+    q.processAllAvailable()
+    assert(spark.table("cep3").count() == 1)
+    q.stop()
+  }
+
+  test("one closing event completes every open partial (two spikes, one crash path each)") {
+    val in = MemoryStream[Sensor]
+    val q = detect(in).writeStream.format("memory").queryName("cep4")
+      .outputMode(OutputMode.Append).start()
+    in.addData(
+      Sensor("d1", "spike", t("2019-06-26T10:00:00Z")),
+      Sensor("d1", "spike", t("2019-06-26T10:02:00Z")),
+      Sensor("d1", "stall", t("2019-06-26T10:10:00Z")), // advances both partials
+      Sensor("d1", "crash", t("2019-06-26T10:20:00Z"))) // completes both
+    q.processAllAvailable()
+    val got = spark.table("cep4")
+      .as[(String, java.sql.Timestamp, java.sql.Timestamp)].collect()
+      .map(_._2).toSet
+    assert(got == Set(t("2019-06-26T10:00:00Z"), t("2019-06-26T10:02:00Z")))
+    q.stop()
+  }
+}

@@ -60,6 +60,27 @@ class CommitStreamsSpec extends AnyFunSuite {
     q.stop()
   }
 
+  test("per-record running changes reproduce the reference's (py, modified, 12)(py, modified, 22) emission") {
+    val in = MemoryStream[Commit]
+    val (q, sink) = startQuery(
+      CommitStreams.runningChangesPerRecord(in.toDF()).toDF("ext", "status", "changes"),
+      OutputMode.Append)
+    in.addData(commit("a", t("2019-06-26T10:00:00Z"), files = Seq(
+      file(Some("a.py"), Some("modified"), changes = 12),
+      file(Some("b.js"), Some("added"), changes = 10),
+      file(Some("c.java"), Some("modified"), changes = 7)))) // filtered out
+    q.processAllAvailable()
+    in.addData(commit("b", t("2019-06-26T11:00:00Z"), files = Seq(
+      file(Some("d.py"), Some("modified"), changes = 10),
+      file(Some("e.py"), None, changes = 3)))) // null status -> unknown
+    q.processAllAvailable()
+    val got = spark.table(sink).as[(String, String, Long)].collect().toSet
+    assert(got == Set(
+      (".py", "modified", 12L), (".js", "added", 10L),
+      (".py", "modified", 22L), (".py", "unknown", 3L)))
+    q.stop()
+  }
+
   test("daily counts fire once per window when the watermark passes (append mode)") {
     val in = MemoryStream[Commit]
     val (q, sink) = startQuery(CommitStreams.dailyCounts(in.toDF()), OutputMode.Append)
