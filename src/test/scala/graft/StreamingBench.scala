@@ -61,13 +61,25 @@ object StreamingBench {
       println(f"$name%-22s ${events.length / sec}%,10.0f rows/s  ($sec%.2f s, ${events.length / batchRows} batches)")
     }
 
-    // warm once (JIT + state store init) then measure
-    run("warmup", EventStreams.runningTypeCounts, "update")
-    run("running_counts", EventStreams.runningTypeCounts, "update")
-    run("daily_revenue", EventStreams.dailyTypeRevenue, "append")
-    run("dedup_1h", EventStreams.dedupStream(_, "1 hour", Seq("event_id")), "append")
-    run("sessions_30m", EventStreams.userSessions, "append")
-    runJoin("interval_join")
+    // Same operator set under each state-store provider (the
+    // providerClass conf binds at query start, so one session can
+    // benchmark both back to back). HDFS-backed = on-heap, the
+    // small-state winner; RocksDB = off-heap/disk with bounded heap,
+    // the scale path once per-partition state outgrows memory.
+    val providers = sys.env.get("SPARK_GRAFT_STATE_STORE")
+      .map(f => Seq(f.toLowerCase)).getOrElse(Seq("hdfs", "rocksdb"))
+    providers.foreach { p =>
+      spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+        Sessions.stateStoreProviders(p))
+      println(s"-- state store: $p --")
+      // warm once (JIT + state store init) then measure
+      run("warmup", EventStreams.runningTypeCounts, "update")
+      run(s"running_counts[$p]", EventStreams.runningTypeCounts, "update")
+      run(s"daily_revenue[$p]", EventStreams.dailyTypeRevenue, "append")
+      run(s"dedup_1h[$p]", EventStreams.dedupStream(_, "1 hour", Seq("event_id")), "append")
+      run(s"sessions_30m[$p]", EventStreams.userSessions, "append")
+      runJoin(s"interval_join[$p]")
+    }
     spark.stop()
   }
 }
