@@ -205,20 +205,39 @@ object Extensions {
 
   // ---------------------------------------------------------------- x03
   // Near-dup pairs at signature level: mask-Jaccard >= 0.9 via
-  // bitmask popcount over all distinct-signature pairs. The classes
-  // are exact (sig-keyed); the SCORE is the hashed-mask Jaccard — an
-  // upper approximation of set-Jaccard (colliding bits can only grow
-  // the intersection), so this admits, never misses, a >= t pair.
+  // bitmask popcount. The classes are exact (sig-keyed); the SCORE is
+  // the hashed-mask Jaccard — an upper approximation of set-Jaccard
+  // (colliding bits can only grow the intersection), so this admits,
+  // never misses, a >= t pair.
+  //
+  // Pair generation is a LENGTH-FILTER equi-join, not all-pairs:
+  // jac(a,b) <= min(pc)/max(pc), so a >= t pair needs popcounts
+  // within a factor t of each other. The a side explodes to its
+  // admissible partner popcounts (<= ~8 values at t=0.9 on 64-bit
+  // masks) and equi-joins b on popcount — a shuffle join on an int
+  // key that never enumerates pairs the bound already rules out.
+  // LOSSLESS (the bound is necessary, the exact jac filter still
+  // decides), so the oracle keeps the plain all-pairs formulation.
+  // Buckets are popcount-sized, so worst-case skew is still
+  // quadratic-in-bucket — x04's LSH banding is the general scale
+  // path; this is the exact-scoring specialization.
   private val x03 = GateQuery(
     "x03_dedup_jaccard",
     (s, d) => {
       val sigs = sigTable(s, d).persist() // two consumers (a / b sides)
-      sigs.count() // eager: the b side is a broadcast subtree (see x14)
+      sigs.count() // eager: consumers race on a cold cache (see x14)
+      // epsilon loosens the float bounds so t*pc landing a hair above
+      // an integer can never EXCLUDE an admissible popcount (the
+      // prefilter may only over-admit; exactness lives in `jac`)
       val a = sigs.select(col("mask").as("mask_a"), col("rep").as("rep_a"),
                           col("cnt").as("cnt_a"))
+        .withColumn("pc_b", explode(sequence(
+          ceil(bit_count(col("mask_a")) * lit(JaccardThreshold) - lit(1e-9)).cast("int"),
+          floor(bit_count(col("mask_a")) / lit(JaccardThreshold) + lit(1e-9)).cast("int"))))
       val b = sigs.select(col("mask").as("mask_b"), col("rep").as("rep_b"),
                           col("cnt").as("cnt_b"))
-      val pairs = a.join(broadcast(b), col("rep_a") < col("rep_b"))
+      val pairs = a.join(b,
+          col("pc_b") === bit_count(col("mask_b")) && col("rep_a") < col("rep_b"))
         .withColumn("jac",
           bit_count(col("mask_a").bitwiseAND(col("mask_b"))).cast("double") /
             bit_count(col("mask_a").bitwiseOR(col("mask_b"))))
@@ -968,6 +987,78 @@ object Extensions {
                 (sqrt(list_dot_product(a.qv, a.qv)) * sqrt(list_dot_product(b.qv, b.qv))) >= 0.4
             ORDER BY 1,2,3,4"""))
 
+  // ---------------------------------------------------------------- x22
+  // SimHash near-dup pairs at signature-class level: 32-bit SimHash
+  // per class rep (the fused [[graft.functions.SimHashAgg]], as x05),
+  // candidates from a 4-band x 8-bit equi-join — pigeonhole: a pair
+  // within Hamming distance 3 must agree on at least one whole byte,
+  // so the band join has NO false negatives — then exact popcount
+  // Hamming verify. Same 100 TB shape as x04: candidates come from a
+  // shuffle equi-join on a short numeric key, never a cross product,
+  // and only verified pairs survive. Deterministic end to end, so the
+  // oracle replays the identical construction.
+  private val SimHashBands = 4
+  private val HammingMax = SimHashBands - 1 // pigeonhole-complete
+  private val x22 = GateQuery(
+    "x22_dedup_simhash",
+    (s, d) => {
+      val sigs = sigTable(s, d).persist()
+      sigs.count() // eager: consumers race on a cold cache (see x14)
+      val sh = sigs
+        .join(Tables.documents(s, d), col("rep") === col("doc_id"))
+        .select(col("rep"), explode(tokenSet(col("text"))).as("tok"))
+        .withColumn("h", hex32(md5(col("tok"))))
+        .groupBy(col("rep"))
+        .agg(graft.functions.SimHashAgg.simhashAgg(col("h")).as("sh"))
+        .persist()
+      sh.count() // three consumers (banded + both verify sides)
+      val banded = (0 until SimHashBands).map { j =>
+        sh.select(col("rep"), lit(j).as("band"),
+          shiftright(col("sh"), 8 * j).bitwiseAND(lit(255L)).as("bv"))
+      }.reduce(_ unionAll _)
+      val cand = banded.as("a").join(banded.as("b"),
+          col("a.band") === col("b.band") && col("a.bv") === col("b.bv") &&
+            col("a.rep") < col("b.rep"))
+        .select(col("a.rep").as("rep_a"), col("b.rep").as("rep_b")).distinct()
+      val ha = sh.select(col("rep").as("rep_a"), col("sh").as("sh_a"))
+      val hb = sh.select(col("rep").as("rep_b"), col("sh").as("sh_b"))
+      ordered(cand.join(ha, "rep_a").join(hb, "rep_b")
+        .withColumn("hamming",
+          bit_count(col("sh_a").bitwiseXOR(col("sh_b"))).cast("long"))
+        .filter(col("hamming") <= HammingMax)
+        .select(col("rep_a"), col("rep_b"), col("hamming")))
+    },
+    Some {
+      val bitSums = (0 until 32).map { b =>
+        s"SUM(CASE WHEN (h >> $b) & 1 = 1 THEN 1 ELSE -1 END) AS b$b"
+      }.mkString(", ")
+      val assemble = (0 until 32).map { b =>
+        s"(CASE WHEN b$b >= 0 THEN ${1L << b} ELSE 0 END)"
+      }.mkString(" + ")
+      val bandSelects = (0 until SimHashBands)
+        .map(j => s"SELECT rep, $j AS band, (sh >> ${8 * j}) & 255 AS bv FROM sh")
+        .mkString(" UNION ALL ")
+      s"""WITH $duckMasksCte,
+          rep_toks AS (
+            SELECT s.rep, unnest(list_distinct(string_split(doc.text, ' '))) AS tok
+            FROM sigs s JOIN documents doc ON doc.doc_id = s.rep),
+          th AS (SELECT rep, ${duckHex32("md5(tok)")} AS h FROM rep_toks),
+          bits AS (SELECT rep, $bitSums FROM th GROUP BY 1),
+          sh AS (SELECT rep, $assemble AS sh FROM bits),
+          banded AS ($bandSelects),
+          cand AS (
+            SELECT DISTINCT a.rep AS rep_a, b.rep AS rep_b
+            FROM banded a JOIN banded b
+              ON a.band = b.band AND a.bv = b.bv AND a.rep < b.rep)
+          SELECT c.rep_a, c.rep_b,
+            CAST(bit_count(xor(sa.sh, sb.sh)) AS BIGINT) AS hamming
+          FROM cand c
+          JOIN sh sa ON sa.rep = c.rep_a
+          JOIN sh sb ON sb.rep = c.rep_b
+          WHERE bit_count(xor(sa.sh, sb.sh)) <= $HammingMax
+          ORDER BY 1,2,3"""
+    })
+
   val all: Seq[GateQuery] = Seq(x01, x02, x03, x04, x05, x06, x07, x08, x09,
-    x10, x11, x12, x13, x14, x15, x16, x17, x18, x19, x20, x21)
+    x10, x11, x12, x13, x14, x15, x16, x17, x18, x19, x20, x21, x22)
 }

@@ -60,6 +60,20 @@ class LshPlanSpec extends AnyFunSuite {
     }
   }
 
+  test("x03/x22 pair generation is an equi-join, never a nested-loop cross product") {
+    withDegradedConf {
+      Seq("x03_dedup_jaccard", "x22_dedup_simhash").foreach { name =>
+        val df = SparkEntry.queries(name)(spark, "/root/testdata/sf0.001")
+        val plan = df.queryExecution.executedPlan.toString
+        assert(!plan.contains("BroadcastNestedLoopJoin") &&
+               !plan.contains("CartesianProduct"),
+          s"$name pairs must come from an equi-join:\n$plan")
+        assert(plan.contains("SortMergeJoin"), s"$name:\n$plan")
+        spark.catalog.clearCache() // the queries persist intermediates
+      }
+    }
+  }
+
   test("size-gated broadcast is still allowed when the table genuinely fits") {
     // default threshold (10 MB) + tiny table: the planner MAY pick a
     // broadcast join — the point is the choice is the OPTIMIZER's
