@@ -125,14 +125,20 @@ object Extensions {
     * rep_a < rep_b, dedup'd. Shared by the token-set (x04) and
     * bigram (x14) dedup paths.
     *
-    * Deliberately NO broadcast hint and NO persist: the join keys
-    * (band, k0..k3) make this a plain shuffle-able equi-join, and the
-    * two sides are the identical subtree, so exchange/stage reuse
-    * materializes the upstream minhash aggregation ONCE and reads it
-    * from the shuffle twice. At 100 TB the band table is proportional
-    * to |distinct signatures| — a forced broadcast (as this had in
-    * round 2) is an OOM, while size-gated AQE still picks broadcast
-    * when it genuinely fits (LshPlanSpec asserts the degraded path). */
+    * Deliberately NO broadcast hint: the join keys (band, k0..k3)
+    * make this a plain shuffle-able equi-join. At 100 TB the band
+    * table is proportional to |distinct signatures| — a forced
+    * broadcast (as this had in round 2) is an OOM, while size-gated
+    * AQE still picks broadcast when it genuinely fits (LshPlanSpec
+    * asserts the degraded path).
+    *
+    * CALLERS MUST PERSIST+MATERIALIZE `banded` (or its immediate
+    * parent) first. With AQE off, static ReuseExchange dedups the two
+    * identical sides (LshPlanSpec); with AQE ON, runtime stage reuse
+    * does NOT fire across the self-join's InMemoryTableScan-rooted
+    * subtrees, and the whole tokenize → md5 → minhash aggregation
+    * runs once per side (measured 3.8s vs 2.4s at sf0.1, and it is
+    * the CPU-heavy part at any scale). */
   private[graft] def lshCandidates(banded: DataFrame): DataFrame = {
     val joinCond = col("a.band") === col("b.band") &&
       (0 until BandRows).map(j => col(s"a.k$j") === col(s"b.k$j")).reduce(_ && _) &&
@@ -284,7 +290,11 @@ object Extensions {
     val repToks = sigs
       .join(Tables.documents(s, d), col("rep") === col("doc_id"))
       .select(col("rep"), explode(tokenSet(col("text"))).as("tok"))
-    val cand = lshCandidates(bandTable(repToks, "t:"))
+    // the self-join reads the band table twice and AQE does not reuse
+    // the stage (see lshCandidates) — materialize it once
+    val banded = bandTable(repToks, "t:").persist()
+    banded.count()
+    val cand = lshCandidates(banded)
     val ma = broadcast(sigs.select(col("rep").as("rep_a"), col("mask").as("mask_a")))
     val mb = broadcast(sigs.select(col("rep").as("rep_b"), col("mask").as("mask_b")))
     cand.join(ma, "rep_a").join(mb, "rep_b")
@@ -651,9 +661,10 @@ object Extensions {
         .select(col("rep"), bigramsExpr.as("bgs"))
         .persist()
       reps.count()
-      val cand = lshCandidates(
-        bandTable(reps.select(col("rep"), explode(col("bgs")).as("tok")), "b:"))
-        .persist()
+      val banded = bandTable(
+        reps.select(col("rep"), explode(col("bgs")).as("tok")), "b:").persist()
+      banded.count() // self-join side dedup — see lshCandidates
+      val cand = lshCandidates(banded).persist()
       cand.count()
       // verify-side bigrams: semi-join reps down to the ids that
       // actually appear in a candidate pair, and broadcast only those —
