@@ -29,7 +29,7 @@ object Bench {
     // the wall budget only gates extra passes beyond those — so a
     // starved first sweep can never again collapse the whole bench to
     // a single-pass artifact (round 2's 991.9s run).
-    val reps = math.max(2, sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "2").toInt)
+    val reps = math.max(2, sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "3").toInt)
     val budgetSec = sys.env.getOrElse("SPARK_GRAFT_BENCH_BUDGET", "420").toInt
     val t0 = System.nanoTime()
     def elapsed: Double = (System.nanoTime() - t0) / 1e9

@@ -65,6 +65,50 @@ object EventPattern {
   */
 object Cep {
 
+  /** Open partial match: stages matched so far, first event's time,
+    * matched events newest-first. */
+  type Partial[E] = (Int, Long, List[E])
+
+  private def deadline(withinMs: Long, t0: Long): Long =
+    if (withinMs == Long.MaxValue) Long.MaxValue else t0 + withinMs
+
+  /** One per-key micro-batch of the NFA, PURE (CepPropertiesSpec
+    * fuzzes it against a brute-force reference): processes `events`
+    * in event-time order against the open `partials0`, returns the
+    * surviving partials (watermark-pruned) and the completed matches
+    * (step name → matched event) in emission order. */
+  private[graft] def step[E](
+      steps: Vector[PatternStep[E]], withinMs: Long,
+      eventTimeMs: E => Long,
+      partials0: List[Partial[E]], events: Seq[E],
+      watermarkMs: Long): (List[Partial[E]], Vector[Map[String, Seq[E]]]) = {
+    val names = steps.map(_.name)
+    def emit(evsRev: List[E]): Map[String, Seq[E]] =
+      names.zip(evsRev.reverse.map(Seq(_))).toMap
+    var partials = partials0
+    val out = Vector.newBuilder[Map[String, Seq[E]]]
+    events.sortBy(eventTimeMs).foreach { e =>
+      val t = eventTimeMs(e)
+      val kept = List.newBuilder[Partial[E]]
+      partials.foreach { case p @ (stage, t0, acc) =>
+        if (t >= t0 && t <= deadline(withinMs, t0) && steps(stage).pred(e)) {
+          if (stage + 1 == steps.length) out += emit(e :: acc)
+          else kept += ((stage + 1, t0, e :: acc))
+        } else kept += p // relaxed contiguity: partial stays open
+      }
+      partials = kept.result()
+      if (steps.head.pred(e)) { // an event may also open a new partial
+        if (steps.length == 1) out += emit(List(e))
+        else partials = (1, t, List(e)) :: partials
+      }
+    }
+    // expired partials can never complete (events behind the
+    // watermark are dropped upstream of this operator)
+    (partials.filter { case (_, t0, _) =>
+      deadline(withinMs, t0) >= watermarkMs
+    }, out.result())
+  }
+
   /** Run `pattern` over `events` keyed by `keyFn`, event time from
     * `eventTimeMs` (the stream must carry a watermark on that time).
     * `select` maps a complete match (step name → matched events, one
@@ -80,53 +124,30 @@ object Cep {
       oEnc: Encoder[O]): Dataset[O] = {
     val steps = pattern.steps
     require(steps.nonEmpty, "pattern needs at least one step")
-    val names = steps.map(_.name)
     val withinMs = pattern.withinMs
-    def deadline(t0: Long): Long =
-      if (withinMs == Long.MaxValue) Long.MaxValue else t0 + withinMs
-    def emit(evsRev: List[E]): Map[String, Seq[E]] =
-      names.zip(evsRev.reverse.map(Seq(_))).toMap
 
     events.groupByKey(keyFn)
       .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
-        (_: K, in: Iterator[E], state: GroupState[List[(Int, Long, List[E])]]) =>
+        (_: K, in: Iterator[E], state: GroupState[List[Partial[E]]]) =>
           if (in.isEmpty && state.hasTimedOut) { // every window passed
             state.remove(); Iterator.empty
           } else {
-            var partials = state.getOption.getOrElse(Nil)
-            val out = Vector.newBuilder[O]
-            in.toVector.sortBy(eventTimeMs).foreach { e =>
-              val t = eventTimeMs(e)
-              val kept = List.newBuilder[(Int, Long, List[E])]
-              partials.foreach { case p @ (stage, t0, acc) =>
-                if (t >= t0 && t <= deadline(t0) && steps(stage).pred(e)) {
-                  if (stage + 1 == steps.length) out += select(emit(e :: acc))
-                  else kept += ((stage + 1, t0, e :: acc))
-                } else kept += p // relaxed contiguity: partial stays open
-              }
-              partials = kept.result()
-              if (steps.head.pred(e)) { // an event may also open a new partial
-                if (steps.length == 1) out += select(emit(List(e)))
-                else partials = (1, t, List(e)) :: partials
-              }
-            }
-            // expired partials can never complete (events behind the
-            // watermark are dropped upstream of this operator)
-            partials = partials.filter { case (_, t0, _) =>
-              deadline(t0) >= state.getCurrentWatermarkMs()
-            }
+            val (partials, matches) = step(steps, withinMs, eventTimeMs,
+              state.getOption.getOrElse(Nil), in.toVector,
+              state.getCurrentWatermarkMs())
             if (partials.isEmpty) state.remove()
             else {
               state.update(partials)
               if (withinMs != Long.MaxValue) {
                 // a kept partial's deadline can equal the watermark
                 // exactly; Spark rejects a timeout <= watermark
-                val dl = partials.map { case (_, t0, _) => deadline(t0) }.max
+                val dl = partials.map { case (_, t0, _) =>
+                  deadline(withinMs, t0) }.max
                 state.setTimeoutTimestamp(
                   math.max(dl, state.getCurrentWatermarkMs() + 1))
               }
             }
-            out.result().iterator
+            matches.iterator.map(select)
           }
       }
   }

@@ -1,0 +1,109 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalacheck.{Gen, Prop, Test => SCTest}
+import graft.streaming.{Cep, EventPattern}
+
+/** Fuzzes the pure NFA batch step ([[Cep.step]]) that
+  * [[Cep.detect]] executes per key per micro-batch:
+  *
+  *  - a two-stage A→B pattern against an independent brute-force
+  *    reference (time-ordered sweep: B consumes every open in-window
+  *    A — the semantics of the previously hardcoded added→removed
+  *    machine);
+  *  - batching invariance: splitting an in-order event sequence into
+  *    arbitrary micro-batches (watermark = max event time seen, i.e.
+  *    the 0s-delay watermark) must not change the emitted matches;
+  *  - structural invariants on a three-stage pattern: matches are
+  *    event-time-ordered subsequences, step guards hold, first→last
+  *    within the window.
+  */
+class CepPropertiesSpec extends AnyFunSuite {
+
+  private case class Ev(kind: String, ts: Long)
+
+  private def check(name: String, p: Prop, n: Int = 200): Unit = {
+    val res = SCTest.check(SCTest.Parameters.default
+      .withMinSuccessfulTests(n).withWorkers(1), p)
+    assert(res.passed, s"$name: $res")
+  }
+
+  private val W = 100L
+  private val genEvents: Gen[List[Ev]] = Gen.listOf(for {
+    k <- Gen.oneOf("a", "b", "c", "noise")
+    t <- Gen.choose(0L, 400L)
+  } yield Ev(k, t))
+
+  private def ab = EventPattern.begin[Ev]("A").where(_.kind == "a")
+    .followedBy("B").where(_.kind == "b")
+    .within(java.time.Duration.ofMillis(W))
+
+  private def run(pattern: EventPattern[Ev], batches: Seq[Seq[Ev]])
+      : Vector[Map[String, Seq[Ev]]] = {
+    var partials = List.empty[Cep.Partial[Ev]]
+    var wm = Long.MinValue
+    val out = Vector.newBuilder[Map[String, Seq[Ev]]]
+    batches.foreach { batch =>
+      val (p2, matches) = Cep.step(pattern.steps, pattern.withinMs,
+        (e: Ev) => e.ts, partials, batch, wm)
+      partials = p2
+      out ++= matches
+      if (batch.nonEmpty) wm = math.max(wm, batch.map(_.ts).max)
+    }
+    out.result()
+  }
+
+  /** Independent A→B reference: time-ordered sweep, each B consumes
+    * every open A with ts_b in [ts_a, ts_a + W]. */
+  private def bruteForceAB(events: Seq[Ev]): Vector[(Long, Long)] = {
+    var open = List.empty[Long]
+    val out = Vector.newBuilder[(Long, Long)]
+    events.sortBy(_.ts).foreach {
+      case Ev("a", t) => open = t :: open
+      case Ev("b", t) =>
+        val (hit, keep) = open.partition(a => t >= a && t <= a + W)
+        // emission order within one closing event is open-list order
+        hit.foreach(a => out += ((a, t)))
+        open = keep
+      case _ => ()
+    }
+    out.result()
+  }
+
+  test("A->B matches equal the brute-force reference (multiset)") {
+    check("ab-vs-brute", Prop.forAll(genEvents) { evs =>
+      val got = run(ab, Seq(evs))
+        .map(m => (m("A").head.ts, m("B").head.ts)).sorted
+      got == bruteForceAB(evs).sorted
+    })
+  }
+
+  test("micro-batch boundaries never change the matches (in-order feed)") {
+    val genSplit = for {
+      evs <- genEvents
+      sorted = evs.sortBy(_.ts)
+      cuts <- Gen.listOfN(3, Gen.choose(0, math.max(0, sorted.length)))
+    } yield (sorted, cuts.sorted)
+    check("batching-invariance", Prop.forAll(genSplit) { case (sorted, cuts) =>
+      val bounds = (0 +: cuts :+ sorted.length).distinct.sorted
+      val batches = bounds.zip(bounds.tail).map { case (i, j) => sorted.slice(i, j) }
+      val whole = run(ab, Seq(sorted)).map(m => (m("A").head.ts, m("B").head.ts)).sorted
+      val split = run(ab, batches).map(m => (m("A").head.ts, m("B").head.ts)).sorted
+      whole == split
+    })
+  }
+
+  test("three-stage matches are in-order, guard-satisfying, in-window subsequences") {
+    val abc = EventPattern.begin[Ev]("A").where(_.kind == "a")
+      .followedBy("B").where(_.kind == "b")
+      .followedBy("C").where(_.kind == "c")
+      .within(java.time.Duration.ofMillis(W))
+    check("abc-invariants", Prop.forAll(genEvents) { evs =>
+      run(abc, Seq(evs)).forall { m =>
+        val (a, b, c) = (m("A").head, m("B").head, m("C").head)
+        a.kind == "a" && b.kind == "b" && c.kind == "c" &&
+          a.ts <= b.ts && b.ts <= c.ts && c.ts - a.ts <= W
+      }
+    })
+  }
+}
