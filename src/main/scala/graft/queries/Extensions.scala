@@ -138,12 +138,34 @@ object Extensions {
     * does NOT fire across the self-join's InMemoryTableScan-rooted
     * subtrees, and the whole tokenize → md5 → minhash aggregation
     * runs once per side (measured 3.8s vs 2.4s at sf0.1, and it is
-    * the CPU-heavy part at any scale). */
-  private[graft] def lshCandidates(banded: DataFrame): DataFrame = {
+    * the CPU-heavy part at any scale).
+    *
+    * `maxBucket` caps a band bucket's membership: a bucket of k
+    * signatures emits k·(k-1)/2 candidates, so one ultra-hot bucket
+    * (a near-identical cluster that survives exact-class collapse)
+    * turns quadratic — 1M members is 5·10^11 pairs on one key. Above
+    * the cap the whole bucket is dropped (standard LSH-dedup
+    * hygiene): its members are near-identical to each other, so they
+    * keep co-occurring in their OTHER bands' (smaller) buckets, and
+    * the recall loss is confined to the hot cluster. The bucket count
+    * is a window over the join's own partitioning key, so the extra
+    * pass rides the exchange the join already needs. Default
+    * unlimited: the gate corpus has no pathological buckets and the
+    * oracle replays uncapped semantics. */
+  private[graft] def lshCandidates(banded: DataFrame,
+                                   maxBucket: Int = Int.MaxValue): DataFrame = {
+    val pruned =
+      if (maxBucket == Int.MaxValue) banded
+      else {
+        val bucketKey = col("band") +: (0 until BandRows).map(j => col(s"k$j"))
+        banded.withColumn("__bn",
+            count(lit(1)).over(Window.partitionBy(bucketKey: _*)))
+          .filter(col("__bn") <= maxBucket).drop("__bn")
+      }
     val joinCond = col("a.band") === col("b.band") &&
       (0 until BandRows).map(j => col(s"a.k$j") === col(s"b.k$j")).reduce(_ && _) &&
       col("a.rep") < col("b.rep")
-    banded.as("a").join(banded.as("b"), joinCond)
+    pruned.as("a").join(pruned.as("b"), joinCond)
       .select(col("a.rep").as("rep_a"), col("b.rep").as("rep_b"))
       .distinct()
   }

@@ -60,6 +60,18 @@ class LshPlanSpec extends AnyFunSuite {
     }
   }
 
+  test("maxBucket drops a hot band bucket wholesale, keeps the rest") {
+    // 10 reps share one band bucket (45 pairs); 2 reps share another
+    val hot = (1L to 10L).map(r => (r, 0, 10L, 11L, 12L, 13L))
+    val cool = Seq((20L, 1, 1L, 2L, 3L, 4L), (21L, 1, 1L, 2L, 3L, 4L))
+    val banded = (hot ++ cool).toDF("rep", "band", "k0", "k1", "k2", "k3")
+    val capped = Extensions.lshCandidates(banded, maxBucket = 5)
+      .as[(Long, Long)].collect().toSet
+    assert(capped == Set((20L, 21L)))
+    val uncapped = Extensions.lshCandidates(banded).count()
+    assert(uncapped == 45 + 1)
+  }
+
   test("x03/x22 pair generation is an equi-join, never a nested-loop cross product") {
     withDegradedConf {
       Seq("x03_dedup_jaccard", "x22_dedup_simhash").foreach { name =>
