@@ -647,18 +647,24 @@ object Extensions {
   // Same LSH machinery as x04 over bigram shingles (seed-prefixed so
   // the hash family is independent), exact set-intersection verify.
   private val NgramThreshold = 0.8
+  /** Distinct token bigrams of `text`: zip the token array with its
+    * own shift-by-one — split() is evaluated per ROW here; the
+    * element_at(split(...), i) lambda formulation re-tokenizes the
+    * whole text once per element (O(len²) per doc, measured 10x
+    * slower end to end). Shared by x14 and x24. */
+  private val bigramsExpr = expr(
+    """array_distinct(zip_with(
+         slice(split(text, ' '), 1, size(split(text, ' ')) - 1),
+         slice(split(text, ' '), 2, size(split(text, ' ')) - 1),
+         (a, b) -> concat(a, ' ', b)))""")
+
+  /** DuckDB twin of [[bigramsExpr]] over a `tk` token-array column. */
+  private val duckBigrams =
+    "list_distinct([tk[i] || ' ' || tk[i+1] FOR i IN range(1, len(tk))])"
+
   private val x14 = GateQuery(
     "x14_dedup_ngram",
     (s, d) => {
-      // zip the token array with its own shift-by-one — split() is
-      // evaluated per ROW here; the element_at(split(...), i) lambda
-      // formulation re-tokenizes the whole text once per element
-      // (O(len²) per doc, measured 10x slower end to end)
-      val bigramsExpr = expr(
-        """array_distinct(zip_with(
-             slice(split(text, ' '), 1, size(split(text, ' ')) - 1),
-             slice(split(text, ' '), 2, size(split(text, ' ')) - 1),
-             (a, b) -> concat(a, ' ', b)))""")
       // signature collapse WITHOUT the bitmask/vocab machinery: x14's
       // verify uses bigram arrays, not masks, so the class signature
       // can be the md5 of the sorted token set (x02's tokenSetSig) —
@@ -720,8 +726,7 @@ object Extensions {
                     min(doc_id) AS rep
              FROM documents GROUP BY 1),
            reps AS (
-             SELECT s.rep,
-               list_distinct([tk[i] || ' ' || tk[i+1] FOR i IN range(1, len(tk))]) AS bgs
+             SELECT s.rep, $duckBigrams AS bgs
              FROM sigs s
              JOIN (SELECT doc_id, string_split(text, ' ') AS tk FROM documents) d2
                ON d2.doc_id = s.rep),
