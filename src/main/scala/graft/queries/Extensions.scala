@@ -1097,6 +1097,145 @@ object Extensions {
           ORDER BY 1,2,3"""
     })
 
+  // ---------------------------------------------------------------- x23
+  // Sequence packing for LLM pre-training: concatenate documents in a
+  // deterministic order and chunk the token stream into fixed-length
+  // context windows (GPT-style "concat then split at N tokens" —
+  // docs may straddle a boundary). Packing is SHARD-LOCAL: the
+  // running token offset is windowed over (source, shard), where a
+  // shard is a bounded doc_id range — exactly how a real pipeline
+  // packs (each worker packs its own input shard), and the reason
+  // this scales: the cumulative sum is a window over a bounded
+  // partition, never a single global ordered partition (the round-2
+  // scale-killer shape). At 100 TB shard count grows with data while
+  // shard SIZE stays constant, so every window partition stays small
+  // and parallelism is unbounded.
+  private val PackLen = 512L // context window, in whitespace tokens
+  private val ShardDocs = 200L // docs per packing shard
+  private val x23 = GateQuery(
+    "x23_pack_sequences",
+    (s, d) => {
+      val w = Window.partitionBy(col("source"), col("shard"))
+        .orderBy(col("doc_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val t = Tables.documents(s, d).select(
+        col("doc_id"), col("source"),
+        floor(col("doc_id") / lit(ShardDocs)).cast("long").as("shard"),
+        size(split(col("text"), " ")).cast("long").as("n_tok"))
+      val packed = t
+        .withColumn("start", sum(col("n_tok")).over(w) - col("n_tok"))
+        .select(col("doc_id"), col("source"), col("shard"), col("n_tok"),
+          floor(col("start") / lit(PackLen)).cast("long").as("pack_seq"),
+          (col("start") % lit(PackLen)).as("pack_off"))
+      ordered(packed)
+    },
+    Some(s"""WITH t AS (
+              SELECT doc_id, source,
+                     CAST(doc_id // $ShardDocs AS BIGINT) AS shard,
+                     CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok
+              FROM documents),
+            c AS (
+              SELECT doc_id, source, shard, n_tok,
+                     CAST(SUM(n_tok) OVER (PARTITION BY source, shard
+                       ORDER BY doc_id ROWS UNBOUNDED PRECEDING) AS BIGINT)
+                       - n_tok AS start
+              FROM t)
+            SELECT doc_id, source, shard, n_tok,
+                   CAST(start // $PackLen AS BIGINT) AS pack_seq,
+                   CAST(start % $PackLen AS BIGINT) AS pack_off
+            FROM c ORDER BY 1,2,3,4,5,6"""))
+
+  // ---------------------------------------------------------------- x24
+  // Benchmark decontamination: flag corpus documents that share any
+  // token bigram with a "benchmark" set (here a deterministic 1%
+  // doc_id slice stands in for the eval suite; a real pipeline loads
+  // the actual benchmark). The benchmark n-gram set is tiny by
+  // construction (benchmarks are MBs against a 100 TB corpus), so it
+  // BROADCASTS: the corpus side never shuffles text — it explodes
+  // bigrams, hash-joins the broadcast set map-side, and only the HIT
+  // rows (a minuscule fraction) reach the per-doc aggregation
+  // shuffle. Real pipelines use 13-grams; bigrams fit this corpus'
+  // short synthetic docs. Shares [[bigramsExpr]] with x14.
+  private val BenchMod = 100
+  private val x24 = GateQuery(
+    "x24_decontam",
+    (s, d) => {
+      val docs = Tables.documents(s, d)
+      val bench = broadcast(docs.filter(col("doc_id") % BenchMod === 0)
+        .select(explode(bigramsExpr).as("bg")).distinct())
+      val corp = docs.filter(col("doc_id") % BenchMod =!= 0)
+        .select(col("doc_id"), bigramsExpr.as("bgs"))
+        .select(col("doc_id"), size(col("bgs")).cast("long").as("n_bigrams"),
+          explode(col("bgs")).as("bg"))
+      // bigrams are distinct within a doc (array_distinct) and within
+      // the benchmark set (.distinct), so count(1) == distinct hits
+      ordered(corp.join(bench, "bg")
+        .groupBy(col("doc_id"), col("n_bigrams"))
+        .agg(count(lit(1)).as("n_hits"))
+        .select(col("doc_id"), col("n_hits"), col("n_bigrams"),
+          (col("n_hits").cast("double") / col("n_bigrams")).as("frac")))
+    },
+    Some(s"""WITH tks AS (
+              SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+            bench AS (
+              SELECT DISTINCT unnest($duckBigrams) AS bg
+              FROM tks WHERE doc_id % $BenchMod = 0),
+            corp AS (
+              SELECT doc_id, $duckBigrams AS bgs
+              FROM tks WHERE doc_id % $BenchMod <> 0),
+            ex AS (
+              SELECT doc_id, CAST(len(bgs) AS BIGINT) AS n_bigrams,
+                     unnest(bgs) AS bg
+              FROM corp)
+            SELECT e.doc_id, count(*) AS n_hits, e.n_bigrams,
+                   CAST(count(*) AS DOUBLE) / e.n_bigrams AS frac
+            FROM ex e JOIN bench b ON e.bg = b.bg
+            GROUP BY e.doc_id, e.n_bigrams
+            ORDER BY 1,2,3,4"""))
+
+  // ---------------------------------------------------------------- x25
+  // Deterministic stratified sampling: cap every language stratum at
+  // ~StratTarget docs in expectation by keeping rows whose md5-derived
+  // bucket falls under a per-stratum permille rate. Two stages, both
+  // scale-free: a per-lang count (an aggregation whose OUTPUT is
+  // stratum-sized — tiny — so it broadcasts back), then a stateless
+  // per-row hash filter. No global ordering, no reservoir state, no
+  // second pass over the data; the same row is kept at any cluster
+  // size because the keep decision is a pure function of (doc_id,
+  // stratum rate).
+  private val StratTarget = 100L
+  private val x25 = GateQuery(
+    "x25_sample_stratified",
+    (s, d) => {
+      val docs = Tables.documents(s, d)
+      val rates = broadcast(docs.groupBy(col("lang"))
+        .agg(count(lit(1)).as("lang_cnt"))
+        .select(col("lang"),
+          least(lit(1000L), floor(lit((StratTarget * 1000).toDouble) /
+            col("lang_cnt")).cast("long")).as("rate_pm")))
+      val bucketed = docs.select(col("doc_id"), col("lang"),
+        (hex32(md5(concat(lit("s:"), col("doc_id").cast("string"))))
+          % 1000).as("bucket"))
+      ordered(bucketed.join(rates, "lang")
+        .filter(col("bucket") < col("rate_pm"))
+        .select(col("doc_id"), col("lang"), col("bucket"), col("rate_pm")))
+    },
+    Some(s"""WITH rates AS (
+              SELECT lang, CAST(LEAST(1000, CAST(FLOOR(${StratTarget * 1000}.0
+                       / count(*)) AS BIGINT)) AS BIGINT) AS rate_pm
+              FROM documents GROUP BY 1),
+            b AS (
+              SELECT doc_id, lang,
+                ${duckHex32("md5('s:' || CAST(doc_id AS VARCHAR))")} % 1000
+                  AS bucket
+              FROM documents)
+            SELECT b.doc_id, b.lang, CAST(b.bucket AS BIGINT) AS bucket,
+                   r.rate_pm
+            FROM b JOIN rates r ON b.lang = r.lang
+            WHERE b.bucket < r.rate_pm
+            ORDER BY 1,2,3,4"""))
+
   val all: Seq[GateQuery] = Seq(x01, x02, x03, x04, x05, x06, x07, x08, x09,
-    x10, x11, x12, x13, x14, x15, x16, x17, x18, x19, x20, x21, x22)
+    x10, x11, x12, x13, x14, x15, x16, x17, x18, x19, x20, x21, x22, x23,
+    x24, x25)
 }

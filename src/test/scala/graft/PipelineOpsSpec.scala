@@ -1,0 +1,92 @@
+package graft
+
+import graft.queries.Extensions
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Invariant + plan-shape checks for the training-pipeline trio
+  * x23 (sequence packing), x24 (decontamination), x25 (stratified
+  * sampling). The DuckDB oracle pins exact values; these specs pin
+  * the properties the oracle can't see — the packing arithmetic is
+  * internally consistent, the keep decisions are deterministic, and
+  * the 100 TB plan shapes (broadcast small sides, bounded window
+  * partitions) actually materialize in the executed plan.
+  */
+class PipelineOpsSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private val Sf = "/root/testdata/sf0.001"
+  private def q(name: String) =
+    Extensions.all.find(_.name == name).get.fn(spark, Sf)
+
+  test("x23: offsets are contiguous within every (source, shard) run") {
+    val rows = q("x23_pack_sequences")
+      .as[(Long, String, Long, Long, Long, Long)].collect()
+      // (doc_id, source, shard, n_tok, pack_seq, pack_off)
+    assert(rows.nonEmpty)
+    rows.groupBy(r => (r._2, r._3)).foreach { case ((src, shard), rs) =>
+      val sorted = rs.sortBy(_._1)
+      var offset = 0L
+      sorted.foreach { case (id, _, _, nTok, packSeq, packOff) =>
+        assert(packSeq == offset / 512,
+          s"doc $id in ($src,$shard): pack_seq $packSeq at offset $offset")
+        assert(packOff == offset % 512,
+          s"doc $id in ($src,$shard): pack_off $packOff at offset $offset")
+        offset += nTok
+      }
+    }
+  }
+
+  test("x23: shard ids bound the window partition (no global window)") {
+    val rows = q("x23_pack_sequences").as[(Long, String, Long, Long, Long, Long)]
+      .collect()
+    rows.foreach { case (id, _, shard, _, _, _) =>
+      assert(shard == id / 200, s"doc $id assigned shard $shard")
+    }
+    // more than one shard must exist, or the "bounded partition" claim
+    // is vacuous on this fixture
+    assert(rows.map(_._3).distinct.length > 1)
+  }
+
+  test("x24: hits bounded by doc bigrams, benchmark slice excluded") {
+    val rows = q("x24_decontam").as[(Long, Long, Long, Double)].collect()
+    assert(rows.nonEmpty)
+    rows.foreach { case (id, hits, bigrams, frac) =>
+      assert(id % 100 != 0, s"benchmark doc $id flagged against itself")
+      assert(hits >= 1 && hits <= bigrams, s"doc $id: $hits of $bigrams")
+      assert(math.abs(frac - hits.toDouble / bigrams) < 1e-12)
+    }
+  }
+
+  test("x24: benchmark n-gram side is broadcast, corpus side is not") {
+    val plan = q("x24_decontam").queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), plan)
+    // the corpus' exploded bigrams must never sit under the broadcast:
+    // only ONE broadcast exchange (the bench set), not two
+    assert("BroadcastExchange".r.findAllIn(plan).length == 1, plan)
+  }
+
+  test("x25: deterministic, and strata at/below target keep every doc") {
+    val a = q("x25_sample_stratified").as[(Long, String, Long, Long)].collect()
+    val b = q("x25_sample_stratified").as[(Long, String, Long, Long)].collect()
+    assert(a.sameElements(b), "same input must sample identical rows")
+    assert(a.nonEmpty)
+    a.foreach { case (_, _, bucket, rate) =>
+      assert(bucket >= 0 && bucket < 1000 && rate >= 1 && rate <= 1000)
+      assert(bucket < rate)
+    }
+    // any lang with <= 100 docs has rate 1000 -> every doc kept
+    val langCounts = Tables.documents(spark, Sf)
+      .groupBy($"lang").count().as[(String, Long)].collect().toMap
+    val kept = a.groupBy(_._2).view.mapValues(_.length)
+    langCounts.filter(_._2 <= 100).foreach { case (lang, cnt) =>
+      assert(kept.getOrElse(lang, 0) == cnt,
+        s"stratum $lang has $cnt <= target docs but kept ${kept.getOrElse(lang, 0)}")
+    }
+  }
+
+  test("x25: per-stratum rate table is broadcast") {
+    val plan = q("x25_sample_stratified").queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), plan)
+  }
+}
