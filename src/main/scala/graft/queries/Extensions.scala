@@ -1235,7 +1235,71 @@ object Extensions {
             WHERE b.bucket < r.rate_pm
             ORDER BY 1,2,3,4"""))
 
+  // ---------------------------------------------------------------- x26
+  // Within-document repetition score (Gopher-style quality rule): the
+  // fraction of a doc's token bigrams that are repeats of an earlier
+  // bigram in the SAME doc. Heavily repeated boilerplate scores high
+  // and gets flagged. Pure per-row HOF arithmetic — no shuffle, no
+  // state, embarrassingly parallel at any corpus size. Shares
+  // [[bigramsExpr]]'s distinct-bigram construction; the repeat count
+  // is (total bigrams) - (distinct bigrams).
+  private val DupBigramMax = 0.3
+  private val x26 = GateQuery(
+    "x26_repetition",
+    (s, d) => {
+      val t = Tables.documents(s, d).select(col("doc_id"),
+        size(split(col("text"), " ")).cast("long").as("n_tok"),
+        size(bigramsExpr).cast("long").as("n_uniq_bg"))
+      ordered(t.filter(col("n_tok") >= 2)
+        .withColumn("dup_bg_frac", lit(1.0) -
+          col("n_uniq_bg").cast("double") / (col("n_tok") - 1))
+        .withColumn("flagged", col("dup_bg_frac") > DupBigramMax))
+    },
+    Some(s"""WITH t AS (
+              SELECT doc_id,
+                     CAST(len(tk) AS BIGINT) AS n_tok,
+                     CAST(len($duckBigrams) AS BIGINT) AS n_uniq_bg
+              FROM (SELECT doc_id, string_split(text, ' ') AS tk
+                    FROM documents))
+            SELECT doc_id, n_tok, n_uniq_bg,
+                   1.0 - CAST(n_uniq_bg AS DOUBLE) / (n_tok - 1) AS dup_bg_frac,
+                   (1.0 - CAST(n_uniq_bg AS DOUBLE) / (n_tok - 1))
+                     > $DupBigramMax AS flagged
+            FROM t WHERE n_tok >= 2 ORDER BY 1,2,3,4,5"""))
+
+  // ---------------------------------------------------------------- x27
+  // Deterministic corpus shuffle into training shards: every doc gets
+  // an md5-derived sort key, lands in shard (key mod NumShards), and
+  // takes its rank within the shard as its training position — the
+  // "global shuffle before packing" step of a pre-training pipeline,
+  // reproducible bit-for-bit at any cluster size. The rank window is
+  // per-SHARD, and shard count is a config sized so one shard fits
+  // one task (at 100 TB you run ~1e6 shards, same as output file
+  // count) — the window partition stays bounded as data grows, never
+  // a global ordered partition.
+  private val NumShards = 32L
+  private val x27 = GateQuery(
+    "x27_shuffle_shards",
+    (s, d) => {
+      val keyed = Tables.documents(s, d).select(col("doc_id"),
+        hex32(md5(concat(lit("sh:"), col("doc_id").cast("string"))))
+          .as("skey"))
+        .withColumn("out_shard", col("skey") % NumShards)
+      val w = Window.partitionBy(col("out_shard"))
+        .orderBy(col("skey"), col("doc_id"))
+      ordered(keyed.select(col("doc_id"), col("out_shard"),
+        row_number().over(w).cast("long").as("pos")))
+    },
+    Some(s"""WITH k AS (
+              SELECT doc_id,
+                ${duckHex32("md5('sh:' || CAST(doc_id AS VARCHAR))")} AS skey
+              FROM documents)
+            SELECT doc_id, CAST(skey % $NumShards AS BIGINT) AS out_shard,
+                   CAST(row_number() OVER (PARTITION BY skey % $NumShards
+                     ORDER BY skey, doc_id) AS BIGINT) AS pos
+            FROM k ORDER BY 1,2,3"""))
+
   val all: Seq[GateQuery] = Seq(x01, x02, x03, x04, x05, x06, x07, x08, x09,
     x10, x11, x12, x13, x14, x15, x16, x17, x18, x19, x20, x21, x22, x23,
-    x24, x25)
+    x24, x25, x26, x27)
 }

@@ -89,4 +89,49 @@ class PipelineOpsSpec extends AnyFunSuite {
     val plan = q("x25_sample_stratified").queryExecution.executedPlan.toString
     assert(plan.contains("BroadcastHashJoin"), plan)
   }
+
+  test("x26: dup fraction bounded and flag consistent with threshold") {
+    val rows = q("x26_repetition").as[(Long, Long, Long, Double, Boolean)]
+      .collect()
+    assert(rows.nonEmpty)
+    rows.foreach { case (id, nTok, nUniq, frac, flagged) =>
+      assert(nUniq >= 1 && nUniq <= nTok - 1, s"doc $id: $nUniq of ${nTok - 1}")
+      assert(frac >= 0.0 && frac < 1.0, s"doc $id: frac $frac")
+      assert(flagged == (frac > 0.3), s"doc $id")
+    }
+    // the corpus is repetitive word soup: some doc must repeat a bigram,
+    // or the metric is exercised nowhere
+    assert(rows.exists(_._4 > 0.0))
+  }
+
+  test("x26: no shuffle — plan is scan + project only") {
+    val plan = q("x26_repetition").queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange") || !plan.split("Exchange")(0).isEmpty,
+      plan) // the only exchange allowed is the final global sort's
+    val beforeSort = plan.linesIterator.filter(_.contains("Exchange")).toSeq
+    assert(beforeSort.forall(_.contains("rangepartitioning")), plan)
+  }
+
+  test("x27: every doc placed once, shard-local positions contiguous") {
+    val rows = q("x27_shuffle_shards").as[(Long, Long, Long)].collect()
+    val total = Tables.documents(spark, Sf).count()
+    assert(rows.length == total)
+    assert(rows.map(_._1).distinct.length == rows.length)
+    rows.groupBy(_._2).foreach { case (shard, rs) =>
+      assert(shard >= 0 && shard < 32)
+      assert(rs.map(_._3).sorted.sameElements(1L to rs.length),
+        s"shard $shard positions not 1..${rs.length}")
+    }
+  }
+
+  test("x27: shard assignment matches an independent md5 derivation") {
+    val rows = q("x27_shuffle_shards").as[(Long, Long, Long)].collect()
+    val md = java.security.MessageDigest.getInstance("MD5")
+    rows.foreach { case (id, shard, _) =>
+      val hex = md.digest(s"sh:$id".getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString.take(8)
+      assert(shard == java.lang.Long.parseLong(hex, 16) % 32,
+        s"doc $id in shard $shard")
+    }
+  }
 }
