@@ -53,7 +53,7 @@ object Extensions {
   private val NumBands = NumMinhash / BandRows
 
   /** 32-bit integer from the first 8 hex chars of an md5 column. */
-  private def hex32(e: Column): Column =
+  private[graft] def hex32(e: Column): Column =
     conv(substring(e, 1, 8), 16, 10).cast("long")
 
   /** DuckDB twin of [[hex32]] over a named column holding an md5 hex
@@ -652,7 +652,7 @@ object Extensions {
     * element_at(split(...), i) lambda formulation re-tokenizes the
     * whole text once per element (O(len²) per doc, measured 10x
     * slower end to end). Shared by x14 and x24. */
-  private val bigramsExpr = expr(
+  private[graft] val bigramsExpr = expr(
     """array_distinct(zip_with(
          slice(split(text, ' '), 1, size(split(text, ' ')) - 1),
          slice(split(text, ' '), 2, size(split(text, ' ')) - 1),

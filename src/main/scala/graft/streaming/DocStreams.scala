@@ -1,0 +1,55 @@
+package graft.streaming
+
+import graft.queries.Extensions
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Streaming twins of the batch training-pipeline filters (x24
+  * decontamination, x25 stratified sampling): an ingest stream is
+  * flagged/filtered record-by-record with ZERO streaming state. The
+  * small side — the benchmark n-gram set, the per-stratum rates — is
+  * computed once from static data and shipped to every task (literal
+  * array / broadcast stream-static join), so both operators run in
+  * append mode with no watermark, no state store, and restart cleanly
+  * from any offset. This is the production ingest shape: the 100 TB
+  * corpus flows through stateless projections; only KB-sized side
+  * inputs are ever held in memory.
+  *
+  * Reference behavior being generalized: the stateless map/filter
+  * stages of `/root/reference/src/main/scala/FlinkAssignment.scala:54-76`.
+  */
+object DocStreams {
+
+  /** Flag each streamed doc that shares any token bigram with the
+    * benchmark set. `benchBigrams` is tiny by construction
+    * (benchmarks are MBs against the corpus) and rides to executors
+    * as a literal — the streaming equivalent of x24's broadcast
+    * hash-join side. Column contract: input has (doc_id, text). */
+  def decontamFlags(docs: DataFrame, benchBigrams: Seq[String]): DataFrame =
+    docs.select(col("doc_id"),
+      arrays_overlap(Extensions.bigramsExpr, typedLit(benchBigrams))
+        .as("contaminated"))
+
+  /** Per-stratum rate table from a STATIC corpus profile: permille
+    * keep rate capping each `lang` stratum at ~target docs in
+    * expectation — the same arithmetic as x25, exposed so a stream
+    * can reuse a profile computed offline. */
+  def strataRates(staticDocs: DataFrame, target: Long): DataFrame =
+    staticDocs.groupBy(col("lang"))
+      .agg(count(lit(1)).as("lang_cnt"))
+      .select(col("lang"),
+        least(lit(1000L), floor(lit((target * 1000).toDouble) /
+          col("lang_cnt")).cast("long")).as("rate_pm"))
+
+  /** Deterministic stratified sample of a doc stream: keep rows whose
+    * md5 bucket (bit-identical to x25's) falls under the stratum's
+    * permille rate. Stream-static broadcast equi-join + stateless
+    * filter — the keep decision for a given doc is identical across
+    * restarts, batch boundaries, and cluster sizes. */
+  def stratifiedSample(docs: DataFrame, rates: DataFrame): DataFrame =
+    docs.withColumn("bucket",
+        Extensions.hex32(md5(concat(lit("s:"), col("doc_id").cast("string"))))
+          % 1000)
+      .join(broadcast(rates), "lang")
+      .filter(col("bucket") < col("rate_pm"))
+}

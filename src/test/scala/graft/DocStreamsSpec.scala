@@ -1,0 +1,68 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import graft.streaming.DocStreams
+
+case class Doc(doc_id: Long, text: String, lang: String)
+
+/** Streaming twins of x24/x25: stateless decontamination flags and
+  * stratified sampling over a MemoryStream, including batch/stream
+  * agreement on the keep decision (same md5 bucket arithmetic). */
+class DocStreamsSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+  implicit lazy val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
+
+  test("decontam flags only docs sharing a benchmark bigram, across batches") {
+    val in = MemoryStream[Doc]
+    val q = DocStreams.decontamFlags(in.toDF(), Seq("bad gram", "other one"))
+      .writeStream.format("memory").queryName("dc").outputMode("append").start()
+    in.addData(
+      Doc(1, "this is a bad gram indeed", "en"),
+      Doc(2, "gram bad reversed is clean", "en"))
+    q.processAllAvailable()
+    in.addData(Doc(3, "late arrival with other one inside", "en"))
+    q.processAllAvailable()
+    val got = spark.table("dc").as[(Long, Boolean)].collect().toMap
+    assert(got == Map(1L -> true, 2L -> false, 3L -> true))
+    q.stop()
+  }
+
+  test("stratified sample keeps full strata at rate 1000, none at rate 0") {
+    val in = MemoryStream[Doc]
+    val rates = Seq(("en", 1000L), ("de", 0L)).toDF("lang", "rate_pm")
+    val q = DocStreams.stratifiedSample(in.toDF(), rates)
+      .writeStream.format("memory").queryName("ss").outputMode("append").start()
+    in.addData(
+      Doc(1, "a b", "en"), Doc(2, "c d", "de"),
+      Doc(3, "e f", "en"), Doc(4, "g h", "de"))
+    q.processAllAvailable()
+    val kept = spark.table("ss").select("doc_id").as[Long].collect().sorted
+    assert(kept.sameElements(Array(1L, 3L)))
+    q.stop()
+  }
+
+  test("stream keep decision agrees with the batch x25 operator") {
+    // same docs through the streaming sampler and a batch filter with
+    // the same rates must keep the identical id set
+    val docs = (1L to 200L).map(i => Doc(i, s"w$i", if (i % 2 == 0) "en" else "de"))
+    val rates = DocStreams.strataRates(docs.toDF(), target = 30)
+    val batchKept = DocStreams.stratifiedSample(docs.toDF(), rates)
+      .select("doc_id").as[Long].collect().sorted
+
+    val in = MemoryStream[Doc]
+    val q = DocStreams.stratifiedSample(in.toDF(), rates)
+      .writeStream.format("memory").queryName("agree").outputMode("append").start()
+    in.addData(docs.take(100): _*)
+    q.processAllAvailable()
+    in.addData(docs.drop(100): _*)
+    q.processAllAvailable()
+    val streamKept = spark.table("agree").select("doc_id").as[Long]
+      .collect().sorted
+    assert(streamKept.sameElements(batchKept))
+    // rates actually bite: strata are 100 docs against a target of 30
+    assert(batchKept.length < docs.length && batchKept.nonEmpty)
+    q.stop()
+  }
+}
