@@ -85,12 +85,7 @@ object Extensions {
     docs.select(
       col("doc_id"),
       tokenSetSig(col("text")).as("sig"),
-      expr("""aggregate(
-           transform(array_sort(array_distinct(split(text, ' '))),
-             w -> shiftleft(CAST(1 AS BIGINT),
-                    CAST(CAST(conv(substring(md5(w), 1, 8), 16, 10) AS BIGINT) % 64 AS INT))),
-           CAST(0 AS BIGINT),
-           (acc, b) -> acc | b)""").as("mask"))
+      maskExpr.as("mask"))
 
   private def docMasks(s: SparkSession, d: String): DataFrame =
     docMasksOf(Tables.documents(s, d))
@@ -200,6 +195,45 @@ object Extensions {
       .select(col("rep") +: col("band") +:
         (0 until BandRows).map(j => col(s"ks.k$j").as(s"k$j")): _*)
   }
+
+  /** Per-ROW minhash construction for streaming: the same md5 base
+    * hash and 16-transform affine family as [[bandTable]] /
+    * [[graft.functions.MinHashAgg]], but computed with array HOFs
+    * over one row's token set instead of a grouped aggregate — a
+    * stream can minhash each document statelessly in a projection.
+    * Split into two columns so the md5 pass evaluates ONCE per token
+    * (CollapseProject keeps non-cheap producers out of multi-use
+    * consumers; fusing them would re-md5 every token 16 times — the
+    * measured x14 pitfall). MinHashAggSpec pins bit-identity with the
+    * aggregate. */
+  private[graft] def baseHashes(text: Column, prefix: String): Column =
+    transform(tokenSet(text), t => hex32(md5(concat(lit(prefix), t))))
+
+  /** 16 affine minima over a base-hash array column ([[baseHashes]]). */
+  private[graft] def minhashOf(hs: Column): Column =
+    array((0 until NumMinhash).map { i =>
+      array_min(transform(hs, h => (h * mhA(i) + mhB(i)) % Mod32))
+    }: _*)
+
+  /** The 4 LSH band keys of a minhash array, as "band:k0:k1:k2:k3"
+    * strings — the streaming join/state key twin of [[bandTable]]'s
+    * (band, k0..k3) equi-join columns. */
+  private[graft] def bandKeysOf(mhs: Column): Column =
+    array((0 until NumBands).map { b =>
+      concat_ws(":", (lit(b) +: (0 until BandRows).map(j =>
+        element_at(mhs, BandRows * b + j + 1))): _*)
+    }: _*)
+
+  /** The hashed 64-bit token-set bitmask as a standalone column
+    * (the [[docMasksOf]] construction) — usable in a streaming
+    * projection. */
+  private[graft] val maskExpr: Column =
+    expr("""aggregate(
+         transform(array_sort(array_distinct(split(text, ' '))),
+           w -> shiftleft(CAST(1 AS BIGINT),
+                  CAST(CAST(conv(substring(md5(w), 1, 8), 16, 10) AS BIGINT) % 64 AS INT))),
+         CAST(0 AS BIGINT),
+         (acc, b) -> acc | b)""")
 
   // ---------------------------------------------------------------- x01
   // Exact dedup: hash-groupBy on raw text; every doc labeled keep/dup.

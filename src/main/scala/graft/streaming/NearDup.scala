@@ -1,0 +1,97 @@
+package graft.streaming
+
+import graft.queries.Extensions
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import java.sql.Timestamp
+
+/** Streaming MinHash+LSH near-duplicate detection — the ingest-time
+  * form of x04: flag each arriving document that is a near-dup of a
+  * document seen within the watermark horizon.
+  *
+  * Shape: every doc is minhashed STATELESSLY in a projection (the
+  * same md5 base hash + 16-transform affine family as the batch
+  * [[graft.queries.Extensions]] pipeline — [[MinHashAggSpec]] pins
+  * bit-identity), exploded to its 4 LSH band keys, and routed by
+  * `groupByKey(band key)` into `flatMapGroupsWithState`. Each band
+  * bucket keeps ONE representative (first arrival: id + 64-bit token
+  * mask) and emits a match when a later doc's exact mask Jaccard
+  * clears the threshold — candidates come from band-key agreement
+  * (state lookup), verification is exact, exactly as in batch.
+  *
+  * Scale: state is one (long, long) per occupied band bucket, expired
+  * by event-time timeout at the horizon — bounded by the number of
+  * distinct in-horizon band keys, NOT by stream length. A doc pair
+  * agreeing in several bands emits once per agreeing band (different
+  * state partitions can't coordinate); exact-once consumers dedup on
+  * (doc_id, rep) downstream within the same horizon.
+  *
+  * Reference behavior being generalized: keyed dedup/state of
+  * `/root/reference/src/main/scala/FlinkAssignment.scala:275-276`
+  * (keyBy-join candidate generation) in streaming form.
+  */
+object NearDup {
+
+  case class BandDoc(band_key: String, doc_id: Long, mask: Long, ts: Timestamp)
+  case class RepState(doc_id: Long, mask: Long)
+  case class NearMatch(doc_id: Long, rep: Long, jac: Double)
+
+  private val Threshold = 0.9
+
+  private def maskJac(a: Long, b: Long): Double =
+    java.lang.Long.bitCount(a & b).toDouble / java.lang.Long.bitCount(a | b)
+
+  /** Band-keyed stream of (band_key, doc_id, mask, ts) from a doc
+    * stream with (doc_id, text, ts) columns. */
+  private[graft] def banded(docs: DataFrame, horizon: String): Dataset[BandDoc] = {
+    import docs.sparkSession.implicits._
+    docs
+      .withColumn("hs", Extensions.baseHashes(col("text"), "t:"))
+      .withColumn("mhs", Extensions.minhashOf(col("hs")))
+      .withColumn("mask", Extensions.maskExpr)
+      .select(explode(Extensions.bandKeysOf(col("mhs"))).as("band_key"),
+        col("doc_id"), col("mask"), col("ts"))
+      .withWatermark("ts", horizon)
+      .as[BandDoc]
+  }
+
+  /** Matches (doc_id, rep, jac ≥ 0.9) against in-horizon
+    * representatives; one emission per agreeing band. */
+  def nearDupStream(docs: DataFrame, horizon: String): Dataset[NearMatch] = {
+    import docs.sparkSession.implicits._
+    val horizonMs = org.apache.spark.sql.catalyst.util.IntervalUtils
+      .safeStringToInterval(
+        org.apache.spark.unsafe.types.UTF8String.fromString(horizon))
+      .microseconds / 1000
+    banded(docs, horizon)
+      .groupByKey(_.band_key)
+      .flatMapGroupsWithState(OutputMode.Append,
+        GroupStateTimeout.EventTimeTimeout) {
+        (_: String, rows: Iterator[BandDoc], state: GroupState[RepState]) =>
+          if (state.hasTimedOut) { state.remove(); Iterator.empty }
+          else {
+            // deterministic arrival order inside the micro-batch
+            val sorted = rows.toIndexedSeq.sortBy(r => (r.ts.getTime, r.doc_id))
+            val out = Seq.newBuilder[NearMatch]
+            var rep = state.getOption
+            sorted.foreach { r =>
+              rep match {
+                case Some(s) if s.doc_id != r.doc_id =>
+                  val j = maskJac(s.mask, r.mask)
+                  if (j >= Threshold) out += NearMatch(r.doc_id, s.doc_id, j)
+                case None => rep = Some(RepState(r.doc_id, r.mask))
+                case _ => () // same doc re-keyed into its own bucket
+              }
+            }
+            rep.foreach { s =>
+              state.update(s)
+              // expire the representative one horizon after the
+              // newest event that touched this bucket
+              state.setTimeoutTimestamp(sorted.last.ts.getTime + horizonMs)
+            }
+            out.result().iterator
+          }
+      }
+  }
+}
