@@ -79,7 +79,27 @@ object StreamingBench {
       run(s"dedup_1h[$p]", EventStreams.dedupStream(_, "1 hour", Seq("event_id")), "append")
       run(s"sessions_30m[$p]", EventStreams.userSessions, "append")
       runJoin(s"interval_join[$p]")
+      runNearDup(s"neardup_lsh[$p]")
     }
     spark.stop()
+
+    // streaming near-dup over the real documents corpus (synthetic
+    // ascending timestamps): per-row minhash projection + band-state
+    // lookup; docs/s, not rows/s — each doc explodes to 4 band rows
+    def runNearDup(name: String): Unit = {
+      val docs = Tables.documents(spark, sfDir)
+        .select($"doc_id", $"text").as[(Long, String)].collect()
+        .map { case (id, tx) =>
+          SDoc(id, tx, new java.sql.Timestamp(1700000000000L + id * 1000)) }
+        .sortBy(_.ts.getTime).toSeq
+      val in = MemoryStream[SDoc]
+      val sq = graft.streaming.NearDup.nearDupStream(in.toDF(), "1 hour")
+        .writeStream.format("noop").outputMode("append").start()
+      val t0 = System.nanoTime()
+      docs.grouped(1000).foreach { c => in.addData(c); sq.processAllAvailable() }
+      val sec = (System.nanoTime() - t0) / 1e9
+      sq.stop()
+      println(f"$name%-22s ${docs.length / sec}%,10.0f docs/s  ($sec%.2f s, ${docs.length} docs)")
+    }
   }
 }
