@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.SparkSessionExtensions
-import graft.functions.{MinHashAgg, QuantizedCosine}
+import graft.functions.{MinHashAgg, QuantizedCosine, SimHashAgg}
 
 /** SparkSessionExtensions entry point: makes graft's native
   * expressions available in any session via configuration —
@@ -26,5 +26,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       // analyzer wraps it in an AggregateExpression
       (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
         MinHashAgg(exprs.head)))
+    ext.injectFunction((
+      new org.apache.spark.sql.catalyst.FunctionIdentifier("simhash_agg"),
+      new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
+        classOf[SimHashAgg].getName, "simhash_agg"),
+      (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        SimHashAgg(exprs.head)))
   }
 }

@@ -28,6 +28,11 @@ class GraftExtensionsSpec extends AnyFunSuite {
         .collect().head.getSeq[Long](0)
       // min over h∈{42,7} of (h·1000003 + 12345) mod 2^32
       assert(mh.length == 16 && mh.head == 7L * 1000003L + 12345L)
+      val sh = s2.sql(
+        "SELECT simhash_agg(h) AS sh FROM VALUES (3L), (3L) AS t(h)")
+        .collect().head.getLong(0)
+      // two identical hashes: bits 0,1 voted up twice, rest down -> 3
+      assert(sh == 3L)
     } finally {
       SparkSession.setActiveSession(shared)
       SparkSession.setDefaultSession(shared)
