@@ -1333,7 +1333,58 @@ object Extensions {
                      ORDER BY skey, doc_id) AS BIGINT) AS pos
             FROM k ORDER BY 1,2,3"""))
 
+  // ---------------------------------------------------------------- x28
+  // Data mixing with epoch repeats: give every SOURCE the same token
+  // budget. rate_pm = budget·1000 / source_tokens (permille,
+  // UNCAPPED): an under-budget source gets rate > 1000 and its docs
+  // repeat ⌊rate/1000⌋ times plus one more when the doc's md5 bucket
+  // falls under the fractional part — deterministic up-sampling; an
+  // over-budget source down-samples the same way (n_repeat drops to
+  // 0 or 1). Expected tokens per source ≈ budget on both sides. One
+  // aggregation whose output is source-sized (broadcast back) + a
+  // stateless per-row decision — x25's scale shape, generalized from
+  // doc-count caps to token budgets with repetition.
+  private val MixBudgetTokens = 2000L
+  private val x28 = GateQuery(
+    "x28_mix_epochs",
+    (s, d) => {
+      val t = Tables.documents(s, d).select(col("doc_id"), col("source"),
+        size(split(col("text"), " ")).cast("long").as("n_tok"))
+      val w = broadcast(t.groupBy(col("source"))
+        .agg(sum(col("n_tok")).as("tot"))
+        .select(col("source"),
+          floor(lit((MixBudgetTokens * 1000).toDouble) / col("tot"))
+            .cast("long").as("rate_pm")))
+      val b = t.withColumn("bucket",
+        hex32(md5(concat(lit("m:"), col("doc_id").cast("string")))) % 1000)
+      ordered(b.join(w, "source")
+        .select(col("doc_id"), col("source"), col("n_tok"), col("bucket"),
+          (floor(col("rate_pm") / 1000).cast("long") +
+            when(col("bucket") < col("rate_pm") % 1000, 1L).otherwise(0L))
+            .as("n_repeat")))
+    },
+    Some(s"""WITH t AS (
+              SELECT doc_id, source,
+                     CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok
+              FROM documents),
+            w AS (
+              SELECT source,
+                     CAST(FLOOR(${MixBudgetTokens * 1000}.0
+                       / SUM(n_tok)) AS BIGINT) AS rate_pm
+              FROM t GROUP BY 1),
+            b AS (
+              SELECT doc_id, source, n_tok,
+                ${duckHex32("md5('m:' || CAST(doc_id AS VARCHAR))")} % 1000
+                  AS bucket
+              FROM t)
+            SELECT b.doc_id, b.source, b.n_tok, CAST(b.bucket AS BIGINT) AS bucket,
+                   CAST(w.rate_pm // 1000
+                     + CASE WHEN b.bucket < w.rate_pm % 1000 THEN 1 ELSE 0 END
+                     AS BIGINT) AS n_repeat
+            FROM b JOIN w ON b.source = w.source
+            ORDER BY 1,2,3,4,5"""))
+
   val all: Seq[GateQuery] = Seq(x01, x02, x03, x04, x05, x06, x07, x08, x09,
     x10, x11, x12, x13, x14, x15, x16, x17, x18, x19, x20, x21, x22, x23,
-    x24, x25, x26, x27)
+    x24, x25, x26, x27, x28)
 }

@@ -124,6 +124,31 @@ class PipelineOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("x28: repeats track the token budget on both sides of it") {
+    val rows = q("x28_mix_epochs").as[(Long, String, Long, Long, Long)]
+      .collect() // (doc_id, source, n_tok, bucket, n_repeat)
+    assert(rows.nonEmpty)
+    // this corpus sits under the 2000-token budget per source, so
+    // up-sampling must actually occur somewhere
+    assert(rows.exists(_._5 >= 2), "no source was up-sampled")
+    rows.groupBy(_._2).foreach { case (src, rs) =>
+      val total = rs.map(_._3).sum
+      val yielded = rs.map(r => r._3 * r._5).sum
+      // expected yield is the budget; md5 buckets on ~25 docs/source
+      // wander, so just pin the right order of magnitude
+      assert(yielded > 1000 && yielded < 4000,
+        s"source $src: $total tokens -> $yielded (budget 2000)")
+      // within a source the integer part of the repeat is constant:
+      // repeats differ by at most 1
+      assert(rs.map(_._5).max - rs.map(_._5).min <= 1, s"source $src")
+    }
+  }
+
+  test("x28: mixing weights are broadcast") {
+    val plan = q("x28_mix_epochs").queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), plan)
+  }
+
   test("x27: shard assignment matches an independent md5 derivation") {
     val rows = q("x27_shuffle_shards").as[(Long, Long, Long)].collect()
     val md = java.security.MessageDigest.getInstance("MD5")
