@@ -1,0 +1,85 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Connected components by minimum-label propagation — the transitive
+  * closure of a near-duplicate pair graph into dedup CLUSTERS, the
+  * step a training pipeline runs after LSH pair generation (a greedy
+  * one-level merge like x19 under-merges chains: a~b, b~c must
+  * collapse {a,b,c} even when a~c was never emitted as a pair).
+  *
+  * Algorithm: every node starts labeled with its own id; each round,
+  * a node's label becomes the min of its own and its neighbors'
+  * labels; stop when a round changes nothing. The fixpoint — min
+  * reachable id per node — is unique regardless of execution
+  * schedule, so the result is deterministic on any cluster size and
+  * oracle-checkable (DuckDB replays it as a recursive CTE).
+  *
+  * Scale design (100 TB): each round is two equi-join shuffles — the
+  * edge list against the label table (neighbor minimum), then the
+  * label table against itself (POINTER JUMPING: lbl ← lbl[lbl], which
+  * doubles the distance a label has travelled every round). With the
+  * jump, rounds are O(log diameter) — a 1e6-node path needs ~20
+  * rounds, not 1e6 — the same doubling argument as Hash-to-Min /
+  * pointer-jumping PRAM CC. Label state is one (id, label) pair per
+  * node — node count here is |distinct signatures|, already collapsed
+  * far below corpus size. The driver loop only orchestrates: per
+  * round it runs one distributed action and reads back a single
+  * count; no row data ever reaches the driver.
+  *
+  * Iterative-plan hygiene: each round's label table is
+  * `localCheckpoint(eager)`-ed — the logical plan of round N
+  * otherwise embeds round N-1's plan TWICE (once per union arm), so
+  * lineage grows 2^rounds and planning alone explodes (observed: a
+  * 2 GB plan string before the checkpoint was added). Checkpointing
+  * truncates the lineage to the materialized blocks each round, the
+  * standard fix for iterative DataFrame algorithms.
+  */
+object ConnectedComponents {
+
+  /** @param nodes one column `id` — every vertex, including isolated
+    *              ones (they come out as their own singleton cluster)
+    * @param edges columns `src`, `dst` — UNDIRECTED pairs (each pair
+    *              listed once in either direction)
+    * @param maxRounds safety bound on propagation rounds
+    * @return (id, component) — component = min node id reachable */
+  def label(nodes: DataFrame, edges: DataFrame,
+            maxRounds: Int = 50): DataFrame = {
+    // symmetrize once: propagation must flow both ways along a pair
+    val sym = edges.select(col("src"), col("dst"))
+      .union(edges.select(col("dst").as("src"), col("src").as("dst")))
+      .persist()
+    sym.count()
+
+    // localCheckpoint: truncate lineage every round (see scaladoc)
+    var labels = nodes.select(col("id"), col("id").as("lbl"))
+      .localCheckpoint(true)
+    var changed = 1L
+    var round = 0
+    while (changed > 0 && round < maxRounds) {
+      val viaEdge = sym
+        .join(labels, sym("src") === labels("id"))
+        .select(col("dst").as("id"), col("lbl"))
+      val mins = labels.select(col("id"), col("lbl")).union(viaEdge)
+        .groupBy(col("id")).agg(min(col("lbl")).as("lbl"))
+      // pointer jump: follow the label one more hop (labels always
+      // point at node ids, so the inner self-join is total) — this
+      // doubles propagation distance per round, making rounds
+      // logarithmic in the diameter instead of linear. The previous
+      // label rides along as `old` so the convergence check is a
+      // filter over the already-checkpointed blocks — one job per
+      // round, not two.
+      val jumped = mins
+        .join(mins.select(col("id").as("lbl"), col("lbl").as("lbl2")), "lbl")
+        .select(col("id"), col("lbl2").as("lbl"))
+        .join(labels.select(col("id"), col("lbl").as("old")), "id")
+        .localCheckpoint(true)
+      changed = jumped.filter(col("lbl") =!= col("old")).count()
+      labels = jumped.select(col("id"), col("lbl"))
+      round += 1
+    }
+    sym.unpersist()
+    labels.select(col("id"), col("lbl").as("component"))
+  }
+}

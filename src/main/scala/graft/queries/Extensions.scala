@@ -1384,7 +1384,234 @@ object Extensions {
             FROM b JOIN w ON b.source = w.source
             ORDER BY 1,2,3,4,5"""))
 
+  // ---------------------------------------------------------------- x29
+  // Embedding near-dup via signed random projections (SRP-LSH): the
+  // CENTROID-FREE ANN candidate path (x21's IVF needs a seed centroid
+  // set; SRP needs only a fixed hyperplane matrix baked into the
+  // binary). Each vector gets 64 sign bits — bit i = 1 iff
+  // dot(qv, plane_i) >= 0 over the same FLOOR(x*1000) quantized
+  // integers as every other similarity op — grouped into 8 bands of
+  // 8 bits; candidates = vectors agreeing on a whole band (equi-join
+  // on (band, byte) — never a cross product); exact quantized-cosine
+  // verify keeps only pairs >= the threshold.
+  //
+  // The hyperplane matrix is DETERMINISTIC data-independent constant:
+  // coefficient (i,j) = (md5-derived hash of "p:i:j") % 2001 - 1000,
+  // computed once at build time and embedded as literals in both the
+  // Spark plan and the oracle SQL — no fitting step, no global
+  // coordination, the same signature for a row at any cluster size.
+  // Sign-agreement probability for one plane is 1 - θ/π (Charikar),
+  // so an 8-bit band matches with p = (1-θ/π)^8 and 8 bands give
+  // ~99% recall at cos ≈ 0.95 — the regime dedup cares about; at the
+  // gate threshold 0.4 recall is deliberately partial (~15%) and the
+  // oracle replays the identical banding, so the gate stays exact.
+  //
+  // Scale: the signature is a pure per-row projection (the qv
+  // staging column is non-cheap and multiply-referenced, so Catalyst
+  // keeps it staged instead of inlining 64 copies); the band table
+  // carries (vec_id, band, byte) only — embeddings are joined back
+  // just for the verified candidates.
+  private val SrpPlanes = 64
+  private val SrpBands = 8
+  private val SrpBandBits = SrpPlanes / SrpBands
+  private val SrpThreshold = 0.4
+
+  private def md5Hex(s: String): String =
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+
+  /** coef(i)(j) = hex32(md5("p:i:j")) % 2001 − 1000 ∈ [−1000, 1000]. */
+  private lazy val srpCoef: IndexedSeq[IndexedSeq[Long]] =
+    (0 until SrpPlanes).map { i =>
+      (0 until 64).map { j =>
+        java.lang.Long.parseLong(md5Hex(s"p:$i:$j").take(8), 16) % 2001L - 1000L
+      }
+    }
+
+  /** The 8 SRP band-byte columns bv0..bv7 over a quantized `qv`
+    * array column (one per-row projection, no shuffle). */
+  private[graft] def srpBandCols: Seq[Column] = {
+    def dot(i: Int): Column =
+      aggregate(
+        zip_with(col("qv"), typedLit(srpCoef(i)), (x, c) => x * c),
+        lit(0L), (acc, p) => acc + p)
+    (0 until SrpBands).map { b =>
+      (0 until SrpBandBits).map { j =>
+        when(dot(SrpBandBits * b + j) >= 0, lit(1L << j)).otherwise(lit(0L))
+      }.reduce(_ + _).as(s"bv$b")
+    }
+  }
+
+  private val x29 = GateQuery(
+    "x29_dedup_srp",
+    (s, d) => {
+      val v = Tables.embeddings(s, d)
+        .select(col("vec_id"), col("embedding"),
+          transform(col("embedding"),
+            x => floor(x.cast("double") * 1000).cast("long")).as("qv"))
+      val sig = v.select(col("vec_id") +: srpBandCols: _*)
+      val banded = sig.select(col("vec_id"),
+          posexplode(array((0 until SrpBands).map(b => col(s"bv$b")): _*))
+            .as(Seq("band", "bv")))
+        .persist()
+      banded.count() // self-join side dedup — see lshCandidates
+      val cand = banded.as("a").join(banded.as("b"),
+          col("a.band") === col("b.band") && col("a.bv") === col("b.bv") &&
+            col("a.vec_id") < col("b.vec_id"))
+        .select(col("a.vec_id").as("id_a"), col("b.vec_id").as("id_b"))
+        .distinct()
+      val ea = Tables.embeddings(s, d)
+        .select(col("vec_id").as("id_a"), col("embedding").as("ea"))
+      val eb = Tables.embeddings(s, d)
+        .select(col("vec_id").as("id_b"), col("embedding").as("eb"))
+      ordered(cand.join(ea, "id_a").join(eb, "id_b")
+        .withColumn("cos", cosCol(col("ea"), col("eb")))
+        .filter(col("cos") >= SrpThreshold)
+        .select(col("id_a"), col("id_b"), col("cos")))
+    },
+    Some {
+      def duckDot(i: Int): String =
+        s"list_dot_product(qv, ${srpCoef(i).mkString("[", ", ", "]")})"
+      val bvCols = (0 until SrpBands).map { b =>
+        (0 until SrpBandBits).map { j =>
+          s"(CASE WHEN ${duckDot(SrpBandBits * b + j)} >= 0 THEN ${1L << j} ELSE 0 END)"
+        }.mkString("(", " + ", s") AS bv$b")
+      }.mkString(", ")
+      val bandSelects = (0 until SrpBands)
+        .map(b => s"SELECT vec_id, $b AS band, bv$b AS bv FROM sig")
+        .mkString(" UNION ALL ")
+      s"""WITH v AS (
+            SELECT vec_id,
+              list_transform(embedding, x -> CAST(FLOOR(x * 1000) AS BIGINT)) AS qv
+            FROM embeddings),
+          sig AS (SELECT vec_id, $bvCols FROM v),
+          banded AS ($bandSelects),
+          cand AS (
+            SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+            FROM banded a JOIN banded b
+              ON a.band = b.band AND a.bv = b.bv AND a.vec_id < b.vec_id)
+          SELECT c.id_a, c.id_b,
+            list_dot_product(va.qv, vb.qv) /
+              (sqrt(list_dot_product(va.qv, va.qv)) * sqrt(list_dot_product(vb.qv, vb.qv))) AS cos
+          FROM cand c
+          JOIN v va ON va.vec_id = c.id_a
+          JOIN v vb ON vb.vec_id = c.id_b
+          WHERE list_dot_product(va.qv, vb.qv) /
+              (sqrt(list_dot_product(va.qv, va.qv)) * sqrt(list_dot_product(vb.qv, vb.qv))) >= $SrpThreshold
+          ORDER BY 1,2,3"""
+    })
+
+  // ---------------------------------------------------------------- x30
+  // Dedup clusters: connected components over the verified MinHash
+  // pair graph ([[graft.ops.ConnectedComponents]] — min-label
+  // propagation to fixpoint, one shuffle per round, rounds bounded by
+  // cluster diameter). x19's greedy one-level merge under-merges
+  // chains (a~b, b~c leaves c's class alive when a~c was never a
+  // pair); the component labeling is the standard transitive answer a
+  // training pipeline ships. Deterministic fixpoint → the oracle
+  // replays it as a recursive CTE.
+  private val x30 = GateQuery(
+    "x30_dedup_components",
+    (s, d) => {
+      val sigs = sigTable(s, d).persist()
+      sigs.count()
+      val pairs = verifiedMinhashPairs(s, d, sigs)
+        .select(col("rep_a"), col("rep_b")).persist()
+      pairs.count()
+      val comps = graft.ops.ConnectedComponents.label(
+        nodes = sigs.select(col("rep").as("id")),
+        edges = pairs.select(col("rep_a").as("src"), col("rep_b").as("dst")))
+      ordered(comps.select(col("id").as("rep"), col("component")))
+    },
+    Some(s"""WITH RECURSIVE $duckMasksCte, $duckMinhashCtes,
+          edges AS (
+            SELECT rep_a AS src, rep_b AS dst FROM verified
+            UNION ALL SELECT rep_b, rep_a FROM verified),
+          reach(id, lbl) AS (
+            SELECT rep, rep FROM sigs
+            UNION
+            SELECT e.dst, r.lbl FROM reach r JOIN edges e ON e.src = r.id)
+          SELECT id AS rep, min(lbl) AS component FROM reach
+          GROUP BY 1 ORDER BY 1,2"""))
+
+  // ---------------------------------------------------------------- x31
+  // Vocabulary construction: top-K corpus tokens by occurrence count
+  // (the frequency pass under BPE/WordPiece vocab building). One
+  // explode + one map-side-combinable groupBy; the top-K is
+  // TakeOrderedAndProject (each partition keeps K, driver merges K-
+  // sized heaps — no global sort shuffle), and the rank window runs
+  // over the already-truncated CONSTANT-K result, so the
+  // single-partition window is bounded at any corpus size.
+  private val VocabK = 100
+  private val VocabMinCount = 5L
+  private val x31 = GateQuery(
+    "x31_vocab_topk",
+    (s, d) => {
+      val counts = Tables.documents(s, d)
+        .select(explode(split(col("text"), " ")).as("tok"))
+        .groupBy(col("tok")).agg(count(lit(1)).as("cnt"))
+        .filter(col("cnt") >= VocabMinCount)
+      val top = counts.orderBy(col("cnt").desc, col("tok")).limit(VocabK)
+      val w = Window.orderBy(col("cnt").desc, col("tok"))
+      ordered(top.withColumn("vrank", row_number().over(w).cast("long")))
+    },
+    Some(s"""WITH c AS (
+              SELECT unnest(string_split(text, ' ')) AS tok FROM documents),
+            g AS (
+              SELECT tok, count(*) AS cnt FROM c
+              GROUP BY 1 HAVING count(*) >= $VocabMinCount),
+            t AS (
+              SELECT tok, cnt,
+                row_number() OVER (ORDER BY cnt DESC, tok) AS rnk
+              FROM g)
+            SELECT tok, cnt, CAST(rnk AS BIGINT) AS vrank FROM t
+            WHERE rnk <= $VocabK ORDER BY 1,2,3"""))
+
+  // ---------------------------------------------------------------- x32
+  // PII scrubbing over structured-record text (the redaction pass
+  // before records become training text): emails, long digit runs
+  // (ids/phones), and URLs replaced by placeholder tokens, with
+  // per-category counts. Patterns use only character-class regex
+  // syntax valid in both Java regex (Spark) and RE2 (DuckDB); the
+  // whole op is a per-row projection — no shuffle at any scale.
+  // Runs over customer records (c_name carries a long digit run per
+  // row); the email/URL categories are proven on synthetic fixtures
+  // in PipelineOpsSpec — this corpus legitimately contains none.
+  private[graft] val PiiEmail = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  private[graft] val PiiNum = "[0-9]{4,}"
+  private[graft] val PiiUrl = "https?://[^ ]+"
+  private val x32 = GateQuery(
+    "x32_pii_redact",
+    (s, d) => {
+      val staged = Tables.customer(s, d).select(
+        col("c_custkey"),
+        concat(col("c_name"), lit(" segment="), col("c_mktsegment")).as("rec"))
+      ordered(staged.select(
+        col("c_custkey"),
+        regexp_count(col("rec"), lit(PiiEmail)).cast("long").as("n_email"),
+        regexp_count(col("rec"), lit(PiiNum)).cast("long").as("n_num"),
+        regexp_count(col("rec"), lit(PiiUrl)).cast("long").as("n_url"),
+        regexp_replace(
+          regexp_replace(
+            regexp_replace(col("rec"), PiiEmail, "<EMAIL>"),
+            PiiUrl, "<URL>"),
+          PiiNum, "<NUM>").as("redacted")))
+    },
+    Some(s"""WITH staged AS (
+              SELECT c_custkey, c_name || ' segment=' || c_mktsegment AS rec
+              FROM customer)
+            SELECT c_custkey,
+              CAST(len(regexp_extract_all(rec, '$PiiEmail')) AS BIGINT) AS n_email,
+              CAST(len(regexp_extract_all(rec, '$PiiNum')) AS BIGINT) AS n_num,
+              CAST(len(regexp_extract_all(rec, '$PiiUrl')) AS BIGINT) AS n_url,
+              regexp_replace(
+                regexp_replace(
+                  regexp_replace(rec, '$PiiEmail', '<EMAIL>', 'g'),
+                  '$PiiUrl', '<URL>', 'g'),
+                '$PiiNum', '<NUM>', 'g') AS redacted
+            FROM staged ORDER BY 1,2,3,4,5"""))
+
   val all: Seq[GateQuery] = Seq(x01, x02, x03, x04, x05, x06, x07, x08, x09,
     x10, x11, x12, x13, x14, x15, x16, x17, x18, x19, x20, x21, x22, x23,
-    x24, x25, x26, x27, x28)
+    x24, x25, x26, x27, x28, x29, x30, x31, x32)
 }

@@ -1,0 +1,136 @@
+package graft
+
+import graft.ops.ConnectedComponents
+import graft.queries.Extensions
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Round-4 corpus-prep additions: SRP-LSH embedding near-dup (x29),
+  * transitive dedup components (x30), vocabulary top-K (x31), and
+  * PII redaction (x32). */
+class CorpusPrepOpsSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private val Sf = "/root/testdata/sf0.001"
+  private def q(name: String) =
+    Extensions.all.find(_.name == name).get.fn(spark, Sf)
+
+  // ------------------------------------------------ connected components
+  test("cc: chain merges transitively across rounds; isolates stay put") {
+    val nodes = Seq(1L, 2L, 3L, 4L, 5L, 9L).toDF("id")
+    // a 4-link chain forces >1 propagation round (label 1 must walk
+    // to node 5), which exercises the fixpoint loop, not just one step
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L)).toDF("src", "dst")
+    val got = ConnectedComponents.label(nodes, edges)
+      .as[(Long, Long)].collect().toMap
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L, 5L -> 1L,
+      9L -> 9L))
+  }
+
+  test("cc: edge direction does not matter") {
+    val nodes = Seq(1L, 2L, 3L).toDF("id")
+    val fwd = Seq((1L, 3L), (3L, 2L)).toDF("src", "dst")
+    val rev = Seq((3L, 1L), (2L, 3L)).toDF("src", "dst")
+    val a = ConnectedComponents.label(nodes, fwd).as[(Long, Long)].collect().toSet
+    val b = ConnectedComponents.label(nodes, rev).as[(Long, Long)].collect().toSet
+    assert(a == b && a == Set((1L, 1L), (2L, 1L), (3L, 1L)))
+  }
+
+  test("x30: components refine x04 pairs — every pair's endpoints share a component") {
+    val comps = q("x30_dedup_components").as[(Long, Long)].collect().toMap
+    val pairs = q("x04_dedup_minhash")
+      .select("rep_a", "rep_b").as[(Long, Long)].collect()
+    assert(comps.nonEmpty)
+    pairs.foreach { case (a, b) =>
+      assert(comps(a) == comps(b), s"pair ($a,$b) split across components")
+    }
+    // component label is the min member id — canonical rep
+    comps.groupBy(_._2).foreach { case (lbl, members) =>
+      assert(members.keys.min == lbl, s"component $lbl not labeled by min member")
+    }
+  }
+
+  // ------------------------------------------------------------ SRP LSH
+  test("srp: identical vectors share every band byte; sign bits are stable") {
+    val df = Seq(
+      (1L, Array.tabulate(64)(i => (math.sin(i + 1) * 0.7).toFloat)),
+      (2L, Array.tabulate(64)(i => (math.sin(i + 1) * 0.7).toFloat)), // dup of 1
+      (3L, Array.tabulate(64)(i => (math.cos(3 * i + 2) * 0.9).toFloat))
+    ).toDF("vec_id", "embedding")
+      .withColumn("qv", transform(col("embedding"),
+        x => floor(x.cast("double") * 1000).cast("long")))
+    val sig = df.select(col("vec_id") +: Extensions.srpBandCols: _*)
+      .as[(Long, Long, Long, Long, Long, Long, Long, Long, Long)]
+      .collect().sortBy(_._1)
+    val v1 = sig(0).productIterator.drop(1).toSeq
+    val v2 = sig(1).productIterator.drop(1).toSeq
+    val v3 = sig(2).productIterator.drop(1).toSeq
+    assert(v1 == v2, "identical vectors must produce identical band bytes")
+    assert(v1 != v3, "distinct vectors should differ in at least one band")
+    sig.foreach(_.productIterator.drop(1).foreach { b =>
+      val v = b.asInstanceOf[Long]
+      assert(v >= 0 && v <= 255, s"band byte $v out of 8-bit range")
+    })
+  }
+
+  test("x29: pairs are ordered, above threshold, and a subset of all-pairs truth") {
+    val got = q("x29_dedup_srp").as[(Long, Long, Double)].collect()
+    got.foreach { case (a, b, c) =>
+      assert(a < b, s"pair ($a,$b) not ordered")
+      assert(c >= 0.4, s"pair ($a,$b) below threshold: $c")
+    }
+    // every emitted pair must agree with the brute-force x13-style
+    // cosine on the same quantized metric (no false similarity)
+    val x13 = q("x13_dedup_embedding").as[(Long, Long, Double)].collect()
+      .map { case (a, b, c) => (a, b) -> c }.toMap
+    got.filter(_._3 >= 0.5).foreach { case (a, b, c) =>
+      assert(x13.contains((a, b)),
+        s"x29 pair ($a,$b) cos=$c missing from brute-force >=0.5 truth")
+    }
+  }
+
+  // ------------------------------------------------------------- vocab
+  test("x31: ranks consecutive, counts non-increasing, min-count respected") {
+    val rows = q("x31_vocab_topk").as[(String, Long, Long)].collect()
+      .sortBy(_._3) // (tok, cnt, vrank)
+    assert(rows.nonEmpty && rows.length <= 100)
+    assert(rows.map(_._3).toSeq == (1L to rows.length).toSeq)
+    rows.foreach { case (_, cnt, _) => assert(cnt >= 5) }
+    rows.sliding(2).foreach {
+      case Array((ta, ca, _), (tb, cb, _)) =>
+        assert(ca > cb || (ca == cb && ta < tb),
+          s"rank order violated between $ta($ca) and $tb($cb)")
+      case _ =>
+    }
+  }
+
+  // --------------------------------------------------------------- PII
+  test("x32 regexes: email/url/number all redact on a synthetic record") {
+    val rec = "contact a.b+c@example.org or https://x.y/z?id=7 ref 123456789 ok"
+    val df = Seq(rec).toDF("rec").select(
+      regexp_count(col("rec"), lit(Extensions.PiiEmail)).as("n_email"),
+      regexp_count(col("rec"), lit(Extensions.PiiNum)).as("n_num"),
+      regexp_count(col("rec"), lit(Extensions.PiiUrl)).as("n_url"),
+      regexp_replace(
+        regexp_replace(
+          regexp_replace(col("rec"), Extensions.PiiEmail, "<EMAIL>"),
+          Extensions.PiiUrl, "<URL>"),
+        Extensions.PiiNum, "<NUM>").as("redacted"))
+    val (ne, nn, nu, red) = df.as[(Int, Int, Int, String)].collect().head
+    assert(ne == 1 && nu == 1 && nn == 1, s"counts ($ne,$nn,$nu)")
+    assert(red == "contact <EMAIL> or <URL> ref <NUM> ok", red)
+  }
+
+  test("x32: every customer digit run is redacted, keys survive") {
+    val rows = q("x32_pii_redact")
+      .as[(Long, Long, Long, Long, String)].collect()
+    assert(rows.nonEmpty)
+    rows.foreach { case (k, nEmail, nNum, nUrl, red) =>
+      assert(nNum >= 1, s"customer $k: c_name digit run not counted")
+      assert(nEmail == 0 && nUrl == 0, s"customer $k: phantom email/url")
+      assert(!red.matches(".*[0-9]{4,}.*"), s"customer $k: digits survive: $red")
+      assert(red.contains("<NUM>"), s"customer $k: no placeholder: $red")
+    }
+  }
+}
