@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.SparkSessionExtensions
-import graft.functions.{MinHashAgg, QuantizedCosine, SimHashAgg}
+import graft.functions.{MinHashAgg, QuantizedCosine, SimHashAgg, SrpBands}
 
 /** SparkSessionExtensions entry point: makes graft's native
   * expressions available in any session via configuration —
@@ -32,5 +32,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         classOf[SimHashAgg].getName, "simhash_agg"),
       (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
         SimHashAgg(exprs.head)))
+    ext.injectFunction((
+      new org.apache.spark.sql.catalyst.FunctionIdentifier("srp_bands"),
+      new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
+        classOf[SrpBands].getName, "srp_bands"),
+      (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        SrpBands(exprs.head)))
   }
 }

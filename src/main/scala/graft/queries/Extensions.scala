@@ -1416,20 +1416,16 @@ object Extensions {
   private val SrpBandBits = SrpPlanes / SrpBands
   private val SrpThreshold = 0.4
 
-  private def md5Hex(s: String): String =
-    java.security.MessageDigest.getInstance("MD5")
-      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
-
-  /** coef(i)(j) = hex32(md5("p:i:j")) % 2001 − 1000 ∈ [−1000, 1000]. */
+  /** The md5-seeded hyperplane matrix, shared with the native
+    * [[graft.functions.SrpBands]] expression and embedded as literals
+    * in the oracle SQL. */
   private lazy val srpCoef: IndexedSeq[IndexedSeq[Long]] =
-    (0 until SrpPlanes).map { i =>
-      (0 until 64).map { j =>
-        java.lang.Long.parseLong(md5Hex(s"p:$i:$j").take(8), 16) % 2001L - 1000L
-      }
-    }
+    graft.functions.SrpBands.matrix
 
   /** The 8 SRP band-byte columns bv0..bv7 over a quantized `qv`
-    * array column (one per-row projection, no shuffle). */
+    * array column — the built-in-HOF reference construction that
+    * SrpBandsSpec pins bit-identical to the native fused expression
+    * (which is what x29 actually runs). */
   private[graft] def srpBandCols: Seq[Column] = {
     def dot(i: Int): Column =
       aggregate(
@@ -1445,13 +1441,13 @@ object Extensions {
   private val x29 = GateQuery(
     "x29_dedup_srp",
     (s, d) => {
-      val v = Tables.embeddings(s, d)
-        .select(col("vec_id"), col("embedding"),
-          transform(col("embedding"),
-            x => floor(x.cast("double") * 1000).cast("long")).as("qv"))
-      val sig = v.select(col("vec_id") +: srpBandCols: _*)
-      val banded = sig.select(col("vec_id"),
-          posexplode(array((0 until SrpBands).map(b => col(s"bv$b")): _*))
+      // the signature is ONE native codegen'd expression per row
+      // (graft.functions.SrpBands — fused quantize + 64 sign dots),
+      // not the 128 interpreted HOF passes of the reference
+      // construction in srpBandCols
+      val banded = Tables.embeddings(s, d)
+        .select(col("vec_id"),
+          posexplode(graft.functions.SrpBands.srpBands(col("embedding")))
             .as(Seq("band", "bv")))
         .persist()
       banded.count() // self-join side dedup — see lshCandidates
@@ -1580,6 +1576,24 @@ object Extensions {
   private[graft] val PiiEmail = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
   private[graft] val PiiNum = "[0-9]{4,}"
   private[graft] val PiiUrl = "https?://[^ ]+"
+
+  /** Per-category PII occurrence counts over a record column —
+    * counted BEFORE redaction, shared by batch x32 and the streaming
+    * twin ([[graft.streaming.DocStreams.redactRecords]]). */
+  private[graft] def piiCounts(rec: Column): Seq[Column] = Seq(
+    regexp_count(rec, lit(PiiEmail)).cast("long").as("n_email"),
+    regexp_count(rec, lit(PiiNum)).cast("long").as("n_num"),
+    regexp_count(rec, lit(PiiUrl)).cast("long").as("n_url"))
+
+  /** The redacted record: email → URL → digit-run replacement, in
+    * that fixed order on every engine and surface. */
+  private[graft] def piiRedacted(rec: Column): Column =
+    regexp_replace(
+      regexp_replace(
+        regexp_replace(rec, PiiEmail, "<EMAIL>"),
+        PiiUrl, "<URL>"),
+      PiiNum, "<NUM>")
+
   private val x32 = GateQuery(
     "x32_pii_redact",
     (s, d) => {
@@ -1587,15 +1601,8 @@ object Extensions {
         col("c_custkey"),
         concat(col("c_name"), lit(" segment="), col("c_mktsegment")).as("rec"))
       ordered(staged.select(
-        col("c_custkey"),
-        regexp_count(col("rec"), lit(PiiEmail)).cast("long").as("n_email"),
-        regexp_count(col("rec"), lit(PiiNum)).cast("long").as("n_num"),
-        regexp_count(col("rec"), lit(PiiUrl)).cast("long").as("n_url"),
-        regexp_replace(
-          regexp_replace(
-            regexp_replace(col("rec"), PiiEmail, "<EMAIL>"),
-            PiiUrl, "<URL>"),
-          PiiNum, "<NUM>").as("redacted")))
+        col("c_custkey") +: (piiCounts(col("rec")) :+
+          piiRedacted(col("rec")).as("redacted")): _*))
     },
     Some(s"""WITH staged AS (
               SELECT c_custkey, c_name || ' segment=' || c_mktsegment AS rec

@@ -52,4 +52,24 @@ object DocStreams {
           % 1000)
       .join(broadcast(rates), "lang")
       .filter(col("bucket") < col("rate_pm"))
+
+  /** PII-scrub an ingest stream record-by-record: the x32 batch
+    * projection (same regex constants, same replacement order —
+    * bit-identical output) applied statelessly in append mode. Column
+    * contract: input has (doc_id, rec); output adds per-category
+    * counts and the redacted record. */
+  def redactRecords(recs: DataFrame): DataFrame =
+    recs.select(
+      col("doc_id") +: (Extensions.piiCounts(col("rec")) :+
+        Extensions.piiRedacted(col("rec")).as("redacted")): _*)
+
+  /** Running corpus token counts — the streaming face of x31's
+    * vocabulary frequency pass. A plain streaming aggregation: state
+    * is one counter per DISTINCT TOKEN, i.e. vocabulary-sized —
+    * bounded by the language, not the stream — which is exactly the
+    * state a vocab builder must keep under any execution model. Use
+    * update/complete output; downstream takes top-K per trigger. */
+  def vocabCounts(docs: DataFrame): DataFrame =
+    docs.select(explode(split(col("text"), " ")).as("tok"))
+      .groupBy(col("tok")).agg(count(lit(1)).as("cnt"))
 }

@@ -94,4 +94,90 @@ object NearDup {
           }
       }
   }
+
+  // ---------------------------------------------------------- embeddings
+  case class BandVec(band_key: String, vec_id: Long, qv: Seq[Long],
+                     ts: Timestamp)
+  case class VecRep(vec_id: Long, qv: Seq[Long])
+  case class VecMatch(vec_id: Long, rep: Long, cos: Double)
+
+  private val CosThreshold = 0.4
+
+  /** Exact quantized cosine over two already-quantized vectors — the
+    * same loop, op order, and final double arithmetic as the batch
+    * [[graft.functions.QuantizedCosine]] expression, so a streamed
+    * match carries the identical score the batch x29 verify computes
+    * for the same pair. */
+  private[graft] def qCos(a: Seq[Long], b: Seq[Long]): Double = {
+    val n = math.min(a.length, b.length)
+    var dot = 0L; var na = 0L; var nb = 0L
+    var i = 0
+    while (i < n) {
+      dot += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i)
+      i += 1
+    }
+    dot.toDouble / (math.sqrt(na.toDouble) * math.sqrt(nb.toDouble))
+  }
+
+  /** Band-keyed stream of (band_key, vec_id, qv, ts) from an
+    * embedding stream with (vec_id, embedding, ts) columns. The SRP
+    * signature is the native fused [[graft.functions.SrpBands]]
+    * expression — a stateless per-row projection, bit-identical to
+    * the batch x29 construction (SrpBandsSpec), so a vector lands in
+    * the same band buckets whether it arrives by stream or by scan. */
+  private[graft] def srpBanded(vecs: DataFrame, horizon: String): Dataset[BandVec] = {
+    import vecs.sparkSession.implicits._
+    vecs
+      .withColumn("qv", transform(col("embedding"),
+        x => floor(x.cast("double") * 1000).cast("long")))
+      .select(col("vec_id"), col("qv"), col("ts"),
+        posexplode(graft.functions.SrpBands.srpBands(col("embedding")))
+          .as(Seq("band", "bv")))
+      .select(concat_ws(":", col("band"), col("bv")).as("band_key"),
+        col("vec_id"), col("qv"), col("ts"))
+      .withWatermark("ts", horizon)
+      .as[BandVec]
+  }
+
+  /** Streaming SRP-LSH near-dup over an embedding stream — the
+    * ingest-time form of x29, sharing [[nearDupStream]]'s state
+    * shape: one representative vector per occupied SRP band bucket,
+    * expired at the event-time horizon; candidates come from band
+    * agreement (state lookup), verification is the exact quantized
+    * cosine. State per bucket is the rep's quantized vector (dim
+    * longs) — bounded by distinct in-horizon band keys, not stream
+    * length. */
+  def srpNearDupStream(vecs: DataFrame, horizon: String): Dataset[VecMatch] = {
+    import vecs.sparkSession.implicits._
+    val horizonMs = org.apache.spark.sql.catalyst.util.IntervalUtils
+      .safeStringToInterval(
+        org.apache.spark.unsafe.types.UTF8String.fromString(horizon))
+      .microseconds / 1000
+    srpBanded(vecs, horizon)
+      .groupByKey(_.band_key)
+      .flatMapGroupsWithState(OutputMode.Append,
+        GroupStateTimeout.EventTimeTimeout) {
+        (_: String, rows: Iterator[BandVec], state: GroupState[VecRep]) =>
+          if (state.hasTimedOut) { state.remove(); Iterator.empty }
+          else {
+            val sorted = rows.toIndexedSeq.sortBy(r => (r.ts.getTime, r.vec_id))
+            val out = Seq.newBuilder[VecMatch]
+            var rep = state.getOption
+            sorted.foreach { r =>
+              rep match {
+                case Some(s) if s.vec_id != r.vec_id =>
+                  val c = qCos(s.qv, r.qv)
+                  if (c >= CosThreshold) out += VecMatch(r.vec_id, s.vec_id, c)
+                case None => rep = Some(VecRep(r.vec_id, r.qv))
+                case _ => ()
+              }
+            }
+            rep.foreach { s =>
+              state.update(s)
+              state.setTimeoutTimestamp(sorted.last.ts.getTime + horizonMs)
+            }
+            out.result().iterator
+          }
+      }
+  }
 }

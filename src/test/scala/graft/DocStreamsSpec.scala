@@ -5,6 +5,7 @@ import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
 import graft.streaming.DocStreams
 
 case class Doc(doc_id: Long, text: String, lang: String)
+case class Rec(doc_id: Long, rec: String)
 
 /** Streaming twins of x24/x25: stateless decontamination flags and
   * stratified sampling over a MemoryStream, including batch/stream
@@ -63,6 +64,44 @@ class DocStreamsSpec extends AnyFunSuite {
     assert(streamKept.sameElements(batchKept))
     // rates actually bite: strata are 100 docs against a target of 30
     assert(batchKept.length < docs.length && batchKept.nonEmpty)
+    q.stop()
+  }
+
+  test("streaming redaction is bit-identical to the batch x32 expressions") {
+    val rows = Seq(
+      Rec(1, "mail me at a.b@x.org now"),
+      Rec(2, "see https://ex.am/ple and id 98765432"),
+      Rec(3, "nothing sensitive here"))
+    val in = MemoryStream[Rec]
+    val q = DocStreams.redactRecords(in.toDF())
+      .writeStream.format("memory").queryName("px").outputMode("append").start()
+    in.addData(rows.take(2): _*)
+    q.processAllAvailable()
+    in.addData(rows.drop(2): _*)
+    q.processAllAvailable()
+    val stream = spark.table("px")
+      .as[(Long, Long, Long, Long, String)].collect().sortBy(_._1)
+    val batch = DocStreams.redactRecords(rows.toDF())
+      .as[(Long, Long, Long, Long, String)].collect().sortBy(_._1)
+    assert(stream.sameElements(batch))
+    val byId = stream.map(r => r._1 -> r).toMap
+    assert(byId(1L)._2 == 1 && byId(1L)._5 == "mail me at <EMAIL> now")
+    assert(byId(2L)._4 == 1 && byId(2L)._3 == 1 &&
+      byId(2L)._5 == "see <URL> and id <NUM>")
+    assert(byId(3L)._5 == "nothing sensitive here")
+    q.stop()
+  }
+
+  test("streaming vocab counts accumulate across batches to the batch totals") {
+    val in = MemoryStream[Doc]
+    val q = DocStreams.vocabCounts(in.toDF())
+      .writeStream.format("memory").queryName("vc").outputMode("complete").start()
+    in.addData(Doc(1, "a b a", "en"), Doc(2, "b c", "en"))
+    q.processAllAvailable()
+    in.addData(Doc(3, "a c c d", "en"))
+    q.processAllAvailable()
+    val got = spark.table("vc").as[(String, Long)].collect().toMap
+    assert(got == Map("a" -> 3L, "b" -> 2L, "c" -> 3L, "d" -> 1L))
     q.stop()
   }
 }

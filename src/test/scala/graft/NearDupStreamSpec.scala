@@ -9,6 +9,7 @@ import java.sql.Timestamp
 import CommitFixtures.t
 
 case class SDoc(doc_id: Long, text: String, ts: Timestamp)
+case class SVec(vec_id: Long, embedding: Array[Float], ts: Timestamp)
 
 /** Streaming MinHash+LSH near-dup: per-row minhash is bit-identical
   * to the batch aggregate, matches fire for in-horizon near-dups via
@@ -83,6 +84,49 @@ class NearDupStreamSpec extends AnyFunSuite {
     in.addData(SDoc(2, "alpha beta gamma delta epsilon", t("2024-01-01T13:00:00Z")))
     q.processAllAvailable()
     assert(got().isEmpty, "doc 2 must become a fresh rep, not match doc 1")
+    q.stop()
+  }
+
+  test("srp stream: in-horizon similar vectors match with the exact batch cosine") {
+    val base = Array.tabulate(64)(i => (math.sin(i + 1) * 0.8).toFloat)
+    val close = base.map(x => (x * 1.001f))
+    val far = Array.tabulate(64)(i => (math.cos(7 * i + 3) * 0.8).toFloat)
+    val in = MemoryStream[SVec]
+    val q = NearDup.srpNearDupStream(in.toDF(), "1 hour").writeStream
+      .format("memory").queryName("srpnd").outputMode("append").start()
+    in.addData(SVec(1, base, t("2024-01-01T10:00:00Z")))
+    q.processAllAvailable()
+    in.addData(
+      SVec(2, close, t("2024-01-01T10:10:00Z")),
+      SVec(3, far, t("2024-01-01T10:20:00Z")))
+    q.processAllAvailable()
+    val got = spark.table("srpnd").as[(Long, Long, Double)].collect().toSet
+    assert(got.map(m => (m._1, m._2)) == Set((2L, 1L)),
+      s"expected only (2,1), got $got")
+    // the streamed score must equal the batch QuantizedCosine exactly
+    val batchCos = Seq((base, close)).toDF("a", "b")
+      .select(graft.functions.QuantizedCosine.quantizedCosine(col("a"), col("b")))
+      .as[Double].head()
+    assert(got.head._3 == batchCos, s"stream ${got.head._3} != batch $batchCos")
+    q.stop()
+  }
+
+  test("srp stream: representative expires after the horizon") {
+    val base = Array.tabulate(64)(i => (math.sin(2 * i + 1) * 0.6).toFloat)
+    val in = MemoryStream[SVec]
+    val q = NearDup.srpNearDupStream(in.toDF(), "1 hour").writeStream
+      .format("memory").queryName("srpexp").outputMode("append").start()
+    in.addData(SVec(10, base, t("2024-01-01T10:00:00Z")))
+    q.processAllAvailable()
+    // push the watermark far past the rep's horizon, then replay a dup
+    in.addData(SVec(11, base.map(-_), t("2024-01-01T20:00:00Z")))
+    q.processAllAvailable()
+    in.addData(SVec(12, base, t("2024-01-01T20:30:00Z")))
+    q.processAllAvailable()
+    val got = spark.table("srpexp").as[(Long, Long, Double)].collect().toSet
+    // doc 12 is identical to the EXPIRED rep 10 — no match against it
+    assert(!got.exists(m => m._1 == 12L && m._2 == 10L),
+      s"expired representative still matching: $got")
     q.stop()
   }
 }
