@@ -32,7 +32,8 @@ object TrainingPipeline {
       targetPerLang: Long = 100L,      // stratum cap, expected docs
       maxDupFrac: Double = 0.3,        // x26 repetition cutoff
       numShards: Long = 32L,           // sized so one shard ≈ one task
-      packLen: Long = 512L)            // context window, tokens
+      packLen: Long = 512L,            // context window, tokens
+      redactPii: Boolean = true)       // x32 scrub before any hashing
 
   /** Keep the min-doc_id representative of every exact token-set
     * class (x01/x02 semantics). One shuffle on the signature. */
@@ -66,6 +67,40 @@ object TrainingPipeline {
     DocStreams.stratifiedSample(docs,
         DocStreams.strataRates(docs, targetPerLang))
       .drop("bucket", "rate_pm")
+
+  /** PII-scrub the text column in place (x32 semantics — same regex
+    * constants and replacement order). Pure per-row projection; runs
+    * before any hashing stage so dedup classes and placement keys are
+    * computed over the text the trainer will actually see. */
+  def redact(docs: DataFrame): DataFrame =
+    docs.withColumn("text", Extensions.piiRedacted(col("text")))
+
+  /** Encode each surviving doc's tokens as vocabulary ids (x33
+    * semantics: x31's frequency-rank vocab, OOV → 0). The vocab is
+    * built from the SURVIVORS — constant-K, broadcast — and the ids
+    * ride along as an array column, position-aligned with the packed
+    * token stream. */
+  def encodeTokens(docs: DataFrame, vocabK: Int = 100,
+                   minCount: Long = 5L): DataFrame = {
+    val counts = docs.select(explode(split(col("text"), " ")).as("tok"))
+      .groupBy(col("tok")).agg(count(lit(1)).as("cnt"))
+      .filter(col("cnt") >= minCount)
+    val w = Window.orderBy(col("cnt").desc, col("tok"))
+    val vocab = counts.orderBy(col("cnt").desc, col("tok")).limit(vocabK)
+      .withColumn("tok_id", row_number().over(w).cast("long"))
+      .select(col("tok"), col("tok_id"))
+    // map-side: explode positions, broadcast-join the vocab, regroup
+    // in position order — the per-doc group is doc-length-bounded
+    val ids = docs
+      .select(col("doc_id"),
+        posexplode(split(col("text"), " ")).as(Seq("pos", "tok")))
+      .join(broadcast(vocab), Seq("tok"), "left_outer")
+      .groupBy(col("doc_id"))
+      .agg(transform(
+        array_sort(collect_list(struct(col("pos"), col("tok_id")))),
+        s => coalesce(s.getField("tok_id"), lit(0L))).as("tok_ids"))
+    docs.join(ids, "doc_id")
+  }
 
   /** Shuffle into training shards and pack into fixed-length context
     * windows (x27 + x23 semantics). The rank window and the
@@ -101,8 +136,9 @@ object TrainingPipeline {
     * that doubles the scan+shuffle cost). The survivors are the
     * natural pipeline checkpoint: dedup classes, not raw documents. */
   def prepare(docs: DataFrame, cfg: Config = Config()): DataFrame = {
+    val scrubbed = if (cfg.redactPii) redact(docs) else docs
     val survivors = qualityFilter(
-      decontaminate(exactDedup(docs), cfg.benchBigrams),
+      decontaminate(exactDedup(scrubbed), cfg.benchBigrams),
       cfg.maxDupFrac).persist()
     survivors.count()
     shuffleAndPack(stratifiedSample(survivors, cfg.targetPerLang),

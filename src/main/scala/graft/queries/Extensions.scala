@@ -1618,7 +1618,96 @@ object Extensions {
                 '$PiiNum', '<NUM>', 'g') AS redacted
             FROM staged ORDER BY 1,2,3,4,5"""))
 
+  // ---------------------------------------------------------------- x33
+  // Token-id encoding: map every token position to its vocabulary id
+  // (x31's rank; out-of-vocabulary → 0) — the text→ids step between
+  // corpus prep and the trainer. The vocab is CONSTANT-K by
+  // construction, so it broadcasts and the corpus side is explode +
+  // map-side hash join: text never shuffles, output is (doc_id, pos,
+  // tok_id) rows ready to group into id arrays per context window.
+  private val x33 = GateQuery(
+    "x33_token_ids",
+    (s, d) => {
+      val counts = Tables.documents(s, d)
+        .select(explode(split(col("text"), " ")).as("tok"))
+        .groupBy(col("tok")).agg(count(lit(1)).as("cnt"))
+        .filter(col("cnt") >= VocabMinCount)
+      val w = Window.orderBy(col("cnt").desc, col("tok"))
+      val vocab = counts.orderBy(col("cnt").desc, col("tok")).limit(VocabK)
+        .withColumn("tok_id", row_number().over(w).cast("long"))
+        .select(col("tok"), col("tok_id"))
+      val toks = Tables.documents(s, d)
+        .select(col("doc_id"),
+          posexplode(split(col("text"), " ")).as(Seq("pos", "tok")))
+      ordered(toks.join(broadcast(vocab), Seq("tok"), "left_outer")
+        .select(col("doc_id"), col("pos").cast("long").as("pos"),
+          coalesce(col("tok_id"), lit(0L)).as("tok_id")))
+    },
+    Some(s"""WITH c AS (
+              SELECT unnest(string_split(text, ' ')) AS tok FROM documents),
+            g AS (
+              SELECT tok, count(*) AS cnt FROM c
+              GROUP BY 1 HAVING count(*) >= $VocabMinCount),
+            v AS (
+              SELECT tok, CAST(rnk AS BIGINT) AS tok_id FROM (
+                SELECT tok, row_number() OVER (ORDER BY cnt DESC, tok) AS rnk
+                FROM g)
+              WHERE rnk <= $VocabK),
+            t AS (
+              SELECT doc_id, generate_subscripts(tk, 1) - 1 AS pos,
+                     unnest(tk) AS tok
+              FROM (SELECT doc_id, string_split(text, ' ') AS tk
+                    FROM documents))
+            SELECT t.doc_id, CAST(t.pos AS BIGINT) AS pos,
+                   COALESCE(v.tok_id, 0) AS tok_id
+            FROM t LEFT JOIN v ON v.tok = t.tok
+            ORDER BY 1,2,3"""))
+
+  // ---------------------------------------------------------------- x34
+  // Overlapping document chunking (RAG / embedding-prep): each doc is
+  // split into fixed-size token windows with a fixed stride; the last
+  // chunk may be short, and every chunk carries its md5 so downstream
+  // embedding jobs key on content. Pure per-row HOF arithmetic over
+  // the token array — one generator, no shuffle at any corpus size.
+  private val ChunkLen = 32
+  private val ChunkStride = 24
+  private val x34 = GateQuery(
+    "x34_chunk_overlap",
+    (s, d) => {
+      val staged = Tables.documents(s, d).select(
+        col("doc_id"), split(col("text"), " ").as("tk"))
+      // chunk starts: 0, stride, 2·stride, … while start < n_tok
+      // (ceil(n/stride) chunks; a doc shorter than one window yields
+      // exactly one chunk)
+      val chunks = staged.select(
+        col("doc_id"), size(col("tk")).cast("long").as("n_tok"),
+        posexplode(expr(
+          s"""transform(
+                sequence(0, cast(ceil(size(tk) / cast($ChunkStride as double)) as int) - 1),
+                i -> array_join(slice(tk, i * $ChunkStride + 1, $ChunkLen), ' '))"""))
+          .as(Seq("chunk_id", "chunk")))
+      ordered(chunks.select(
+        col("doc_id"), col("chunk_id").cast("long").as("chunk_id"),
+        col("n_tok"),
+        size(split(col("chunk"), " ")).cast("long").as("chunk_tok"),
+        md5(col("chunk")).as("chunk_md5")))
+    },
+    Some(s"""WITH staged AS (
+              SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+            chunks AS (
+              SELECT doc_id,
+                     CAST(len(tk) AS BIGINT) AS n_tok,
+                     i AS chunk_id,
+                     array_to_string(tk[i * $ChunkStride + 1 :
+                                        i * $ChunkStride + $ChunkLen], ' ') AS chunk
+              FROM staged,
+                   unnest(range(0, CAST(ceil(len(tk) / $ChunkStride.0) AS BIGINT))) AS u(i))
+            SELECT doc_id, CAST(chunk_id AS BIGINT) AS chunk_id, n_tok,
+                   CAST(len(string_split(chunk, ' ')) AS BIGINT) AS chunk_tok,
+                   md5(chunk) AS chunk_md5
+            FROM chunks ORDER BY 1,2,3,4,5"""))
+
   val all: Seq[GateQuery] = Seq(x01, x02, x03, x04, x05, x06, x07, x08, x09,
     x10, x11, x12, x13, x14, x15, x16, x17, x18, x19, x20, x21, x22, x23,
-    x24, x25, x26, x27, x28, x29, x30, x31, x32)
+    x24, x25, x26, x27, x28, x29, x30, x31, x32, x33, x34)
 }

@@ -133,4 +133,40 @@ class CorpusPrepOpsSpec extends AnyFunSuite {
       assert(red.contains("<NUM>"), s"customer $k: no placeholder: $red")
     }
   }
+
+  // ------------------------------------------------------------ tokens
+  test("x33: every in-vocab token gets its x31 rank; OOV gets 0; positions dense") {
+    val vocab = q("x31_vocab_topk").as[(String, Long, Long)].collect()
+      .map(r => r._1 -> r._3).toMap
+    val ids = q("x33_token_ids").as[(Long, Long, Long)].collect()
+    assert(ids.nonEmpty)
+    ids.groupBy(_._1).foreach { case (doc, rows) =>
+      val ps = rows.map(_._2).sorted
+      assert(ps.toSeq == (0L until ps.length).toSeq, s"doc $doc positions $ps")
+    }
+    // spot-check agreement with a direct re-derivation on one doc
+    val doc0 = Tables.documents(spark, Sf)
+      .filter(col("doc_id") === 0).select("text").as[String].head()
+    val expect = doc0.split(" ").map(t => vocab.getOrElse(t, 0L)).toSeq
+    val got = ids.filter(_._1 == 0L).sortBy(_._2).map(_._3).toSeq
+    assert(got == expect, s"doc 0: $got vs $expect")
+  }
+
+  test("x34: chunks tile each doc with the configured stride and window") {
+    val rows = q("x34_chunk_overlap").as[(Long, Long, Long, Long, String)].collect()
+    assert(rows.nonEmpty)
+    rows.groupBy(_._1).foreach { case (doc, rs) =>
+      val sorted = rs.sortBy(_._2)
+      val nTok = sorted.head._3
+      assert(sorted.map(_._2).toSeq == (0L until sorted.length).toSeq)
+      assert(sorted.length == math.ceil(nTok / 24.0).toLong, s"doc $doc")
+      sorted.dropRight(1).foreach { case (_, cid, _, chunkTok, _) =>
+        assert(chunkTok == 32 || cid * 24 + chunkTok == nTok,
+          s"doc $doc chunk $cid has $chunkTok tokens")
+      }
+      // every chunk is non-empty and the last covers the doc tail
+      val last = sorted.last
+      assert(last._4 >= 1 && last._2 * 24 + last._4 == nTok || last._4 == 32)
+    }
+  }
 }

@@ -86,4 +86,39 @@ class TrainingPipelineSpec extends AnyFunSuite {
     assert(plan.contains("InMemoryTableScan") || s.contains("InMemoryTableScan"),
       s"survivors not cached:\n$plan")
   }
+
+  test("redact stage scrubs PII before any hashing; clean text is untouched") {
+    val dirty = Seq(
+      (1L, "email me at a@b.co thanks", "en", "s0"),
+      (2L, "call 5551234567 today", "en", "s0"),
+      (3L, "all clean words here", "en", "s0")
+    ).toDF("doc_id", "text", "lang", "source")
+    val got = TrainingPipeline.redact(dirty)
+      .select("doc_id", "text").as[(Long, String)].collect().toMap
+    assert(got(1L) == "email me at <EMAIL> thanks")
+    assert(got(2L) == "call <NUM> today")
+    assert(got(3L) == "all clean words here")
+  }
+
+  test("encodeTokens aligns ids with the text token stream, OOV -> 0") {
+    val enc = TrainingPipeline.encodeTokens(out.select("doc_id", "text"),
+      vocabK = 100, minCount = 2L)
+    val rows = enc.select("doc_id", "text", "tok_ids")
+      .as[(Long, String, Seq[Long])].collect()
+    assert(rows.nonEmpty)
+    // rebuild the vocab the same way and check one-to-one alignment
+    val counts = scala.collection.mutable.Map.empty[String, Long]
+    rows.foreach(_._2.split(" ").foreach(t =>
+      counts(t) = counts.getOrElse(t, 0L) + 1))
+    val vocab = counts.toSeq.filter(_._2 >= 2L)
+      .sortBy { case (t, c) => (-c, t) }.take(100)
+      .zipWithIndex.map { case ((t, _), i) => t -> (i + 1L) }.toMap
+    rows.foreach { case (id, text, ids) =>
+      val toks = text.split(" ")
+      assert(ids.length == toks.length, s"doc $id length")
+      toks.zip(ids).foreach { case (t, got) =>
+        assert(got == vocab.getOrElse(t, 0L), s"doc $id token $t")
+      }
+    }
+  }
 }
