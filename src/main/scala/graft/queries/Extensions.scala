@@ -39,7 +39,17 @@ import org.apache.spark.sql.expressions.Window
   *    verifies candidates exactly; only verified pairs survive;
   *  - brute-force kNN broadcasts the (small) query set against the
   *    corpus — one pass, no shuffle; the IVF variant prunes the scan
-  *    to the probed cells' partitions.
+  *    to the probed cells' partitions;
+  *  - embedding near-dup has two scale paths: IVF cell equi-join
+  *    (x21) and SRP sign-bit banding (x29 — a native codegen'd
+  *    signature against a constant hyperplane matrix, no fitting);
+  *  - pair graphs collapse to clusters via connected components
+  *    (x30 — pointer-jumped label propagation, O(log diameter)
+  *    rounds, oracle-replayed as a recursive CTE);
+  *  - the trainer-facing steps (vocab x31, PII scrub x32, token ids
+  *    x33, chunking x34, packing x23, shuffle x27, mixing x28) are
+  *    per-row projections plus aggregations whose OUTPUT is constant-
+  *    or enum-sized and broadcasts back — corpus text never shuffles.
   */
 object Extensions {
 
@@ -1438,6 +1448,29 @@ object Extensions {
     }
   }
 
+  /** SRP candidate pairs from a (vec_id, band, bv) band table — the
+    * x22/x04 equi-join shape on the (band, byte) key. `maxBucket` is
+    * the same hot-bucket hygiene as [[lshCandidates]]: a degenerate
+    * embedding corpus (e.g. many zero-ish vectors whose sign dots all
+    * tie to ≥ 0) can pile one band byte into a quadratic bucket; above
+    * the cap the whole bucket is dropped, and its members keep
+    * co-occurring in their other bands' smaller buckets. The count
+    * window rides the exchange the join already needs. Default
+    * unlimited — the oracle replays uncapped semantics. */
+  private[graft] def srpCandidates(banded: DataFrame,
+                                   maxBucket: Int = Int.MaxValue): DataFrame = {
+    val pruned =
+      if (maxBucket == Int.MaxValue) banded
+      else banded.withColumn("__bn",
+          count(lit(1)).over(Window.partitionBy(col("band"), col("bv"))))
+        .filter(col("__bn") <= maxBucket).drop("__bn")
+    pruned.as("a").join(pruned.as("b"),
+        col("a.band") === col("b.band") && col("a.bv") === col("b.bv") &&
+          col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.vec_id").as("id_a"), col("b.vec_id").as("id_b"))
+      .distinct()
+  }
+
   private val x29 = GateQuery(
     "x29_dedup_srp",
     (s, d) => {
@@ -1451,11 +1484,7 @@ object Extensions {
             .as(Seq("band", "bv")))
         .persist()
       banded.count() // self-join side dedup — see lshCandidates
-      val cand = banded.as("a").join(banded.as("b"),
-          col("a.band") === col("b.band") && col("a.bv") === col("b.bv") &&
-            col("a.vec_id") < col("b.vec_id"))
-        .select(col("a.vec_id").as("id_a"), col("b.vec_id").as("id_b"))
-        .distinct()
+      val cand = srpCandidates(banded)
       val ea = Tables.embeddings(s, d)
         .select(col("vec_id").as("id_a"), col("embedding").as("ea"))
       val eb = Tables.embeddings(s, d)

@@ -169,4 +169,29 @@ class CorpusPrepOpsSpec extends AnyFunSuite {
       assert(last._4 >= 1 && last._2 * 24 + last._4 == nTok || last._4 == 32)
     }
   }
+
+  // ------------------------------------------------------ plans & skew
+  test("x29/x30 plans: candidates come from equi-joins, never a cross product") {
+    Seq("x29_dedup_srp", "x30_dedup_components").foreach { name =>
+      val plan = q(name).queryExecution.executedPlan.toString
+      assert(!plan.contains("CartesianProduct"), s"$name has a cartesian")
+      assert(!plan.contains("BroadcastNestedLoopJoin"), s"$name has a NLJ")
+    }
+  }
+
+  test("srpCandidates: hot band buckets above the cap are dropped whole") {
+    // five identical vectors land in ONE bucket per band; cap 3 drops
+    // every bucket, so no candidates survive — while a cap of 5 (or
+    // the unlimited default) admits all 10 ordered pairs
+    val v = Array.tabulate(64)(i => (math.sin(i + 1) * 0.5).toFloat)
+    val banded = (1L to 5L).toDF("vec_id")
+      .withColumn("embedding", typedLit(v.toSeq))
+      .select(col("vec_id"),
+        posexplode(graft.functions.SrpBands.srpBands(col("embedding")))
+          .as(Seq("band", "bv")))
+    val capped = Extensions.srpCandidates(banded, maxBucket = 3).count()
+    val open = Extensions.srpCandidates(banded).count()
+    assert(capped == 0, s"capped bucket emitted $capped pairs")
+    assert(open == 10, s"uncapped should emit C(5,2)=10 pairs, got $open")
+  }
 }
