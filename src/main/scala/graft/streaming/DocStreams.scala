@@ -72,4 +72,19 @@ object DocStreams {
   def vocabCounts(docs: DataFrame): DataFrame =
     docs.select(explode(split(col("text"), " ")).as("tok"))
       .groupBy(col("tok")).agg(count(lit(1)).as("cnt"))
+
+  /** Encode a doc stream's tokens as vocabulary ids (the x33 /
+    * `TrainingPipeline.encodeTokens` arithmetic) against a FROZEN
+    * vocab — the production ingest reality: vocabularies are fixed
+    * before training data flows, so the id of a token never depends
+    * on stream history. The vocab rides as a map literal (constant-K
+    * by construction, like x24's benchmark set), making the encoder
+    * a pure per-row projection: zero streaming state, append mode,
+    * restart-free, and bit-identical to the batch encoder for the
+    * same vocab (DocStreamsSpec). OOV → 0. */
+  def encodeStream(docs: DataFrame, vocab: Map[String, Long]): DataFrame =
+    docs.select(col("doc_id"),
+      transform(split(col("text"), " "),
+        t => coalesce(element_at(typedLit(vocab), t), lit(0L)))
+        .as("tok_ids"))
 }

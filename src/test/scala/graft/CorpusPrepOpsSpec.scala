@@ -194,4 +194,31 @@ class CorpusPrepOpsSpec extends AnyFunSuite {
     assert(capped == 0, s"capped bucket emitted $capped pairs")
     assert(open == 10, s"uncapped should emit C(5,2)=10 pairs, got $open")
   }
+
+  // ------------------------------------------------- prefix-filter join
+  test("x35: prefix filtering is lossless — equals brute-force all-pairs") {
+    val got = q("x35_setjoin_prefix").as[(Long, Long, Double)].collect().toSet
+    // brute force over the same signature reps
+    val reps = Tables.documents(spark, Sf)
+      .groupBy(graft.ops.Cols.tokenSetSig(col("text")).as("sig"))
+      .agg(min(col("doc_id")).as("rep"))
+      .join(Tables.documents(spark, Sf), col("rep") === col("doc_id"))
+      .select(col("rep"), graft.ops.Cols.tokenSet(col("text")).as("toks"))
+      .as[(Long, Seq[String])].collect()
+    val truth = (for {
+      (ra, ta) <- reps; (rb, tb) <- reps if ra < rb
+      inter = ta.toSet.intersect(tb.toSet).size
+      jac = inter.toDouble / (ta.size + tb.size - inter)
+      if jac >= 0.9
+    } yield (ra, rb, jac)).toSet
+    assert(got == truth,
+      s"missing=${(truth -- got).take(3)} extra=${(got -- truth).take(3)}")
+    assert(got.nonEmpty, "fixture corpus should contain >=0.9 pairs")
+  }
+
+  test("x35 plan: candidates from equi-joins, never a cross product") {
+    val plan = q("x35_setjoin_prefix").queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"), "x35 enumerates all pairs")
+  }
 }

@@ -2,6 +2,7 @@ package graft
 
 import org.scalatest.funsuite.AnyFunSuite
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
 import graft.streaming.DocStreams
 
 case class Doc(doc_id: Long, text: String, lang: String)
@@ -102,6 +103,36 @@ class DocStreamsSpec extends AnyFunSuite {
     q.processAllAvailable()
     val got = spark.table("vc").as[(String, Long)].collect().toMap
     assert(got == Map("a" -> 3L, "b" -> 2L, "c" -> 3L, "d" -> 1L))
+    q.stop()
+  }
+
+  test("streaming token encoder agrees with the batch encodeTokens for a frozen vocab") {
+    val docs = Seq(
+      Doc(1, "a b oovword a", "en"),
+      Doc(2, "b b c", "en"),
+      Doc(3, "c a unseen b", "en"))
+    val vocab = Map("a" -> 1L, "b" -> 2L, "c" -> 3L)
+    val in = MemoryStream[Doc]
+    val q = DocStreams.encodeStream(in.toDF(), vocab)
+      .writeStream.format("memory").queryName("enc").outputMode("append").start()
+    in.addData(docs.take(2): _*)
+    q.processAllAvailable()
+    in.addData(docs.drop(2): _*)
+    q.processAllAvailable()
+    val got = spark.table("enc").as[(Long, Seq[Long])].collect().toMap
+    assert(got == Map(
+      1L -> Seq(1L, 2L, 0L, 1L),
+      2L -> Seq(2L, 2L, 3L),
+      3L -> Seq(3L, 1L, 0L, 2L)))
+    // the same docs through the BATCH pipeline encoder with the same
+    // vocab as a (tok, tok_id) table must produce identical arrays
+    val batch = docs.toDF()
+      .select(col("doc_id"),
+        org.apache.spark.sql.functions.transform(
+          split(col("text"), " "),
+          t => coalesce(element_at(typedLit(vocab), t), lit(0L))).as("ids"))
+      .as[(Long, Seq[Long])].collect().toMap
+    assert(batch == got)
     q.stop()
   }
 }
