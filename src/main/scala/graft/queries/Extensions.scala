@@ -1774,9 +1774,15 @@ object Extensions {
       val dfTab = reps.select(col("rep"), explode(col("toks")).as("tok"))
         .groupBy(col("tok")).agg(count(lit(1)).as("df"))
       // global rare-first order: sort each set by (df, tok) and keep
-      // the prefix; broadcast the vocabulary-sized df table
+      // the prefix. Deliberately NO broadcast hint on the df table:
+      // it is VOCABULARY-sized (all distinct tokens — unbounded on
+      // real crawl data, the x04-round-2 forced-broadcast OOM shape),
+      // and both join sides are exchanged on `tok` (the df
+      // aggregation reads the same exploded table), so the shuffle
+      // join co-partitions naturally; size-gated AQE still picks
+      // broadcast when the vocabulary genuinely fits
       val otab = reps.select(col("rep"), explode(col("toks")).as("tok"))
-        .join(broadcast(dfTab), "tok")
+        .join(dfTab, "tok")
         .groupBy(col("rep"))
         .agg(transform(
           array_sort(collect_list(struct(col("df"), col("tok")))),
