@@ -1827,7 +1827,77 @@ object Extensions {
                 (len(a.toks) + len(b.toks) - len(list_intersect(a.toks, b.toks))) >= $PfJaccard
             ORDER BY 1,2,3"""))
 
+  // ---------------------------------------------------------------- x36
+  // Corpus-level boilerplate filter (C4-style): the K most frequent
+  // corpus bigrams are the boilerplate set; every doc reports what
+  // fraction of its distinct bigrams are boilerplate and is flagged
+  // above a cutoff. Distinct from x24 (fixed EXTERNAL benchmark set)
+  // and x26 (WITHIN-doc repetition): this catches template text
+  // repeated ACROSS documents. Same scale shape as x24/x31: the
+  // bigram count agg is map-side combined, the top-K is
+  // TakeOrderedAndProject, and the constant-K boilerplate set
+  // broadcasts — document text never shuffles; only hit rows reach
+  // the per-doc agg.
+  private val BoilerK = 20
+  private val BoilerMaxFrac = 0.5
+  private val x36 = GateQuery(
+    "x36_boilerplate",
+    (s, d) => {
+      // Stage the bigram arrays ONCE, repartitioned off the scan: the
+      // sf parquet is a single split, and the bigram HOF is the
+      // per-row cost — without the repartition the whole corpus
+      // tokenizes serially in one task (measured 10.5 s vs 2.3 s),
+      // and without the persist the top-K broadcast subtree and the
+      // corpus side each recompute it (the x14 racing-consumers
+      // pitfall). At real scale the scan has many splits and the
+      // repartition is unnecessary but harmless (one narrow-row
+      // shuffle of raw text).
+      val bgs = Tables.documents(s, d)
+        .repartition(col("doc_id"))
+        .select(col("doc_id"), bigramsExpr.as("bgs"))
+        .persist()
+      bgs.count()
+      val top = bgs.select(explode(col("bgs")).as("bg"))
+        .groupBy(col("bg")).agg(count(lit(1)).as("cnt"))
+        .orderBy(col("cnt").desc, col("bg")).limit(BoilerK)
+        .select(col("bg"))
+      val corp = bgs.select(col("doc_id"),
+          size(col("bgs")).cast("long").as("n_bg"),
+          explode(col("bgs")).as("bg"))
+      // bigrams are distinct within a doc, so count(1) = distinct hits
+      val hits = corp.join(broadcast(top), "bg")
+        .groupBy(col("doc_id"), col("n_bg"))
+        .agg(count(lit(1)).as("n_boiler"))
+      ordered(hits
+        .withColumn("frac", col("n_boiler").cast("double") / col("n_bg"))
+        .withColumn("flagged", col("frac") > BoilerMaxFrac)
+        .select(col("doc_id"), col("n_bg"), col("n_boiler"), col("frac"),
+          col("flagged")))
+    },
+    Some(s"""WITH tks AS (
+              SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+            bgs AS (
+              SELECT doc_id, $duckBigrams AS bgl FROM tks),
+            cnts AS (
+              SELECT bg, count(*) AS cnt
+              FROM (SELECT doc_id, unnest(bgl) AS bg FROM bgs)
+              GROUP BY 1),
+            top AS (
+              SELECT bg FROM cnts ORDER BY cnt DESC, bg LIMIT $BoilerK),
+            corp AS (
+              SELECT doc_id, CAST(len(bgl) AS BIGINT) AS n_bg,
+                     unnest(bgl) AS bg
+              FROM bgs),
+            hits AS (
+              SELECT c.doc_id, c.n_bg, count(*) AS n_boiler
+              FROM corp c JOIN top t ON t.bg = c.bg
+              GROUP BY 1, 2)
+            SELECT doc_id, n_bg, n_boiler,
+                   CAST(n_boiler AS DOUBLE) / n_bg AS frac,
+                   CAST(n_boiler AS DOUBLE) / n_bg > $BoilerMaxFrac AS flagged
+            FROM hits ORDER BY 1,2,3,4,5"""))
+
   val all: Seq[GateQuery] = Seq(x01, x02, x03, x04, x05, x06, x07, x08, x09,
     x10, x11, x12, x13, x14, x15, x16, x17, x18, x19, x20, x21, x22, x23,
-    x24, x25, x26, x27, x28, x29, x30, x31, x32, x33, x34, x35)
+    x24, x25, x26, x27, x28, x29, x30, x31, x32, x33, x34, x35, x36)
 }

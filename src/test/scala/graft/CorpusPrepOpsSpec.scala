@@ -221,4 +221,32 @@ class CorpusPrepOpsSpec extends AnyFunSuite {
     assert(!plan.contains("CartesianProduct") &&
       !plan.contains("BroadcastNestedLoopJoin"), "x35 enumerates all pairs")
   }
+
+  // ------------------------------------------------------- boilerplate
+  test("x36: agrees with a direct top-K re-derivation; flag follows frac") {
+    val rows = q("x36_boilerplate").as[(Long, Long, Long, Double, Boolean)]
+      .collect()
+    assert(rows.nonEmpty)
+    // independent re-derivation of the boilerplate set and hit counts
+    val docs = Tables.documents(spark, Sf)
+      .select(col("doc_id"), col("text")).as[(Long, String)].collect()
+    def bgs(t: String) = {
+      val tk = t.split(" ")
+      tk.zip(tk.drop(1)).map { case (a, b) => s"$a $b" }.distinct
+    }
+    val counts = scala.collection.mutable.Map.empty[String, Long]
+    docs.foreach(d => bgs(d._2).foreach(b =>
+      counts(b) = counts.getOrElse(b, 0L) + 1))
+    val top = counts.toSeq.sortBy { case (b, c) => (-c, b) }.take(20)
+      .map(_._1).toSet
+    val expect = docs.flatMap { case (id, t) =>
+      val all = bgs(t); val hit = all.count(top)
+      if (hit > 0)
+        Some((id, all.length.toLong, hit.toLong,
+          hit.toDouble / all.length, hit.toDouble / all.length > 0.5))
+      else None
+    }.toSet
+    assert(rows.toSet == expect,
+      s"missing=${(expect -- rows.toSet).take(2)} extra=${(rows.toSet -- expect).take(2)}")
+  }
 }

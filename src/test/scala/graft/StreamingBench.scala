@@ -80,7 +80,10 @@ object StreamingBench {
       run(s"sessions_30m[$p]", EventStreams.userSessions, "append")
       runJoin(s"interval_join[$p]")
       runNearDup(s"neardup_lsh[$p]")
+      runSrpNearDup(s"neardup_srp[$p]")
     }
+    // stateless ops once (no state store involved)
+    runRedact("pii_redact[stateless]")
     spark.stop()
 
     // streaming near-dup over the real documents corpus (synthetic
@@ -100,6 +103,43 @@ object StreamingBench {
       val sec = (System.nanoTime() - t0) / 1e9
       sq.stop()
       println(f"$name%-22s ${docs.length / sec}%,10.0f docs/s  ($sec%.2f s, ${docs.length} docs)")
+    }
+
+    // streaming SRP near-dup over the real embeddings (synthetic
+    // ascending timestamps): native per-row signature + band-state
+    // lookup holding the rep's quantized vector
+    def runSrpNearDup(name: String): Unit = {
+      val vecs = Tables.embeddings(spark, sfDir)
+        .select($"vec_id", $"embedding").as[(Long, Array[Float])].collect()
+        .map { case (id, v) =>
+          SVec(id, v, new java.sql.Timestamp(1700000000000L + id * 1000)) }
+        .sortBy(_.ts.getTime).toSeq
+      val in = MemoryStream[SVec]
+      val sq = graft.streaming.NearDup.srpNearDupStream(in.toDF(), "1 hour")
+        .writeStream.format("noop").outputMode("append").start()
+      val t0 = System.nanoTime()
+      vecs.grouped(500).foreach { c => in.addData(c); sq.processAllAvailable() }
+      val sec = (System.nanoTime() - t0) / 1e9
+      sq.stop()
+      println(f"$name%-22s ${vecs.length / sec}%,10.0f vecs/s  ($sec%.2f s, ${vecs.length} vecs)")
+    }
+
+    // stateless PII redaction over customer-shaped records
+    def runRedact(name: String): Unit = {
+      val recs = Tables.customer(spark, sfDir)
+        .select($"c_custkey".as("doc_id"),
+          org.apache.spark.sql.functions.concat($"c_name",
+            org.apache.spark.sql.functions.lit(" segment="),
+            $"c_mktsegment").as("rec"))
+        .as[(Long, String)].collect().map { case (id, r) => Rec(id, r) }.toSeq
+      val in = MemoryStream[Rec]
+      val sq = graft.streaming.DocStreams.redactRecords(in.toDF())
+        .writeStream.format("noop").outputMode("append").start()
+      val t0 = System.nanoTime()
+      recs.grouped(5000).foreach { c => in.addData(c); sq.processAllAvailable() }
+      val sec = (System.nanoTime() - t0) / 1e9
+      sq.stop()
+      println(f"$name%-22s ${recs.length / sec}%,10.0f recs/s  ($sec%.2f s, ${recs.length} recs)")
     }
   }
 }
