@@ -33,6 +33,12 @@ class GraftExtensionsSpec extends AnyFunSuite {
         .collect().head.getLong(0)
       // two identical hashes: bits 0,1 voted up twice, rest down -> 3
       assert(sh == 3L)
+      val srp = s2.sql(
+        "SELECT srp_bands(array_repeat(CAST(0.5 AS FLOAT), 64)) AS b")
+        .collect().head.getSeq[Long](0)
+      // 8 band bytes in range; value pinned bit-identical to the HOF
+      // construction by SrpBandsSpec — here just resolution + shape
+      assert(srp.length == 8 && srp.forall(b => b >= 0 && b <= 255))
     } finally {
       SparkSession.setActiveSession(shared)
       SparkSession.setDefaultSession(shared)
