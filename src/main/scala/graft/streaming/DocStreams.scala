@@ -87,4 +87,23 @@ object DocStreams {
       transform(split(col("text"), " "),
         t => coalesce(element_at(typedLit(vocab), t), lit(0L)))
         .as("tok_ids"))
+
+  /** Chunk a doc stream into overlapping token windows (the x34
+    * arithmetic: fixed window/stride, last chunk short, content md5
+    * per chunk) — one stateless generator per row, append mode; an
+    * embedding job keys downstream work on `chunk_md5`. */
+  def chunkStream(docs: DataFrame, chunkLen: Int = 32,
+                  stride: Int = 24): DataFrame =
+    docs
+      .select(col("doc_id"), split(col("text"), " ").as("tk"))
+      .select(col("doc_id"), size(col("tk")).cast("long").as("n_tok"),
+        posexplode(expr(
+          s"""transform(
+                sequence(0, cast(ceil(size(tk) / cast($stride as double)) as int) - 1),
+                i -> array_join(slice(tk, i * $stride + 1, $chunkLen), ' '))"""))
+          .as(Seq("chunk_id", "chunk")))
+      .select(col("doc_id"), col("chunk_id").cast("long").as("chunk_id"),
+        col("n_tok"),
+        size(split(col("chunk"), " ")).cast("long").as("chunk_tok"),
+        md5(col("chunk")).as("chunk_md5"))
 }

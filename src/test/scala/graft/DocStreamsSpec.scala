@@ -135,4 +135,29 @@ class DocStreamsSpec extends AnyFunSuite {
     assert(batch == got)
     q.stop()
   }
+
+  test("streaming chunker agrees with the batch x34 arithmetic") {
+    val docs = Seq(
+      Doc(1, (1 to 50).map(i => s"w$i").mkString(" "), "en"), // 3 chunks
+      Doc(2, "short doc", "en"))                              // 1 chunk
+    val in = MemoryStream[Doc]
+    val q = DocStreams.chunkStream(in.toDF())
+      .writeStream.format("memory").queryName("ck").outputMode("append").start()
+    in.addData(docs: _*)
+    q.processAllAvailable()
+    val got = spark.table("ck")
+      .as[(Long, Long, Long, Long, String)].collect()
+      .groupBy(_._1).view.mapValues(_.sortBy(_._2)).toMap
+    // doc 1: 50 tokens, stride 24 -> ceil(50/24)=3 chunks of 32/26/2
+    assert(got(1L).map(_._4).toSeq == Seq(32L, 26L, 2L))
+    assert(got(1L).map(_._2).toSeq == Seq(0L, 1L, 2L))
+    assert(got(1L).forall(_._3 == 50L))
+    // doc 2: one short chunk covering the whole doc
+    assert(got(2L).map(r => (r._2, r._4)).toSeq == Seq((0L, 2L)))
+    // chunk text round-trips through md5 identically to a batch run
+    val batch = DocStreams.chunkStream(docs.toDF())
+      .as[(Long, Long, Long, Long, String)].collect().sortBy(r => (r._1, r._2))
+    assert(batch.sameElements(got.values.flatten.toArray.sortBy(r => (r._1, r._2))))
+    q.stop()
+  }
 }
