@@ -691,12 +691,22 @@ object Extensions {
   // Same LSH machinery as x04 over bigram shingles (seed-prefixed so
   // the hash family is independent), exact set-intersection verify.
   private val NgramThreshold = 0.8
-  /** Distinct token bigrams of `text`: zip the token array with its
-    * own shift-by-one — split() is evaluated per ROW here; the
-    * element_at(split(...), i) lambda formulation re-tokenizes the
-    * whole text once per element (O(len²) per doc, measured 10x
-    * slower end to end). Shared by x14 and x24. */
-  private[graft] val bigramsExpr = expr(
+  /** Distinct token bigrams of `text` — the native fused
+    * [[graft.functions.TokenBigrams]] expression (one split, one
+    * shingling pass in generated code). Shared by x14/x24/x26/x36 and
+    * the doc streams; bit-identical to [[bigramsHofExpr]]
+    * (TokenBigramsSpec). */
+  private[graft] val bigramsExpr: Column =
+    graft.functions.TokenBigrams.tokenBigrams(col("text"))
+
+  /** The built-in-HOF reference construction bigramsExpr replaced:
+    * zip the token array with its own shift-by-one. (The earlier
+    * element_at(split(...), i) lambda formulation re-tokenized the
+    * whole text once per element — O(len²) per doc, measured 10x
+    * slower end to end.) Kept as the spec's equality baseline; the
+    * oracle replays the same arithmetic as a DuckDB list
+    * comprehension. */
+  private[graft] val bigramsHofExpr = expr(
     """array_distinct(zip_with(
          slice(split(text, ' '), 1, size(split(text, ' ')) - 1),
          slice(split(text, ' '), 2, size(split(text, ' ')) - 1),

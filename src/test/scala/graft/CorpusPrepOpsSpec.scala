@@ -249,4 +249,37 @@ class CorpusPrepOpsSpec extends AnyFunSuite {
     assert(rows.toSet == expect,
       s"missing=${(expect -- rows.toSet).take(2)} extra=${(rows.toSet -- expect).take(2)}")
   }
+
+  test("cc: equals a union-find reference on random graphs (property)") {
+    import org.scalacheck.{Gen, Prop, Test => SCTest}
+    val genGraph = for {
+      n <- Gen.choose(2, 24)
+      m <- Gen.choose(0, 30)
+      edges <- Gen.listOfN(m, for {
+        a <- Gen.choose(1L, n.toLong); b <- Gen.choose(1L, n.toLong)
+        if a != b
+      } yield (a, b))
+    } yield (n.toLong, edges)
+    val prop = Prop.forAll(genGraph) { case (n, edges) =>
+      // reference: classic union-find with min-root canonicalization
+      val parent = scala.collection.mutable.Map((1L to n).map(i => i -> i): _*)
+      def find(x: Long): Long = {
+        var r = x; while (parent(r) != r) r = parent(r); r
+      }
+      edges.foreach { case (a, b) =>
+        val (ra, rb) = (find(a), find(b))
+        if (ra != rb) { val lo = math.min(ra, rb); parent(math.max(ra, rb)) = lo }
+      }
+      val expect = (1L to n).map(i => i -> find(find(i))).toMap
+      // min-root canonical: find twice after all unions collapses paths
+      val canon = expect.map { case (k, _) => k -> find(k) }
+      val got = ConnectedComponents.label(
+        (1L to n).toDF("id"),
+        edges.toDF("src", "dst"))
+        .as[(Long, Long)].collect().toMap
+      got == canon
+    }
+    val res = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(30), prop)
+    assert(res.passed, res.status.toString)
+  }
 }
