@@ -58,22 +58,27 @@ object ConnectedComponents {
     var changed = 1L
     var round = 0
     while (changed > 0 && round < maxRounds) {
+      // the previous label rides the union as `old` (null on the
+      // edge arm; every id has exactly one labels-arm row, so
+      // max(old) recovers it through the aggregation) — the
+      // convergence check then needs no extra join, and reads the
+      // already-checkpointed blocks: one job per round, two joins
       val viaEdge = sym
         .join(labels, sym("src") === labels("id"))
-        .select(col("dst").as("id"), col("lbl"))
-      val mins = labels.select(col("id"), col("lbl")).union(viaEdge)
-        .groupBy(col("id")).agg(min(col("lbl")).as("lbl"))
+        .select(col("dst").as("id"), col("lbl"),
+          lit(null).cast(labels.schema("lbl").dataType).as("old"))
+      val mins = labels
+        .select(col("id"), col("lbl"), col("lbl").as("old"))
+        .union(viaEdge)
+        .groupBy(col("id"))
+        .agg(min(col("lbl")).as("lbl"), max(col("old")).as("old"))
       // pointer jump: follow the label one more hop (labels always
       // point at node ids, so the inner self-join is total) — this
       // doubles propagation distance per round, making rounds
-      // logarithmic in the diameter instead of linear. The previous
-      // label rides along as `old` so the convergence check is a
-      // filter over the already-checkpointed blocks — one job per
-      // round, not two.
+      // logarithmic in the diameter instead of linear
       val jumped = mins
         .join(mins.select(col("id").as("lbl"), col("lbl").as("lbl2")), "lbl")
-        .select(col("id"), col("lbl2").as("lbl"))
-        .join(labels.select(col("id"), col("lbl").as("old")), "id")
+        .select(col("id"), col("lbl2").as("lbl"), col("old"))
         .localCheckpoint(true)
       changed = jumped.filter(col("lbl") =!= col("old")).count()
       labels = jumped.select(col("id"), col("lbl"))
