@@ -83,7 +83,16 @@ object Cols {
   def tokenSet(text: Column): Column =
     array_sort(array_distinct(split(text, " ")))
 
-  /** Canonical token-set signature for exact near-dup grouping. */
+  /** Canonical token-set signature for exact near-dup grouping — the
+    * native fused [[graft.functions.TokenSetSig]] expression (one
+    * split + tree-set + digest pass); bit-identical to
+    * [[tokenSetSigHof]] (TokenSetSigSpec), which the DuckDB oracles
+    * replay. */
   def tokenSetSig(text: Column): Column =
+    graft.functions.TokenSetSig.tokenSetSig(text)
+
+  /** The built-in composition the native signature replaced — kept as
+    * the spec's equality baseline. */
+  def tokenSetSigHof(text: Column): Column =
     md5(array_join(tokenSet(text), " "))
 }
