@@ -236,8 +236,15 @@ object Extensions {
 
   /** The hashed 64-bit token-set bitmask as a standalone column
     * (the [[docMasksOf]] construction) — usable in a streaming
-    * projection. */
+    * projection. Native fused [[graft.functions.TokenMask]]
+    * expression; bit-identical to [[maskHofExpr]] (TokenMaskSpec). */
   private[graft] val maskExpr: Column =
+    graft.functions.TokenMask.tokenMask(col("text"))
+
+  /** The built-in-HOF construction maskExpr replaced — kept as the
+    * spec's equality baseline; the oracle replays the same
+    * arithmetic (duckMasksCte). */
+  private[graft] val maskHofExpr: Column =
     expr("""aggregate(
          transform(array_sort(array_distinct(split(text, ' '))),
            w -> shiftleft(CAST(1 AS BIGINT),
