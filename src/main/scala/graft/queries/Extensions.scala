@@ -197,6 +197,25 @@ object Extensions {
     val h = toks.withColumn("h", hex32(md5(concat(lit(prefix), col("tok")))))
     val mh = h.groupBy(col("rep"))
       .agg(graft.functions.MinHashAgg.minhashAgg(col("h"), NumMinhash).as("mhs"))
+    bandsOf(mh)
+  }
+
+  /** The zero-shuffle band table: per-row fused minhash over a
+    * shingle ARRAY column (`rep`, `arr`) via the native
+    * [[graft.functions.MinHashArr]] — no explode, no aggregation; the
+    * LSH pipeline's first wide op becomes the candidate join itself.
+    * Shingle-less rows (empty array → null minima) drop out exactly
+    * as they never produced aggregate rows in [[bandTable]]
+    * (MinHashArrSpec pins band-table equality). */
+  private[graft] def bandTableArr(reps: DataFrame, prefix: String): DataFrame =
+    bandsOf(reps
+      .select(col("rep"),
+        graft.functions.MinHashArr.minhashArr(col("arr"), prefix).as("mhs"))
+      .filter(col("mhs").isNotNull))
+
+  /** Slice a (`rep`, `mhs`) minhash table into the (band, k0..k3)
+    * equi-join shape. */
+  private def bandsOf(mh: DataFrame): DataFrame = {
     val bandStructs = (0 until NumBands).map { b =>
       struct((0 until BandRows).map(j =>
         element_at(col("mhs"), BandRows * b + j + 1).as(s"k$j")): _*)
@@ -360,12 +379,20 @@ object Extensions {
     * Jaccard verify. @return (rep_a, rep_b, jac), rep_a < rep_b. */
   private def verifiedMinhashPairs(s: SparkSession, d: String,
                                    sigs: DataFrame): DataFrame = {
-    val repToks = sigs
-      .join(Tables.documents(s, d), col("rep") === col("doc_id"))
-      .select(col("rep"), explode(tokenSet(col("text"))).as("tok"))
+    // tokenSet depends only on documents.text, so without the
+    // repartition barrier Catalyst pushes the (heavy) array + minhash
+    // projection below the join into the documents BROADCAST subtree
+    // — which is the 1-split scan, i.e. one serial task (measured
+    // 0.9 s → 2.6 s when it happened). The narrow repartition keeps
+    // the per-row signature work spread across the cluster.
+    val docArrs = Tables.documents(s, d)
+      .repartition(col("doc_id"))
+      .select(col("doc_id"), tokenSet(col("text")).as("arr"))
+    val repArrs = sigs.join(docArrs, col("rep") === col("doc_id"))
+      .select(col("rep"), col("arr"))
     // the self-join reads the band table twice and AQE does not reuse
     // the stage (see lshCandidates) — materialize it once
-    val banded = bandTable(repToks, "t:").persist()
+    val banded = bandTableArr(repArrs, "t:").persist()
     banded.count()
     val cand = lshCandidates(banded)
     val ma = broadcast(sigs.select(col("rep").as("rep_a"), col("mask").as("mask_a")))
@@ -750,8 +777,8 @@ object Extensions {
         .select(col("rep"), bigramsExpr.as("bgs"))
         .persist()
       reps.count()
-      val banded = bandTable(
-        reps.select(col("rep"), explode(col("bgs")).as("tok")), "b:").persist()
+      val banded = bandTableArr(
+        reps.select(col("rep"), col("bgs").as("arr")), "b:").persist()
       banded.count() // self-join side dedup — see lshCandidates
       val cand = lshCandidates(banded).persist()
       cand.count()
