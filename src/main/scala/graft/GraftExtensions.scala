@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.SparkSessionExtensions
-import graft.functions.{MinHashAgg, QuantizedCosine, SimHashAgg, SrpBands, TokenBigrams, TokenMask, TokenSetSig}
+import graft.functions.{MinHashAgg, QuantizedCosine, SimHashAgg, SimHashArr, SrpBands, TokenBigrams, TokenMask, TokenSetSig}
 
 /** SparkSessionExtensions entry point: makes graft's native
   * expressions available in any session via configuration —

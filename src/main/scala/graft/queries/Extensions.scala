@@ -444,13 +444,15 @@ object Extensions {
   // independent 32-column construction.
   private val x05 = GateQuery(
     "x05_simhash",
-    (s, d) => {
-      val th = Tables.documents(s, d)
-        .select(col("doc_id"), explode(tokenSet(col("text"))).as("tok"))
-        .withColumn("h", hex32(md5(col("tok"))))
-      ordered(th.groupBy(col("doc_id"))
-        .agg(graft.functions.SimHashAgg.simhashAgg(col("h")).as("simhash")))
-    },
+    (s, d) =>
+      // per-row fused signature (SimHashArr) — no explode, no agg
+      // shuffle; repartitioned off the 1-split scan so the digest
+      // work parallelizes (the x36 pitfall)
+      ordered(Tables.documents(s, d)
+        .repartition(col("doc_id"))
+        .select(col("doc_id"),
+          graft.functions.SimHashArr.simhashArr(tokenSet(col("text")))
+            .as("simhash"))),
     Some {
       val bitSums = (0 until 32).map { b =>
         s"SUM(CASE WHEN (h >> $b) & 1 = 1 THEN 1 ELSE -1 END) AS b$b"
@@ -1130,12 +1132,17 @@ object Extensions {
     (s, d) => {
       val sigs = sigTable(s, d).persist()
       sigs.count() // eager: consumers race on a cold cache (see x14)
+      // per-row fused signature over a repartitioned documents side
+      // (the one-sided-projection pushdown pitfall — see
+      // verifiedMinhashPairs)
+      val docSh = Tables.documents(s, d)
+        .repartition(col("doc_id"))
+        .select(col("doc_id"),
+          graft.functions.SimHashArr.simhashArr(tokenSet(col("text")))
+            .as("sh"))
       val sh = sigs
-        .join(Tables.documents(s, d), col("rep") === col("doc_id"))
-        .select(col("rep"), explode(tokenSet(col("text"))).as("tok"))
-        .withColumn("h", hex32(md5(col("tok"))))
-        .groupBy(col("rep"))
-        .agg(graft.functions.SimHashAgg.simhashAgg(col("h")).as("sh"))
+        .join(docSh, col("rep") === col("doc_id"))
+        .select(col("rep"), col("sh"))
         .persist()
       sh.count() // three consumers (banded + both verify sides)
       val banded = (0 until SimHashBands).map { j =>
