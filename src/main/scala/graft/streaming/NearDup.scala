@@ -43,12 +43,16 @@ object NearDup {
     java.lang.Long.bitCount(a & b).toDouble / java.lang.Long.bitCount(a | b)
 
   /** Band-keyed stream of (band_key, doc_id, mask, ts) from a doc
-    * stream with (doc_id, text, ts) columns. */
+    * stream with (doc_id, text, ts) columns. The minhash is the same
+    * native per-row [[graft.functions.MinHashArr]] the batch band
+    * tables use (tokenSet is never empty — any text has at least one
+    * token — so the null-for-empty contract never fires here);
+    * NearDupStreamSpec pins bit-identity with the aggregate family. */
   private[graft] def banded(docs: DataFrame, horizon: String): Dataset[BandDoc] = {
     import docs.sparkSession.implicits._
     docs
-      .withColumn("hs", Extensions.baseHashes(col("text"), "t:"))
-      .withColumn("mhs", Extensions.minhashOf(col("hs")))
+      .withColumn("mhs", graft.functions.MinHashArr.minhashArr(
+        graft.ops.Cols.tokenSet(col("text")), "t:"))
       .withColumn("mask", Extensions.maskExpr)
       .select(explode(Extensions.bandKeysOf(col("mhs"))).as("band_key"),
         col("doc_id"), col("mask"), col("ts"))
