@@ -1,7 +1,9 @@
 package graft
 
 import org.apache.spark.sql.SparkSessionExtensions
-import graft.functions.{MinHashAgg, QuantizedCosine, SimHashAgg, SimHashArr, SrpBands, TokenBigrams, TokenMask, TokenSetSig}
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
+import graft.functions.{MinHashAgg, MinHashArr, QuantizedCosine, SimHashAgg, SimHashArr, SrpBands, TokenBigrams, TokenMask, TokenSetSig}
 
 /** SparkSessionExtensions entry point: makes graft's native
   * expressions available in any session via configuration —
@@ -9,34 +11,48 @@ import graft.functions.{MinHashAgg, QuantizedCosine, SimHashAgg, SimHashArr, Srp
   * the standard deployment route for cluster-wide custom functions
   * (no code changes in user jobs; `SELECT quantized_cosine(a, b)`
   * and `SELECT minhash_agg(h) ... GROUP BY ...` just resolve).
+  *
+  * EVERY graft native is injected here — the per-object
+  * `register(spark)` helpers cover ad-hoc sessions, but the extension
+  * is the single source of truth for what SQL resolves, so the
+  * surface cannot depend on which helper a session happened to call.
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
+
+  private def inject(ext: SparkSessionExtensions, name: String,
+                     clazz: Class[_], builder: Seq[Expression] => Expression): Unit =
+    ext.injectFunction((
+      new FunctionIdentifier(name),
+      new ExpressionInfo(clazz.getName, name),
+      builder))
+
   override def apply(ext: SparkSessionExtensions): Unit = {
-    ext.injectFunction((
-      new org.apache.spark.sql.catalyst.FunctionIdentifier("quantized_cosine"),
-      new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
-        classOf[QuantizedCosine].getName, "quantized_cosine"),
-      (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
-        QuantizedCosine(exprs(0), exprs(1))))
-    ext.injectFunction((
-      new org.apache.spark.sql.catalyst.FunctionIdentifier("minhash_agg"),
-      new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
-        classOf[MinHashAgg].getName, "minhash_agg"),
-      // aggregate builders return the AggregateFunction itself — the
-      // analyzer wraps it in an AggregateExpression
-      (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
-        MinHashAgg(exprs.head)))
-    ext.injectFunction((
-      new org.apache.spark.sql.catalyst.FunctionIdentifier("simhash_agg"),
-      new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
-        classOf[SimHashAgg].getName, "simhash_agg"),
-      (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
-        SimHashAgg(exprs.head)))
-    ext.injectFunction((
-      new org.apache.spark.sql.catalyst.FunctionIdentifier("srp_bands"),
-      new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
-        classOf[SrpBands].getName, "srp_bands"),
-      (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
-        SrpBands(exprs.head)))
+    inject(ext, "quantized_cosine", classOf[QuantizedCosine],
+      exprs => QuantizedCosine(exprs(0), exprs(1)))
+    // aggregate builders return the AggregateFunction itself — the
+    // analyzer wraps it in an AggregateExpression
+    inject(ext, "minhash_agg", classOf[MinHashAgg],
+      exprs => MinHashAgg(exprs.head))
+    inject(ext, "simhash_agg", classOf[SimHashAgg],
+      exprs => SimHashAgg(exprs.head))
+    inject(ext, "srp_bands", classOf[SrpBands],
+      exprs => SrpBands(exprs.head))
+    inject(ext, "token_bigrams", classOf[TokenBigrams],
+      exprs => TokenBigrams(exprs.head))
+    inject(ext, "token_mask", classOf[TokenMask],
+      exprs => TokenMask(exprs.head))
+    inject(ext, "token_set_sig", classOf[TokenSetSig],
+      exprs => TokenSetSig(exprs.head))
+    inject(ext, "simhash_arr", classOf[SimHashArr],
+      exprs => SimHashArr(exprs.head))
+    // minhash_arr(arr, 'prefix') — the hash-family prefix must be a
+    // string literal (it is burned into the expression instance)
+    inject(ext, "minhash_arr", classOf[MinHashArr], {
+      case Seq(arr) => MinHashArr(arr, "")
+      case Seq(arr, Literal(p: org.apache.spark.unsafe.types.UTF8String, _)) =>
+        MinHashArr(arr, p.toString)
+      case exprs => throw new IllegalArgumentException(
+        s"minhash_arr(array<string>[, prefix-literal]) — got ${exprs.length} args")
+    })
   }
 }

@@ -47,11 +47,7 @@ case class MinHashArr(child: Expression, prefix: String)
   override def eval(input: org.apache.spark.sql.catalyst.InternalRow): Any = {
     val v = child.eval(input)
     if (v == null) null
-    else {
-      val arr = v.asInstanceOf[ArrayData]
-      if (arr.numElements() == 0) null
-      else MinHashArr.compute(arr, prefixBytes)
-    }
+    else MinHashArr.compute(v.asInstanceOf[ArrayData], prefixBytes)
   }
 
   override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
@@ -61,10 +57,10 @@ case class MinHashArr(child: Expression, prefix: String)
       ${childGen.code}
       boolean ${ev.isNull} = true;
       org.apache.spark.sql.catalyst.util.ArrayData ${ev.value} = null;
-      if (!${childGen.isNull} && ${childGen.value}.numElements() > 0) {
-        ${ev.isNull} = false;
+      if (!${childGen.isNull}) {
         ${ev.value} = graft.functions.MinHashArr$$.MODULE$$.compute(
           ${childGen.value}, $pfx);
+        ${ev.isNull} = ${ev.value} == null;
       }""")
   }
 
@@ -78,12 +74,20 @@ object MinHashArr {
   private def a(i: Int): Long = 1000003L + 2L * i
   private def b(i: Int): Long = 12345L + 7919L * i
 
+  /** Null when no non-null element exists (empty or all-null array) —
+    * the aggregate path's "no shingle rows" absence; a non-null
+    * degenerate minima vector would band-join every such doc. */
   def compute(arr: ArrayData, prefix: Array[Byte]): ArrayData = {
     val minima = Array.fill(NumHashes)(Long.MaxValue)
     val md = java.security.MessageDigest.getInstance("MD5")
     var e = 0
+    var processed = 0
     val n = arr.numElements()
     while (e < n) {
+      // SQL-callable on arbitrary array<string>: skip null elements
+      // (the aggregate path's md5(null) rows were null-filtered too)
+      if (arr.isNullAt(e)) { e += 1 }
+      else {
       md.reset()
       md.update(prefix)
       md.update(arr.getUTF8String(e).getBytes)
@@ -98,8 +102,10 @@ object MinHashArr {
         i += 1
       }
       e += 1
+      processed += 1
+      }
     }
-    new GenericArrayData(minima)
+    if (processed == 0) null else new GenericArrayData(minima)
   }
 
   /** Column-API face of the expression. */

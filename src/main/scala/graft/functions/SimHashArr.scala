@@ -33,23 +33,20 @@ case class SimHashArr(child: Expression) extends UnaryExpression {
   override def eval(input: org.apache.spark.sql.catalyst.InternalRow): Any = {
     val v = child.eval(input)
     if (v == null) null
-    else {
-      val arr = v.asInstanceOf[ArrayData]
-      if (arr.numElements() == 0) null
-      else java.lang.Long.valueOf(SimHashArr.compute(arr))
-    }
+    else SimHashArr.compute(v.asInstanceOf[ArrayData])
   }
 
   override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
     val childGen = child.genCode(ctx)
+    val tmp = ctx.freshName("simhashBoxed")
     ev.copy(code = code"""
       ${childGen.code}
       boolean ${ev.isNull} = true;
       long ${ev.value} = 0L;
-      if (!${childGen.isNull} && ${childGen.value}.numElements() > 0) {
-        ${ev.isNull} = false;
-        ${ev.value} = graft.functions.SimHashArr$$.MODULE$$.compute(
+      if (!${childGen.isNull}) {
+        java.lang.Long $tmp = graft.functions.SimHashArr$$.MODULE$$.compute(
           ${childGen.value});
+        if ($tmp != null) { ${ev.isNull} = false; ${ev.value} = $tmp.longValue(); }
       }""")
   }
 
@@ -58,12 +55,19 @@ case class SimHashArr(child: Expression) extends UnaryExpression {
 }
 
 object SimHashArr {
-  def compute(arr: ArrayData): Long = {
+  /** Null when no non-null element exists (empty or all-null array) —
+    * mirrors [[MinHashArr.compute]]'s absence contract. */
+  def compute(arr: ArrayData): java.lang.Long = {
     val votes = new Array[Int](32)
     val md = java.security.MessageDigest.getInstance("MD5")
     var e = 0
+    var processed = 0
     val n = arr.numElements()
     while (e < n) {
+      // SQL-callable on arbitrary array<string>: skip null elements
+      // (the aggregate path's md5(null) rows were null-filtered too)
+      if (arr.isNullAt(e)) { e += 1 }
+      else {
       md.reset()
       val d = md.digest(arr.getUTF8String(e).getBytes)
       val h = ((d(0) & 0xffL) << 24) | ((d(1) & 0xffL) << 16) |
@@ -74,14 +78,17 @@ object SimHashArr {
         b += 1
       }
       e += 1
+      processed += 1
+      }
     }
+    if (processed == 0) return null
     var sig = 0L
     var b = 0
     while (b < 32) {
       if (votes(b) >= 0) sig |= 1L << b
       b += 1
     }
-    sig
+    java.lang.Long.valueOf(sig)
   }
 
   /** Column-API face of the expression. */

@@ -38,12 +38,19 @@ case class SrpBands(child: Expression) extends UnaryExpression {
         s"srp_bands expects array<float>, got $t")
     }
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullable: Boolean = true
   override def prettyName: String = "srp_bands"
 
+  // Dim contract: the hyperplane family is fixed at 64 coefficients,
+  // and the spec-pinned HOF baseline null-pads (zip_with) where this
+  // loop would truncate — the two agree ONLY at exactly-64-dim input.
+  // Off-dim vectors therefore yield NULL (dropped from banding by the
+  // callers' explode) instead of a silently-divergent signature.
   override def nullSafeEval(input: Any): Any = {
     val v = input.asInstanceOf[ArrayData]
+    if (v.numElements() != SrpBands.Dim) return null
     val mat = SrpBands.flatMatrix
-    val dim = math.min(v.numElements(), SrpBands.Dim)
+    val dim = SrpBands.Dim
     val qv = new Array[Long](dim)
     var k = 0
     while (k < dim) {
@@ -75,23 +82,27 @@ case class SrpBands(child: Expression) extends UnaryExpression {
       val j = ctx.freshName("j")
       val k = ctx.freshName("k")
       s"""
-        int $dim = java.lang.Math.min($v.numElements(), ${SrpBands.Dim});
-        long[] $qv = new long[$dim];
-        for (int $k = 0; $k < $dim; $k++) {
-          $qv[$k] = (long) java.lang.Math.floor($v.getFloat($k) * 1000.0);
-        }
-        long[] $bands = new long[${SrpBands.Bands}];
-        for (int $p = 0; $p < ${SrpBands.Planes}; $p++) {
-          long $dot = 0L;
-          int $off = $p * ${SrpBands.Dim};
-          for (int $j = 0; $j < $dim; $j++) {
-            $dot += $qv[$j] * $mat[$off + $j];
+        if ($v.numElements() != ${SrpBands.Dim}) {
+          ${ev.isNull} = true;
+        } else {
+          int $dim = ${SrpBands.Dim};
+          long[] $qv = new long[$dim];
+          for (int $k = 0; $k < $dim; $k++) {
+            $qv[$k] = (long) java.lang.Math.floor($v.getFloat($k) * 1000.0);
           }
-          if ($dot >= 0L) {
-            $bands[$p / ${SrpBands.BandBits}] |= 1L << ($p % ${SrpBands.BandBits});
+          long[] $bands = new long[${SrpBands.Bands}];
+          for (int $p = 0; $p < ${SrpBands.Planes}; $p++) {
+            long $dot = 0L;
+            int $off = $p * ${SrpBands.Dim};
+            for (int $j = 0; $j < $dim; $j++) {
+              $dot += $qv[$j] * $mat[$off + $j];
+            }
+            if ($dot >= 0L) {
+              $bands[$p / ${SrpBands.BandBits}] |= 1L << ($p % ${SrpBands.BandBits});
+            }
           }
+          ${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($bands);
         }
-        ${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($bands);
       """
     })
 

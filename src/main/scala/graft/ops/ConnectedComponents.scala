@@ -80,7 +80,10 @@ object ConnectedComponents {
         .join(mins.select(col("id").as("lbl"), col("lbl").as("lbl2")), "lbl")
         .select(col("id"), col("lbl2").as("lbl"), col("old"))
         .localCheckpoint(true)
-      changed = jumped.filter(col("lbl") =!= col("old")).count()
+      // null-safe: an edge endpoint missing from `nodes` surfaces with
+      // old=null in its first round — `=!=` would read that as
+      // "unchanged" and could stop the loop before it propagates
+      changed = jumped.filter(!(col("lbl") <=> col("old"))).count()
       labels = jumped.select(col("id"), col("lbl"))
       round += 1
     }

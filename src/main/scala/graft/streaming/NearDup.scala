@@ -42,6 +42,18 @@ object NearDup {
   private def maskJac(a: Long, b: Long): Double =
     java.lang.Long.bitCount(a & b).toDouble / java.lang.Long.bitCount(a | b)
 
+  /** Horizon string → milliseconds, months/days-aware. The naive
+    * `.microseconds / 1000` read silently drops the CalendarInterval
+    * months/days fields, so a "1 day" horizon became 0 ms and state
+    * expired at the last event's own timestamp — exactly how Spark's
+    * own watermark-delay conversion avoids it
+    * (`IntervalUtils.getDuration`, the EventTimeWatermark path). */
+  private[graft] def horizonMillis(horizon: String): Long =
+    org.apache.spark.sql.catalyst.util.IntervalUtils.getDuration(
+      org.apache.spark.sql.catalyst.util.IntervalUtils.safeStringToInterval(
+        org.apache.spark.unsafe.types.UTF8String.fromString(horizon)),
+      java.util.concurrent.TimeUnit.MILLISECONDS)
+
   /** Band-keyed stream of (band_key, doc_id, mask, ts) from a doc
     * stream with (doc_id, text, ts) columns. The minhash is the same
     * native per-row [[graft.functions.MinHashArr]] the batch band
@@ -64,10 +76,7 @@ object NearDup {
     * representatives; one emission per agreeing band. */
   def nearDupStream(docs: DataFrame, horizon: String): Dataset[NearMatch] = {
     import docs.sparkSession.implicits._
-    val horizonMs = org.apache.spark.sql.catalyst.util.IntervalUtils
-      .safeStringToInterval(
-        org.apache.spark.unsafe.types.UTF8String.fromString(horizon))
-      .microseconds / 1000
+    val horizonMs = horizonMillis(horizon)
     banded(docs, horizon)
       .groupByKey(_.band_key)
       .flatMapGroupsWithState(OutputMode.Append,
@@ -153,10 +162,7 @@ object NearDup {
     * length. */
   def srpNearDupStream(vecs: DataFrame, horizon: String): Dataset[VecMatch] = {
     import vecs.sparkSession.implicits._
-    val horizonMs = org.apache.spark.sql.catalyst.util.IntervalUtils
-      .safeStringToInterval(
-        org.apache.spark.unsafe.types.UTF8String.fromString(horizon))
-      .microseconds / 1000
+    val horizonMs = horizonMillis(horizon)
     srpBanded(vecs, horizon)
       .groupByKey(_.band_key)
       .flatMapGroupsWithState(OutputMode.Append,

@@ -28,6 +28,18 @@ class CorpusPrepOpsSpec extends AnyFunSuite {
       9L -> 9L))
   }
 
+  test("cc: endpoints missing from `nodes` still propagate (null-safe convergence)") {
+    // node 2 is absent from `nodes`: its first-round row surfaces with
+    // old=null, which `=!=` counted as "unchanged" — with only such
+    // rows changing, the loop used to stop before labels propagated
+    val nodes = Seq(1L, 3L).toDF("id")
+    val edges = Seq((1L, 2L), (2L, 3L)).toDF("src", "dst")
+    val got = ConnectedComponents.label(nodes, edges)
+      .as[(Long, Long)].collect().toMap
+    assert(got(1L) == 1L && got(3L) == 1L,
+      s"label must flow 1 -> 2 -> 3 even though 2 is not in nodes: $got")
+  }
+
   test("cc: edge direction does not matter") {
     val nodes = Seq(1L, 2L, 3L).toDF("id")
     val fwd = Seq((1L, 3L), (3L, 2L)).toDF("src", "dst")

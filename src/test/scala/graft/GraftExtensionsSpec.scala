@@ -39,6 +39,27 @@ class GraftExtensionsSpec extends AnyFunSuite {
       // 8 band bytes in range; value pinned bit-identical to the HOF
       // construction by SrpBandsSpec — here just resolution + shape
       assert(srp.length == 8 && srp.forall(b => b >= 0 && b <= 255))
+      // round-5: EVERY native resolves through the extension — the SQL
+      // surface must not depend on per-object register(spark) helpers
+      val tb = s2.sql("SELECT token_bigrams('a b c') AS b")
+        .collect().head.getSeq[String](0)
+      assert(tb == Seq("a b", "b c"))
+      val tm = s2.sql("SELECT token_mask('a b') AS m").collect().head.getLong(0)
+      assert(java.lang.Long.bitCount(tm) <= 2 && tm != 0L)
+      val tss = s2.sql("SELECT token_set_sig('b a a') AS s, md5('a b') AS e")
+        .collect().head
+      assert(tss.getString(0) == tss.getString(1),
+        "token_set_sig = md5 of the sorted distinct token join")
+      val sha = s2.sql("SELECT simhash_arr(array('x', 'y')) AS s")
+        .collect().head
+      assert(!sha.isNullAt(0))
+      val mha = s2.sql("SELECT minhash_arr(array('tok'), 't:') AS m")
+        .collect().head.getSeq[Long](0)
+      assert(mha.length == 16)
+      // the prefix participates in the hash family
+      val mhaNoPfx = s2.sql("SELECT minhash_arr(array('tok')) AS m")
+        .collect().head.getSeq[Long](0)
+      assert(mhaNoPfx.length == 16 && mhaNoPfx != mha)
     } finally {
       SparkSession.setActiveSession(shared)
       SparkSession.setDefaultSession(shared)

@@ -38,6 +38,32 @@ class MinHashArrSpec extends AnyFunSuite {
     assert(!viaArr.select("rep").as[Long].collect().contains(2L))
   }
 
+  test("null elements are skipped; empty/all-null arrays yield NULL") {
+    // SQL-callable on arbitrary array<string>: a null element must not
+    // NPE, and an array with no usable element must take the same
+    // NULL path as an empty one (a degenerate MaxValue minima vector
+    // would band-join every such doc with every other)
+    val df = Seq(
+      (1L, Seq[String]("a", "b", "c")),
+      (2L, Seq[String]("a", null, "b", null, "c")),
+      (3L, Seq[String](null, null)),
+      (4L, Seq.empty[String])
+    ).toDF("id", "arr")
+    val got = df.select(col("id"),
+      MinHashArr.minhashArr(col("arr"), "t:").as("mhs"),
+      graft.functions.SimHashArr.simhashArr(col("arr")).as("sh"))
+      .collect().map(r => r.getLong(0) -> ((r.isNullAt(1), r.isNullAt(2)))).toMap
+    assert(got(2L) == (false, false), "null elements skipped, not fatal")
+    assert(got(3L) == (true, true), "all-null == empty == NULL")
+    assert(got(4L) == (true, true))
+    // skipping nulls == removing them first
+    val clean = df.filter(col("id") === 1).select(
+      MinHashArr.minhashArr(col("arr"), "t:")).collect()(0)
+    val dirty = df.filter(col("id") === 2).select(
+      MinHashArr.minhashArr(col("arr"), "t:")).collect()(0)
+    assert(clean == dirty)
+  }
+
   test("per-row expression matches the streaming HOF construction") {
     val docs = Tables.documents(spark, "/root/testdata/sf0.001").limit(50)
     val viaHof = docs

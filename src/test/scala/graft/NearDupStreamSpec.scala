@@ -73,6 +73,29 @@ class NearDupStreamSpec extends AnyFunSuite {
     q.stop()
   }
 
+  test("horizonMillis honors day/month interval units (regression: dropped fields)") {
+    // the naive microseconds/1000 read dropped CalendarInterval's
+    // months/days fields -> "1 day" became 0 ms
+    assert(NearDup.horizonMillis("1 hour") == 3600L * 1000)
+    assert(NearDup.horizonMillis("1 day") == 24L * 3600 * 1000)
+    assert(NearDup.horizonMillis("2 weeks") == 14L * 24 * 3600 * 1000)
+  }
+
+  test("day-unit horizon keeps the representative alive across hours") {
+    val in = MemoryStream[SDoc]
+    val q = NearDup.nearDupStream(in.toDF(), "1 day").writeStream
+      .format("memory").queryName("ndday").outputMode("append").start()
+    in.addData(SDoc(1, "alpha beta gamma delta epsilon", t("2024-01-01T10:00:00Z")))
+    q.processAllAvailable()
+    // 12 h later, well inside the 1-day horizon: with the dropped-field
+    // bug the rep expired at its own timestamp and this found nothing
+    in.addData(SDoc(2, "alpha beta gamma delta epsilon", t("2024-01-01T22:00:00Z")))
+    q.processAllAvailable()
+    val got = spark.table("ndday").as[(Long, Long, Double)].collect().toSet
+    assert(got == Set((2L, 1L, 1.0)), s"got $got")
+    q.stop()
+  }
+
   test("representative expires after the horizon — late twin is a new rep") {
     val in = MemoryStream[SDoc]
     val (q, got) = startQuery(in, "nd3")

@@ -45,6 +45,20 @@ class SrpBandsSpec extends AnyFunSuite {
       rows.map(_.toSeq).contains(viaEval.toSeq))
   }
 
+  test("off-dim vectors yield NULL (64-dim contract, not silent divergence)") {
+    // the HOF baseline null-pads short vectors where the fused loop
+    // would dot over the prefix — they agree only at exactly 64 dims,
+    // so anything else must be NULL, not a divergent signature
+    val df = Seq(
+      (1L, Array.tabulate(64)(i => (math.sin(i) * 0.5).toFloat)),
+      (2L, Array.tabulate(32)(i => (math.sin(i) * 0.5).toFloat)),
+      (3L, Array.tabulate(80)(i => (math.sin(i) * 0.5).toFloat))
+    ).toDF("id", "embedding")
+    val got = df.select(col("id"), SrpBands.srpBands(col("embedding")).as("b"))
+      .collect().map(r => r.getLong(0) -> r.isNullAt(1)).toMap
+    assert(got == Map(1L -> false, 2L -> true, 3L -> true))
+  }
+
   test("SQL registration: srp_bands resolves and agrees with the Column API") {
     SrpBands.register(spark)
     Tables.embeddings(spark, "/root/testdata/sf0.001")
