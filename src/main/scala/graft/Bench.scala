@@ -64,7 +64,16 @@ object Bench {
       case (Some(a), Some(b)) if b > 0 => a / b
       case _ => -1.0
     }
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","passes":$passes,"agg":"min-per-query","x19_over_x04":$ratio}""")
+    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","passes":$passes,"agg":"min-per-query","x19_over_x04":$ratio}"""
+    println(json)
+    // Also write the JSON to a file: the round driver captures only
+    // the log TAIL, which has truncated per-query entries before
+    // (round 4 lost 3 of 63) — the file artifact is the full record.
+    try {
+      val out = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_SELF.json")
+      java.nio.file.Files.write(java.nio.file.Paths.get(out),
+        (json + "\n").getBytes("UTF-8"))
+    } catch { case _: Throwable => () }
     spark.stop()
   }
 }

@@ -1,7 +1,10 @@
 package graft.multimodal
 
-import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.{DataFrame, Dataset}
 import org.apache.spark.sql.functions._
+import java.awt.image.BufferedImage
+import java.io.{ByteArrayInputStream, ByteArrayOutputStream}
+import javax.imageio.ImageIO
 
 /** Opaque media payload: image/audio/video bytes plus typed metadata.
   * At 100 TB these rows live in parquet with the binary column last
@@ -11,20 +14,29 @@ final case class MediaRecord(id: Long, mime: String, bytes: Array[Byte])
 
 final case class MediaMeta(id: Long, mime: String, nbytes: Long, contentMd5: String)
 
-/** Decoded-media features. `width`/`height`/`nFrames` come from the
-  * (stubbed) decoder; `features` is a fixed-width embedding. */
+/** Decoded-media features. `width`/`height`/`channels` come from the
+  * real image decode ([[Media.decodeImage]]); non-decodable payloads
+  * (audio/video — no pure-JVM codec here) carry (-1, -1, 0) and a
+  * byte-histogram fallback feature vector. */
 final case class MediaFeatures(id: Long, width: Int, height: Int,
-                               nFrames: Int, features: Array[Float])
+                               channels: Int, features: Array[Float])
 
-/** Multimodal column plumbing.
+/** One decoded raster: dimensions, band count, and the EXACT per-band
+  * integer sample sums (PNG is lossless, so these are reproducible to
+  * the bit on any JVM — the property the closed-form gate oracle
+  * checks). */
+final case class DecodedImage(width: Int, height: Int, channels: Int,
+                              bandSums: Array[Long])
+
+/** Multimodal column plumbing with a REAL pure-JVM image codec.
   *
-  * The image/audio codecs are NOT available in this environment, so
-  * [[Media.decodeStub]] is a clearly-marked deterministic fake. What
-  * is real — and what this module exists to pin down — is the Spark
-  * side: schemas, the metadata path staying columnar (no decode, no
-  * byte materialization), and the decode path running as a
-  * `mapPartitions` batch over executors, the same shape a JNI/FFmpeg
-  * or JCodec decoder would plug into.
+  * Image decode/encode/resize run on `javax.imageio` (PNG — lossless,
+  * headless, zero native deps). Audio/video payloads have no JVM
+  * codec in this environment, so they take a clearly-marked
+  * byte-level fallback; the Spark side — schemas, the metadata path
+  * staying columnar (no decode, no byte materialization), and decode
+  * running as a `mapPartitions` batch over executors — is the shape a
+  * JNI/FFmpeg decoder would plug into for those.
   */
 object Media {
 
@@ -35,21 +47,51 @@ object Media {
       octet_length(col("bytes")).cast("long").as("nbytes"),
       md5(col("bytes")).as("contentMd5"))
 
-  /** STUB decoder — deterministic fake in place of a real codec.
-    * Derives "dimensions" from the first payload bytes and a
-    * fixed-width feature vector from a rolling byte sum. A real
-    * deployment swaps only this function (same signature, same
-    * batch-per-partition call pattern). */
-  def decodeStub(bytes: Array[Byte]): (Int, Int, Int) = {
-    val w = 16 + (if (bytes.isEmpty) 0 else (bytes(0) & 0x7f))
-    val h = 16 + (if (bytes.length < 2) 0 else (bytes(1) & 0x7f))
-    val frames = 1 + bytes.length % 7
-    (w, h, frames)
+  /** REAL image decode via javax.imageio: dimensions, band count, and
+    * exact per-band sample sums read straight off the raster (no
+    * color-space conversion — `getRGB` would gamma-convert gray
+    * rasters; raw samples are lossless for PNG). None for payloads
+    * ImageIO has no reader for (audio/video/garbage). */
+  def decodeImage(bytes: Array[Byte]): Option[DecodedImage] =
+    try {
+      Option(ImageIO.read(new ByteArrayInputStream(bytes))).map { img =>
+        val raster = img.getRaster
+        val (w, h, bands) = (img.getWidth, img.getHeight, raster.getNumBands)
+        val sums = new Array[Long](bands)
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) {
+            var b = 0
+            while (b < bands) { sums(b) += raster.getSample(x, y, b); b += 1 }
+            x += 1
+          }
+          y += 1
+        }
+        DecodedImage(w, h, bands, sums)
+      }
+    } catch { case _: java.io.IOException => None }
+
+  /** PNG-encode a synthetic RGB image: `pixel(x, y)` returns a packed
+    * 0xRRGGBB int. Lossless round-trip: [[decodeImage]] of the result
+    * reads back exactly these sample values. */
+  def encodePng(width: Int, height: Int, pixel: (Int, Int) => Int): Array[Byte] = {
+    val img = new BufferedImage(width, height, BufferedImage.TYPE_INT_RGB)
+    var y = 0
+    while (y < height) {
+      var x = 0
+      while (x < width) { img.setRGB(x, y, pixel(x, y)); x += 1 }
+      y += 1
+    }
+    val out = new ByteArrayOutputStream()
+    ImageIO.write(img, "png", out)
+    out.toByteArray
   }
 
-  /** STUB feature extractor — deterministic 8-dim byte-histogram-ish
-    * vector; the real one would run a vision/audio model per batch. */
-  def featureStub(bytes: Array[Byte], dim: Int = 8): Array[Float] = {
+  /** Byte-histogram fallback features for payloads with no JVM codec
+    * (audio/video): deterministic 8-dim rolling byte sums. NOT a
+    * decode — documented fallback only. */
+  def byteHistogram(bytes: Array[Byte], dim: Int = 8): Array[Float] = {
     val acc = new Array[Long](dim)
     var i = 0
     while (i < bytes.length) { acc(i % dim) += (bytes(i) & 0xff); i += 1 }
@@ -57,17 +99,27 @@ object Media {
     acc.map(_ / n)
   }
 
-  /** Decode + featurize, batched per partition. The iterator shape is
-    * the contract: a real decoder amortizes codec init across the
-    * partition exactly like this, and partition sizing
-    * (`maxPartitionBytes`) bounds decoder memory. */
+  /** Decode + featurize, batched per partition. Images decode for
+    * real (per-band mean sample values as the feature vector, padded
+    * to 8 dims); non-decodable payloads take the byte-histogram
+    * fallback with (-1, -1, 0) dimensions. The iterator shape is the
+    * contract: codec init amortizes across the partition, and
+    * partition sizing (`maxPartitionBytes`) bounds decoder memory. */
   def extractFeatures(ds: Dataset[MediaRecord]): Dataset[MediaFeatures] = {
     import ds.sparkSession.implicits._
     ds.mapPartitions { it =>
-      // per-partition decoder init would go here (codec handles, model)
+      // per-partition decoder init would go here for a JNI codec;
+      // ImageIO readers are instantiated per call and need none
       it.map { r =>
-        val (w, h, f) = decodeStub(r.bytes)
-        MediaFeatures(r.id, w, h, f, featureStub(r.bytes))
+        decodeImage(r.bytes) match {
+          case Some(d) =>
+            val n = (d.width.toLong * d.height).toFloat
+            val means = d.bandSums.map(_ / n)
+            MediaFeatures(r.id, d.width, d.height, d.channels,
+              means.padTo(8, 0.0f))
+          case None =>
+            MediaFeatures(r.id, -1, -1, 0, byteHistogram(r.bytes))
+        }
       }
     }
   }
@@ -80,23 +132,61 @@ object Media {
         s"transform(sequence(0, greatest(octet_length(bytes) - 1, 0), ${chunk * every}), " +
         s"i -> substring(bytes, i + 1, $chunk))")).as(Seq("frame_no", "frame")))
 
-  /** STUB resize — byte-stride downsample to ≤ targetBytes; a real
-    * implementation calls the codec's scaler with the same
-    * signature. */
-  def resizeStub(bytes: Array[Byte], targetBytes: Int): Array[Byte] =
+  /** REAL image resize: nearest-neighbor resample so max(w, h) ≤
+    * maxDim, re-encoded as PNG. The sampling loop is our own (not
+    * Graphics2D) so the output raster is bit-deterministic on any
+    * JVM. None for non-decodable payloads. */
+  def resizeImage(bytes: Array[Byte], maxDim: Int): Option[Array[Byte]] =
+    try {
+      Option(ImageIO.read(new ByteArrayInputStream(bytes))).map { img =>
+        val (w, h) = (img.getWidth, img.getHeight)
+        if (w <= maxDim && h <= maxDim) bytes
+        else {
+          val scale = maxDim.toDouble / math.max(w, h)
+          val (nw, nh) = (math.max(1, (w * scale).toInt), math.max(1, (h * scale).toInt))
+          val out = new BufferedImage(nw, nh, BufferedImage.TYPE_INT_RGB)
+          var y = 0
+          while (y < nh) {
+            var x = 0
+            while (x < nw) {
+              out.setRGB(x, y, img.getRGB(x * w / nw, y * h / nh) & 0xFFFFFF)
+              x += 1
+            }
+            y += 1
+          }
+          val bos = new ByteArrayOutputStream()
+          ImageIO.write(out, "png", bos)
+          bos.toByteArray
+        }
+      }
+    } catch { case _: java.io.IOException => None }
+
+  /** Resize every image payload to fit maxDim, batched per partition
+    * like [[extractFeatures]]; non-image payloads pass through
+    * untouched (no codec to resample them with). */
+  def resizeImages(ds: Dataset[MediaRecord], maxDim: Int): Dataset[MediaRecord] = {
+    import ds.sparkSession.implicits._
+    ds.mapPartitions { it =>
+      it.map(r => resizeImage(r.bytes, maxDim).map(b => r.copy(bytes = b)).getOrElse(r))
+    }
+  }
+
+  /** Byte-stride downsample to ≤ targetBytes for OPAQUE payloads
+    * (no codec): bounds payload size while keeping a deterministic
+    * sample of the stream. Images should use [[resizeImages]]. */
+  def downsampleBytes(bytes: Array[Byte], targetBytes: Int): Array[Byte] =
     if (bytes.length <= targetBytes) bytes
     else {
       val stride = (bytes.length + targetBytes - 1) / targetBytes
       bytes.indices.collect { case i if i % stride == 0 => bytes(i) }.toArray
     }
 
-  /** Resize every payload, batched per partition like
-    * [[extractFeatures]] (codec/scaler init amortizes across the
-    * partition; partition sizing bounds scaler memory). */
+  /** Bound every payload to targetBytes via [[downsampleBytes]],
+    * batched per partition. */
   def resize(ds: Dataset[MediaRecord], targetBytes: Int): Dataset[MediaRecord] = {
     import ds.sparkSession.implicits._
     ds.mapPartitions { it =>
-      it.map(r => r.copy(bytes = resizeStub(r.bytes, targetBytes)))
+      it.map(r => r.copy(bytes = downsampleBytes(r.bytes, targetBytes)))
     }
   }
 }

@@ -1948,7 +1948,48 @@ object Extensions {
                    CAST(n_boiler AS DOUBLE) / n_bg > $BoilerMaxFrac AS flagged
             FROM hits ORDER BY 1,2,3,4,5"""))
 
+  // ---------------------------------------------------------------- x37
+  // REAL image decode in the gate: every document gets a deterministic
+  // synthetic PNG (gray gradient keyed by doc_id), encoded AND decoded
+  // with the actual javax.imageio codec (graft.multimodal.Media). PNG
+  // is lossless, so the decoded raster's dimensions and exact per-band
+  // sample sum have a closed form the DuckDB oracle recomputes
+  // directly — a fake or lossy decode cannot hash-match this row.
+  // Scale shape: pure per-row mapPartitions work after a narrow
+  // repartition of doc ids (the codec never sees a shuffle).
+  private val x37 = GateQuery(
+    "x37_media_decode",
+    (s, d) => {
+      import s.implicits._
+      val decoded = Tables.documents(s, d).select(col("doc_id")).as[Long]
+        // the sf parquet is a single split: spread the codec work
+        // (at real scale the scan is already multi-split)
+        .repartition(32)
+        .map { id =>
+          val w = 8 + (id % 9).toInt
+          val h = 8 + ((id * 3) % 9).toInt
+          val png = graft.multimodal.Media.encodePng(w, h, (x, y) => {
+            val v = ((id * 31 + y.toLong * w + x) % 256).toInt
+            (v << 16) | (v << 8) | v
+          })
+          val dec = graft.multimodal.Media.decodeImage(png).get
+          (id, dec.width.toLong, dec.height.toLong, dec.channels.toLong,
+            dec.bandSums(0))
+        }
+        .toDF("doc_id", "width", "height", "channels", "pix_sum")
+      ordered(decoded)
+    },
+    Some("""WITH dims AS (
+              SELECT doc_id, 8 + doc_id % 9 AS width,
+                     8 + (doc_id * 3) % 9 AS height
+              FROM documents)
+            SELECT d.doc_id, d.width, d.height, CAST(3 AS BIGINT) AS channels,
+                   CAST(sum((d.doc_id * 31 + u.i) % 256) AS BIGINT) AS pix_sum
+            FROM dims d, unnest(range(d.width * d.height)) AS u(i)
+            GROUP BY 1, 2, 3, 4
+            ORDER BY 1,2,3,4,5"""))
+
   val all: Seq[GateQuery] = Seq(x01, x02, x03, x04, x05, x06, x07, x08, x09,
     x10, x11, x12, x13, x14, x15, x16, x17, x18, x19, x20, x21, x22, x23,
-    x24, x25, x26, x27, x28, x29, x30, x31, x32, x33, x34, x35, x36)
+    x24, x25, x26, x27, x28, x29, x30, x31, x32, x33, x34, x35, x36, x37)
 }

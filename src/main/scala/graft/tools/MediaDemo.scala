@@ -21,10 +21,15 @@ object MediaDemo {
     println("== meta ==")
     Media.meta(media).show(3, truncate = false)
 
-    println("== features (mapPartitions stub decode) ==")
+    println("== features (mapPartitions decode; text payloads take the fallback) ==")
     val feats = Media.extractFeatures(media.as[MediaRecord])
     feats.show(3, truncate = 60)
     println(s"features rows: ${feats.count()}")
+
+    println("== real PNG decode ==")
+    val png = Media.encodePng(16, 8, (x, y) => ((x * 16) << 16) | ((y * 31) << 8) | 128)
+    Media.extractFeatures(
+      Seq(MediaRecord(99L, "image/png", png)).toDS()).show(truncate = false)
 
     println("== frame sample (chunk=32, every=4) ==")
     Media.frameSample(media, 32, 4).show(3, truncate = 40)

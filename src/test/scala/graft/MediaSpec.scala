@@ -4,19 +4,47 @@ import graft.multimodal.{Media, MediaRecord}
 import org.scalatest.funsuite.AnyFunSuite
 import java.nio.file.Files
 
-/** The multimodal plumbing is real even though the decoder is a
-  * stub: metadata-only reads prune the binary column out of the
-  * parquet scan, feature extraction is a deterministic per-partition
-  * batch, frame sampling chunks by offset, and resize bounds payload
-  * size. */
+/** The multimodal pipeline decodes images for REAL (javax.imageio):
+  * metadata-only reads prune the binary column out of the parquet
+  * scan, feature extraction decodes actual PNG rasters (checked-in
+  * fixture from an independent encoder + synthetic round-trips),
+  * resize resamples pixels, and non-decodable payloads take the
+  * documented byte-level fallback. */
 class MediaSpec extends AnyFunSuite {
   lazy val spark = TestSpark.spark
   import spark.implicits._
 
+  /** 4x3 gradient PNG: pixel value (x + 10*y) on all three channels. */
+  private def gradientPng: Array[Byte] =
+    Media.encodePng(4, 3, (x, y) => { val v = x + 10 * y; (v << 16) | (v << 8) | v })
+
   private def records = Seq(
-    MediaRecord(1L, "image/fake", Array.tabulate(100)(i => (i * 7).toByte)),
+    MediaRecord(1L, "image/png", gradientPng),
     MediaRecord(2L, "video/fake", Array.tabulate(1000)(i => (i * 13).toByte)),
     MediaRecord(3L, "audio/fake", Array.empty[Byte]))
+
+  test("checked-in PNG from an independent encoder decodes exactly") {
+    // src/test/resources/graft/tiny.png: hand-built (python zlib) 3x2
+    // RGB — proves the decoder reads real-world PNGs, not just its
+    // own encoder's output
+    val bytes = {
+      val in = getClass.getResourceAsStream("/graft/tiny.png")
+      try in.readAllBytes() finally in.close()
+    }
+    val d = Media.decodeImage(bytes).get
+    assert(d.width == 3 && d.height == 2 && d.channels == 3)
+    // row0: (255,0,0),(0,255,0),(0,0,255); row1: (10,20,30),(40,50,60),(70,80,90)
+    assert(d.bandSums.toSeq == Seq(255L + 10 + 40 + 70, 255L + 20 + 50 + 80,
+      255L + 30 + 60 + 90))
+  }
+
+  test("encode -> decode round-trips exact sample sums (PNG lossless)") {
+    val d = Media.decodeImage(gradientPng).get
+    assert(d.width == 4 && d.height == 3 && d.channels == 3)
+    // sum of (x + 10y) over 4x3 = sum(x)*3 + 10*sum(y)*4 = 18 + 120
+    assert(d.bandSums.toSeq == Seq(138L, 138L, 138L))
+    assert(Media.decodeImage("not an image".getBytes).isEmpty)
+  }
 
   test("metadata-only query prunes the binary column from the parquet scan") {
     val dir = Files.createTempDirectory("graft-media").toString + "/media"
@@ -29,20 +57,24 @@ class MediaSpec extends AnyFunSuite {
     // the meta() extractor DOES read bytes (octet_length/md5) but
     // emits only scalars
     val m = Media.meta(spark.read.parquet(dir)).collect()
-    assert(m.map(_.getLong(2)).sorted.toSeq == Seq(0L, 100L, 1000L))
+    assert(m.map(_.getLong(2)).sorted.toSeq.last == 1000L)
   }
 
-  test("feature extraction is a deterministic per-partition batch") {
-    val f = Media.extractFeatures(records.toDS()).collect().sortBy(_.id)
-    assert(f.length == 3)
-    assert(f.forall(_.features.length == 8))
-    val again = Media.extractFeatures(records.toDS()).collect().sortBy(_.id)
-    assert(f.zip(again).forall { case (a, b) =>
-      a.width == b.width && a.height == b.height &&
-        a.nFrames == b.nFrames && a.features.sameElements(b.features) })
-    // stub contract: dimensions derive from the head bytes
-    assert(f.head.width == 16 + (records.head.bytes(0) & 0x7f))
-    assert(f(2).width == 16 && f(2).nFrames == 1) // empty payload
+  test("feature extraction really decodes: dimensions + per-band means") {
+    val f = Media.extractFeatures(records.toDS()).collect()
+      .map(m => m.id -> m).toMap
+    val img = f(1L)
+    assert(img.width == 4 && img.height == 3 && img.channels == 3)
+    // per-band mean = 138/12 = 11.5, padded to 8 dims with zeros
+    assert(img.features.toSeq == Seq(11.5f, 11.5f, 11.5f, 0f, 0f, 0f, 0f, 0f))
+    // non-decodable payloads: fallback dimensions + byte histogram
+    assert(f(2L).width == -1 && f(2L).channels == 0)
+    assert(f(2L).features.length == 8)
+    assert(f(3L).width == -1 && f(3L).features.forall(_ == 0f))
+    // deterministic across runs
+    val again = Media.extractFeatures(records.toDS()).collect()
+      .map(m => m.id -> m).toMap
+    assert(f(1L).features.sameElements(again(1L).features))
   }
 
   test("frame sampling emits every k-th chunk at the right offsets") {
@@ -57,13 +89,30 @@ class MediaSpec extends AnyFunSuite {
     assert(frames(2).getAs[Array[Byte]]("frame").toSeq == Seq[Byte](8, 9))
   }
 
-  test("resize bounds every payload and keeps small ones intact") {
+  test("image resize resamples pixels; non-images pass through") {
+    // 8x4 image, constant value 100 -> resized to maxDim 4 keeps values
+    val big = Media.encodePng(8, 4, (_, _) => (100 << 16) | (100 << 8) | 100)
+    val out = Media.resizeImages(
+      Seq(MediaRecord(1L, "image/png", big),
+          MediaRecord(2L, "video/fake", Array.tabulate(100)(_.toByte))).toDS(),
+      maxDim = 4).collect().map(r => r.id -> r).toMap
+    val d = Media.decodeImage(out(1L).bytes).get
+    assert(d.width == 4 && d.height == 2, s"${d.width}x${d.height}")
+    // nearest-neighbor over a constant image stays constant
+    assert(d.bandSums.toSeq == Seq(800L, 800L, 800L))
+    // video payload untouched
+    assert(out(2L).bytes.toSeq == Array.tabulate(100)(_.toByte).toSeq)
+    // already-small images pass through byte-identical
+    val small = Media.resizeImage(gradientPng, maxDim = 16).get
+    assert(small.toSeq == gradientPng.toSeq)
+  }
+
+  test("opaque byte downsample bounds every payload") {
     val out = Media.resize(records.toDS(), targetBytes = 64)
       .collect().sortBy(_.id)
-    assert(out(0).bytes.length <= 64 && out(0).bytes.length > 0)
-    assert(out(1).bytes.length <= 64)
+    assert(out.forall(_.bytes.length <= 64 || out.isEmpty))
     assert(out(2).bytes.isEmpty)
-    // stride-0 sampling keeps the first byte
-    assert(out(0).bytes(0) == records(0).bytes(0))
+    // stride sampling keeps the first byte
+    assert(out(1).bytes(0) == records(1).bytes(0))
   }
 }
