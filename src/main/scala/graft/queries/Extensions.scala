@@ -308,40 +308,76 @@ object Extensions {
   // (colliding bits can only grow the intersection), so this admits,
   // never misses, a >= t pair.
   //
-  // Pair generation is a LENGTH-FILTER equi-join, not all-pairs:
-  // jac(a,b) <= min(pc)/max(pc), so a >= t pair needs popcounts
-  // within a factor t of each other. The a side explodes to its
-  // admissible partner popcounts (<= ~8 values at t=0.9 on 64-bit
-  // masks) and equi-joins b on popcount — a shuffle join on an int
-  // key that never enumerates pairs the bound already rules out.
-  // LOSSLESS (the bound is necessary, the exact jac filter still
-  // decides), so the oracle keeps the plain all-pairs formulation.
-  // Buckets are popcount-sized, so worst-case skew is still
-  // quadratic-in-bucket — x04's LSH banding is the general scale
-  // path; this is the exact-scoring specialization.
+  // Two-level LOSSLESS pruning (oracle stays plain all-pairs):
+  //  1. DISTINCT-MASK COLLAPSE: sigs sharing a mask pair at jac = 1.0
+  //     by definition, so intra-mask pairs emit directly off a
+  //     mask equi-join (output-sized work, no scoring); the pair
+  //     SCAN runs at distinct-mask granularity (sf0.1: 3935 sigs →
+  //     3232 masks, candidates 2.53M → 1.61M).
+  //  2. LENGTH-FILTER equi-join between distinct masks: jac(a,b) <=
+  //     min(pc)/max(pc), so a >= t pair needs popcounts within a
+  //     factor t of each other; the a side explodes to its admissible
+  //     partner popcounts (<= ~8 values at t=0.9) — never enumerates
+  //     pairs the bound rules out.
+  //
+  // Measured honesty (PERF.md, sf0.1): the OUTPUT is 142,524 pairs
+  // out of 7.74M all-pairs (1.8% — quadratic-DENSE), so no exact
+  // candidate generator can be sub-quadratic here; this plan's
+  // candidates are ~11x output. Alternatives measured and rejected:
+  // Hamming-band pigeonhole (jac>=0.9 on 64 bits => hamming<=6, 7
+  // bands) admits 2.38M — finer keys but a 7x explode on both join
+  // sides; routing through x04's MinHash bands admits 5.5M AND
+  // loses 486 true pairs (LSH recall — wrong output). x04/x35 are
+  // the sub-quadratic near-dup paths with different semantics; this
+  // is the exact-scoring specialization.
   private val x03 = GateQuery(
     "x03_dedup_jaccard",
     (s, d) => {
-      val sigs = sigTable(s, d).persist() // two consumers (a / b sides)
+      val sigs = sigTable(s, d).persist() // four consumers below
       sigs.count() // eager: consumers race on a cold cache (see x14)
+      // intra-mask pairs: identical masks are jac = 1.0 by identity —
+      // equi-join on the mask, buckets = mask-class sizes, output-
+      // sized. (Guard pc > 0: two empty masks score 0/0 = NaN in the
+      // scan formulation and must stay absent here too.)
+      val intra = sigs.select(col("mask"), col("rep").as("rep_a"), col("cnt").as("cnt_a"))
+        .join(sigs.select(col("mask"), col("rep").as("rep_b"), col("cnt").as("cnt_b")),
+          Seq("mask"))
+        .filter(col("rep_a") < col("rep_b") && bit_count(col("mask")) > 0)
+        .select(col("rep_a"), col("rep_b"), col("cnt_a"), col("cnt_b"),
+          lit(1.0).as("jac"))
+      // inter-mask candidates at distinct-mask granularity
+      val dm = sigs.groupBy(col("mask")).agg(count(lit(1)).as("nsig"))
+        .persist()
+      dm.count()
       // epsilon loosens the float bounds so t*pc landing a hair above
       // an integer can never EXCLUDE an admissible popcount (the
       // prefilter may only over-admit; exactness lives in `jac`)
-      val a = sigs.select(col("mask").as("mask_a"), col("rep").as("rep_a"),
-                          col("cnt").as("cnt_a"))
+      val a = dm.select(col("mask").as("mask_a"))
         .withColumn("pc_b", explode(sequence(
           ceil(bit_count(col("mask_a")) * lit(JaccardThreshold) - lit(1e-9)).cast("int"),
           floor(bit_count(col("mask_a")) / lit(JaccardThreshold) + lit(1e-9)).cast("int"))))
-      val b = sigs.select(col("mask").as("mask_b"), col("rep").as("rep_b"),
-                          col("cnt").as("cnt_b"))
-      val pairs = a.join(b,
-          col("pc_b") === bit_count(col("mask_b")) && col("rep_a") < col("rep_b"))
+      val b = dm.select(col("mask").as("mask_b"))
+      val vp = a.join(b,
+          col("pc_b") === bit_count(col("mask_b")) && col("mask_a") < col("mask_b"))
         .withColumn("jac",
           bit_count(col("mask_a").bitwiseAND(col("mask_b"))).cast("double") /
             bit_count(col("mask_a").bitwiseOR(col("mask_b"))))
         .filter(col("jac") >= JaccardThreshold)
-      ordered(pairs.select(col("rep_a"), col("rep_b"), col("cnt_a"),
-                           col("cnt_b"), col("jac")))
+        .select(col("mask_a"), col("mask_b"), col("jac"))
+      // expand verified MASK pairs back to sig pairs (output-sized):
+      // canonical (rep_a, rep_b) ordering is by rep, not by mask
+      val inter = vp
+        .join(sigs.select(col("mask").as("mask_a"), col("rep").as("r1"),
+          col("cnt").as("c1")), "mask_a")
+        .join(sigs.select(col("mask").as("mask_b"), col("rep").as("r2"),
+          col("cnt").as("c2")), "mask_b")
+        .select(
+          least(col("r1"), col("r2")).as("rep_a"),
+          greatest(col("r1"), col("r2")).as("rep_b"),
+          when(col("r1") < col("r2"), col("c1")).otherwise(col("c2")).as("cnt_a"),
+          when(col("r1") < col("r2"), col("c2")).otherwise(col("c1")).as("cnt_b"),
+          col("jac"))
+      ordered(intra.unionByName(inter))
     },
     Some(s"""WITH $duckMasksCte
             SELECT a.rep AS rep_a, b.rep AS rep_b, a.cnt AS cnt_a, b.cnt AS cnt_b,

@@ -86,6 +86,40 @@ class LshPlanSpec extends AnyFunSuite {
     }
   }
 
+  test("x03: lossless vs brute force, and the pair scan runs at distinct-mask granularity") {
+    val d = "/root/testdata/sf0.001"
+    // completeness + exactness: identical to the plain all-pairs truth
+    val got = SparkEntry.queries("x03_dedup_jaccard")(spark, d)
+      .select("rep_a", "rep_b").as[(Long, Long)].collect().toSet
+    spark.catalog.clearCache()
+    val sigs = Extensions.docMasksOf(Tables.documents(spark, d))
+      .groupBy(col("sig"), col("mask"))
+      .agg(min(col("doc_id")).as("rep"), count(lit(1)).as("cnt"))
+      .select("rep", "mask").as[(Long, Long)].collect()
+    def jac(a: Long, b: Long): Double =
+      java.lang.Long.bitCount(a & b).toDouble / java.lang.Long.bitCount(a | b)
+    val truth = (for {
+      (ra, ma) <- sigs; (rb, mb) <- sigs
+      if ra < rb && jac(ma, mb) >= 0.9
+    } yield (ra, rb)).toSet
+    assert(got == truth, s"missing=${truth -- got} extra=${got -- truth}")
+    // pruning: the popcount length-filter join admits a strict subset
+    // of all distinct-mask pairs (candidates << S^2 is corpus-bound:
+    // the x03 OUTPUT itself is ~2-5% of all pairs — quadratic-dense —
+    // so we assert the filter prunes well below the all-pairs scan)
+    val masks = sigs.map(_._2).distinct
+    assert(masks.length < sigs.length, "mask collapse must merge some sigs")
+    val t = 0.9
+    val cand = (for {
+      ma <- masks; mb <- masks
+      pa = java.lang.Long.bitCount(ma); pb = java.lang.Long.bitCount(mb)
+      if ma < mb && pb >= math.ceil(pa * t - 1e-9) && pb <= math.floor(pa / t + 1e-9)
+    } yield 1).size
+    val allPairs = masks.length.toLong * (masks.length - 1) / 2
+    assert(cand < allPairs * 0.45,
+      s"popcount filter admitted $cand of $allPairs distinct-mask pairs")
+  }
+
   test("size-gated broadcast is still allowed when the table genuinely fits") {
     // default threshold (10 MB) + tiny table: the planner MAY pick a
     // broadcast join — the point is the choice is the OPTIMIZER's
