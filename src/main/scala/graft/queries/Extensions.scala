@@ -727,21 +727,39 @@ object Extensions {
   // ---------------------------------------------------------------- x13
   // Embedding-cosine near-dup: all vector pairs above a cosine
   // threshold under the same exact quantized metric as the kNN
-  // queries. (Brute-force pair scan — at scale this reuses the IVF
-  // cell assignment to prune pairs to same-cell candidates.)
+  // queries. An EXACT theta join is inherently Θ(n²) compare work
+  // (and neither IVF cells nor SRP bands are lossless at cos ≥ 0.5 —
+  // both would change the output), so the scale question is SHAPE:
+  // round 4 shipped a broadcast nested-loop join (whole table to
+  // every executor, driver-brokered); this is now a GRID-PARTITIONED
+  // theta join (the classic 1-bucket-theta layout): ids hash into B
+  // blocks, side a replicates across partner blocks (ba, *), side b
+  // across (*, bb), and the join is a plain shuffle EQUI-join on the
+  // (ba, bb) block pair with the cosine threshold as the residual —
+  // each of the B² buckets does (n/B)² compares, evenly spread, no
+  // broadcast, no NLJ. Shuffle volume is 2·n·B rows; at a real
+  // cluster size B² while n/B rows fit an executor. The approximate
+  // sub-quadratic paths remain x21 (IVF) / x29 (SRP).
+  private val GridBlocks = 8
   private val x13 = GateQuery(
     "x13_dedup_embedding",
     (s, d) => {
-      val v = Tables.embeddings(s, d).select(col("vec_id"), col("embedding"))
-      val a = v.select(col("vec_id").as("id_a"), col("embedding").as("ea"))
-      val b = v.select(col("vec_id").as("id_b"), col("embedding").as("eb"))
-      // the cosine threshold lives INSIDE the join condition: the
-      // broadcast nested-loop join then evaluates the codegen'd
-      // cosine per candidate pair and only materializes survivors
-      // (~0.0001% here), instead of building n²/2 wide rows carrying
-      // both embedding arrays and filtering afterwards
-      ordered(a.join(broadcast(b),
-          col("id_a") < col("id_b") && cosCol(col("ea"), col("eb")) >= 0.5)
+      val v = Tables.embeddings(s, d).select(col("vec_id"), col("embedding"),
+        pmod(col("vec_id"), lit(GridBlocks)).cast("int").as("blk"))
+      val a = v.select(col("vec_id").as("id_a"), col("embedding").as("ea"),
+          col("blk").as("ba"))
+        .withColumn("bb", explode(sequence(lit(0), lit(GridBlocks - 1))))
+      val b = v.select(col("vec_id").as("id_b"), col("embedding").as("eb"),
+          col("blk").as("bb"))
+        .withColumn("ba", explode(sequence(lit(0), lit(GridBlocks - 1))))
+      // bucket (i, j) holds a-rows with own block i and b-rows with
+      // own block j → every (id_a < id_b) pair lands in EXACTLY one
+      // bucket (its own block coordinates) — no dedup pass needed.
+      // The threshold stays INSIDE the join condition: non-survivors
+      // (~99.99% here) never materialize as output rows.
+      ordered(a.join(b,
+          a("ba") === b("ba") && a("bb") === b("bb") &&
+            col("id_a") < col("id_b") && cosCol(col("ea"), col("eb")) >= 0.5)
         .withColumn("cos", cosCol(col("ea"), col("eb")))
         .select(col("id_a"), col("id_b"), col("cos")))
     },

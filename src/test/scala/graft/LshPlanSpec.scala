@@ -74,7 +74,7 @@ class LshPlanSpec extends AnyFunSuite {
 
   test("x03/x22 pair generation is an equi-join, never a nested-loop cross product") {
     withDegradedConf {
-      Seq("x03_dedup_jaccard", "x22_dedup_simhash").foreach { name =>
+      Seq("x03_dedup_jaccard", "x22_dedup_simhash", "x13_dedup_embedding").foreach { name =>
         val df = SparkEntry.queries(name)(spark, "/root/testdata/sf0.001")
         val plan = df.queryExecution.executedPlan.toString
         assert(!plan.contains("BroadcastNestedLoopJoin") &&
