@@ -3,8 +3,25 @@ package graft.streaming
 import org.apache.spark.sql.{Dataset, Encoder}
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
 
-/** One pattern stage: a name (for match selection) and its guard. */
-final case class PatternStep[E](name: String, pred: E => Boolean)
+/** Contiguity/polarity of a pattern stage. */
+sealed trait StepKind
+object StepKind {
+  /** Relaxed contiguity (`followedBy`): non-matching events are
+    * skipped, the partial stays open. */
+  case object Relaxed extends StepKind
+  /** Strict contiguity (`next`): the very next event of the key must
+    * match, anything else kills the partial. */
+  case object Strict extends StepKind
+  /** Absence (`notFollowedBy`): an event matching this guard kills
+    * the partial; the stage is satisfied by the NEXT stage's match
+    * (or, if terminal, by the window closing unviolated). */
+  case object Negative extends StepKind
+}
+
+/** One pattern stage: a name (for match selection), its guard, and
+  * its contiguity kind. */
+final case class PatternStep[E](name: String, pred: E => Boolean,
+                                kind: StepKind = StepKind.Relaxed)
 
 /** Flink-CEP-style sequential event pattern
   * (`Pattern.begin(...).where(...).followedBy(...).within(...)`,
@@ -14,6 +31,14 @@ final case class PatternStep[E](name: String, pred: E => Boolean)
   * Semantics (matching Flink's defaults for this chain shape):
   *  - `followedBy` is RELAXED contiguity — events that match no step
   *    are skipped, they never kill a partial match;
+  *  - `next` is STRICT contiguity — the key's immediately-next event
+  *    (event-time order) must match or the partial dies;
+  *  - `notFollowedBy` is ABSENCE — any event matching the forbidden
+  *    guard kills the partial before the next stage matches; a
+  *    TERMINAL `notFollowedBy` requires `within` and emits its match
+  *    when the window closes unviolated (as in FlinkCEP). An event
+  *    that matches both the forbidden guard and the following
+  *    stage's guard ADVANCES (advance-first, deterministic);
   *  - `within(d)` bounds first-to-last event time inclusively; a
   *    partial whose window has passed can never complete and is
   *    pruned by the watermark;
@@ -32,10 +57,28 @@ final case class EventPattern[E] private (
     copy(steps = steps.init :+ last.copy(pred = e => prev(e) && p(e)))
   }
 
-  /** Append a relaxed-contiguity stage (Flink `.followedBy`). */
-  def followedBy(name: String): EventPattern[E] = {
+  private def append(name: String, kind: StepKind): EventPattern[E] = {
     require(!steps.exists(_.name == name), s"duplicate step name: $name")
-    copy(steps = steps :+ PatternStep[E](name, _ => true))
+    copy(steps = steps :+ PatternStep[E](name, _ => true, kind))
+  }
+
+  /** Append a relaxed-contiguity stage (Flink `.followedBy`). */
+  def followedBy(name: String): EventPattern[E] =
+    append(name, StepKind.Relaxed)
+
+  /** Append a strict-contiguity stage (Flink `.next`): the key's
+    * immediately-next event must match or the partial is killed. */
+  def next(name: String): EventPattern[E] =
+    append(name, StepKind.Strict)
+
+  /** Append an absence stage (Flink `.notFollowedBy`): an event
+    * matching the guard kills the partial. Non-terminal: satisfied
+    * when the FOLLOWING stage matches. Terminal: requires `within`;
+    * the match emits when the window closes unviolated. */
+  def notFollowedBy(name: String): EventPattern[E] = {
+    require(steps.last.kind != StepKind.Negative,
+      "consecutive notFollowedBy stages are not supported")
+    append(name, StepKind.Negative)
   }
 
   /** Bound the whole match window (Flink `.within`). */
@@ -62,11 +105,13 @@ object EventPattern {
   * Event-time timeout fires once every open window has passed, so an
   * idle key's state is dropped instead of lingering forever — at
   * 100 TB the state store holds only in-horizon partials per key.
+  * The timeout firing also runs the pruning pass, which is where a
+  * terminal `notFollowedBy` emits its window-closed-unviolated match.
   */
 object Cep {
 
-  /** Open partial match: stages matched so far, first event's time,
-    * matched events newest-first. */
+  /** Open partial match: index of the next unsatisfied stage, first
+    * event's time, matched events newest-first. */
   type Partial[E] = (Int, Long, List[E])
 
   private def deadline(withinMs: Long, t0: Long): Long =
@@ -76,25 +121,52 @@ object Cep {
     * fuzzes it against a brute-force reference): processes `events`
     * in event-time order against the open `partials0`, returns the
     * surviving partials (watermark-pruned) and the completed matches
-    * (step name → matched event) in emission order. */
+    * (step name → matched events; a negative step maps to Seq.empty)
+    * in emission order. */
   private[graft] def step[E](
       steps: Vector[PatternStep[E]], withinMs: Long,
       eventTimeMs: E => Long,
       partials0: List[Partial[E]], events: Seq[E],
       watermarkMs: Long): (List[Partial[E]], Vector[Map[String, Seq[E]]]) = {
-    val names = steps.map(_.name)
-    def emit(evsRev: List[E]): Map[String, Seq[E]] =
-      names.zip(evsRev.reverse.map(Seq(_))).toMap
+    def emit(evsRev: List[E]): Map[String, Seq[E]] = {
+      val evs = evsRev.reverse.iterator
+      steps.map { st =>
+        if (st.kind == StepKind.Negative) st.name -> Seq.empty[E]
+        else st.name -> Seq(evs.next())
+      }.toMap
+    }
     var partials = partials0
     val out = Vector.newBuilder[Map[String, Seq[E]]]
     events.sortBy(eventTimeMs).foreach { e =>
       val t = eventTimeMs(e)
       val kept = List.newBuilder[Partial[E]]
       partials.foreach { case p @ (stage, t0, acc) =>
-        if (t >= t0 && t <= deadline(withinMs, t0) && steps(stage).pred(e)) {
-          if (stage + 1 == steps.length) out += emit(e :: acc)
-          else kept += ((stage + 1, t0, e :: acc))
-        } else kept += p // relaxed contiguity: partial stays open
+        val inWindow = t >= t0 && t <= deadline(withinMs, t0)
+        steps(stage).kind match {
+          case StepKind.Relaxed =>
+            if (inWindow && steps(stage).pred(e)) {
+              if (stage + 1 == steps.length) out += emit(e :: acc)
+              else kept += ((stage + 1, t0, e :: acc))
+            } else kept += p // relaxed contiguity: partial stays open
+          case StepKind.Strict =>
+            // the key's next event either matches or kills; an
+            // out-of-window event can't match and kills too
+            if (inWindow && steps(stage).pred(e)) {
+              if (stage + 1 == steps.length) out += emit(e :: acc)
+              else kept += ((stage + 1, t0, e :: acc))
+            } // else: drop p
+          case StepKind.Negative =>
+            // advance-first: satisfying the NEXT stage wins over the
+            // forbidden guard when an event matches both
+            val advances = stage + 1 < steps.length && inWindow &&
+              steps(stage + 1).pred(e)
+            if (advances) {
+              if (stage + 2 == steps.length) out += emit(e :: acc)
+              else kept += ((stage + 2, t0, e :: acc))
+            } else if (inWindow && steps(stage).pred(e)) {
+              // forbidden event observed: kill (drop p)
+            } else kept += p
+        }
       }
       partials = kept.result()
       if (steps.head.pred(e)) { // an event may also open a new partial
@@ -103,16 +175,23 @@ object Cep {
       }
     }
     // expired partials can never complete (events behind the
-    // watermark are dropped upstream of this operator)
-    (partials.filter { case (_, t0, _) =>
+    // watermark are dropped upstream of this operator) — except a
+    // TERMINAL notFollowedBy, whose match is DEFINED by the window
+    // closing unviolated: it emits here, at expiry
+    val (kept, expired) = partials.partition { case (_, t0, _) =>
       deadline(withinMs, t0) >= watermarkMs
-    }, out.result())
+    }
+    expired.reverse.foreach { case (stage, _, acc) =>
+      if (stage == steps.length - 1 && steps(stage).kind == StepKind.Negative)
+        out += emit(acc)
+    }
+    (kept, out.result())
   }
 
   /** Run `pattern` over `events` keyed by `keyFn`, event time from
     * `eventTimeMs` (the stream must carry a watermark on that time).
     * `select` maps a complete match (step name → matched events, one
-    * per step for this chain shape) to an output row. */
+    * per positive step; empty for a negative step) to an output row. */
   def detect[E, K, O](
       events: Dataset[E],
       keyFn: E => K,
@@ -124,31 +203,36 @@ object Cep {
       oEnc: Encoder[O]): Dataset[O] = {
     val steps = pattern.steps
     require(steps.nonEmpty, "pattern needs at least one step")
+    require(steps.head.kind != StepKind.Negative,
+      "a pattern cannot START with notFollowedBy")
+    require(steps.last.kind != StepKind.Negative ||
+      pattern.withinMs != Long.MaxValue,
+      "a terminal notFollowedBy requires within() — its match is " +
+        "emitted when the window closes unviolated")
     val withinMs = pattern.withinMs
 
     events.groupByKey(keyFn)
       .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
         (_: K, in: Iterator[E], state: GroupState[List[Partial[E]]]) =>
-          if (in.isEmpty && state.hasTimedOut) { // every window passed
-            state.remove(); Iterator.empty
-          } else {
-            val (partials, matches) = step(steps, withinMs, eventTimeMs,
-              state.getOption.getOrElse(Nil), in.toVector,
-              state.getCurrentWatermarkMs())
-            if (partials.isEmpty) state.remove()
-            else {
-              state.update(partials)
-              if (withinMs != Long.MaxValue) {
-                // a kept partial's deadline can equal the watermark
-                // exactly; Spark rejects a timeout <= watermark
-                val dl = partials.map { case (_, t0, _) =>
-                  deadline(withinMs, t0) }.max
-                state.setTimeoutTimestamp(
-                  math.max(dl, state.getCurrentWatermarkMs() + 1))
-              }
+          // the timeout firing (empty `in`, watermark advanced past
+          // every deadline) runs the same pruning pass — that is
+          // where terminal-notFollowedBy matches emit
+          val (partials, matches) = step(steps, withinMs, eventTimeMs,
+            state.getOption.getOrElse(Nil), in.toVector,
+            state.getCurrentWatermarkMs())
+          if (partials.isEmpty) state.remove()
+          else {
+            state.update(partials)
+            if (withinMs != Long.MaxValue) {
+              // a kept partial's deadline can equal the watermark
+              // exactly; Spark rejects a timeout <= watermark
+              val dl = partials.map { case (_, t0, _) =>
+                deadline(withinMs, t0) }.max
+              state.setTimeoutTimestamp(
+                math.max(dl, state.getCurrentWatermarkMs() + 1))
             }
-            matches.iterator.map(select)
           }
+          matches.iterator.map(select)
       }
   }
 }

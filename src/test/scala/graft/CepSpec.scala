@@ -89,6 +89,107 @@ class CepSpec extends AnyFunSuite {
     q.stop()
   }
 
+  test("next(): strict contiguity — any intervening event kills the partial") {
+    val strict = EventPattern.begin[Sensor]("spike").where(_.kind == "spike")
+      .next("stall").where(_.kind == "stall")
+      .within(java.time.Duration.ofHours(1))
+    val in = MemoryStream[Sensor]
+    val q = Cep.detect(
+      in.toDS().withWatermark("ets", "0 seconds"),
+      (e: Sensor) => e.device, (e: Sensor) => e.ets.getTime, strict) { m =>
+      (m("spike").head.device, m("spike").head.ets)
+    }.toDF("device", "spike_ts")
+      .writeStream.format("memory").queryName("cepn")
+      .outputMode(OutputMode.Append).start()
+    in.addData(
+      // d1: spike -> noise -> stall: the noise KILLS the strict partial
+      Sensor("d1", "spike", t("2019-06-26T10:00:00Z")),
+      Sensor("d1", "noise", t("2019-06-26T10:05:00Z")),
+      Sensor("d1", "stall", t("2019-06-26T10:10:00Z")),
+      // d2: spike immediately followed by stall: matches
+      Sensor("d2", "spike", t("2019-06-26T10:00:00Z")),
+      Sensor("d2", "stall", t("2019-06-26T10:05:00Z")))
+    q.processAllAvailable()
+    val got = spark.table("cepn")
+      .as[(String, java.sql.Timestamp)].collect().toSet
+    assert(got == Set(("d2", t("2019-06-26T10:00:00Z"))))
+    q.stop()
+  }
+
+  test("notFollowedBy (non-terminal): forbidden event between stages kills the partial") {
+    val absence = EventPattern.begin[Sensor]("spike").where(_.kind == "spike")
+      .notFollowedBy("recover").where(_.kind == "recover")
+      .followedBy("crash").where(_.kind == "crash")
+      .within(java.time.Duration.ofHours(1))
+    val in = MemoryStream[Sensor]
+    val q = Cep.detect(
+      in.toDS().withWatermark("ets", "0 seconds"),
+      (e: Sensor) => e.device, (e: Sensor) => e.ets.getTime, absence) { m =>
+      (m("spike").head.device, m("crash").head.ets, m("recover").size)
+    }.toDF("device", "crash_ts", "n_recover")
+      .writeStream.format("memory").queryName("cepnf")
+      .outputMode(OutputMode.Append).start()
+    in.addData(
+      // d1: spike -> recover -> crash: recover kills it
+      Sensor("d1", "spike", t("2019-06-26T10:00:00Z")),
+      Sensor("d1", "recover", t("2019-06-26T10:05:00Z")),
+      Sensor("d1", "crash", t("2019-06-26T10:10:00Z")),
+      // d2: spike -> noise -> crash: matches (noise is not forbidden)
+      Sensor("d2", "spike", t("2019-06-26T10:00:00Z")),
+      Sensor("d2", "noise", t("2019-06-26T10:05:00Z")),
+      Sensor("d2", "crash", t("2019-06-26T10:10:00Z")))
+    q.processAllAvailable()
+    val got = spark.table("cepnf")
+      .as[(String, java.sql.Timestamp, Int)].collect().toSet
+    assert(got == Set(("d2", t("2019-06-26T10:10:00Z"), 0)))
+    q.stop()
+  }
+
+  test("terminal notFollowedBy: absence match emits when the window closes unviolated") {
+    val quiet = EventPattern.begin[Sensor]("spike").where(_.kind == "spike")
+      .notFollowedBy("recover").where(_.kind == "recover")
+      .within(java.time.Duration.ofMinutes(30))
+    val in = MemoryStream[Sensor]
+    val q = Cep.detect(
+      in.toDS().withWatermark("ets", "0 seconds"),
+      (e: Sensor) => e.device, (e: Sensor) => e.ets.getTime, quiet) { m =>
+      (m("spike").head.device, m("spike").head.ets)
+    }.toDF("device", "spike_ts")
+      .writeStream.format("memory").queryName("cepterm")
+      .outputMode(OutputMode.Append).start()
+    in.addData(
+      Sensor("d1", "spike", t("2019-06-26T10:00:00Z")),
+      // d2 recovers inside its window: violated, never emits
+      Sensor("d2", "spike", t("2019-06-26T10:00:00Z")),
+      Sensor("d2", "recover", t("2019-06-26T10:10:00Z")))
+    q.processAllAvailable()
+    // nothing can emit until d1's window closes
+    assert(spark.table("cepterm").count() == 0)
+    // push the watermark past 10:30 on both keys
+    in.addData(
+      Sensor("d1", "noise", t("2019-06-26T11:00:00Z")),
+      Sensor("d2", "noise", t("2019-06-26T11:00:00Z")))
+    q.processAllAvailable()
+    val got = spark.table("cepterm")
+      .as[(String, java.sql.Timestamp)].collect().toSet
+    assert(got == Set(("d1", t("2019-06-26T10:00:00Z"))))
+    q.stop()
+  }
+
+  test("terminal notFollowedBy without within() is rejected") {
+    val bad = EventPattern.begin[Sensor]("spike").where(_.kind == "spike")
+      .notFollowedBy("recover").where(_.kind == "recover")
+    val in = MemoryStream[Sensor]
+    val ex = intercept[IllegalArgumentException] {
+      Cep.detect(
+        in.toDS().withWatermark("ets", "0 seconds"),
+        (e: Sensor) => e.device, (e: Sensor) => e.ets.getTime, bad) { m =>
+        m("spike").head.device
+      }
+    }
+    assert(ex.getMessage.contains("within"))
+  }
+
   test("one closing event completes every open partial (two spikes, one crash path each)") {
     val in = MemoryStream[Sensor]
     val q = detect(in).writeStream.format("memory").queryName("cep4")
