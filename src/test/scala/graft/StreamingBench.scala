@@ -80,6 +80,11 @@ object StreamingBench {
       run(s"sessions_30m[$p]", EventStreams.userSessions, "append")
       runJoin(s"interval_join[$p]")
       runNearDup(s"neardup_lsh[$p]")
+      // 10x state: corpus replicated with per-copy token salts (each
+      // copy gets fresh signatures → fresh band buckets) under a
+      // horizon long enough that nothing expires — the memory-bounded
+      // claim for RocksDB is measured, not asserted
+      runNearDupScaled(s"neardup_lsh_10x[$p]", mult = 10, horizon = "24 hours")
       runSrpNearDup(s"neardup_srp[$p]")
     }
     // stateless ops once (no state store involved)
@@ -97,6 +102,30 @@ object StreamingBench {
         .sortBy(_.ts.getTime).toSeq
       val in = MemoryStream[SDoc]
       val sq = graft.streaming.NearDup.nearDupStream(in.toDF(), "1 hour")
+        .writeStream.format("noop").outputMode("append").start()
+      val t0 = System.nanoTime()
+      docs.grouped(1000).foreach { c => in.addData(c); sq.processAllAvailable() }
+      val sec = (System.nanoTime() - t0) / 1e9
+      sq.stop()
+      println(f"$name%-22s ${docs.length / sec}%,10.0f docs/s  ($sec%.2f s, ${docs.length} docs)")
+    }
+
+    // the near-dup band-state workload at `mult`x the state volume:
+    // every corpus copy is token-salted so its signatures (hence its
+    // band buckets) are distinct, and the horizon outlives the whole
+    // feed so the state store really holds mult x the buckets
+    def runNearDupScaled(name: String, mult: Int, horizon: String): Unit = {
+      val base = Tables.documents(spark, sfDir)
+        .select($"doc_id", $"text").as[(Long, String)].collect()
+      val n = base.length
+      val docs = (0 until mult).flatMap { r =>
+        base.map { case (id, tx) =>
+          SDoc(id + r.toLong * n, s"$tx salt_r$r",
+            new java.sql.Timestamp(1700000000000L + (id + r.toLong * n) * 1000))
+        }
+      }.sortBy(_.ts.getTime)
+      val in = MemoryStream[SDoc]
+      val sq = graft.streaming.NearDup.nearDupStream(in.toDF(), horizon)
         .writeStream.format("noop").outputMode("append").start()
       val t0 = System.nanoTime()
       docs.grouped(1000).foreach { c => in.addData(c); sq.processAllAvailable() }
