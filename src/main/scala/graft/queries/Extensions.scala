@@ -515,6 +515,18 @@ object Extensions {
   private def cosCol(a: Column, b: Column): Column =
     graft.functions.QuantizedCosine.quantizedCosine(a, b)
 
+  /** Exact long dot product (inputs are already integer-quantized). */
+  private def dotLongCol(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0L), (acc, z) => acc + z)
+
+  /** Cosine over two ALREADY-quantized long arrays (x38's centroids
+    * are integer sum vectors, so [[cosCol]]'s float-input quantization
+    * step doesn't apply): exact integer dots, one sqrt·sqrt product
+    * and one division — the same fixed float shape the oracle states. */
+  private def cosLongCol(a: Column, b: Column): Column =
+    dotLongCol(a, b).cast("double") /
+      (sqrt(dotLongCol(a, a).cast("double")) * sqrt(dotLongCol(b, b).cast("double")))
+
   private val NumQueries = 10
   private val TopK = 5
 
@@ -1866,6 +1878,41 @@ object Extensions {
   // table is vocabulary-sized; the verify joins back only candidate
   // ids. At t=0.9 on this corpus: 2072 result pairs.
   private val PfJaccard = 0.9
+
+  /** x35's candidate stage: prefix-token equi-join + length filter +
+    * (optionally) the PPJoin POSITION filter. Ordered-set table in,
+    * `(rep_a, rep_b)` candidate pairs out.
+    *
+    * Position filter (lossless): for the first common token of a
+    * qualifying pair — which the prefix lemma places inside BOTH
+    * prefixes — no earlier token is shared, so the whole overlap sits
+    * at/after it: |A∩B| <= 1 + min(|A|−i, |B|−j) (1-based positions
+    * i,j). Qualifying pairs need |A∩B| >= ceil(t/(1+t)·(|A|+|B|)), so
+    * keeping every collision where the bound clears the threshold
+    * admits at least that first-token collision — pairs are only ever
+    * dropped when NO collision can carry enough overlap. Cuts the
+    * post-join `distinct` input without touching the result set. */
+  private[graft] def ssjoinCandidates(otab: DataFrame,
+                                      positional: Boolean = true): DataFrame = {
+    val pref = otab.select(col("rep"), col("n"),
+      posexplode(expr("slice(otoks, 1, plen)")).as(Seq("pos", "tok")))
+    val lenOk =
+      col("b.n") >= ceil(col("a.n") * lit(PfJaccard)) &&
+        col("a.n") >= ceil(col("b.n") * lit(PfJaccard))
+    // overlap threshold alpha = ceil(t/(1+t)·(na+nb)); epsilon keeps a
+    // float product landing a hair above an integer from EXCLUDING an
+    // admissible pair (over-admission is harmless, the verify is exact)
+    val posOk =
+      lit(1) + least(col("a.n") - col("a.pos") - 1,
+                     col("b.n") - col("b.pos") - 1) >=
+        ceil((col("a.n") + col("b.n")) * lit(PfJaccard / (1 + PfJaccard)) - lit(1e-9))
+    val cond = col("a.tok") === col("b.tok") && col("a.rep") < col("b.rep") &&
+      (if (positional) lenOk && posOk else lenOk)
+    pref.as("a").join(pref.as("b"), cond)
+      .select(col("a.rep").as("rep_a"), col("b.rep").as("rep_b"))
+      .distinct()
+  }
+
   private val x35 = GateQuery(
     "x35_setjoin_prefix",
     (s, d) => {
@@ -1897,14 +1944,7 @@ object Extensions {
           (col("n") - ceil(col("n") * lit(PfJaccard)) + 1).cast("int"))
         .persist()
       otab.count() // both candidate sides consume it
-      val pref = otab.select(col("rep"), col("n"),
-        explode(expr("slice(otoks, 1, plen)")).as("tok"))
-      val cand = pref.as("a").join(pref.as("b"),
-          col("a.tok") === col("b.tok") && col("a.rep") < col("b.rep") &&
-            col("b.n") >= ceil(col("a.n") * lit(PfJaccard)) &&
-            col("a.n") >= ceil(col("b.n") * lit(PfJaccard)))
-        .select(col("a.rep").as("rep_a"), col("b.rep").as("rep_b"))
-        .distinct()
+      val cand = ssjoinCandidates(otab)
       val ta = reps.select(col("rep").as("rep_a"), col("toks").as("toks_a"))
       val tb = reps.select(col("rep").as("rep_b"), col("toks").as("toks_b"))
       val inter = size(array_intersect(col("toks_a"), col("toks_b")))
@@ -2043,7 +2083,86 @@ object Extensions {
             GROUP BY 1, 2, 3, 4
             ORDER BY 1,2,3,4,5"""))
 
+  // ---------------------------------------------------------------- x38
+  // Nearest-centroid classification — the "tiny broadcast model"
+  // scoring pattern of training-data pipelines (quality / domain /
+  // edu-score classifiers): a per-label centroid is learned as the
+  // element-wise INTEGER sum of the label's FLOOR(x*1000)-quantized
+  // embeddings (cosine is scale-invariant, so the un-normalized sum
+  // vector IS the centroid direction and stays exact integer — no
+  // float drift between engines); every vector is then scored
+  // map-side against the k broadcast centroids and labeled
+  // argmax-cosine (ties -> smallest label). Scale shape: the model
+  // collapses to ONE row of k×dim longs broadcast everywhere; the
+  // corpus is scored in a pure projection — nothing proportional to
+  // corpus size shuffles, exactly how a 100 TB quality-filter pass
+  // must run. (The model agg is a dim×k-key shuffle of partial sums.)
+  /** x38's learn + score stages, parameterized on a persisted-and-
+    * materialized `(vec_id, label, qv: array<long>)` table: per-label
+    * integer-sum centroids (k×dim keyed partial sums, reassembled in
+    * position order — never more than k×dim rows), collapsed to ONE
+    * model row and broadcast; scoring is a per-row HOF over the
+    * broadcast centroid array — no per-class join, no regrouping of
+    * scored rows. @return (vec_id, label, pred, cos, hit). */
+  private[graft] def centroidClassify(v: DataFrame): DataFrame = {
+    val cents = v
+      .select(col("label"), posexplode(col("qv")).as(Seq("pos", "q")))
+      .groupBy(col("label"), col("pos")).agg(sum(col("q")).as("s"))
+      .groupBy(col("label"))
+      .agg(transform(array_sort(collect_list(struct(col("pos"), col("s")))),
+        e => e.getField("s")).as("cv"))
+    val model = cents
+      .agg(collect_list(struct(col("label").as("clabel"), col("cv"))).as("cents"))
+    val best = array_max(transform(col("cents"), c =>
+      struct(
+        cosLongCol(col("qv"), c.getField("cv")).as("cos"),
+        (c.getField("clabel") * lit(-1)).as("nlabel"))))
+    v.crossJoin(broadcast(model))
+      .withColumn("best", best)
+      .select(col("vec_id"), col("label"),
+        (col("best.nlabel") * lit(-1)).as("pred"),
+        col("best.cos").as("cos"))
+      .withColumn("hit", (col("label") === col("pred")).cast("int"))
+  }
+
+  private val x38 = GateQuery(
+    "x38_classify_centroid",
+    (s, d) => {
+      val quant = transform(col("embedding"),
+        x => floor(x * lit(1000)).cast("long"))
+      val v = Tables.embeddings(s, d)
+        .select(col("vec_id"), col("label"), quant.as("qv"))
+        .persist() // centroid agg + scoring pass both consume it
+      v.count() // eager: consumers race on a cold cache (see x14)
+      ordered(centroidClassify(v))
+    },
+    Some(s"""WITH v AS (
+              SELECT vec_id, label, list_transform(embedding,
+                x -> CAST(FLOOR(x * 1000) AS BIGINT)) AS qv
+              FROM embeddings),
+            sums AS (
+              SELECT label, u.i AS pos, sum(qv[u.i + 1]) AS s
+              FROM v, unnest(range(len(qv))) AS u(i)
+              GROUP BY 1, 2),
+            cents AS (
+              SELECT label AS clabel, list(s ORDER BY pos) AS cv
+              FROM sums GROUP BY 1),
+            scored AS (
+              SELECT v.vec_id, v.label, c.clabel,
+                list_dot_product(v.qv, c.cv) /
+                  (sqrt(list_dot_product(v.qv, v.qv)) * sqrt(list_dot_product(c.cv, c.cv))) AS cos
+              FROM v CROSS JOIN cents c),
+            best AS (
+              SELECT vec_id, label, clabel AS pred, cos,
+                row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, clabel) AS rn
+              FROM scored)
+            SELECT vec_id, label, pred, cos,
+              CAST(label = pred AS INT) AS hit
+            FROM best WHERE rn = 1
+            ORDER BY 1,2,3,4,5"""))
+
   val all: Seq[GateQuery] = Seq(x01, x02, x03, x04, x05, x06, x07, x08, x09,
     x10, x11, x12, x13, x14, x15, x16, x17, x18, x19, x20, x21, x22, x23,
-    x24, x25, x26, x27, x28, x29, x30, x31, x32, x33, x34, x35, x36, x37)
+    x24, x25, x26, x27, x28, x29, x30, x31, x32, x33, x34, x35, x36, x37,
+    x38)
 }

@@ -120,6 +120,29 @@ class LshPlanSpec extends AnyFunSuite {
       s"popcount filter admitted $cand of $allPairs distinct-mask pairs")
   }
 
+  test("x35: PPJoin position filter prunes impossible collisions, keeps qualifying pairs") {
+    // t=0.9, n=10 everywhere: plen = 2, alpha = ceil(0.9/1.9 * 20) = 10
+    val otab = Seq(
+      (1L, Seq("r1", "a", "b", "c", "d", "e", "f", "g", "h", "i")),
+      (2L, Seq("r2", "a", "b", "c", "d", "e", "f", "g", "h", "i")),
+      (3L, Seq("a", "b", "c", "d", "e", "f", "g", "h", "i", "j")),
+      (4L, Seq("a", "b", "c", "d", "e", "f", "g", "h", "i", "j2")))
+      .toDF("rep", "otoks")
+      .withColumn("n", size(col("otoks")).cast("long"))
+      .withColumn("plen", (col("n") - ceil(col("n") * lit(0.9)) + 1).cast("int"))
+    val loose = Extensions.ssjoinCandidates(otab, positional = false)
+      .as[(Long, Long)].collect().toSet
+    val tight = Extensions.ssjoinCandidates(otab)
+      .as[(Long, Long)].collect().toSet
+    assert(tight.subsetOf(loose), "position filter may only prune")
+    // (1,2) first share "a" at position 2 of both: ubound = 1+8 = 9 < 10
+    // — positionally impossible (their jac is 9/11 < 0.9), so pruned
+    assert(loose.contains((1L, 2L)) && !tight.contains((1L, 2L)))
+    // (3,4) share "a" at position 1 of both: ubound = 10 >= 10 — kept
+    // via that collision even though their "b"@2/2 collision fails
+    assert(tight.contains((3L, 4L)))
+  }
+
   test("size-gated broadcast is still allowed when the table genuinely fits") {
     // default threshold (10 MB) + tiny table: the planner MAY pick a
     // broadcast join — the point is the choice is the OPTIMIZER's
