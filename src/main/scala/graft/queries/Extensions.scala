@@ -2104,25 +2104,42 @@ object Extensions {
     * model row and broadcast; scoring is a per-row HOF over the
     * broadcast centroid array — no per-class join, no regrouping of
     * scored rows. @return (vec_id, label, pred, cos, hit). */
-  private[graft] def centroidClassify(v: DataFrame): DataFrame = {
-    val cents = v
-      .select(col("label"), posexplode(col("qv")).as(Seq("pos", "q")))
-      .groupBy(col("label"), col("pos")).agg(sum(col("q")).as("s"))
-      .groupBy(col("label"))
+  private[graft] def centroidClassify(v: DataFrame): DataFrame =
+    nearestCentroid(v, sumCentroids(v.withColumnRenamed("label", "clabel")))
+      .select(col("vec_id"), col("label"), col("pred"), col("cos"))
+      .withColumn("hit", (col("label") === col("pred")).cast("int"))
+
+  /** Element-wise integer-SUM centroid per `clabel` over `qv` rows —
+    * k×dim keyed partial sums reassembled in position order; never
+    * more than k×dim rows in flight. The un-normalized sum is the
+    * centroid direction (cosine is scale-invariant) and stays exact
+    * integer, so both engines agree bitwise. */
+  private[graft] def sumCentroids(assigned: DataFrame): DataFrame =
+    assigned
+      .select(col("clabel"), posexplode(col("qv")).as(Seq("pos", "q")))
+      .groupBy(col("clabel"), col("pos")).agg(sum(col("q")).as("s"))
+      .groupBy(col("clabel"))
       .agg(transform(array_sort(collect_list(struct(col("pos"), col("s")))),
         e => e.getField("s")).as("cv"))
+
+  /** Score every row of `v` (carrying `qv: array<long>`) against a
+    * small centroid table `(clabel: int, cv: array<long>)`: argmax
+    * quantized cosine, ties toward the smallest clabel. The model
+    * collapses to ONE broadcast row and scoring is a per-row HOF —
+    * no per-class join, no regrouping of scored rows. Adds
+    * `(pred, cos)` to `v`'s columns. */
+  private[graft] def nearestCentroid(v: DataFrame, cents: DataFrame): DataFrame = {
     val model = cents
-      .agg(collect_list(struct(col("label").as("clabel"), col("cv"))).as("cents"))
+      .agg(collect_list(struct(col("clabel"), col("cv"))).as("cents"))
     val best = array_max(transform(col("cents"), c =>
       struct(
         cosLongCol(col("qv"), c.getField("cv")).as("cos"),
         (c.getField("clabel") * lit(-1)).as("nlabel"))))
     v.crossJoin(broadcast(model))
       .withColumn("best", best)
-      .select(col("vec_id"), col("label"),
-        (col("best.nlabel") * lit(-1)).as("pred"),
-        col("best.cos").as("cos"))
-      .withColumn("hit", (col("label") === col("pred")).cast("int"))
+      .withColumn("pred", col("best.nlabel") * lit(-1))
+      .withColumn("cos", col("best.cos"))
+      .drop("best", "cents")
   }
 
   private val x38 = GateQuery(
@@ -2161,8 +2178,79 @@ object Extensions {
             FROM best WHERE rn = 1
             ORDER BY 1,2,3,4,5"""))
 
+  // ---------------------------------------------------------------- x39
+  // Spherical k-means clustering (SemDeDup-style semantic grouping):
+  // deterministic seeds (the first k vectors), one Lloyd update
+  // (assign to seeds → integer-SUM re-estimate) and a final
+  // assignment — a FIXED round count, so the construction is
+  // deterministic and the oracle replays it exactly. Centroids stay
+  // exact integer sums (cosine is scale-invariant); assignments are
+  // argmax quantized cosine with ties to the smallest cluster id.
+  // Scale shape: each round is one broadcast of k×dim longs + a
+  // per-row HOF + a k×dim-key partial-sum shuffle — the corpus
+  // itself never shuffles, and rounds are a constant, not data-
+  // dependent. (Real pipelines run this to cluster embeddings, then
+  // near-dup WITHIN clusters — x21/x29 are those within-bucket
+  // joins; x39 supplies the bucketing a learned layout would use.)
+  private val KmK = 8
+  private[graft] def kmeansCluster(v: DataFrame, k: Int = KmK): DataFrame = {
+    val seeds = v.filter(col("vec_id") < k)
+      .select(col("vec_id").cast("int").as("clabel"), col("qv").as("cv"))
+    val a1 = nearestCentroid(v, seeds)
+      .select(col("pred").as("clabel"), col("qv"))
+    ordered(nearestCentroid(v, sumCentroids(a1))
+      .select(col("vec_id"), col("pred").as("cluster"), col("cos")))
+  }
+  private val x39 = GateQuery(
+    "x39_kmeans_cluster",
+    (s, d) => {
+      val quant = transform(col("embedding"),
+        x => floor(x * lit(1000)).cast("long"))
+      val v = Tables.embeddings(s, d)
+        .select(col("vec_id"), quant.as("qv"))
+        .persist() // seeds + both assignment passes consume it
+      v.count() // eager: consumers race on a cold cache (see x14)
+      kmeansCluster(v)
+    },
+    Some(s"""WITH v AS (
+              SELECT vec_id, list_transform(embedding,
+                x -> CAST(FLOOR(x * 1000) AS BIGINT)) AS qv
+              FROM embeddings),
+            seeds AS (
+              SELECT CAST(vec_id AS INT) AS clabel, qv AS cv
+              FROM v WHERE vec_id < $KmK),
+            s1 AS (
+              SELECT v.vec_id, v.qv, c.clabel,
+                list_dot_product(v.qv, c.cv) /
+                  (sqrt(list_dot_product(v.qv, v.qv)) * sqrt(list_dot_product(c.cv, c.cv))) AS cos
+              FROM v CROSS JOIN seeds c),
+            a1 AS (
+              SELECT vec_id, qv, clabel FROM (
+                SELECT vec_id, qv, clabel,
+                  row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, clabel) AS rn
+                FROM s1)
+              WHERE rn = 1),
+            sums AS (
+              SELECT clabel, u.i AS pos, sum(qv[u.i + 1]) AS s
+              FROM a1, unnest(range(len(qv))) AS u(i)
+              GROUP BY 1, 2),
+            c1 AS (
+              SELECT clabel, list(s ORDER BY pos) AS cv
+              FROM sums GROUP BY 1),
+            s2 AS (
+              SELECT v.vec_id, c.clabel,
+                list_dot_product(v.qv, c.cv) /
+                  (sqrt(list_dot_product(v.qv, v.qv)) * sqrt(list_dot_product(c.cv, c.cv))) AS cos
+              FROM v CROSS JOIN c1 c)
+            SELECT vec_id, cluster, cos FROM (
+              SELECT vec_id, clabel AS cluster, cos,
+                row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, clabel) AS rn
+              FROM s2)
+            WHERE rn = 1
+            ORDER BY 1,2,3"""))
+
   val all: Seq[GateQuery] = Seq(x01, x02, x03, x04, x05, x06, x07, x08, x09,
     x10, x11, x12, x13, x14, x15, x16, x17, x18, x19, x20, x21, x22, x23,
     x24, x25, x26, x27, x28, x29, x30, x31, x32, x33, x34, x35, x36, x37,
-    x38)
+    x38, x39)
 }

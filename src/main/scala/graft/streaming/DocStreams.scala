@@ -88,6 +88,19 @@ object DocStreams {
         t => coalesce(element_at(typedLit(vocab), t), lit(0L)))
         .as("tok_ids"))
 
+  /** Score a vector stream against a FROZEN centroid model — the
+    * streaming face of x38's classifier, and the production shape of
+    * model-based quality filtering at ingest: the model (a static
+    * `(clabel, cv)` table, k×dim longs) is collapsed to one broadcast
+    * row and every arriving vector is labeled argmax-quantized-cosine
+    * in a stateless per-row projection. Append mode, no watermark, no
+    * state store, bit-identical to the batch scorer for the same
+    * model (DocStreamsSpec). Column contract: input has
+    * (vec_id, qv: array<long>). */
+  def classifyStream(vecs: DataFrame, cents: DataFrame): DataFrame =
+    Extensions.nearestCentroid(vecs, cents)
+      .select(col("vec_id"), col("pred"), col("cos"))
+
   /** Chunk a doc stream into overlapping token windows (the x34
     * arithmetic: fixed window/stride, last chunk short, content md5
     * per chunk) — one stateless generator per row, append mode; an

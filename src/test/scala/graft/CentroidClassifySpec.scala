@@ -32,6 +32,21 @@ class CentroidClassifySpec extends AnyFunSuite {
       (4L, 1, 1, 1)))
   }
 
+  test("x39: spherical k-means groups by direction from deterministic seeds") {
+    // k=2: ids 0 and 1 seed clusters along e1 and e2; 40 leans
+    // e1-ward and must land in cluster 0
+    val v = Seq(
+      (0L, Seq(1000L, 0L, 0L)),
+      (1L, Seq(0L, 1000L, 0L)),
+      (20L, Seq(900L, 100L, 0L)),
+      (30L, Seq(0L, 800L, 200L)),
+      (40L, Seq(600L, 500L, 0L)))
+      .toDF("vec_id", "qv")
+    val got = Extensions.kmeansCluster(v, k = 2)
+      .select("vec_id", "cluster").as[(Long, Int)].collect().toMap
+    assert(got === Map(0L -> 0, 1L -> 1, 20L -> 0, 30L -> 1, 40L -> 0))
+  }
+
   test("a vector colinear with one centroid scores cos = 1.0 to it") {
     val v = Seq(
       (1L, 0, Seq(700L, 0L, 0L)),

@@ -160,4 +160,34 @@ class DocStreamsSpec extends AnyFunSuite {
     assert(batch.sameElements(got.values.flatten.toArray.sortBy(r => (r._1, r._2))))
     q.stop()
   }
+
+  test("streaming centroid scorer agrees with the batch x38 classifier") {
+    // frozen model learned from a static labeled set; the stream is
+    // scored statelessly and must label every vector exactly as the
+    // batch scorer does (same argmax, same tie-break)
+    val labeled = Seq(
+      (0L, 0, Seq(1000L, 0L, 50L)),
+      (1L, 0, Seq(900L, 100L, 0L)),
+      (2L, 1, Seq(0L, 1000L, 0L)),
+      (3L, 1, Seq(100L, 800L, 200L)))
+      .toDF("vec_id", "label", "qv")
+    val model = graft.queries.Extensions.sumCentroids(
+      labeled.withColumnRenamed("label", "clabel"))
+    val batch = graft.queries.Extensions.centroidClassify(labeled)
+      .select("vec_id", "pred", "cos")
+      .as[(Long, Int, Double)].collect().sortBy(_._1)
+
+    val in = MemoryStream[(Long, Seq[Long])]
+    val q = DocStreams.classifyStream(
+        in.toDF().toDF("vec_id", "qv"), model)
+      .writeStream.format("memory").queryName("cls").outputMode("append").start()
+    in.addData((0L, Seq(1000L, 0L, 50L)), (1L, Seq(900L, 100L, 0L)))
+    q.processAllAvailable()
+    in.addData((2L, Seq(0L, 1000L, 0L)), (3L, Seq(100L, 800L, 200L)))
+    q.processAllAvailable()
+    val streamed = spark.table("cls")
+      .as[(Long, Int, Double)].collect().sortBy(_._1)
+    assert(streamed.sameElements(batch))
+    q.stop()
+  }
 }
