@@ -127,10 +127,21 @@ object Cep {
       steps: Vector[PatternStep[E]], withinMs: Long,
       eventTimeMs: E => Long,
       partials0: List[Partial[E]], events: Seq[E],
-      watermarkMs: Long): (List[Partial[E]], Vector[Map[String, Seq[E]]]) = {
+      watermarkMs: Long): (List[Partial[E]], Vector[Map[String, Seq[E]]],
+                           Vector[Map[String, Seq[E]]]) = {
     def emit(evsRev: List[E]): Map[String, Seq[E]] = {
       val evs = evsRev.reverse.iterator
       steps.map { st =>
+        if (st.kind == StepKind.Negative) st.name -> Seq.empty[E]
+        else st.name -> Seq(evs.next())
+      }.toMap
+    }
+    // a timed-out partial reports what it DID match: events for the
+    // satisfied positive stages, empty seq for satisfied negatives,
+    // absent keys for the never-reached stages
+    def emitPartial(stage: Int, evsRev: List[E]): Map[String, Seq[E]] = {
+      val evs = evsRev.reverse.iterator
+      steps.take(stage).map { st =>
         if (st.kind == StepKind.Negative) st.name -> Seq.empty[E]
         else st.name -> Seq(evs.next())
       }.toMap
@@ -181,11 +192,13 @@ object Cep {
     val (kept, expired) = partials.partition { case (_, t0, _) =>
       deadline(withinMs, t0) >= watermarkMs
     }
+    val timedOut = Vector.newBuilder[Map[String, Seq[E]]]
     expired.reverse.foreach { case (stage, _, acc) =>
       if (stage == steps.length - 1 && steps(stage).kind == StepKind.Negative)
         out += emit(acc)
+      else timedOut += emitPartial(stage, acc)
     }
-    (kept, out.result())
+    (kept, out.result(), timedOut.result())
   }
 
   /** Run `pattern` over `events` keyed by `keyFn`, event time from
@@ -198,6 +211,29 @@ object Cep {
       eventTimeMs: E => Long,
       pattern: EventPattern[E])(
       select: Map[String, Seq[E]] => O)(
+      implicit kEnc: Encoder[K],
+      sEnc: Encoder[List[(Int, Long, List[E])]],
+      oEnc: Encoder[O]): Dataset[O] =
+    detectWithTimeouts(events, keyFn, eventTimeMs, pattern)(select, null)
+
+  /** [[detect]] plus FlinkCEP's timed-out-match SIDE OUTPUT
+    * (`PatternStream.select(timeoutTag, timeoutFn, selectFn)`): a
+    * partial whose window passes before completing is handed to
+    * `timeoutSelect` with what it DID match (satisfied positive
+    * stages only — never-reached stage names are absent from the
+    * map). Pass `timeoutSelect = null` to drop timeouts (= detect).
+    * Both outputs ride one append-mode stream; tell them apart in
+    * `O` (e.g. an Either or a flag column). Timeouts surface when
+    * the watermark passes the partial's deadline — same trigger
+    * that prunes its state, so the side output costs no extra
+    * state. */
+  def detectWithTimeouts[E, K, O](
+      events: Dataset[E],
+      keyFn: E => K,
+      eventTimeMs: E => Long,
+      pattern: EventPattern[E])(
+      select: Map[String, Seq[E]] => O,
+      timeoutSelect: Map[String, Seq[E]] => O)(
       implicit kEnc: Encoder[K],
       sEnc: Encoder[List[(Int, Long, List[E])]],
       oEnc: Encoder[O]): Dataset[O] = {
@@ -217,7 +253,7 @@ object Cep {
           // the timeout firing (empty `in`, watermark advanced past
           // every deadline) runs the same pruning pass — that is
           // where terminal-notFollowedBy matches emit
-          val (partials, matches) = step(steps, withinMs, eventTimeMs,
+          val (partials, matches, timeouts) = step(steps, withinMs, eventTimeMs,
             state.getOption.getOrElse(Nil), in.toVector,
             state.getCurrentWatermarkMs())
           if (partials.isEmpty) state.remove()
@@ -232,7 +268,10 @@ object Cep {
                 math.max(dl, state.getCurrentWatermarkMs() + 1))
             }
           }
-          matches.iterator.map(select)
+          val timedOut =
+            if (timeoutSelect == null) Iterator.empty
+            else timeouts.iterator.map(timeoutSelect)
+          matches.iterator.map(select) ++ timedOut
       }
   }
 }

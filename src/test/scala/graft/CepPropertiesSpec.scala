@@ -44,7 +44,7 @@ class CepPropertiesSpec extends AnyFunSuite {
     var wm = Long.MinValue
     val out = Vector.newBuilder[Map[String, Seq[Ev]]]
     batches.foreach { batch =>
-      val (p2, matches) = Cep.step(pattern.steps, pattern.withinMs,
+      val (p2, matches, _) = Cep.step(pattern.steps, pattern.withinMs,
         (e: Ev) => e.ts, partials, batch, wm)
       partials = p2
       out ++= matches

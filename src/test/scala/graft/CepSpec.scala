@@ -190,6 +190,38 @@ class CepSpec extends AnyFunSuite {
     assert(ex.getMessage.contains("within"))
   }
 
+  test("timed-out partials surface on the side output with what they DID match") {
+    val in = MemoryStream[Sensor]
+    val q = Cep.detectWithTimeouts(
+        in.toDS().withWatermark("ets", "0 seconds"),
+        (e: Sensor) => e.device, (e: Sensor) => e.ets.getTime, pattern)(
+        m => ("match", m("spike").head.device,
+          m.keySet.toSeq.sorted.mkString(",")),
+        m => ("timeout", m("spike").head.device,
+          m.keySet.toSeq.sorted.mkString(",")))
+      .toDF("tag", "device", "stages")
+      .writeStream.format("memory").queryName("cepTo")
+      .outputMode(OutputMode.Append).start()
+    in.addData(
+      Sensor("d1", "spike", t("2019-06-26T10:00:00Z")),
+      Sensor("d1", "stall", t("2019-06-26T10:10:00Z")), // partial: spike+stall
+      Sensor("d2", "spike", t("2019-06-26T10:00:00Z")), // partial: spike only
+      Sensor("d3", "spike", t("2019-06-26T10:00:00Z")),
+      Sensor("d3", "stall", t("2019-06-26T10:10:00Z")),
+      Sensor("d3", "crash", t("2019-06-26T10:20:00Z"))) // completes
+    q.processAllAvailable()
+    // push the watermark past every deadline: d1/d2 partials time out
+    in.addData(Sensor("d9", "noise", t("2019-06-26T13:00:00Z")))
+    q.processAllAvailable()
+    val got = spark.table("cepTo")
+      .as[(String, String, String)].collect().toSet
+    assert(got == Set(
+      ("match", "d3", "crash,spike,stall"),   // full match, all stages
+      ("timeout", "d1", "spike,stall"),       // died waiting for crash
+      ("timeout", "d2", "spike")))            // died waiting for stall
+    q.stop()
+  }
+
   test("one closing event completes every open partial (two spikes, one crash path each)") {
     val in = MemoryStream[Sensor]
     val q = detect(in).writeStream.format("memory").queryName("cep4")
