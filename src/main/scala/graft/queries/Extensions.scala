@@ -2249,8 +2249,228 @@ object Extensions {
             WHERE rn = 1
             ORDER BY 1,2,3"""))
 
+  // ---------------------------------------------------------------- x40
+  // BM25 relevance scoring against a fixed query-term set — the
+  // retrieval-side primitive of a data pipeline (quality-by-query
+  // scoring, SEO-spam probes, targeted subcorpus pulls). Per-term
+  // rows are emitted instead of a per-doc sum so NO float summation
+  // order exists anywhere: every arithmetic step is a fixed-shape
+  // double expression over exact integers, bit-identical across
+  // engines. The idf uses the log-free odds form
+  // (N - df + 0.5)/(df + 0.5) — rendered as exact-integer ratio
+  // (2N-2df+1)/(2df+1) — which is a strictly monotone transform of
+  // the classic ln-idf (ln is NOT correctly-rounded and differs
+  // between libm and the JDK; the odds ratio ranks identically and
+  // compares exactly). Scale shape: corpus stats (N, Σdl) are a
+  // 1-row agg and df a |terms|-row agg, both broadcast back; tf is a
+  // per-row HOF over the token array — document text never shuffles,
+  // and only hit rows (tf>0) exist past the projection.
+  private val Bm25Terms = Seq("join", "vector", "stream", "window")
+  private val x40 = GateQuery(
+    "x40_bm25_score",
+    (s, d) => {
+      // staged projection: split() runs once per row (the x15
+      // pitfall); tf for each query term is a filter-HOF over it
+      val t = Tables.documents(s, d)
+        .select(col("doc_id"), split(col("text"), " ").as("tk"))
+        .select(col("doc_id"), size(col("tk")).cast("long").as("dl"),
+          col("tk"))
+      val stats = t.agg(count(lit(1)).as("n_docs"),
+        sum(col("dl")).as("sum_dl"))
+      val hits = t.select(col("doc_id"), col("dl"),
+          explode(array(Bm25Terms.map(q => struct(lit(q).as("term"),
+            size(filter(col("tk"), x => x === lit(q))).cast("long")
+              .as("tf"))): _*)).as("s"))
+        .select(col("doc_id"), col("dl"), col("s.term").as("term"),
+          col("s.tf").as("tf"))
+        .filter(col("tf") > 0)
+      val dfs = hits.groupBy(col("term")).agg(count(lit(1)).as("df"))
+      val scored = hits.join(broadcast(dfs), "term")
+        .crossJoin(broadcast(stats))
+      val idf =
+        (lit(2) * col("n_docs") - lit(2) * col("df") + lit(1)).cast("double") /
+          (lit(2) * col("df") + lit(1)).cast("double")
+      val avgdl = col("sum_dl").cast("double") / col("n_docs").cast("double")
+      val norm = col("tf").cast("double") * lit(2.2) /
+        (col("tf").cast("double") +
+          lit(1.2) * (lit(0.25) + lit(0.75) *
+            (col("dl").cast("double") / avgdl)))
+      ordered(scored.select(col("doc_id"), col("term"), col("tf"),
+        col("dl"), (idf * norm).as("score")))
+    },
+    Some(s"""WITH t AS (
+              SELECT doc_id,
+                     CAST(len(string_split(text, ' ')) AS BIGINT) AS dl,
+                     string_split(text, ' ') AS tk
+              FROM documents),
+            stats AS (
+              SELECT count(*) AS n_docs, CAST(sum(dl) AS BIGINT) AS sum_dl
+              FROM t),
+            q AS (SELECT unnest([${Bm25Terms.map(t => s"'$t'").mkString(", ")}]) AS term),
+            hits AS (
+              SELECT t.doc_id, t.dl, q.term,
+                     CAST(len(list_filter(t.tk, x -> x = q.term)) AS BIGINT) AS tf
+              FROM t CROSS JOIN q
+              WHERE len(list_filter(t.tk, x -> x = q.term)) > 0),
+            dfs AS (SELECT term, count(*) AS df FROM hits GROUP BY 1)
+            SELECT h.doc_id, h.term, h.tf, h.dl,
+              (CAST(2 * s.n_docs - 2 * d.df + 1 AS DOUBLE) /
+               CAST(2 * d.df + 1 AS DOUBLE)) *
+              (CAST(h.tf AS DOUBLE) * 2.2 /
+               (CAST(h.tf AS DOUBLE) + 1.2 * (0.25 + 0.75 *
+                 (CAST(h.dl AS DOUBLE) /
+                  (CAST(s.sum_dl AS DOUBLE) / CAST(s.n_docs AS DOUBLE)))))) AS score
+            FROM hits h JOIN dfs d ON d.term = h.term CROSS JOIN stats s
+            ORDER BY 1,2,3,4,5"""))
+
+  // ---------------------------------------------------------------- x41
+  // Inverted-index build — the canonical MapReduce workload, SHARDED:
+  // posting lists are grouped by (term, doc_id-range shard), not by
+  // bare term, so no single row ever holds a 100 TB stopword's full
+  // posting list (the same bounded-partition argument as x23's
+  // packing shards: shard COUNT grows with data, shard SIZE is a
+  // constant, and a term's postings parallelize across its shards).
+  // One explode + one groupBy shuffle keyed by (term, shard); the
+  // term-level df rollup aggregates the already-tiny shard table.
+  // Postings are emitted as a comma-joined string (delta/varint
+  // encoding is the storage refinement; the string is the
+  // engine-portable form both engines order identically).
+  private val IdxShardDocs = 200L
+  private val IdxMinDf = 2L
+  private val x41 = GateQuery(
+    "x41_inverted_index",
+    (s, d) => {
+      val post = Tables.documents(s, d)
+        .select(col("doc_id"),
+          floor(col("doc_id") / lit(IdxShardDocs)).cast("long").as("shard"),
+          explode(tokenSet(col("text"))).as("term"))
+      val shards = post.groupBy(col("term"), col("shard"))
+        .agg(count(lit(1)).as("df_shard"),
+          array_join(sort_array(collect_list(col("doc_id")))
+            .cast("array<string>"), ",").as("postings"))
+        .persist()
+      shards.count() // two consumers (rollup is a broadcast subtree)
+      val global = shards.groupBy(col("term"))
+        .agg(sum(col("df_shard")).as("df"))
+        .filter(col("df") >= IdxMinDf)
+      ordered(shards.join(broadcast(global), "term")
+        .select(col("term"), col("shard"), col("df"), col("df_shard"),
+          col("postings")))
+    },
+    Some(s"""WITH post AS (
+              SELECT doc_id,
+                     CAST(doc_id // $IdxShardDocs AS BIGINT) AS shard,
+                     unnest(list_distinct(string_split(text, ' '))) AS term
+              FROM documents),
+            sl AS (
+              SELECT term, shard, count(*) AS df_shard,
+                     array_to_string(list_sort(list(doc_id)), ',') AS postings
+              FROM post GROUP BY 1, 2),
+            g AS (
+              SELECT term, CAST(sum(df_shard) AS BIGINT) AS df
+              FROM sl GROUP BY 1 HAVING sum(df_shard) >= $IdxMinDf)
+            SELECT s.term, s.shard, g.df, s.df_shard, s.postings
+            FROM sl s JOIN g ON g.term = s.term
+            ORDER BY 1,2,3,4,5"""))
+
+  // ---------------------------------------------------------------- x42
+  // FUZZY decontamination: x24 catches exact n-gram overlap with the
+  // benchmark set; paraphrased or lightly-edited contamination slips
+  // through it. x42 runs the x14 bigram-MinHash family BIPARTITE —
+  // corpus side × benchmark side — then verifies candidates with
+  // exact bigram Jaccard. Same "b:" hash family as x14 by design:
+  // the signatures are reusable between the near-dup and decontam
+  // passes of one pipeline run. The stand-in benchmark is a
+  // LIGHTLY-EDITED slice of the corpus (a doc_id slice with its
+  // first two tokens dropped) — precisely the contamination shape
+  // that defeats exact long-span matching but not MinHash. Scale
+  // shape: the benchmark is MBs against a 100 TB corpus, so its
+  // ENTIRE band table broadcasts and the corpus side streams through
+  // a map-side hash join — unlike x14's self-join, nothing here
+  // shuffles with corpus cardinality; the verify joins only touch
+  // candidate rows.
+  private val FuzzyThreshold = 0.8
+  private val x42 = GateQuery(
+    "x42_decontam_fuzzy",
+    (s, d) => {
+      val docs = Tables.documents(s, d)
+      val editedText = concat_ws(" ",
+        slice(split(col("text"), " "), lit(3),
+          greatest(size(split(col("text"), " ")) - lit(2), lit(0))))
+      val bench = docs.filter(col("doc_id") % BenchMod === 0)
+        .select(col("doc_id").as("bench_id"),
+          graft.functions.TokenBigrams.tokenBigrams(editedText).as("bgs_b"))
+        .persist()
+      bench.count()
+      // the corpus side is ALL documents — contamination means the
+      // corpus CONTAINS benchmark text, so the bench slice's own
+      // sources must stay in scope
+      val corp = docs
+        .repartition(col("doc_id")) // 1-split scan: spread the shingling
+        .select(col("doc_id"), bigramsExpr.as("bgs"))
+        .persist()
+      corp.count()
+      val bandB = bandTableArr(
+        bench.select(col("bench_id").as("rep"), col("bgs_b").as("arr")), "b:")
+      val bandC = bandTableArr(
+        corp.select(col("doc_id").as("rep"), col("bgs").as("arr")), "b:")
+      val joinCond = col("c.band") === col("b.band") &&
+        (0 until BandRows).map(j => col(s"c.k$j") === col(s"b.k$j"))
+          .reduce(_ && _)
+      val cand = bandC.as("c").join(broadcast(bandB.as("b")), joinCond)
+        .select(col("c.rep").as("doc_id"), col("b.rep").as("bench_id"))
+        .distinct()
+      val inter = size(array_intersect(col("bgs"), col("bgs_b")))
+      val jac = inter.cast("double") /
+        (size(col("bgs")) + size(col("bgs_b")) - inter)
+      ordered(cand.join(corp, "doc_id").join(broadcast(bench), "bench_id")
+        .withColumn("jac", jac)
+        .filter(col("jac") >= FuzzyThreshold)
+        .select(col("doc_id"), col("bench_id"), col("jac")))
+    },
+    Some {
+      val mhCols = (0 until NumMinhash).map { i =>
+        s"MIN((h * ${mhA(i)} + ${mhB(i)}) % $Mod32) AS mh$i"
+      }.mkString(", ")
+      def bandSelects(src: String) = (0 until NumBands).map { b =>
+        val ks = (0 until BandRows)
+          .map(j => s"mh${BandRows * b + j} AS k$j").mkString(", ")
+        s"SELECT rep, $b AS band, $ks FROM $src"
+      }.mkString(" UNION ALL ")
+      val joinKeys = "c.band = b.band AND " +
+        (0 until BandRows).map(j => s"c.k$j = b.k$j").mkString(" AND ")
+      s"""WITH tks AS (
+             SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+           bench AS (
+             SELECT bench_id, $duckBigrams AS bgs_b FROM (
+               SELECT doc_id AS bench_id, tk[3:] AS tk
+               FROM tks WHERE doc_id % $BenchMod = 0)),
+           corp AS (
+             SELECT doc_id, $duckBigrams AS bgs FROM tks),
+           bt AS (SELECT bench_id AS rep, unnest(bgs_b) AS tok FROM bench),
+           ct AS (SELECT doc_id AS rep, unnest(bgs) AS tok FROM corp),
+           bth AS (SELECT rep, ${duckHex32("md5('b:' || tok)")} AS h FROM bt),
+           cth AS (SELECT rep, ${duckHex32("md5('b:' || tok)")} AS h FROM ct),
+           bmh AS (SELECT rep, $mhCols FROM bth GROUP BY rep),
+           cmh AS (SELECT rep, $mhCols FROM cth GROUP BY rep),
+           bband AS (${bandSelects("bmh")}),
+           cband AS (${bandSelects("cmh")}),
+           cand AS (
+             SELECT DISTINCT c.rep AS doc_id, b.rep AS bench_id
+             FROM cband c JOIN bband b ON $joinKeys)
+          SELECT ca.doc_id, ca.bench_id,
+            CAST(len(list_intersect(co.bgs, be.bgs_b)) AS DOUBLE) /
+              (len(co.bgs) + len(be.bgs_b) - len(list_intersect(co.bgs, be.bgs_b))) AS jac
+          FROM cand ca
+          JOIN corp co ON co.doc_id = ca.doc_id
+          JOIN bench be ON be.bench_id = ca.bench_id
+          WHERE CAST(len(list_intersect(co.bgs, be.bgs_b)) AS DOUBLE) /
+              (len(co.bgs) + len(be.bgs_b) - len(list_intersect(co.bgs, be.bgs_b))) >= $FuzzyThreshold
+          ORDER BY 1,2,3"""
+    })
+
   val all: Seq[GateQuery] = Seq(x01, x02, x03, x04, x05, x06, x07, x08, x09,
     x10, x11, x12, x13, x14, x15, x16, x17, x18, x19, x20, x21, x22, x23,
     x24, x25, x26, x27, x28, x29, x30, x31, x32, x33, x34, x35, x36, x37,
-    x38, x39)
+    x38, x39, x40, x41, x42)
 }
