@@ -1182,15 +1182,25 @@ object Extensions {
             ORDER BY 1,2,3,4"""))
 
   // ---------------------------------------------------------------- x22
-  // SimHash near-dup pairs at signature-class level: 32-bit SimHash
-  // per class rep (the fused [[graft.functions.SimHashAgg]], as x05),
-  // candidates from a 4-band x 8-bit equi-join — pigeonhole: a pair
-  // within Hamming distance 3 must agree on at least one whole byte,
-  // so the band join has NO false negatives — then exact popcount
-  // Hamming verify. Same 100 TB shape as x04: candidates come from a
-  // shuffle equi-join on a short numeric key, never a cross product,
-  // and only verified pairs survive. Deterministic end to end, so the
-  // oracle replays the identical construction.
+  // SimHash near-dup pairs at signature-class level: a 64-bit SimHash
+  // per class rep, built as TWO independent 32-bit halves (the fused
+  // [[graft.functions.SimHashArr]] over the raw token set and over an
+  // "s1:"-seeded copy — simhash bits are independent across hash
+  // families, so halves concatenate into one 64-bit signature without
+  // any 64-bit md5 arithmetic either engine would have to emulate).
+  // Candidates from a 4-band x 16-BIT equi-join — pigeonhole: a pair
+  // within Hamming distance 3 over the 64 combined bits must agree on
+  // at least one whole 16-bit band, so the join has NO false
+  // negatives — then exact popcount Hamming verify over both halves.
+  // Why 16-bit bands: the 10x scale run measured the earlier 4x8-bit
+  // layout at 15.6x the sf0.1 time — an 8-bit key has only 256
+  // distinct values, so band buckets hold ~n/256 reps and candidates
+  // grow quadratically (the x03 critique, reborn at 10x). A 16-bit
+  // key has 65536 values: buckets stay O(n/65536) and the candidate
+  // set tracks the true near-dup count. Same 100 TB shape as x04:
+  // candidates come from a shuffle equi-join on a short numeric key,
+  // never a cross product. Deterministic end to end, so the oracle
+  // replays the identical construction.
   private val SimHashBands = 4
   private val HammingMax = SimHashBands - 1 // pigeonhole-complete
   private val x22 = GateQuery(
@@ -1198,63 +1208,78 @@ object Extensions {
     (s, d) => {
       val sigs = sigTable(s, d).persist()
       sigs.count() // eager: consumers race on a cold cache (see x14)
-      // per-row fused signature over a repartitioned documents side
+      // per-row fused signatures over a repartitioned documents side
       // (the one-sided-projection pushdown pitfall — see
-      // verifiedMinhashPairs)
+      // verifiedMinhashPairs); tokenSet staged once, hashed twice
       val docSh = Tables.documents(s, d)
         .repartition(col("doc_id"))
+        .select(col("doc_id"), tokenSet(col("text")).as("tks"))
         .select(col("doc_id"),
-          graft.functions.SimHashArr.simhashArr(tokenSet(col("text")))
-            .as("sh"))
+          graft.functions.SimHashArr.simhashArr(col("tks")).as("sh0"),
+          graft.functions.SimHashArr.simhashArr(
+            transform(col("tks"), t => concat(lit("s1:"), t))).as("sh1"))
       val sh = sigs
         .join(docSh, col("rep") === col("doc_id"))
-        .select(col("rep"), col("sh"))
+        .select(col("rep"), col("sh0"), col("sh1"))
         .persist()
       sh.count() // three consumers (banded + both verify sides)
       val banded = (0 until SimHashBands).map { j =>
+        val half = if (j < 2) col("sh0") else col("sh1")
         sh.select(col("rep"), lit(j).as("band"),
-          shiftright(col("sh"), 8 * j).bitwiseAND(lit(255L)).as("bv"))
+          shiftright(half, 16 * (j % 2)).bitwiseAND(lit(65535L)).as("bv"))
       }.reduce(_ unionAll _)
       val cand = banded.as("a").join(banded.as("b"),
           col("a.band") === col("b.band") && col("a.bv") === col("b.bv") &&
             col("a.rep") < col("b.rep"))
         .select(col("a.rep").as("rep_a"), col("b.rep").as("rep_b")).distinct()
-      val ha = sh.select(col("rep").as("rep_a"), col("sh").as("sh_a"))
-      val hb = sh.select(col("rep").as("rep_b"), col("sh").as("sh_b"))
+      val ha = sh.select(col("rep").as("rep_a"), col("sh0").as("sh0_a"),
+        col("sh1").as("sh1_a"))
+      val hb = sh.select(col("rep").as("rep_b"), col("sh0").as("sh0_b"),
+        col("sh1").as("sh1_b"))
       ordered(cand.join(ha, "rep_a").join(hb, "rep_b")
         .withColumn("hamming",
-          bit_count(col("sh_a").bitwiseXOR(col("sh_b"))).cast("long"))
+          (bit_count(col("sh0_a").bitwiseXOR(col("sh0_b"))) +
+            bit_count(col("sh1_a").bitwiseXOR(col("sh1_b")))).cast("long"))
         .filter(col("hamming") <= HammingMax)
         .select(col("rep_a"), col("rep_b"), col("hamming")))
     },
     Some {
-      val bitSums = (0 until 32).map { b =>
-        s"SUM(CASE WHEN (h >> $b) & 1 = 1 THEN 1 ELSE -1 END) AS b$b"
+      def bitSums(col: String) = (0 until 32).map { b =>
+        s"SUM(CASE WHEN ($col >> $b) & 1 = 1 THEN 1 ELSE -1 END) AS b$b"
       }.mkString(", ")
       val assemble = (0 until 32).map { b =>
         s"(CASE WHEN b$b >= 0 THEN ${1L << b} ELSE 0 END)"
       }.mkString(" + ")
-      val bandSelects = (0 until SimHashBands)
-        .map(j => s"SELECT rep, $j AS band, (sh >> ${8 * j}) & 255 AS bv FROM sh")
-        .mkString(" UNION ALL ")
+      val bandSelects = (0 until SimHashBands).map { j =>
+        val half = if (j < 2) "sh0" else "sh1"
+        s"SELECT rep, $j AS band, ($half >> ${16 * (j % 2)}) & 65535 AS bv FROM sh"
+      }.mkString(" UNION ALL ")
       s"""WITH $duckMasksCte,
           rep_toks AS (
             SELECT s.rep, unnest(list_distinct(string_split(doc.text, ' '))) AS tok
             FROM sigs s JOIN documents doc ON doc.doc_id = s.rep),
-          th AS (SELECT rep, ${duckHex32("md5(tok)")} AS h FROM rep_toks),
-          bits AS (SELECT rep, $bitSums FROM th GROUP BY 1),
-          sh AS (SELECT rep, $assemble AS sh FROM bits),
+          th AS (SELECT rep, ${duckHex32("md5(tok)")} AS h0,
+                        ${duckHex32("md5('s1:' || tok)")} AS h1
+                 FROM rep_toks),
+          bits0 AS (SELECT rep, ${bitSums("h0")} FROM th GROUP BY 1),
+          bits1 AS (SELECT rep, ${bitSums("h1")} FROM th GROUP BY 1),
+          sh AS (SELECT b0r.rep, b0r.sh0, b1r.sh1 FROM
+                   (SELECT rep, $assemble AS sh0 FROM bits0) b0r
+                   JOIN (SELECT rep, $assemble AS sh1 FROM bits1) b1r
+                     ON b1r.rep = b0r.rep),
           banded AS ($bandSelects),
           cand AS (
             SELECT DISTINCT a.rep AS rep_a, b.rep AS rep_b
             FROM banded a JOIN banded b
               ON a.band = b.band AND a.bv = b.bv AND a.rep < b.rep)
           SELECT c.rep_a, c.rep_b,
-            CAST(bit_count(xor(sa.sh, sb.sh)) AS BIGINT) AS hamming
+            CAST(bit_count(xor(sa.sh0, sb.sh0)) +
+                 bit_count(xor(sa.sh1, sb.sh1)) AS BIGINT) AS hamming
           FROM cand c
           JOIN sh sa ON sa.rep = c.rep_a
           JOIN sh sb ON sb.rep = c.rep_b
-          WHERE bit_count(xor(sa.sh, sb.sh)) <= $HammingMax
+          WHERE bit_count(xor(sa.sh0, sb.sh0)) +
+                bit_count(xor(sa.sh1, sb.sh1)) <= $HammingMax
           ORDER BY 1,2,3"""
     })
 
