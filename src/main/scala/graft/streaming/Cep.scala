@@ -50,11 +50,32 @@ final case class PatternStep[E](name: String, pred: E => Boolean,
 final case class EventPattern[E] private (
     steps: Vector[PatternStep[E]], withinMs: Long) {
 
-  /** Conjoin a guard onto the most recent step (Flink `.where`). */
+  /** Conjoin a guard onto the most recent LOGICAL step (Flink
+    * `.where`): after [[times]], every clone of the repeated stage
+    * shares its name, and the guard applies to all of them. */
   def where(p: E => Boolean): EventPattern[E] = {
+    val nm = steps.last.name
+    copy(steps = steps.map { st =>
+      if (st.name != nm) st
+      else { val prev = st.pred; st.copy(pred = e => prev(e) && p(e)) }
+    })
+  }
+
+  /** Repeat the most recent stage exactly `n` times (Flink
+    * `.times(n)`): the stage must match n events before the pattern
+    * advances, with the stage's OWN contiguity between repetitions —
+    * `followedBy(...).times(3)` finds 3 occurrences skipping noise,
+    * `next(...).times(3)` demands 3 consecutive events (Flink's
+    * `times(n).consecutive()`). Compiled by EXPANSION into n clones
+    * sharing the stage name; the match exposes all n events under
+    * that one name, and the NFA core is unchanged — a clone is just
+    * a stage. */
+  def times(n: Int): EventPattern[E] = {
+    require(n >= 1, "times(n) needs n >= 1")
     val last = steps.last
-    val prev = last.pred
-    copy(steps = steps.init :+ last.copy(pred = e => prev(e) && p(e)))
+    require(last.kind != StepKind.Negative,
+      "times() on notFollowedBy is not supported")
+    copy(steps = steps ++ Vector.fill(n - 1)(last))
   }
 
   private def append(name: String, kind: StepKind): EventPattern[E] = {
@@ -129,23 +150,23 @@ object Cep {
       partials0: List[Partial[E]], events: Seq[E],
       watermarkMs: Long): (List[Partial[E]], Vector[Map[String, Seq[E]]],
                            Vector[Map[String, Seq[E]]]) = {
-    def emit(evsRev: List[E]): Map[String, Seq[E]] = {
+    // steps cloned by times(n) share a name: their events merge into
+    // one Seq under that name, in match order
+    def emitSteps(sts: Vector[PatternStep[E]],
+                  evsRev: List[E]): Map[String, Seq[E]] = {
       val evs = evsRev.reverse.iterator
-      steps.map { st =>
-        if (st.kind == StepKind.Negative) st.name -> Seq.empty[E]
-        else st.name -> Seq(evs.next())
-      }.toMap
+      sts.foldLeft(Map.empty[String, Seq[E]]) { (m, st) =>
+        val cur = m.getOrElse(st.name, Seq.empty[E])
+        if (st.kind == StepKind.Negative) m.updated(st.name, cur)
+        else m.updated(st.name, cur :+ evs.next())
+      }
     }
+    def emit(evsRev: List[E]): Map[String, Seq[E]] = emitSteps(steps, evsRev)
     // a timed-out partial reports what it DID match: events for the
     // satisfied positive stages, empty seq for satisfied negatives,
     // absent keys for the never-reached stages
-    def emitPartial(stage: Int, evsRev: List[E]): Map[String, Seq[E]] = {
-      val evs = evsRev.reverse.iterator
-      steps.take(stage).map { st =>
-        if (st.kind == StepKind.Negative) st.name -> Seq.empty[E]
-        else st.name -> Seq(evs.next())
-      }.toMap
-    }
+    def emitPartial(stage: Int, evsRev: List[E]): Map[String, Seq[E]] =
+      emitSteps(steps.take(stage), evsRev)
     var partials = partials0
     val out = Vector.newBuilder[Map[String, Seq[E]]]
     events.sortBy(eventTimeMs).foreach { e =>

@@ -8,6 +8,10 @@ import graft.streaming.{Cep, EventPattern}
 /** Sensor event for the generic-CEP tests. */
 case class Sensor(device: String, kind: String, ets: java.sql.Timestamp)
 
+/** Sensor with a level, for the times()+where() guard test. */
+case class Lev(device: String, kind: String, lvl: Int,
+               ets: java.sql.Timestamp)
+
 /** The generic pattern API ([[graft.streaming.EventPattern]] →
   * [[graft.streaming.Cep.detect]]): a three-stage A→B→C chain with
   * relaxed contiguity, within-window expiry, first-match consumption,
@@ -236,6 +240,91 @@ class CepSpec extends AnyFunSuite {
       .as[(String, java.sql.Timestamp, java.sql.Timestamp)].collect()
       .map(_._2).toSet
     assert(got == Set(t("2019-06-26T10:00:00Z"), t("2019-06-26T10:02:00Z")))
+    q.stop()
+  }
+
+  test("times(n) relaxed: n occurrences collect under one name, noise skipped") {
+    val pat = EventPattern.begin[Sensor]("spike").where(_.kind == "spike")
+      .followedBy("beat").where(_.kind == "beat").times(3)
+      .followedBy("crash").where(_.kind == "crash")
+      .within(java.time.Duration.ofHours(1))
+    val in = MemoryStream[Sensor]
+    val q = Cep.detect(
+        in.toDS().withWatermark("ets", "0 seconds"),
+        (e: Sensor) => e.device, (e: Sensor) => e.ets.getTime, pat) { m =>
+        (m("spike").head.device, m("beat").map(_.ets.getTime).mkString(","),
+          m("beat").size)
+      }.toDF("device", "beats", "n")
+      .writeStream.format("memory").queryName("cepTimes1")
+      .outputMode(OutputMode.Append).start()
+    in.addData(
+      Sensor("d1", "spike", t("2019-06-26T10:00:00Z")),
+      Sensor("d1", "beat",  t("2019-06-26T10:01:00Z")),
+      Sensor("d1", "noise", t("2019-06-26T10:02:00Z")), // skipped (relaxed)
+      Sensor("d1", "beat",  t("2019-06-26T10:03:00Z")),
+      Sensor("d1", "beat",  t("2019-06-26T10:05:00Z")),
+      Sensor("d1", "crash", t("2019-06-26T10:10:00Z")),
+      Sensor("d2", "spike", t("2019-06-26T10:00:00Z")), // only 2 beats: no match
+      Sensor("d2", "beat",  t("2019-06-26T10:01:00Z")),
+      Sensor("d2", "beat",  t("2019-06-26T10:02:00Z")),
+      Sensor("d2", "crash", t("2019-06-26T10:10:00Z")))
+    q.processAllAvailable()
+    val got = spark.table("cepTimes1")
+      .as[(String, String, Int)].collect().toSet
+    val beats = Seq("2019-06-26T10:01:00Z", "2019-06-26T10:03:00Z",
+      "2019-06-26T10:05:00Z").map(x => t(x).getTime).mkString(",")
+    assert(got == Set(("d1", beats, 3)))
+    q.stop()
+  }
+
+  test("next().times(n): repetitions demand strict contiguity — noise kills") {
+    val pat = EventPattern.begin[Sensor]("spike").where(_.kind == "spike")
+      .next("beat").where(_.kind == "beat").times(2)
+      .within(java.time.Duration.ofHours(1))
+    val in = MemoryStream[Sensor]
+    val q = Cep.detect(
+        in.toDS().withWatermark("ets", "0 seconds"),
+        (e: Sensor) => e.device, (e: Sensor) => e.ets.getTime, pat) { m =>
+        (m("spike").head.device, m("beat").size)
+      }.toDF("device", "n")
+      .writeStream.format("memory").queryName("cepTimes2")
+      .outputMode(OutputMode.Append).start()
+    in.addData(
+      Sensor("d1", "spike", t("2019-06-26T10:00:00Z")),
+      Sensor("d1", "beat",  t("2019-06-26T10:01:00Z")),
+      Sensor("d1", "noise", t("2019-06-26T10:02:00Z")), // strict: kills d1
+      Sensor("d1", "beat",  t("2019-06-26T10:03:00Z")),
+      Sensor("d2", "spike", t("2019-06-26T10:00:00Z")),
+      Sensor("d2", "beat",  t("2019-06-26T10:01:00Z")),
+      Sensor("d2", "beat",  t("2019-06-26T10:02:00Z"))) // consecutive: match
+    q.processAllAvailable()
+    val got = spark.table("cepTimes2").as[(String, Int)].collect().toSet
+    assert(got == Set(("d2", 2)))
+    q.stop()
+  }
+
+  test("where() after times() guards every repetition, not just the last clone") {
+    // guard added AFTER times(2) must apply to both beat clones:
+    // a "beat" with the wrong level may not count toward the pair
+    val pat = EventPattern.begin[Lev]("spike").where(_.kind == "spike")
+      .followedBy("beat").where(_.kind == "beat").times(2).where(_.lvl > 5)
+      .within(java.time.Duration.ofHours(1))
+    val in = MemoryStream[Lev]
+    val q = Cep.detect(
+        in.toDS().withWatermark("ets", "0 seconds"),
+        (e: Lev) => e.device, (e: Lev) => e.ets.getTime, pat) { m =>
+        (m("spike").head.device, m("beat").map(_.lvl).mkString(","))
+      }.toDF("device", "lvls")
+      .writeStream.format("memory").queryName("cepTimes3")
+      .outputMode(OutputMode.Append).start()
+    in.addData(
+      Lev("d1", "spike", 0, t("2019-06-26T10:00:00Z")),
+      Lev("d1", "beat", 3, t("2019-06-26T10:01:00Z")), // lvl too low: skipped
+      Lev("d1", "beat", 7, t("2019-06-26T10:02:00Z")),
+      Lev("d1", "beat", 9, t("2019-06-26T10:03:00Z")))
+    q.processAllAvailable()
+    val got = spark.table("cepTimes3").as[(String, String)].collect().toSet
+    assert(got == Set(("d1", "7,9")))
     q.stop()
   }
 }
