@@ -119,4 +119,51 @@ object DocStreams {
         col("n_tok"),
         size(split(col("chunk"), " ")).cast("long").as("chunk_tok"),
         md5(col("chunk")).as("chunk_md5"))
+
+  /** Benchmark side input for [[fuzzyDecontamStream]], built ONCE
+    * from static data: per-bench-doc bigram set, its "b:"-family
+    * MinHash signature, its 4 LSH band keys (kept as an array for
+    * the stream's first-band dedupe) and one row per band key for
+    * the equi-join. Benchmarks are MBs, so this whole table
+    * broadcasts. Column contract: input has (bench_id, text). */
+  def benchBands(bench: DataFrame): DataFrame =
+    bench.select(col("bench_id"), Extensions.bigramsExpr.as("bgs_b"))
+      .withColumn("bmhs",
+        graft.functions.MinHashArr.minhashArr(col("bgs_b"), "b:"))
+      .filter(col("bmhs").isNotNull)
+      .withColumn("bkeys_b", Extensions.bandKeysOf(col("bmhs")))
+      .select(col("bench_id"), col("bgs_b"), col("bkeys_b"),
+        explode(col("bkeys_b")).as("bkey"))
+
+  /** Fuzzy (MinHash) decontamination of an ingest stream — the
+    * streaming twin of batch x42, and like [[decontamFlags]] it is
+    * STATELESS: per-row bigram MinHash (same "b:" family as the
+    * batch LSH ops), band-key explode, stream-static equi-join
+    * against the broadcast benchmark band table, exact
+    * bigram-Jaccard verify. A (doc, bench) pair colliding in several
+    * bands would emit duplicate rows from a naive join; instead of a
+    * dedupe state store, every joined row carries BOTH key arrays,
+    * so each collision recomputes the pair's FIRST colliding band
+    * and survives only if it IS that band — exactly-one output row
+    * per qualifying pair, with zero streaming state. Output:
+    * (doc_id, bench_id, jac) — the batch x42 row shape. */
+  def fuzzyDecontamStream(docs: DataFrame, bands: DataFrame,
+                          threshold: Double = 0.8): DataFrame = {
+    val sig = docs.select(col("doc_id"), Extensions.bigramsExpr.as("bgs"))
+      .withColumn("mhs",
+        graft.functions.MinHashArr.minhashArr(col("bgs"), "b:"))
+      .filter(col("mhs").isNotNull)
+      .withColumn("dkeys", Extensions.bandKeysOf(col("mhs")))
+      .select(col("doc_id"), col("bgs"), col("dkeys"),
+        posexplode(col("dkeys")).as(Seq("band", "bkey")))
+    val inter = size(array_intersect(col("bgs"), col("bgs_b")))
+    val jac = inter.cast("double") /
+      (size(col("bgs")) + size(col("bgs_b")) - inter)
+    sig.join(broadcast(bands), "bkey")
+      .filter(col("band") ===
+        expr("array_position(zip_with(dkeys, bkeys_b, (a, b) -> a = b), true) - 1"))
+      .withColumn("jac", jac)
+      .filter(col("jac") >= threshold)
+      .select(col("doc_id"), col("bench_id"), col("jac"))
+  }
 }

@@ -190,4 +190,55 @@ class DocStreamsSpec extends AnyFunSuite {
     assert(streamed.sameElements(batch))
     q.stop()
   }
+
+  test("fuzzy decontam stream agrees with batch LSH-truth; one row per pair") {
+    // bench 100 = doc 1 minus its two leading tokens (the x42 edit
+    // shape); doc 2 is unrelated; doc 3 is IDENTICAL to bench 200 so
+    // the pair collides in all 4 bands and would emit 4 rows without
+    // the first-band dedupe
+    val base = "alpha beta gamma delta epsilon zeta eta theta iota kappa " +
+      "lambda mu nu xi omicron pi rho sigma tau upsilon"
+    val docs = Seq(
+      Doc(1, "pre1 pre2 " + base, "en"),
+      Doc(2, "totally different words with no shared bigrams at all", "en"),
+      Doc(3, base, "en"))
+    val bench = Seq((100L, base), (200L, base)).toDF("bench_id", "text")
+    val bands = DocStreams.benchBands(bench).persist()
+
+    // batch reference: LSH truth — pairs sharing >= 1 band key with
+    // exact jaccard over the threshold, exactly once each
+    val dsig = docs.toDF()
+      .select(col("doc_id"), graft.queries.Extensions.bigramsExpr.as("bgs"))
+      .withColumn("mhs",
+        graft.functions.MinHashArr.minhashArr(col("bgs"), "b:"))
+      .withColumn("dkeys", graft.queries.Extensions.bandKeysOf(col("mhs")))
+    val bsig = bands.select("bench_id", "bgs_b", "bkeys_b").distinct()
+    val inter = size(array_intersect(col("bgs"), col("bgs_b")))
+    val jac = inter.cast("double") /
+      (size(col("bgs")) + size(col("bgs_b")) - inter)
+    val expected = dsig.crossJoin(bsig)
+      .filter(arrays_overlap(col("dkeys"), col("bkeys_b")))
+      .withColumn("jac", jac).filter(col("jac") >= 0.8)
+      .select("doc_id", "bench_id", "jac")
+      .as[(Long, Long, Double)].collect().toSeq
+
+    val in = MemoryStream[Doc]
+    val q = DocStreams.fuzzyDecontamStream(in.toDF(), bands)
+      .writeStream.format("memory").queryName("fdc")
+      .outputMode("append").start()
+    in.addData(docs.take(2): _*)
+    q.processAllAvailable()
+    in.addData(docs.drop(2): _*)
+    q.processAllAvailable()
+    val got = spark.table("fdc").as[(Long, Long, Double)].collect().toSeq
+
+    // multiset equality: no duplicate rows despite multi-band collisions
+    assert(got.sorted == expected.sorted)
+    assert(got.map(r => (r._1, r._2)).distinct.size == got.size)
+    // the fixture really exercises both shapes
+    val pairs = got.map(r => (r._1, r._2)).toSet
+    assert(pairs.contains((1L, 100L)) && pairs.contains((3L, 200L)))
+    assert(!pairs.exists(_._1 == 2L))
+    q.stop()
+  }
 }
