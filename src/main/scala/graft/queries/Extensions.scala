@@ -1620,10 +1620,29 @@ object Extensions {
       // (graft.functions.SrpBands — fused quantize + 64 sign dots),
       // not the 128 interpreted HOF passes of the reference
       // construction in srpBandCols
+      // PAIR-BAND keys: the 10x scale run measured single 8-bit band
+      // keys at 14.8x the sf0.1 time — a 256-value key piles ~n/256
+      // vectors per bucket (the x22 band-width disease). Requiring
+      // TWO bands to agree makes the key 16-bit (65536 values) while
+      // staying pigeonhole-complete for Hamming <= 3 over the 64
+      // bits: <= 3 flipped bits dirty <= 3 of the 8 bands, leaving
+      // >= 5 clean bands and hence >= C(5,2) = 10 clean pairs. For
+      // genuine near-dups (cos ~0.95) expected recall only drops
+      // ~0.99 -> ~0.92 — P(>= 2 clean bands) with per-band
+      // sign-agreement (1 - theta/pi)^8 — while candidate buckets
+      // shrink 256x. The 28 combos cost 3.5x the band-table rows;
+      // rows are (vec_id, key) longs, negligible next to the
+      // quadratic bucket growth they prevent.
       val banded = Tables.embeddings(s, d)
         .select(col("vec_id"),
-          posexplode(graft.functions.SrpBands.srpBands(col("embedding")))
-            .as(Seq("band", "bv")))
+          graft.functions.SrpBands.srpBands(col("embedding")).as("bvs"))
+        .select(col("vec_id"), posexplode(expr(
+          """flatten(transform(sequence(0, 6), b1 ->
+               transform(sequence(b1 + 1, 7), b2 ->
+                 struct(b1 * 8 + b2 AS pb,
+                        element_at(bvs, b1 + 1) + element_at(bvs, b2 + 1) * 256 AS pv))))"""))
+          .as(Seq("idx", "s")))
+        .select(col("vec_id"), col("s.pb").as("band"), col("s.pv").as("bv"))
         .persist()
       banded.count() // self-join side dedup — see lshCandidates
       val cand = srpCandidates(banded)
@@ -1654,9 +1673,13 @@ object Extensions {
           sig AS (SELECT vec_id, $bvCols FROM v),
           banded AS ($bandSelects),
           cand AS (
-            SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
-            FROM banded a JOIN banded b
-              ON a.band = b.band AND a.bv = b.bv AND a.vec_id < b.vec_id)
+            -- two-band agreement = one pair-band key collision
+            SELECT id_a, id_b FROM (
+              SELECT a.vec_id AS id_a, b.vec_id AS id_b, count(*) AS nb
+              FROM banded a JOIN banded b
+                ON a.band = b.band AND a.bv = b.bv AND a.vec_id < b.vec_id
+              GROUP BY 1, 2)
+            WHERE nb >= 2)
           SELECT c.id_a, c.id_b,
             list_dot_product(va.qv, vb.qv) /
               (sqrt(list_dot_product(va.qv, va.qv)) * sqrt(list_dot_product(vb.qv, vb.qv))) AS cos
