@@ -2560,8 +2560,41 @@ object Extensions {
           ORDER BY 1,2,3"""
     })
 
+  // ---------------------------------------------------------------- x43
+  // Keyless numeric range join ([[graft.ops.RangeJoin]]): customers
+  // joined into per-nation supplier account-balance bands with NO
+  // equi key — the join Spark would otherwise plan as a nested loop
+  // (fine for 25 ranges, quadratic for a million-row band table; the
+  // operator manufactures the equi key by domain bucketing, and this
+  // gate row pins its exact semantics against DuckDB's plain theta
+  // join). lo = min(acctbal) is exact (order-independent); hi is one
+  // double add — no float aggregation anywhere.
+  private val RjBandWidth = 600.0
+  private val x43 = GateQuery(
+    "x43_range_join",
+    (s, d) => {
+      val ranges = Tables.supplier(s, d)
+        .groupBy(col("s_nationkey").cast("long").as("nationkey"))
+        .agg(min(col("s_acctbal")).as("lo"))
+        .withColumn("hi", col("lo") + lit(RjBandWidth))
+      val pts = Tables.customer(s, d)
+        .select(col("c_custkey").as("custkey"), col("c_acctbal"))
+      ordered(graft.ops.RangeJoin
+        .bucketed(pts, ranges, "c_acctbal", "lo", "hi", bucketWidth = 500.0)
+        .select(col("custkey"), col("nationkey"), col("lo"), col("hi")))
+    },
+    Some(s"""WITH r AS (
+              SELECT CAST(s_nationkey AS BIGINT) AS nationkey,
+                     min(s_acctbal) AS lo,
+                     min(s_acctbal) + $RjBandWidth AS hi
+              FROM supplier GROUP BY 1)
+            SELECT c.c_custkey AS custkey, r.nationkey, r.lo, r.hi
+            FROM customer c
+            JOIN r ON c.c_acctbal >= r.lo AND c.c_acctbal <= r.hi
+            ORDER BY 1,2,3,4"""))
+
   val all: Seq[GateQuery] = Seq(x01, x02, x03, x04, x05, x06, x07, x08, x09,
     x10, x11, x12, x13, x14, x15, x16, x17, x18, x19, x20, x21, x22, x23,
     x24, x25, x26, x27, x28, x29, x30, x31, x32, x33, x34, x35, x36, x37,
-    x38, x39, x40, x41, x42)
+    x38, x39, x40, x41, x42, x43)
 }
