@@ -2593,8 +2593,138 @@ object Extensions {
             JOIN r ON c.c_acctbal >= r.lo AND c.c_acctbal <= r.hi
             ORDER BY 1,2,3,4"""))
 
+  // ---------------------------------------------------------------- x44
+  // Product-quantization ANN (the IVF-PQ storage half): embeddings
+  // are split into M=4 subspaces of 16 dims; each subspace has a
+  // K=16-entry codebook (deterministic: the first K vectors' slices,
+  // like x39's seeds — real systems train the codebook offline on a
+  // sample, the ENGINE's job is encode + asymmetric-distance scan);
+  // each vector is stored as M 4-bit codes (2 bytes vs 256 bytes of
+  // float32 — 128× compression), and query-time distance is the ADC
+  // sum of per-subspace exact L2² between the query slice and the
+  // assigned codeword. Every distance is exact BIGINT arithmetic
+  // (no floats anywhere), so the oracle replays the construction
+  // bit-for-bit. Scale shape: the codebook collapses to ONE
+  // broadcast model row (M·K·16 longs); encoding and ADC scoring
+  // are per-row HOFs over it — the corpus never shuffles, and the
+  // scan that serves a query reads 2-byte codes, not raw vectors.
+  // Ties (equidistant codewords / equal ADC) break to the smallest
+  // code / vec_id on both engines.
+  private val PqM = 4    // subspaces
+  private val PqSub = 16 // dims per subspace (4 × 16 = 64)
+  private val PqK = 16   // codewords per subspace
+
+  /** Exact squared L2 between two already-quantized long arrays. */
+  private def l2sqCol(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)),
+      lit(0L), (acc, z) => acc + z)
+
+  /** Codebook + per-vector PQ codes for `v` (vec_id, qv): returns
+    * (vec_id, codes: array<int> of M, model) with the codebook
+    * collapsed into every row's `model` column (one broadcast row).
+    * Encoding is a per-row argmin-L2² HOF — zero shuffles. */
+  private[graft] def pqEncoded(v: DataFrame): DataFrame = {
+    // codebook → ONE row: sorted array<struct<sub,code,cv>> (the
+    // sort makes in-array order = (sub, code), so the encode HOF's
+    // strict `<` breaks ties to the smallest code)
+    val cb = v.filter(col("vec_id") < PqK)
+      .select(col("vec_id").cast("int").as("code"), col("qv"))
+      .withColumn("sub", explode(sequence(lit(0), lit(PqM - 1))))
+      .select(struct(col("sub"), col("code"),
+        slice(col("qv"), col("sub") * PqSub + 1, lit(PqSub)).as("cv")).as("e"))
+      .agg(sort_array(collect_list(col("e"))).as("model"))
+
+    // encode: per-row argmin-L2² per subspace against the broadcast
+    // model — array<int> of M codes per vector, zero shuffles
+    val codes = transform(sequence(lit(0), lit(PqM - 1)), sub =>
+      aggregate(
+        filter(col("model"), e => e("sub") === sub),
+        struct(lit(-1).as("code"), lit(Long.MaxValue).as("d")),
+        (acc, e) => {
+          val dd = l2sqCol(
+            slice(col("qv"), sub * PqSub + 1, lit(PqSub)), e("cv"))
+          when(dd < acc("d"),
+            struct(e("code").as("code"), dd.as("d"))).otherwise(acc)
+        })("code"))
+    v.crossJoin(broadcast(cb))
+      .withColumn("codes", codes)
+      .select(col("vec_id"), col("codes"), col("model"))
+  }
+
+  /** ADC top-k: queries (vec_id < NumQueries) broadcast against the
+    * PQ codes; distance is the per-subspace L2²(query slice, assigned
+    * codeword) sum — a per-row HOF over exact longs. */
+  private[graft] def pqTopK(v: DataFrame): DataFrame = {
+    val enc = pqEncoded(v)
+    val q = v.filter(col("vec_id") < NumQueries)
+      .select(col("vec_id").as("qid"), col("qv").as("qq"))
+    val adist = aggregate(sequence(lit(0), lit(PqM - 1)), lit(0L),
+      (acc, sub) => acc + l2sqCol(
+        slice(col("qq"), sub * PqSub + 1, lit(PqSub)),
+        element_at(filter(col("model"), e =>
+          e("sub") === sub &&
+            e("code") === element_at(col("codes"), sub + 1)), 1)("cv")))
+    val scored = broadcast(q)
+      .join(enc, col("qid") =!= col("vec_id"))
+      .withColumn("adist", adist)
+    val w = Window.partitionBy(col("qid"))
+      .orderBy(col("adist"), col("vec_id"))
+    ordered(scored.withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= TopK)
+      .select(col("qid"), col("vec_id"), col("rn"), col("adist")))
+  }
+
+  private val x44 = GateQuery(
+    "x44_knn_pq",
+    (s, d) => {
+      val quant = transform(col("embedding"),
+        x => floor(x * lit(1000)).cast("long"))
+      val v = Tables.embeddings(s, d)
+        .select(col("vec_id"), quant.as("qv"))
+        .persist() // codebook, encode pass and query set all consume it
+      v.count() // eager: consumers race on a cold cache (see x14)
+      pqTopK(v)
+    },
+    Some(s"""WITH v AS (
+              SELECT vec_id, list_transform(embedding,
+                x -> CAST(FLOOR(x * 1000) AS BIGINT)) AS qv
+              FROM embeddings),
+            subs AS (SELECT unnest(range($PqM)) AS sub),
+            cb AS (
+              SELECT s.sub, CAST(c.vec_id AS INT) AS code,
+                     list_slice(c.qv, s.sub*$PqSub + 1, s.sub*$PqSub + $PqSub) AS cv
+              FROM v c CROSS JOIN subs s WHERE c.vec_id < $PqK),
+            dist AS (
+              SELECT v.vec_id, b.sub, b.code,
+                CAST(list_dot_product(list_slice(v.qv, b.sub*$PqSub+1, b.sub*$PqSub+$PqSub),
+                                      list_slice(v.qv, b.sub*$PqSub+1, b.sub*$PqSub+$PqSub))
+                  - 2*list_dot_product(list_slice(v.qv, b.sub*$PqSub+1, b.sub*$PqSub+$PqSub), b.cv)
+                  + list_dot_product(b.cv, b.cv) AS BIGINT) AS d
+              FROM v CROSS JOIN cb b),
+            enc AS (
+              SELECT vec_id, sub, code FROM (
+                SELECT vec_id, sub, code,
+                  row_number() OVER (PARTITION BY vec_id, sub ORDER BY d, code) AS rn
+                FROM dist) WHERE rn = 1),
+            scored AS (
+              SELECT q.vec_id AS qid, e.vec_id,
+                CAST(SUM(CAST(
+                  list_dot_product(list_slice(q.qv, b.sub*$PqSub+1, b.sub*$PqSub+$PqSub),
+                                   list_slice(q.qv, b.sub*$PqSub+1, b.sub*$PqSub+$PqSub))
+                  - 2*list_dot_product(list_slice(q.qv, b.sub*$PqSub+1, b.sub*$PqSub+$PqSub), b.cv)
+                  + list_dot_product(b.cv, b.cv) AS BIGINT)) AS BIGINT) AS adist
+              FROM v q
+              JOIN enc e ON q.vec_id < $NumQueries AND q.vec_id <> e.vec_id
+              JOIN cb b ON b.sub = e.sub AND b.code = e.code
+              GROUP BY 1, 2)
+            SELECT qid, vec_id, rn, adist FROM (
+              SELECT qid, vec_id, adist,
+                row_number() OVER (PARTITION BY qid ORDER BY adist, vec_id) AS rn
+              FROM scored) WHERE rn <= $TopK
+            ORDER BY 1,2,3,4"""))
+
   val all: Seq[GateQuery] = Seq(x01, x02, x03, x04, x05, x06, x07, x08, x09,
     x10, x11, x12, x13, x14, x15, x16, x17, x18, x19, x20, x21, x22, x23,
     x24, x25, x26, x27, x28, x29, x30, x31, x32, x33, x34, x35, x36, x37,
-    x38, x39, x40, x41, x42, x43)
+    x38, x39, x40, x41, x42, x43, x44)
 }
