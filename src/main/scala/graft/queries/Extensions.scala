@@ -2723,8 +2723,83 @@ object Extensions {
               FROM scored) WHERE rn <= $TopK
             ORDER BY 1,2,3,4"""))
 
+  // ---------------------------------------------------------------- x45
+  // Exact duplicated-SPAN detection (substring-level dedup, the
+  // signal behind "dedup the training set at the 50-token level"
+  // rather than whole documents): every W-token window of every
+  // document is hashed; a span occurring in ≥ 2 distinct documents is
+  // duplicated, and each document reports how many of its distinct
+  // spans are shared. Near-dup docs share most spans; templated
+  // boilerplate shares a few — this measures both at exact-substring
+  // granularity, which whole-doc MinHash (x04) and bag-of-bigram
+  // Jaccard (x14) cannot.
+  //
+  // Scale shape: the span hashes are built in ONE per-row HOF pass
+  // (O(n·W) work, no explode of text), deduped per-doc in the same
+  // projection (`array_distinct` — a doc repeating its own span
+  // counts once), and only then exploded: every shuffled row is
+  // (doc_id, 32-hex span hash) — document TEXT never shuffles. One
+  // hash-groupBy counts docs per span (map-side partial agg), one
+  // equi-join flags each doc's spans, one per-doc agg folds to
+  // counts. At 100 TB this is x14's candidate-table shape: rows ∝
+  // corpus token count, keys are fixed-width hashes, every wide op
+  // an equi-shuffle. The classic refinement — keep only every k-th
+  // span hash (winnowing, x10's construction) — drops row count k×
+  // and is a one-line change to the same plan.
+  private val SpanW = 8
+
+  /** Per-document duplicated-span counts over (doc_id, text) rows:
+    * (doc_id, n_spans = distinct W-token windows, dup_spans = those
+    * occurring in ≥ 2 distinct documents). */
+  private[graft] def spanDedupCounts(docs: DataFrame, w: Int = SpanW): DataFrame = {
+    val staged = docs.select(col("doc_id"), split(col("text"), " ").as("tk"))
+    // distinct span hashes per doc, built row-locally; docs shorter
+    // than W yield an empty array (sequence(0, n-W) would DESCEND
+    // for n < W — guard it away)
+    val spans = staged.select(col("doc_id"),
+      explode(when(size(col("tk")) >= w,
+        array_distinct(transform(
+          sequence(lit(0), size(col("tk")) - w),
+          i => md5(array_join(slice(col("tk"), i + 1, lit(w)), " ")))))
+        .otherwise(array().cast("array<string>"))).as("sh"))
+    val perSpan = spans.groupBy(col("sh"))
+      .agg(count(lit(1)).as("n_docs"))
+    val perDoc = spans.join(perSpan, Seq("sh"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_spans"),
+        sum(when(col("n_docs") >= 2, lit(1L)).otherwise(lit(0L)))
+          .as("dup_spans"))
+    // short docs (no spans) still report, with zeros
+    docs.select(col("doc_id"))
+      .join(perDoc, Seq("doc_id"), "left_outer")
+      .select(col("doc_id"),
+        coalesce(col("n_spans"), lit(0L)).as("n_spans"),
+        coalesce(col("dup_spans"), lit(0L)).as("dup_spans"))
+  }
+
+  private val x45 = GateQuery(
+    "x45_span_dedup",
+    (s, d) => ordered(spanDedupCounts(Tables.documents(s, d))),
+    Some(s"""WITH staged AS (
+              SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+            spans AS (
+              SELECT DISTINCT doc_id,
+                     md5(array_to_string(tk[i+1 : i+$SpanW], ' ')) AS sh
+              FROM staged,
+                   unnest(range(0, GREATEST(len(tk) - ${SpanW - 1}, 0))) AS u(i)),
+            per_span AS (SELECT sh, count(*) AS n_docs FROM spans GROUP BY 1),
+            per_doc AS (
+              SELECT s.doc_id, count(*) AS n_spans,
+                     sum(CASE WHEN c.n_docs >= 2 THEN 1 ELSE 0 END) AS dup_spans
+              FROM spans s JOIN per_span c USING (sh) GROUP BY 1)
+            SELECT d.doc_id,
+                   CAST(COALESCE(p.n_spans, 0) AS BIGINT) AS n_spans,
+                   CAST(COALESCE(p.dup_spans, 0) AS BIGINT) AS dup_spans
+            FROM documents d LEFT JOIN per_doc p USING (doc_id)
+            ORDER BY 1,2,3"""))
+
   val all: Seq[GateQuery] = Seq(x01, x02, x03, x04, x05, x06, x07, x08, x09,
     x10, x11, x12, x13, x14, x15, x16, x17, x18, x19, x20, x21, x22, x23,
     x24, x25, x26, x27, x28, x29, x30, x31, x32, x33, x34, x35, x36, x37,
-    x38, x39, x40, x41, x42, x43, x44)
+    x38, x39, x40, x41, x42, x43, x44, x45)
 }
