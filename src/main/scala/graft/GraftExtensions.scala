@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
-import graft.functions.{MinHashAgg, MinHashArr, QuantizedCosine, SimHashAgg, SimHashArr, SrpBands, TokenBigrams, TokenMask, TokenSetSig}
+import graft.functions.{FreqCandidatesAgg, MinHashAgg, MinHashArr, QuantizedCosine, SimHashAgg, SimHashArr, SrpBands, TokenBigrams, TokenMask, TokenSetSig}
 
 /** SparkSessionExtensions entry point: makes graft's native
   * expressions available in any session via configuration —
@@ -35,6 +35,14 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       exprs => MinHashAgg(exprs.head))
     inject(ext, "simhash_agg", classOf[SimHashAgg],
       exprs => SimHashAgg(exprs.head))
+    // freq_candidates(tok[, k-literal]) — Misra-Gries heavy-hitter
+    // candidate summary, k counters (default 100)
+    inject(ext, "freq_candidates", classOf[FreqCandidatesAgg], {
+      case Seq(tok) => FreqCandidatesAgg(tok)
+      case Seq(tok, Literal(k: Int, _)) => FreqCandidatesAgg(tok, k)
+      case exprs => throw new IllegalArgumentException(
+        s"freq_candidates(string[, k-int-literal]) — got ${exprs.length} args")
+    })
     inject(ext, "srp_bands", classOf[SrpBands],
       exprs => SrpBands(exprs.head))
     inject(ext, "token_bigrams", classOf[TokenBigrams],

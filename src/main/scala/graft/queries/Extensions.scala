@@ -2798,8 +2798,52 @@ object Extensions {
             FROM documents d LEFT JOIN per_doc p USING (doc_id)
             ORDER BY 1,2,3"""))
 
+  // ---------------------------------------------------------------- x46
+  // Exact heavy hitters in two passes with BOUNDED memory: pass 1 is
+  // one shared scan computing the Misra-Gries candidate summary
+  // (k counters per partial buffer — graft.functions.FreqCandidatesAgg)
+  // AND the total row count in the same aggregation; pass 2 recounts
+  // exactly, restricted to the ≤ k broadcast candidates by a map-side
+  // semi-join. The sketch guarantees candidates ⊇ every token with
+  // cnt·(k+1) > n, so the recount-then-threshold output is the EXACT
+  // heavy-hitter set — deterministic even though which extra
+  // candidates survive the sketch depends on partition order.
+  //
+  // This is x31's vocabulary problem with the shuffle removed: a full
+  // groupBy ships the whole distinct vocabulary through a shuffle
+  // (unbounded keys at 100 TB); here pass 1 ships ONE k-entry summary
+  // per partition to a 1-row reduce, and pass 2's shuffle carries
+  // only rows matching the ≤ k candidates.
+  private val HhK = 100
+  private val x46 = GateQuery(
+    "x46_heavy_hitters",
+    (s, d) => {
+      val toks = Tables.documents(s, d)
+        .select(explode(split(col("text"), " ")).as("tok"))
+      // sketch + n in ONE corpus pass; the result is a single row —
+      // persist it eagerly so its two consumers don't re-run the scan
+      // (cold-cache race, see x14)
+      val sketch = toks.agg(
+        graft.functions.FreqCandidatesAgg.freqCandidates(col("tok"), HhK)
+          .as("cand"),
+        count(lit(1)).as("n")).persist()
+      sketch.count()
+      val cand = sketch.select(explode(col("cand")).as("tok"))
+      val exact = toks.join(broadcast(cand), Seq("tok"), "left_semi")
+        .groupBy(col("tok")).agg(count(lit(1)).as("cnt"))
+      ordered(exact.crossJoin(broadcast(sketch.select(col("n"))))
+        .filter(col("cnt") * (HhK + 1) > col("n"))
+        .select(col("tok"), col("cnt")))
+    },
+    Some(s"""WITH t AS (
+              SELECT unnest(string_split(text, ' ')) AS tok FROM documents)
+            SELECT tok, count(*) AS cnt FROM t
+            GROUP BY 1
+            HAVING count(*) * ${HhK + 1} > (SELECT count(*) FROM t)
+            ORDER BY 1,2"""))
+
   val all: Seq[GateQuery] = Seq(x01, x02, x03, x04, x05, x06, x07, x08, x09,
     x10, x11, x12, x13, x14, x15, x16, x17, x18, x19, x20, x21, x22, x23,
     x24, x25, x26, x27, x28, x29, x30, x31, x32, x33, x34, x35, x36, x37,
-    x38, x39, x40, x41, x42, x43, x44, x45)
+    x38, x39, x40, x41, x42, x43, x44, x45, x46)
 }
