@@ -2842,8 +2842,105 @@ object Extensions {
             HAVING count(*) * ${HhK + 1} > (SELECT count(*) FROM t)
             ORDER BY 1,2"""))
 
+  // ---------------------------------------------------------------- x47
+  // SemDeDup (semantic dedup, Abbas et al. 2023): cluster the
+  // embedding space, then near-dup ONLY within clusters — the
+  // composition real pipelines run, here built from shipped parts:
+  // x39's spherical k-means supplies the bucketing, the within-bucket
+  // pair join is an equi-join on the cluster id (x21's cell-join
+  // shape), and the greedy keep rule drops every vector that has a
+  // smaller-id ≥-threshold neighbor in its cluster. Approximate BY
+  // DESIGN (cross-cluster near-dups are never compared — that is the
+  // trade SemDeDup makes); deterministic end to end, so the oracle
+  // replays the construction and the output hash-matches.
+  //
+  // Scale shape: assignment is x39's broadcast-model HOF (corpus
+  // never shuffles); the pair join shuffles (vec_id, cluster, qv)
+  // rows on a key whose bucket size is corpus/k — k grows with the
+  // corpus so buckets stay bounded; the keep-list join is a distinct
+  // on dup ids + one equi-join back.
+  private val SemCos = 0.5
+
+  /** (vec_id, cluster, keep) over a persisted (vec_id, qv) table. */
+  private[graft] def semDedupKeep(v: DataFrame, k: Int = KmK): DataFrame = {
+    val asg = kmeansCluster(v, k).select(col("vec_id"), col("cluster"))
+      .join(v, Seq("vec_id"))
+    val a = asg.select(col("cluster"),
+      col("vec_id").as("id_a"), col("qv").as("qa"))
+    val b = asg.select(col("cluster"),
+      col("vec_id").as("id_b"), col("qv").as("qb"))
+    val dups = a.join(b, Seq("cluster"))
+      .filter(col("id_a") < col("id_b") &&
+        cosLongCol(col("qa"), col("qb")) >= SemCos)
+      .select(col("id_b").as("vec_id")).distinct()
+      .withColumn("dup", lit(1))
+    ordered(asg.join(dups, Seq("vec_id"), "left_outer")
+      .select(col("vec_id"), col("cluster"),
+        when(col("dup").isNotNull, lit(0L)).otherwise(lit(1L)).as("keep")))
+  }
+
+  private val x47 = GateQuery(
+    "x47_semdedup",
+    (s, d) => {
+      val quant = transform(col("embedding"),
+        x => floor(x * lit(1000)).cast("long"))
+      val v = Tables.embeddings(s, d)
+        .select(col("vec_id"), quant.as("qv"))
+        .persist() // seeds, two assignment passes and both pair sides
+      v.count() // eager: consumers race on a cold cache (see x14)
+      semDedupKeep(v)
+    },
+    Some(s"""WITH v AS (
+              SELECT vec_id, list_transform(embedding,
+                x -> CAST(FLOOR(x * 1000) AS BIGINT)) AS qv
+              FROM embeddings),
+            seeds AS (
+              SELECT CAST(vec_id AS INT) AS clabel, qv AS cv
+              FROM v WHERE vec_id < $KmK),
+            s1 AS (
+              SELECT v.vec_id, v.qv, c.clabel,
+                list_dot_product(v.qv, c.cv) /
+                  (sqrt(list_dot_product(v.qv, v.qv)) * sqrt(list_dot_product(c.cv, c.cv))) AS cos
+              FROM v CROSS JOIN seeds c),
+            a1 AS (
+              SELECT vec_id, qv, clabel FROM (
+                SELECT vec_id, qv, clabel,
+                  row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, clabel) AS rn
+                FROM s1)
+              WHERE rn = 1),
+            sums AS (
+              SELECT clabel, u.i AS pos, sum(qv[u.i + 1]) AS s
+              FROM a1, unnest(range(len(qv))) AS u(i)
+              GROUP BY 1, 2),
+            c1 AS (
+              SELECT clabel, list(s ORDER BY pos) AS cv
+              FROM sums GROUP BY 1),
+            s2 AS (
+              SELECT v.vec_id, c.clabel,
+                list_dot_product(v.qv, c.cv) /
+                  (sqrt(list_dot_product(v.qv, v.qv)) * sqrt(list_dot_product(c.cv, c.cv))) AS cos
+              FROM v CROSS JOIN c1 c),
+            asg AS (
+              SELECT vec_id, cluster FROM (
+                SELECT vec_id, clabel AS cluster,
+                  row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, clabel) AS rn
+                FROM s2)
+              WHERE rn = 1),
+            dups AS (
+              SELECT DISTINCT b.vec_id
+              FROM asg a
+              JOIN asg b ON a.cluster = b.cluster AND a.vec_id < b.vec_id
+              JOIN v va ON va.vec_id = a.vec_id
+              JOIN v vb ON vb.vec_id = b.vec_id
+              WHERE list_dot_product(va.qv, vb.qv) /
+                (sqrt(list_dot_product(va.qv, va.qv)) * sqrt(list_dot_product(vb.qv, vb.qv))) >= $SemCos)
+            SELECT g.vec_id, g.cluster,
+                   CASE WHEN d.vec_id IS NULL THEN 1 ELSE 0 END AS keep
+            FROM asg g LEFT JOIN dups d ON d.vec_id = g.vec_id
+            ORDER BY 1,2,3"""))
+
   val all: Seq[GateQuery] = Seq(x01, x02, x03, x04, x05, x06, x07, x08, x09,
     x10, x11, x12, x13, x14, x15, x16, x17, x18, x19, x20, x21, x22, x23,
     x24, x25, x26, x27, x28, x29, x30, x31, x32, x33, x34, x35, x36, x37,
-    x38, x39, x40, x41, x42, x43, x44, x45, x46)
+    x38, x39, x40, x41, x42, x43, x44, x45, x46, x47)
 }
