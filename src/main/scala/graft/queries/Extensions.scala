@@ -2939,8 +2939,40 @@ object Extensions {
             FROM asg g LEFT JOIN dups d ON d.vec_id = g.vec_id
             ORDER BY 1,2,3"""))
 
+  // ---------------------------------------------------------------- x48
+  // Bloom-filter pruned semi-join (the explicit runtime-filter): the
+  // urgent-order key set becomes a 1024-word broadcast bitset; the
+  // lineitem side drops non-members MAP-SIDE (no false negatives,
+  // ~0.2% false positives at this sizing) and only survivors reach
+  // the exact semi-join + aggregation. Lossless by construction, so
+  // the oracle is the PLAIN semi-join — the bloom stage is invisible
+  // in the result, visible in the shuffle size (BloomSemiJoinSpec
+  // measures the pruning rate; at 100 TB the key side is too big to
+  // broadcast as a hash relation, but its 8 KB-per-million-keys
+  // bitset is not). l_quantity is integer-valued, so the double sum
+  // is associativity-exact and hash-matches.
+  private val x48 = GateQuery(
+    "x48_bloom_semijoin",
+    (s, d) => {
+      val urgent = Tables.orders(s, d)
+        .filter(col("o_orderpriority") === "1-URGENT")
+        .select(col("o_orderkey"))
+      val li = Tables.lineitem(s, d)
+        .select(col("l_orderkey"), col("l_quantity"))
+      val matched = graft.ops.BloomSemiJoin
+        .semiJoin(li, "l_orderkey", urgent, "o_orderkey")
+      ordered(matched.groupBy(col("l_orderkey"))
+        .agg(count(lit(1)).as("n_items"), sum(col("l_quantity")).as("sum_qty")))
+    },
+    Some("""SELECT l_orderkey, count(*) AS n_items, sum(l_quantity) AS sum_qty
+            FROM lineitem
+            WHERE l_orderkey IN (
+              SELECT o_orderkey FROM orders WHERE o_orderpriority = '1-URGENT')
+            GROUP BY 1
+            ORDER BY 1,2,3"""))
+
   val all: Seq[GateQuery] = Seq(x01, x02, x03, x04, x05, x06, x07, x08, x09,
     x10, x11, x12, x13, x14, x15, x16, x17, x18, x19, x20, x21, x22, x23,
     x24, x25, x26, x27, x28, x29, x30, x31, x32, x33, x34, x35, x36, x37,
-    x38, x39, x40, x41, x42, x43, x44, x45, x46, x47)
+    x38, x39, x40, x41, x42, x43, x44, x45, x46, x47, x48)
 }
