@@ -63,6 +63,23 @@ object DocStreams {
       col("doc_id") +: (Extensions.piiCounts(col("rec")) :+
         Extensions.piiRedacted(col("rec")).as("redacted")): _*)
 
+  /** Streaming twin of x01 exact dedup: the FIRST arrival of each
+    * content hash within the event-time horizon survives; replays of
+    * the same bytes are dropped. State is one row per distinct
+    * in-horizon content hash and is evicted by the watermark —
+    * bounded by the horizon's distinct-content volume, not stream
+    * length (the same bounded-state contract as NearDup's band
+    * reps). Built on `dropDuplicatesWithinWatermark`, so state
+    * eviction is engine-managed, exactly-once under checkpointing.
+    * Semantic note vs batch x01: batch keeps the smallest doc_id of
+    * a class; the stream keeps the first ARRIVAL — same one-survivor-
+    * per-class contract, arrival order decides the representative.
+    * Column contract: input has (doc_id, text, ts). */
+  def exactDedupStream(docs: DataFrame, horizon: String): DataFrame =
+    docs.withColumn("content_md5", md5(col("text")))
+      .withWatermark("ts", horizon)
+      .dropDuplicatesWithinWatermark("content_md5")
+
   /** Running corpus token counts — the streaming face of x31's
     * vocabulary frequency pass. A plain streaming aggregation: state
     * is one counter per DISTINCT TOKEN, i.e. vocabulary-sized —

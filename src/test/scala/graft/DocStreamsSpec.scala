@@ -241,4 +241,61 @@ class DocStreamsSpec extends AnyFunSuite {
     assert(!pairs.exists(_._1 == 2L))
     q.stop()
   }
+
+  // --------------------------------------------- exact dedup stream
+  private def t(min: Int) = new java.sql.Timestamp(min * 60000L)
+
+  test("exact dedup stream: first arrival of a content class survives, replays drop") {
+    val in = MemoryStream[SDoc]
+    val q = DocStreams.exactDedupStream(in.toDF(), "1 hour")
+      .writeStream.format("memory").queryName("xd")
+      .outputMode("append").start()
+    in.addData(SDoc(1, "same bytes", t(1)), SDoc(2, "other bytes", t(2)))
+    q.processAllAvailable()
+    // same content, later arrival, still in horizon -> dropped
+    in.addData(SDoc(3, "same bytes", t(10)))
+    q.processAllAvailable()
+    val got = spark.table("xd").select("doc_id").as[Long].collect().sorted
+    assert(got.sameElements(Array(1L, 2L)),
+      s"doc 3 replays doc 1's bytes and must drop: ${got.toSeq}")
+    q.stop()
+  }
+
+  test("exact dedup stream: one survivor per class, survivor within the class") {
+    val docs = (1L to 60L).map(i => SDoc(i, s"content${i % 20}", t(i.toInt)))
+    val in = MemoryStream[SDoc]
+    val q = DocStreams.exactDedupStream(in.toDF(), "2 hours")
+      .writeStream.format("memory").queryName("xd2")
+      .outputMode("append").start()
+    in.addData(docs.take(30): _*)
+    q.processAllAvailable()
+    in.addData(docs.drop(30): _*)
+    q.processAllAvailable()
+    val got = spark.table("xd2").as[SDoc].collect()
+    // exactly the 20 distinct contents, each survivor carrying its class text
+    assert(got.length == 20)
+    assert(got.map(_.text).toSet == (0 until 20).map(i => s"content$i").toSet)
+    // batch agreement: same number of classes as the batch distinct
+    val batchClasses = docs.toDF().select(md5($"text")).distinct().count()
+    assert(batchClasses == 20L)
+    q.stop()
+  }
+
+  test("exact dedup stream: state expires with the watermark — a far-future replay survives") {
+    val in = MemoryStream[SDoc]
+    val q = DocStreams.exactDedupStream(in.toDF(), "10 minutes")
+      .writeStream.format("memory").queryName("xd3")
+      .outputMode("append").start()
+    in.addData(SDoc(1, "recurring", t(1)))
+    q.processAllAvailable()
+    // push the watermark far past doc 1's state lifetime
+    in.addData(SDoc(2, "filler", t(120)))
+    q.processAllAvailable()
+    in.addData(SDoc(3, "recurring", t(121)))
+    q.processAllAvailable()
+    val got = spark.table("xd3").select("doc_id").as[Long].collect().sorted
+    assert(got.sameElements(Array(1L, 2L, 3L)),
+      s"doc 3 is beyond the horizon and must survive: ${got.toSeq}")
+    q.stop()
+  }
 }
