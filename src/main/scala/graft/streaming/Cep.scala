@@ -16,6 +16,17 @@ object StepKind {
     * the partial; the stage is satisfied by the NEXT stage's match
     * (or, if terminal, by the window closing unviolated). */
   case object Negative extends StepKind
+  /** One-or-more (`oneOrMore` on a relaxed stage): the stage absorbs
+    * every guard-matching event GREEDILY (absorb wins over advancing
+    * when an event matches both this and the next stage's guard);
+    * the run ends when an event matches the next stage but not this
+    * one. A terminal one-or-more emits its maximal run when the
+    * window closes (requires `within`). */
+  case object Repeated extends StepKind
+  /** Zero-or-one (`optional` on a relaxed stage): taken greedily if
+    * an event matches its guard before the next stage matches;
+    * skipped when the next stage's guard matches first. */
+  case object Optional extends StepKind
 }
 
 /** One pattern stage: a name (for match selection), its guard, and
@@ -73,9 +84,31 @@ final case class EventPattern[E] private (
   def times(n: Int): EventPattern[E] = {
     require(n >= 1, "times(n) needs n >= 1")
     val last = steps.last
-    require(last.kind != StepKind.Negative,
-      "times() on notFollowedBy is not supported")
+    require(last.kind == StepKind.Relaxed || last.kind == StepKind.Strict,
+      "times() applies to plain followedBy/next stages only")
     copy(steps = steps ++ Vector.fill(n - 1)(last))
+  }
+
+  /** Quantify the most recent stage as one-or-more (Flink
+    * `.oneOrMore()`): the stage absorbs a GREEDY MAXIMAL run of
+    * guard-matching events (relaxed internal contiguity — non-
+    * matching events are skipped); the run ends when an event
+    * matches the FOLLOWING stage's guard but not this one. The match
+    * exposes the whole run under the stage's name. A terminal
+    * one-or-more requires `within` and emits its maximal run when
+    * the window closes. */
+  def oneOrMore: EventPattern[E] = requantify(StepKind.Repeated)
+
+  /** Quantify the most recent stage as zero-or-one (Flink
+    * `.optional()`): taken greedily if its guard matches first,
+    * skipped when the following stage's guard matches first; the
+    * match exposes the stage's name with one or zero events. */
+  def optional: EventPattern[E] = requantify(StepKind.Optional)
+
+  private def requantify(kind: StepKind): EventPattern[E] = {
+    require(steps.last.kind == StepKind.Relaxed,
+      s"$kind quantifies a relaxed (begin/followedBy) stage only")
+    copy(steps = steps.init :+ steps.last.copy(kind = kind))
   }
 
   private def append(name: String, kind: StepKind): EventPattern[E] = {
@@ -132,8 +165,9 @@ object EventPattern {
 object Cep {
 
   /** Open partial match: index of the next unsatisfied stage, first
-    * event's time, matched events newest-first. */
-  type Partial[E] = (Int, Long, List[E])
+    * event's time, matched events newest-first — each tagged with the
+    * stage index it matched (a quantified stage owns several). */
+  type Partial[E] = (Int, Long, List[(Int, E)])
 
   private def deadline(withinMs: Long, t0: Long): Long =
     if (withinMs == Long.MaxValue) Long.MaxValue else t0 + withinMs
@@ -150,25 +184,30 @@ object Cep {
       partials0: List[Partial[E]], events: Seq[E],
       watermarkMs: Long): (List[Partial[E]], Vector[Map[String, Seq[E]]],
                            Vector[Map[String, Seq[E]]]) = {
-    // steps cloned by times(n) share a name: their events merge into
-    // one Seq under that name, in match order
-    def emitSteps(sts: Vector[PatternStep[E]],
-                  evsRev: List[E]): Map[String, Seq[E]] = {
-      val evs = evsRev.reverse.iterator
-      sts.foldLeft(Map.empty[String, Seq[E]]) { (m, st) =>
-        val cur = m.getOrElse(st.name, Seq.empty[E])
-        if (st.kind == StepKind.Negative) m.updated(st.name, cur)
-        else m.updated(st.name, cur :+ evs.next())
-      }
+    // group the tagged events under their stage's name, match order;
+    // stages cloned by times(n) share a name and merge naturally, a
+    // quantified stage contributes its whole run, a negative (or an
+    // untaken optional) contributes an empty seq
+    def emitSteps(upTo: Int,
+                  evsRev: List[(Int, E)]): Map[String, Seq[E]] = {
+      val byStage = evsRev.reverse.groupBy(_._1)
+      steps.take(upTo).zipWithIndex
+        .foldLeft(Map.empty[String, Seq[E]]) { case (m, (st, i)) =>
+          val cur = m.getOrElse(st.name, Seq.empty[E])
+          m.updated(st.name, cur ++ byStage.getOrElse(i, Nil).map(_._2))
+        }
     }
-    def emit(evsRev: List[E]): Map[String, Seq[E]] = emitSteps(steps, evsRev)
-    // a timed-out partial reports what it DID match: events for the
-    // satisfied positive stages, empty seq for satisfied negatives,
-    // absent keys for the never-reached stages
-    def emitPartial(stage: Int, evsRev: List[E]): Map[String, Seq[E]] =
-      emitSteps(steps.take(stage), evsRev)
+    def emit(evsRev: List[(Int, E)]): Map[String, Seq[E]] =
+      emitSteps(steps.length, evsRev)
     var partials = partials0
     val out = Vector.newBuilder[Map[String, Seq[E]]]
+    // advance `p` by consuming `e` into stage `into`, landing on
+    // `into + 1` (or emitting if that completes the pattern)
+    def consume(kept: scala.collection.mutable.Builder[Partial[E], List[Partial[E]]],
+                t0: Long, acc: List[(Int, E)], into: Int, e: E): Unit = {
+      if (into + 1 == steps.length) out += emit((into, e) :: acc)
+      else kept += ((into + 1, t0, (into, e) :: acc))
+    }
     events.sortBy(eventTimeMs).foreach { e =>
       val t = eventTimeMs(e)
       val kept = List.newBuilder[Partial[E]]
@@ -176,48 +215,79 @@ object Cep {
         val inWindow = t >= t0 && t <= deadline(withinMs, t0)
         steps(stage).kind match {
           case StepKind.Relaxed =>
-            if (inWindow && steps(stage).pred(e)) {
-              if (stage + 1 == steps.length) out += emit(e :: acc)
-              else kept += ((stage + 1, t0, e :: acc))
-            } else kept += p // relaxed contiguity: partial stays open
+            if (inWindow && steps(stage).pred(e)) consume(kept, t0, acc, stage, e)
+            else kept += p // relaxed contiguity: partial stays open
           case StepKind.Strict =>
             // the key's next event either matches or kills; an
             // out-of-window event can't match and kills too
-            if (inWindow && steps(stage).pred(e)) {
-              if (stage + 1 == steps.length) out += emit(e :: acc)
-              else kept += ((stage + 1, t0, e :: acc))
-            } // else: drop p
+            if (inWindow && steps(stage).pred(e)) consume(kept, t0, acc, stage, e)
+            // else: drop p
           case StepKind.Negative =>
             // advance-first: satisfying the NEXT stage wins over the
             // forbidden guard when an event matches both
             val advances = stage + 1 < steps.length && inWindow &&
               steps(stage + 1).pred(e)
-            if (advances) {
-              if (stage + 2 == steps.length) out += emit(e :: acc)
-              else kept += ((stage + 2, t0, e :: acc))
-            } else if (inWindow && steps(stage).pred(e)) {
+            if (advances) consume(kept, t0, acc, stage + 1, e)
+            else if (inWindow && steps(stage).pred(e)) {
               // forbidden event observed: kill (drop p)
             } else kept += p
+          case StepKind.Repeated =>
+            // greedy: absorbing wins over advancing; the run ends on
+            // an event that matches the NEXT stage but not this one
+            if (inWindow && steps(stage).pred(e))
+              kept += ((stage, t0, (stage, e) :: acc))
+            else if (acc.exists(_._1 == stage) && stage + 1 < steps.length &&
+              inWindow && steps(stage + 1).pred(e))
+              consume(kept, t0, acc, stage + 1, e)
+            else kept += p // relaxed: skip the non-matching event
+          case StepKind.Optional =>
+            // greedy: taken if its guard matches first…
+            if (inWindow && steps(stage).pred(e)) consume(kept, t0, acc, stage, e)
+            // …skipped when the next stage's guard matches first
+            else if (stage + 1 < steps.length && inWindow &&
+              steps(stage + 1).pred(e))
+              consume(kept, t0, acc, stage + 1, e)
+            else kept += p
         }
       }
       partials = kept.result()
       if (steps.head.pred(e)) { // an event may also open a new partial
-        if (steps.length == 1) out += emit(List(e))
-        else partials = (1, t, List(e)) :: partials
+        steps.head.kind match {
+          case StepKind.Repeated =>
+            // a head run OPENS on its first event and stays on stage 0
+            // to absorb the rest (one partial per run start — Flink's
+            // no-skip multiplicity, suffix runs open their own)
+            partials = (0, t, List((0, e))) :: partials
+          case _ =>
+            if (steps.length == 1) out += emit(List((0, e)))
+            else partials = (1, t, List((0, e))) :: partials
+        }
       }
     }
     // expired partials can never complete (events behind the
     // watermark are dropped upstream of this operator) — except a
-    // TERMINAL notFollowedBy, whose match is DEFINED by the window
-    // closing unviolated: it emits here, at expiry
+    // TERMINAL notFollowedBy (match DEFINED by the window closing
+    // unviolated) and a TERMINAL one-or-more with a non-empty run
+    // (the maximal run is only known once the window closes): both
+    // emit here, at expiry
     val (kept, expired) = partials.partition { case (_, t0, _) =>
       deadline(withinMs, t0) >= watermarkMs
     }
     val timedOut = Vector.newBuilder[Map[String, Seq[E]]]
     expired.reverse.foreach { case (stage, _, acc) =>
-      if (stage == steps.length - 1 && steps(stage).kind == StepKind.Negative)
-        out += emit(acc)
-      else timedOut += emitPartial(stage, acc)
+      val terminal = stage == steps.length - 1
+      val kind = steps(stage).kind
+      if (terminal && kind == StepKind.Negative) out += emit(acc)
+      else if (terminal && kind == StepKind.Repeated &&
+        acc.exists(_._1 == stage)) out += emit(acc)
+      else {
+        // a timed-out partial reports what it DID match: satisfied
+        // stages only — include a repeated stage's partial run
+        val upTo =
+          if (kind == StepKind.Repeated && acc.exists(_._1 == stage)) stage + 1
+          else stage
+        timedOut += emitSteps(upTo, acc)
+      }
     }
     (kept, out.result(), timedOut.result())
   }
@@ -233,7 +303,7 @@ object Cep {
       pattern: EventPattern[E])(
       select: Map[String, Seq[E]] => O)(
       implicit kEnc: Encoder[K],
-      sEnc: Encoder[List[(Int, Long, List[E])]],
+      sEnc: Encoder[List[(Int, Long, List[(Int, E)])]],
       oEnc: Encoder[O]): Dataset[O] =
     detectWithTimeouts(events, keyFn, eventTimeMs, pattern)(select, null)
 
@@ -256,7 +326,7 @@ object Cep {
       select: Map[String, Seq[E]] => O,
       timeoutSelect: Map[String, Seq[E]] => O)(
       implicit kEnc: Encoder[K],
-      sEnc: Encoder[List[(Int, Long, List[E])]],
+      sEnc: Encoder[List[(Int, Long, List[(Int, E)])]],
       oEnc: Encoder[O]): Dataset[O] = {
     val steps = pattern.steps
     require(steps.nonEmpty, "pattern needs at least one step")
@@ -266,6 +336,23 @@ object Cep {
       pattern.withinMs != Long.MaxValue,
       "a terminal notFollowedBy requires within() — its match is " +
         "emitted when the window closes unviolated")
+    require(steps.head.kind != StepKind.Optional,
+      "a pattern cannot START with an optional stage")
+    require(steps.last.kind != StepKind.Optional,
+      "a terminal optional stage is meaningless — drop it")
+    require(steps.last.kind != StepKind.Repeated ||
+      pattern.withinMs != Long.MaxValue,
+      "a terminal oneOrMore requires within() — its maximal run is " +
+        "emitted when the window closes")
+    steps.sliding(2).foreach {
+      case Vector(a, b) if a.kind == StepKind.Negative ||
+        a.kind == StepKind.Repeated || a.kind == StepKind.Optional =>
+        require(b.kind == StepKind.Relaxed || b.kind == StepKind.Strict,
+          s"stage '${b.name}' after '${a.name}' (${a.kind}) must be a " +
+            "plain followedBy/next stage — its guard decides when the " +
+            s"${a.kind} stage resolves")
+      case _ => ()
+    }
     val withinMs = pattern.withinMs
 
     events.groupByKey(keyFn)

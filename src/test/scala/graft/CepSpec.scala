@@ -327,4 +327,114 @@ class CepSpec extends AnyFunSuite {
     assert(got == Set(("d1", "7,9")))
     q.stop()
   }
+
+  test("oneOrMore: a greedy maximal run ends when the next stage matches") {
+    // spike, then one-or-more beats, closed by a crash: the match
+    // carries the WHOLE beat run, noise inside the run is skipped
+    val pat = EventPattern.begin[Sensor]("spike").where(_.kind == "spike")
+      .followedBy("beat").where(_.kind == "beat").oneOrMore
+      .followedBy("crash").where(_.kind == "crash")
+      .within(java.time.Duration.ofHours(1))
+    val in = MemoryStream[Sensor]
+    val q = Cep.detect(
+        in.toDS().withWatermark("ets", "0 seconds"),
+        (e: Sensor) => e.device, (e: Sensor) => e.ets.getTime, pat) { m =>
+        (m("spike").head.device, m("beat").size, m("crash").size)
+      }.toDF("device", "n_beats", "n_crash")
+      .writeStream.format("memory").queryName("cepOom1")
+      .outputMode(OutputMode.Append).start()
+    in.addData(
+      Sensor("d1", "spike", t("2019-06-26T10:00:00Z")),
+      Sensor("d1", "beat", t("2019-06-26T10:01:00Z")),
+      Sensor("d1", "noise", t("2019-06-26T10:02:00Z")), // relaxed: skipped
+      Sensor("d1", "beat", t("2019-06-26T10:03:00Z")),
+      Sensor("d1", "beat", t("2019-06-26T10:04:00Z")),
+      Sensor("d1", "crash", t("2019-06-26T10:05:00Z")),
+      Sensor("d2", "spike", t("2019-06-26T10:00:00Z")), // zero beats: no match
+      Sensor("d2", "crash", t("2019-06-26T10:05:00Z")))
+    q.processAllAvailable()
+    val got = spark.table("cepOom1").as[(String, Int, Int)].collect().toSet
+    assert(got == Set(("d1", 3, 1)),
+      "the full 3-beat run must ride under one match; zero-run d2 must not match")
+    q.stop()
+  }
+
+  test("oneOrMore at the head: each run start opens its own match (no-skip multiplicity)") {
+    val pat = EventPattern.begin[Sensor]("beat").where(_.kind == "beat").oneOrMore
+      .followedBy("crash").where(_.kind == "crash")
+      .within(java.time.Duration.ofHours(1))
+    val in = MemoryStream[Sensor]
+    val q = Cep.detect(
+        in.toDS().withWatermark("ets", "0 seconds"),
+        (e: Sensor) => e.device, (e: Sensor) => e.ets.getTime, pat) { m =>
+        (m("beat").head.ets, m("beat").size)
+      }.toDF("run_start", "n_beats")
+      .writeStream.format("memory").queryName("cepOom2")
+      .outputMode(OutputMode.Append).start()
+    in.addData(
+      Sensor("d1", "beat", t("2019-06-26T10:00:00Z")),
+      Sensor("d1", "beat", t("2019-06-26T10:01:00Z")),
+      Sensor("d1", "crash", t("2019-06-26T10:02:00Z")))
+    q.processAllAvailable()
+    val got = spark.table("cepOom2")
+      .as[(java.sql.Timestamp, Int)].collect().toSet
+    // FlinkCEP no-skip default: the 2-beat run and its 1-beat suffix
+    assert(got == Set(
+      (t("2019-06-26T10:00:00Z"), 2), (t("2019-06-26T10:01:00Z"), 1)))
+    q.stop()
+  }
+
+  test("terminal oneOrMore emits the maximal run when the window closes") {
+    val pat = EventPattern.begin[Sensor]("spike").where(_.kind == "spike")
+      .followedBy("beat").where(_.kind == "beat").oneOrMore
+      .within(java.time.Duration.ofMinutes(10))
+    val in = MemoryStream[Sensor]
+    val q = Cep.detect(
+        in.toDS().withWatermark("ets", "0 seconds"),
+        (e: Sensor) => e.device, (e: Sensor) => e.ets.getTime, pat) { m =>
+        (m("spike").head.device, m("beat").size)
+      }.toDF("device", "n_beats")
+      .writeStream.format("memory").queryName("cepOom3")
+      .outputMode(OutputMode.Append).start()
+    in.addData(
+      Sensor("d1", "spike", t("2019-06-26T10:00:00Z")),
+      Sensor("d1", "beat", t("2019-06-26T10:02:00Z")),
+      Sensor("d1", "beat", t("2019-06-26T10:04:00Z")))
+    q.processAllAvailable()
+    assert(spark.table("cepOom3").count() == 0,
+      "the run is still open — nothing may emit before the window closes")
+    // advance the watermark past the window deadline
+    in.addData(Sensor("d1", "noise", t("2019-06-26T11:00:00Z")))
+    q.processAllAvailable()
+    val got = spark.table("cepOom3").as[(String, Int)].collect().toSet
+    assert(got == Set(("d1", 2)))
+    q.stop()
+  }
+
+  test("optional: taken when present, skipped when the next stage matches first") {
+    val pat = EventPattern.begin[Sensor]("spike").where(_.kind == "spike")
+      .followedBy("stall").where(_.kind == "stall").optional
+      .followedBy("crash").where(_.kind == "crash")
+      .within(java.time.Duration.ofHours(1))
+    val in = MemoryStream[Sensor]
+    val q = Cep.detect(
+        in.toDS().withWatermark("ets", "0 seconds"),
+        (e: Sensor) => e.device, (e: Sensor) => e.ets.getTime, pat) { m =>
+        (m("spike").head.device, m("stall").size, m("crash").size)
+      }.toDF("device", "n_stall", "n_crash")
+      .writeStream.format("memory").queryName("cepOpt1")
+      .outputMode(OutputMode.Append).start()
+    in.addData(
+      // d1 goes spike -> stall -> crash: optional taken
+      Sensor("d1", "spike", t("2019-06-26T10:00:00Z")),
+      Sensor("d1", "stall", t("2019-06-26T10:05:00Z")),
+      Sensor("d1", "crash", t("2019-06-26T10:10:00Z")),
+      // d2 goes spike -> crash directly: optional skipped
+      Sensor("d2", "spike", t("2019-06-26T10:00:00Z")),
+      Sensor("d2", "crash", t("2019-06-26T10:10:00Z")))
+    q.processAllAvailable()
+    val got = spark.table("cepOpt1").as[(String, Int, Int)].collect().toSet
+    assert(got == Set(("d1", 1, 1), ("d2", 0, 1)))
+    q.stop()
+  }
 }
