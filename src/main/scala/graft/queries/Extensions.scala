@@ -2971,8 +2971,98 @@ object Extensions {
             GROUP BY 1
             ORDER BY 1,2,3"""))
 
+  // ---------------------------------------------------------------- x49
+  // BPE merge training, the real iterative loop (Sennrich et al.):
+  // each round counts ADJACENT symbol pairs over the current corpus,
+  // picks the single most frequent pair (ties to the lexicographically
+  // smallest — deterministic), and rewrites every sequence by greedy
+  // left-to-right non-overlapping replacement of that pair. A FIXED
+  // round count R (x39's pattern) keeps the construction replayable,
+  // so the oracle unrolls the same R rounds as CTEs and the merge
+  // table hash-matches. Symbols start as whitespace tokens (word-level
+  // merges — the WordPiece regime; byte-level BPE is the same loop
+  // with a different initial alphabet).
+  //
+  // Scale shape per round: pair counting is one explode + hash
+  // groupBy with map-side combine (x31's accepted vocabulary-shuffle
+  // shape — pair keys, not corpus rows), the argmax is a 1-row
+  // TakeOrdered, and the rewrite is a per-row string replace against
+  // the ONE broadcast winner — the corpus never shuffles, and rounds
+  // are a constant. Greedy-left semantics ride on replace()'s
+  // left-to-right non-overlapping scan in BOTH engines ("a a a"
+  // merges once, prefix-first).
+  private val BpeRounds = 4
+  private val BpeSep = "\u0001" // intra-sequence symbol separator
+
+  /** (rank, merged, cnt) — the R-entry merge table over (doc_id,
+    * text) rows. `merged` is the winning pair's concatenation. */
+  private[graft] def bpeMerges(docs: DataFrame, rounds: Int = BpeRounds): DataFrame = {
+    val sep = lit(BpeSep)
+    var seqs = docs.select(
+      regexp_replace(col("text"), " ", BpeSep).as("seq"))
+    val merges = (1 to rounds).map { rank =>
+      // adjacent pairs of the CURRENT symbol sequences, counted
+      val pairs = seqs
+        .select(split(col("seq"), BpeSep).as("tk"))
+        .select(explode(zip_with(
+          slice(col("tk"), lit(1), greatest(size(col("tk")) - 1, lit(0))),
+          slice(col("tk"), lit(2), greatest(size(col("tk")) - 1, lit(0))),
+          (a, b) => concat(a, sep, b))).as("pair"))
+        .groupBy(col("pair")).agg(count(lit(1)).as("cnt"))
+      // ONE winner row; materialized eagerly so round i+1's plan (and
+      // the final union) reference a cached literal instead of
+      // re-running every earlier round's aggregation
+      val top = pairs
+        .orderBy(col("cnt").desc, col("pair")).limit(1)
+        .select(col("pair"), col("cnt"))
+        .persist()
+      top.count()
+      // rewrite: greedy left-to-right replace of the winner, corpus
+      // stays put (one broadcast row in a cross join)
+      seqs = seqs.crossJoin(broadcast(top))
+        .select(replace(col("seq"), col("pair"),
+          replace(col("pair"), sep, lit(""))).as("seq"))
+      top.select(lit(rank.toLong).as("rank"),
+        replace(col("pair"), sep, lit("")).as("merged"),
+        col("cnt"))
+    }
+    ordered(merges.reduce(_ union _))
+  }
+
+  private val x49 = GateQuery(
+    "x49_bpe_merges",
+    (s, d) => bpeMerges(Tables.documents(s, d)),
+    Some {
+      // unroll the same R rounds as CTEs: s0 is the corpus, each
+      // round counts pairs of s{i-1}, picks the winner w{i}, rewrites
+      // into s{i}
+      val rounds = (1 to BpeRounds).map { i =>
+        s"""p$i AS (
+              SELECT a || chr(1) || b AS pair, count(*) AS cnt
+              FROM (
+                SELECT unnest(tk[1:len(tk)-1]) AS a, unnest(tk[2:len(tk)]) AS b
+                FROM (SELECT string_split(seq, chr(1)) AS tk FROM s${i - 1}))
+              GROUP BY 1),
+            w$i AS (
+              SELECT pair, cnt FROM p$i ORDER BY cnt DESC, pair LIMIT 1),
+            s$i AS (
+              SELECT replace(seq, w.pair, replace(w.pair, chr(1), '')) AS seq
+              FROM s${i - 1}, w$i w)"""
+      }.mkString(",\n")
+      val rows = (1 to BpeRounds).map { i =>
+        s"""SELECT CAST($i AS BIGINT) AS rank,
+                   replace(pair, chr(1), '') AS merged, cnt
+            FROM w$i"""
+      }.mkString(" UNION ALL ")
+      s"""WITH s0 AS (
+            SELECT replace(text, ' ', chr(1)) AS seq FROM documents),
+          $rounds
+          SELECT rank, merged, cnt FROM ($rows)
+          ORDER BY 1,2,3"""
+    })
+
   val all: Seq[GateQuery] = Seq(x01, x02, x03, x04, x05, x06, x07, x08, x09,
     x10, x11, x12, x13, x14, x15, x16, x17, x18, x19, x20, x21, x22, x23,
     x24, x25, x26, x27, x28, x29, x30, x31, x32, x33, x34, x35, x36, x37,
-    x38, x39, x40, x41, x42, x43, x44, x45, x46, x47, x48)
+    x38, x39, x40, x41, x42, x43, x44, x45, x46, x47, x48, x49)
 }
