@@ -21,38 +21,47 @@ object Bench {
     } catch { case _: Throwable => () }
     // This sandbox intermittently starves CPU (identical queries
     // measured 0.3s and 16s across runs with no code change), so a
-    // single pass is not a measurement. PER-QUERY interleaved
-    // retries: each query runs its passes back-to-back and reports
-    // the MINIMUM — the least-starved estimate of its real cost. The
-    // second pass also rides warm codegen/page caches, so it is much
-    // cheaper than the first. Two passes per query are UNCONDITIONAL;
-    // the wall budget only gates extra passes beyond those — so a
+    // single pass is not a measurement. Passes are interleaved as
+    // FULL SWEEPS (pass 1 over every query, then pass 2, …) and each
+    // query reports its MINIMUM: a multi-second starvation window
+    // then inflates one pass of several queries — whose other sweeps
+    // are clean — instead of ALL passes of whichever query it landed
+    // on (measured: x14 18.1s with back-to-back passes inside one
+    // window vs 1.9s isolated; the same run poisoned x19 7.7s on a
+    // different attempt — the window strikes at random). Sweeps 2+
+    // also ride warm codegen/page caches. Two sweeps are
+    // UNCONDITIONAL; the wall budget only gates extra sweeps — so a
     // starved first sweep can never again collapse the whole bench to
     // a single-pass artifact (round 2's 991.9s run).
-    val reps = math.max(2, sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "3").toInt)
+    val reps = math.max(2, sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "4").toInt)
     val budgetSec = sys.env.getOrElse("SPARK_GRAFT_BENCH_BUDGET", "420").toInt
     val t0 = System.nanoTime()
     def elapsed: Double = (System.nanoTime() - t0) / 1e9
+    // dev-only: SPARK_GRAFT_BENCH_ONLY=x04_...,x19_... restricts the
+    // run (isolating one query from suite-order effects); the driver
+    // sets no filter and always measures the full gate
+    val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY").map(_.split(",").toSet)
     val names = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (n, _) => only.forall(_.contains(n)) }
     var results = Map.empty[String, Double]
     var runs = Map.empty[String, Int]
-    names.foreach { case (name, fn) =>
-      var r = 0
-      var best = Double.MaxValue
-      while (r < reps && (r < 2 || elapsed < budgetSec)) {
+    var sweep = 0
+    while (sweep < reps && (sweep < 2 || elapsed < budgetSec)) {
+      names.foreach { case (name, fn) =>
         val s0 = System.nanoTime()
         try { fn(spark, sfDir).count() } catch { case _: Throwable => () }
-        best = math.min(best, (System.nanoTime() - s0) / 1e9)
+        val dt = (System.nanoTime() - s0) / 1e9
+        if (dt < results.getOrElse(name, Double.MaxValue))
+          results = results.updated(name, dt)
+        runs = runs.updated(name, runs.getOrElse(name, 0) + 1)
         // the dedup queries persist() intermediates they never
         // unpersist (the returned plan still references them); once
         // this pass's count() is done the entries are dead weight —
         // dropping them keeps storage memory from polluting every
         // later query's measurement (x19 read 10.3s vs 4s isolated)
         spark.catalog.clearCache()
-        r += 1
       }
-      results = results.updated(name, best)
-      runs = runs.updated(name, r)
+      sweep += 1
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")

@@ -27,6 +27,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       builder))
 
   override def apply(ext: SparkSessionExtensions): Unit = {
+    // optimizer rule: keyless numeric range joins → bucketed
+    // equi-joins, opt-in via spark.graft.rangeJoin.binSize
+    ext.injectOptimizerRule(_ => new graft.plans.RangeJoinRule)
     inject(ext, "quantized_cosine", classOf[QuantizedCosine],
       exprs => QuantizedCosine(exprs(0), exprs(1)))
     // aggregate builders return the AggregateFunction itself — the

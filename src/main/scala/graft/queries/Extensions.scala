@@ -2762,6 +2762,8 @@ object Extensions {
           sequence(lit(0), size(col("tk")) - w),
           i => md5(array_join(slice(col("tk"), i + 1, lit(w)), " ")))))
         .otherwise(array().cast("array<string>"))).as("sh"))
+      .persist() // the per-span count and the flag join both consume it
+    spans.count()
     val perSpan = spans.groupBy(col("sh"))
       .agg(count(lit(1)).as("n_docs"))
     val perDoc = spans.join(perSpan, Seq("sh"))
@@ -2863,8 +2865,13 @@ object Extensions {
 
   /** (vec_id, cluster, keep) over a persisted (vec_id, qv) table. */
   private[graft] def semDedupKeep(v: DataFrame, k: Int = KmK): DataFrame = {
+    // both pair-join sides and the final output consume the
+    // assignment — materialize it once or the whole k-means pipeline
+    // (two scoring passes + centroid shuffle) runs three times
     val asg = kmeansCluster(v, k).select(col("vec_id"), col("cluster"))
       .join(v, Seq("vec_id"))
+      .persist()
+    asg.count()
     val a = asg.select(col("cluster"),
       col("vec_id").as("id_a"), col("qv").as("qa"))
     val b = asg.select(col("cluster"),

@@ -90,6 +90,21 @@ object DocStreams {
     docs.select(explode(split(col("text"), " ")).as("tok"))
       .groupBy(col("tok")).agg(count(lit(1)).as("cnt"))
 
+  /** Streaming heavy-hitter CANDIDATES — x46's bounded-memory pass
+    * as a streaming aggregation: ONE Misra-Gries summary row
+    * ([[graft.functions.FreqCandidatesAgg]]) carried across batches
+    * by the state store. Unlike [[vocabCounts]] the state is a single
+    * k-counter buffer — constant, not vocabulary-sized — and the
+    * mergeable-summaries combine keeps the guarantee cumulative:
+    * after any prefix of the stream, every token above n/(k+1) of
+    * the rows seen SO FAR is in the candidate array. Emit in
+    * complete/update mode; pair with a periodic exact recount (the
+    * x46 second pass) for exact heavy hitters. */
+  def hhCandidates(docs: DataFrame, k: Int = 100): DataFrame =
+    docs.select(explode(split(col("text"), " ")).as("tok"))
+      .agg(graft.functions.FreqCandidatesAgg.freqCandidates(col("tok"), k)
+        .as("cand"))
+
   /** Encode a doc stream's tokens as vocabulary ids (the x33 /
     * `TrainingPipeline.encodeTokens` arithmetic) against a FROZEN
     * vocab — the production ingest reality: vocabularies are fixed

@@ -298,4 +298,27 @@ class DocStreamsSpec extends AnyFunSuite {
       s"doc 3 is beyond the horizon and must survive: ${got.toSeq}")
     q.stop()
   }
+
+  test("streaming heavy-hitter candidates keep the cumulative guarantee across batches") {
+    val k = 4
+    // 60% of all tokens are "hot" spread over two batches; tails differ
+    val batch1 = (1 to 30).map(i => Doc(i.toLong, "hot hot " + s"t$i", "en"))
+    val batch2 = (31 to 60).map(i => Doc(i.toLong, "hot " + s"u$i v$i", "en"))
+    val in = MemoryStream[Doc]
+    val q = DocStreams.hhCandidates(in.toDF(), k)
+      .writeStream.format("memory").queryName("hh")
+      .outputMode("complete").start()
+    in.addData(batch1: _*)
+    q.processAllAvailable()
+    val mid = spark.table("hh").as[Seq[String]].collect().head
+    assert(mid.contains("hot") && mid.length <= k,
+      s"after batch 1 'hot' is 2/3 of tokens and must be a candidate: $mid")
+    in.addData(batch2: _*)
+    q.processAllAvailable()
+    val end = spark.table("hh").as[Seq[String]].collect().head
+    // over ALL 180 tokens 'hot' has 90 > 180/(k+1)=36 -> guaranteed
+    assert(end.contains("hot") && end.length <= k,
+      s"cumulative guarantee violated: $end")
+    q.stop()
+  }
 }
