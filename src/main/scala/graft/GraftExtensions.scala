@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
-import graft.functions.{FreqCandidatesAgg, MinHashAgg, MinHashArr, QuantizedCosine, SimHashAgg, SimHashArr, SrpBands, TokenBigrams, TokenMask, TokenSetSig}
+import graft.functions.{FreqCandidatesAgg, LongCosine, MinHashAgg, MinHashArr, QuantizedCosine, SimHashAgg, SimHashArr, SrpBands, TokenBigrams, TokenMask, TokenSetSig}
 
 /** SparkSessionExtensions entry point: makes graft's native
   * expressions available in any session via configuration —
@@ -32,6 +32,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectOptimizerRule(_ => new graft.plans.RangeJoinRule)
     inject(ext, "quantized_cosine", classOf[QuantizedCosine],
       exprs => QuantizedCosine(exprs(0), exprs(1)))
+    inject(ext, "long_cosine", classOf[LongCosine],
+      exprs => LongCosine(exprs(0), exprs(1)))
     // aggregate builders return the AggregateFunction itself — the
     // analyzer wraps it in an AggregateExpression
     inject(ext, "minhash_agg", classOf[MinHashAgg],

@@ -522,10 +522,12 @@ object Extensions {
   /** Cosine over two ALREADY-quantized long arrays (x38's centroids
     * are integer sum vectors, so [[cosCol]]'s float-input quantization
     * step doesn't apply): exact integer dots, one sqrt·sqrt product
-    * and one division — the same fixed float shape the oracle states. */
+    * and one division — the same fixed float shape the oracle states.
+    * Computed by the native codegen'd [[graft.functions.LongCosine]]
+    * (one fused loop; bit-identical to the HOF composition —
+    * LongCosineSpec — which dominated x47's measured pair-join cost). */
   private def cosLongCol(a: Column, b: Column): Column =
-    dotLongCol(a, b).cast("double") /
-      (sqrt(dotLongCol(a, a).cast("double")) * sqrt(dotLongCol(b, b).cast("double")))
+    graft.functions.LongCosine.longCosine(a, b)
 
   private val NumQueries = 10
   private val TopK = 5
