@@ -3070,8 +3070,49 @@ object Extensions {
           ORDER BY 1,2,3"""
     })
 
+  // ---------------------------------------------------------------- x50
+  // Changelog compaction (CDC apply / latest-row-wins): the events
+  // stream read as a changelog — every event upserts its user's
+  // state, 'error' rows are tombstones — materialized to current
+  // state: the latest event per user by (ts, event_id) wins; users
+  // whose latest event is a tombstone are absent. The canonical
+  // upsert-view / compaction job every lakehouse table maintenance
+  // pass runs.
+  //
+  // Scale shape: ONE hash groupBy with a max_by partial aggregate —
+  // state per key is a single struct, combined map-side, so the
+  // shuffle carries one row per (partition × user), not the
+  // changelog. The window-rank formulation (what the oracle states)
+  // needs a full per-key sort; max_by doesn't. (ts, event_id) is a
+  // total order, so both formulations pick the same row and the
+  // hash matches.
+  private val x50 = GateQuery(
+    "x50_cdc_compact",
+    (s, d) => {
+      val st = struct(col("ts"), col("event_id"),
+        col("event_type"), col("value"))
+      ordered(Tables.events(s, d)
+        .groupBy(col("user_id"))
+        .agg(max_by(st, struct(col("ts"), col("event_id"))).as("st"))
+        .select(col("user_id"),
+          col("st.event_type").as("last_type"),
+          col("st.value").as("last_value"),
+          date_format(col("st.ts"), "yyyy-MM-dd HH:mm:ss.SSSSSS")
+            .as("last_ts"))
+        .filter(col("last_type") =!= "error"))
+    },
+    Some("""SELECT user_id, last_type, last_value, last_ts FROM (
+              SELECT user_id, event_type AS last_type, value AS last_value,
+                     strftime(ts, '%Y-%m-%d %H:%M:%S.%f') AS last_ts,
+                     row_number() OVER (
+                       PARTITION BY user_id
+                       ORDER BY ts DESC, event_id DESC) AS rn
+              FROM events)
+            WHERE rn = 1 AND last_type <> 'error'
+            ORDER BY 1,2,3,4"""))
+
   val all: Seq[GateQuery] = Seq(x01, x02, x03, x04, x05, x06, x07, x08, x09,
     x10, x11, x12, x13, x14, x15, x16, x17, x18, x19, x20, x21, x22, x23,
     x24, x25, x26, x27, x28, x29, x30, x31, x32, x33, x34, x35, x36, x37,
-    x38, x39, x40, x41, x42, x43, x44, x45, x46, x47, x48, x49)
+    x38, x39, x40, x41, x42, x43, x44, x45, x46, x47, x48, x49, x50)
 }

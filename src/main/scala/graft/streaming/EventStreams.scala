@@ -71,6 +71,25 @@ object EventStreams {
          AND a_id <> b_id"""))
   }
 
+  /** x50 streaming: the changelog-compaction view maintained
+    * CONTINUOUSLY — every event upserts its user's state (latest by
+    * (ts, event_id) wins), exactly the batch x50 aggregation run as
+    * an unbounded streaming aggregation. State = one struct per user
+    * (key-cardinality-bounded, the same state any upsert
+    * materialization must keep); emit in update mode and filter
+    * tombstones ('error' latest) downstream of the agg so a
+    * tombstone UPDATE overwrites the user's previous emission.
+    * Late/out-of-order events fold in correctly because max_by is
+    * order-insensitive. */
+  def latestState(events: DataFrame): DataFrame =
+    events.groupBy(col("user_id"))
+      .agg(max_by(
+        struct(col("ts"), col("event_id"), col("event_type"), col("value")),
+        struct(col("ts"), col("event_id"))).as("st"))
+      .select(col("user_id"), col("st.event_type").as("last_type"),
+        col("st.value").as("last_value"), col("st.ts").as("last_ts"),
+        (col("st.event_type") === "error").as("tombstone"))
+
   /** q18 streaming: session windows work natively under watermark —
     * a session emits once the watermark passes last_ts + gap. */
   def userSessions(events: DataFrame): DataFrame =

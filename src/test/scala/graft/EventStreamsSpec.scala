@@ -108,4 +108,34 @@ class EventStreamsSpec extends AnyFunSuite {
     assert(got.head == ((1L, t("2024-01-01T10:00:00Z"), 2L, 3.0)))
     q.stop()
   }
+
+  test("x50 streaming twin: upserts overwrite, tombstones flag, late events fold in") {
+    val in = MemoryStream[Ev]
+    val q = graft.streaming.EventStreams.latestState(in.toDF())
+      .writeStream.format("memory").queryName("cdc")
+      .outputMode("update").start()
+    def state() = spark.table("cdc")
+      .as[(Long, String, Double, Timestamp, Boolean)].collect()
+      .groupBy(_._1).map { case (u, rows) =>
+        u -> rows.maxBy(_._4.getTime) }.toMap // latest emission per user
+    in.addData(
+      Ev(1, t("2024-01-01T10:00:00Z"), 7, "view", 1.0, "{}"),
+      Ev(2, t("2024-01-01T10:05:00Z"), 7, "purchase", 9.0, "{}"),
+      Ev(3, t("2024-01-01T10:00:00Z"), 8, "signup", 0.0, "{}"))
+    q.processAllAvailable()
+    val s1 = state()
+    assert(s1(7L)._2 == "purchase" && s1(7L)._3 == 9.0 && !s1(7L)._5)
+    assert(s1(8L)._2 == "signup")
+    // a LATE event older than user 7's current state must NOT win…
+    in.addData(Ev(4, t("2024-01-01T10:01:00Z"), 7, "click", 2.0, "{}"))
+    q.processAllAvailable()
+    assert(state()(7L)._2 == "purchase", "older event must not overwrite")
+    // …and a newer tombstone must
+    in.addData(Ev(5, t("2024-01-01T10:30:00Z"), 8, "error", 0.0, "{}"))
+    q.processAllAvailable()
+    val s3 = state()
+    assert(s3(8L)._2 == "error" && s3(8L)._5,
+      s"latest emission for user 8 must be the tombstone: $s3")
+    q.stop()
+  }
 }
