@@ -3111,8 +3111,72 @@ object Extensions {
             WHERE rn = 1 AND last_type <> 'error'
             ORDER BY 1,2,3,4"""))
 
+  // ---------------------------------------------------------------- x51
+  // Triangle counting — the canonical two-join graph workload —
+  // over the span-sharing document graph (edge = two docs share a
+  // W-token window, x45's construction at W=4): wedge join (edges ⋈
+  // edges on the middle vertex) then the closing join back to the
+  // edge set, per-doc participation counts out. Complements x30
+  // (connected components = reachability; triangles = local
+  // density/clustering — the dedup-graph diagnostic that tells
+  // template families from chance collisions).
+  //
+  // Scale shape: every join is an equi-join on vertex ids over
+  // (long, long) rows — never adjacency lists as single rows, so no
+  // row-size blowup on hubs (x41's bounded-shard argument). The
+  // wedge join is Θ(Σ deg²): at real scale the standard refinement
+  // is orienting edges low-degree→high-degree first, which this
+  // layout admits without reshaping (one degree agg + re-key).
+  private val TriW = 4
+  private val x51 = GateQuery(
+    "x51_triangle_count",
+    (s, d) => {
+      val staged = Tables.documents(s, d)
+        .select(col("doc_id"), split(col("text"), " ").as("tk"))
+      val spans = staged.select(col("doc_id"),
+        explode(when(size(col("tk")) >= TriW,
+          array_distinct(transform(
+            sequence(lit(0), size(col("tk")) - TriW),
+            i => md5(array_join(slice(col("tk"), i + 1, lit(TriW)), " ")))))
+          .otherwise(array().cast("array<string>"))).as("sh"))
+      val edges = spans.select(col("sh"), col("doc_id").as("a"))
+        .join(spans.select(col("sh"), col("doc_id").as("b")), Seq("sh"))
+        .filter(col("a") < col("b"))
+        .select(col("a"), col("b")).distinct()
+        .persist() // wedge sides + closing join all consume it
+      edges.count()
+      val wedges = edges
+        .join(edges.select(col("a").as("b"), col("b").as("c")), Seq("b"))
+      val tri = wedges
+        .join(edges.select(col("a"), col("b").as("c")), Seq("a", "c"))
+        .select(col("a"), col("b"), col("c"))
+      ordered(tri
+        .select(explode(array(col("a"), col("b"), col("c"))).as("doc_id"))
+        .groupBy(col("doc_id")).agg(count(lit(1)).as("n_tri")))
+    },
+    Some(s"""WITH staged AS (
+              SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+            spans AS (
+              SELECT DISTINCT doc_id,
+                     md5(array_to_string(tk[i+1 : i+$TriW], ' ')) AS sh
+              FROM staged,
+                   unnest(range(0, GREATEST(len(tk) - ${TriW - 1}, 0))) AS u(i)),
+            edges AS (
+              SELECT DISTINCT a.doc_id AS a, b.doc_id AS b
+              FROM spans a JOIN spans b ON a.sh = b.sh AND a.doc_id < b.doc_id),
+            wedges AS (
+              SELECT e1.a, e1.b, e2.b AS c
+              FROM edges e1 JOIN edges e2 ON e1.b = e2.a),
+            tri AS (
+              SELECT w.a, w.b, w.c
+              FROM wedges w JOIN edges e ON w.a = e.a AND w.c = e.b),
+            nodes AS (SELECT unnest([a, b, c]) AS doc_id FROM tri)
+            SELECT doc_id, count(*) AS n_tri FROM nodes
+            GROUP BY 1
+            ORDER BY 1,2"""))
+
   val all: Seq[GateQuery] = Seq(x01, x02, x03, x04, x05, x06, x07, x08, x09,
     x10, x11, x12, x13, x14, x15, x16, x17, x18, x19, x20, x21, x22, x23,
     x24, x25, x26, x27, x28, x29, x30, x31, x32, x33, x34, x35, x36, x37,
-    x38, x39, x40, x41, x42, x43, x44, x45, x46, x47, x48, x49, x50)
+    x38, x39, x40, x41, x42, x43, x44, x45, x46, x47, x48, x49, x50, x51)
 }
