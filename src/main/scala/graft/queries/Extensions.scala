@@ -3175,8 +3175,35 @@ object Extensions {
             GROUP BY 1
             ORDER BY 1,2"""))
 
+  // ---------------------------------------------------------------- x52
+  // Salted skew join (ops.SaltedJoin): documents fact side joined to
+  // a per-source dimension on `source` — a handful of distinct
+  // sources means EVERY key is hot (the worst skew shape), so the
+  // salt spreads each source over 8 shuffle partitions while the
+  // tiny dim replicates 8×. Results are exactly the plain join's
+  // (oracle = plain join); SaltedJoinSpec pins the equality across
+  // salt counts and that the physical join keys carry the salt.
+  private val JoinSalts = 8
+  private val x52 = GateQuery(
+    "x52_salted_join",
+    (s, d) => {
+      val docs = Tables.documents(s, d)
+        .select(col("doc_id"), col("source"))
+      val dim = docs.groupBy(col("source"))
+        .agg(count(lit(1)).as("source_cnt"))
+      ordered(graft.ops.SaltedJoin
+        .join(docs, dim, "source", col("doc_id"), JoinSalts)
+        .select(col("doc_id"), col("source"), col("source_cnt")))
+    },
+    Some("""SELECT d.doc_id, d.source, c.source_cnt
+            FROM documents d
+            JOIN (SELECT source, count(*) AS source_cnt
+                  FROM documents GROUP BY 1) c USING (source)
+            ORDER BY 1,2,3"""))
+
   val all: Seq[GateQuery] = Seq(x01, x02, x03, x04, x05, x06, x07, x08, x09,
     x10, x11, x12, x13, x14, x15, x16, x17, x18, x19, x20, x21, x22, x23,
     x24, x25, x26, x27, x28, x29, x30, x31, x32, x33, x34, x35, x36, x37,
-    x38, x39, x40, x41, x42, x43, x44, x45, x46, x47, x48, x49, x50, x51)
+    x38, x39, x40, x41, x42, x43, x44, x45, x46, x47, x48, x49, x50, x51,
+    x52)
 }
