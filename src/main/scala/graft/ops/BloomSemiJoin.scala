@@ -23,10 +23,13 @@ import org.apache.spark.sql.functions._
   */
 object BloomSemiJoin {
 
-  /** The i-th bit position of `key` (stringified, md5-hashed): 4 hex
-    * chars starting at 1+4i → 16 bits, folded into [0, words·64). */
+  /** The i-th bit position of `key` (stringified, md5-hashed): 8 hex
+    * chars starting at 1+8i → 32 bits, folded into [0, words·64) —
+    * wide enough that any practical `words` (≤ 2²⁶) uses its whole
+    * bitset (a 16-bit slice would silently cap usable bits at 64 K).
+    * md5's 32 hex chars bound `hashes` at 4. */
   private def pos(key: Column, i: Int, words: Int): Column =
-    pmod(conv(substring(md5(key.cast("string")), 1 + 4 * i, 4), 16, 10)
+    pmod(conv(substring(md5(key.cast("string")), 1 + 8 * i, 8), 16, 10)
       .cast("long"), lit(words * 64L))
 
   /** One-row (bloom: array<long> of `words`) bitset over `keys(keyCol)`.
@@ -35,6 +38,8 @@ object BloomSemiJoin {
     * array is assembled from the sparse map — no driver-side state. */
   def bloomOf(keys: DataFrame, keyCol: String,
               words: Int = 1024, hashes: Int = 3): DataFrame = {
+    require(hashes >= 1 && hashes <= 4,
+      s"md5's 32 hex chars provide at most 4 independent 8-hex positions, got $hashes")
     val entries = (0 until hashes).map { i =>
       val p = pos(col(keyCol), i, words)
       struct((p / 64L).cast("int").as("word"),
