@@ -3003,13 +3003,16 @@ object Extensions {
   private val BpeRounds = 4
   private val BpeSep = "\u0001" // intra-sequence symbol separator
 
-  /** (rank, merged, cnt) — the R-entry merge table over (doc_id,
-    * text) rows. `merged` is the winning pair's concatenation. */
-  private[graft] def bpeMerges(docs: DataFrame, rounds: Int = BpeRounds): DataFrame = {
+  /** The shared BPE training loop: R rounds of count → argmax →
+    * greedy rewrite over (doc_id, text) rows. Returns each round's
+    * winner table (pair, cnt — persisted, one row each) and the
+    * final rewritten (doc_id, seq) corpus. */
+  private def bpeRun(docs: DataFrame,
+                     rounds: Int): (Vector[DataFrame], DataFrame) = {
     val sep = lit(BpeSep)
-    var seqs = docs.select(
+    var seqs = docs.select(col("doc_id"),
       regexp_replace(col("text"), " ", BpeSep).as("seq"))
-    val merges = (1 to rounds).map { rank =>
+    val tops = (1 to rounds).map { _ =>
       // adjacent pairs of the CURRENT symbol sequences, counted
       val pairs = seqs
         .select(split(col("seq"), BpeSep).as("tk"))
@@ -3019,7 +3022,7 @@ object Extensions {
           (a, b) => concat(a, sep, b))).as("pair"))
         .groupBy(col("pair")).agg(count(lit(1)).as("cnt"))
       // ONE winner row; materialized eagerly so round i+1's plan (and
-      // the final union) reference a cached literal instead of
+      // every consumer) reference a cached literal instead of
       // re-running every earlier round's aggregation
       val top = pairs
         .orderBy(col("cnt").desc, col("pair")).limit(1)
@@ -3029,13 +3032,36 @@ object Extensions {
       // rewrite: greedy left-to-right replace of the winner, corpus
       // stays put (one broadcast row in a cross join)
       seqs = seqs.crossJoin(broadcast(top))
-        .select(replace(col("seq"), col("pair"),
+        .select(col("doc_id"), replace(col("seq"), col("pair"),
           replace(col("pair"), sep, lit(""))).as("seq"))
-      top.select(lit(rank.toLong).as("rank"),
-        replace(col("pair"), sep, lit("")).as("merged"),
+      top
+    }.toVector
+    (tops, seqs)
+  }
+
+  /** (rank, merged, cnt) — the R-entry merge table over (doc_id,
+    * text) rows. `merged` is the winning pair's concatenation. */
+  private[graft] def bpeMerges(docs: DataFrame, rounds: Int = BpeRounds): DataFrame = {
+    val (tops, _) = bpeRun(docs, rounds)
+    ordered(tops.zipWithIndex.map { case (top, i) =>
+      top.select(lit((i + 1).toLong).as("rank"),
+        replace(col("pair"), lit(BpeSep), lit("")).as("merged"),
         col("cnt"))
-    }
-    ordered(merges.reduce(_ union _))
+    }.reduce(_ union _))
+  }
+
+  /** (doc_id, tok_before, tok_after) — the trained merge table
+    * APPLIED: every document re-tokenized under the R learned
+    * merges. tok_after ≤ tok_before; the gap is the compression the
+    * learned vocabulary buys on this corpus. */
+  private[graft] def bpeEncodeCounts(docs: DataFrame,
+                                     rounds: Int = BpeRounds): DataFrame = {
+    val (_, seqs) = bpeRun(docs, rounds)
+    ordered(docs.select(col("doc_id"),
+        size(split(col("text"), " ")).cast("long").as("tok_before"))
+      .join(seqs.select(col("doc_id"),
+        size(split(col("seq"), BpeSep)).cast("long").as("tok_after")),
+        Seq("doc_id")))
   }
 
   private val x49 = GateQuery(
@@ -3201,9 +3227,44 @@ object Extensions {
                   FROM documents GROUP BY 1) c USING (source)
             ORDER BY 1,2,3"""))
 
+  // ---------------------------------------------------------------- x53
+  // BPE encode: the x49-trained merge table APPLIED to the corpus —
+  // per-document token counts before/after the R learned merges (the
+  // compression the vocabulary buys). Training and application share
+  // one loop (bpeRun); application is R chained per-row replaces
+  // against the R broadcast winners — the corpus never shuffles, and
+  // the only join is doc_id-keyed against the original counts.
+  private val x53 = GateQuery(
+    "x53_bpe_encode",
+    (s, d) => bpeEncodeCounts(Tables.documents(s, d)),
+    Some {
+      val rounds = (1 to BpeRounds).map { i =>
+        s"""p$i AS (
+              SELECT a || chr(1) || b AS pair, count(*) AS cnt
+              FROM (
+                SELECT unnest(tk[1:len(tk)-1]) AS a, unnest(tk[2:len(tk)]) AS b
+                FROM (SELECT string_split(seq, chr(1)) AS tk FROM s${i - 1}))
+              GROUP BY 1),
+            w$i AS (
+              SELECT pair, cnt FROM p$i ORDER BY cnt DESC, pair LIMIT 1),
+            s$i AS (
+              SELECT doc_id,
+                     replace(seq, w.pair, replace(w.pair, chr(1), '')) AS seq
+              FROM s${i - 1}, w$i w)"""
+      }.mkString(",\n")
+      s"""WITH s0 AS (
+            SELECT doc_id, replace(text, ' ', chr(1)) AS seq FROM documents),
+          $rounds
+          SELECT d.doc_id,
+                 CAST(len(string_split(d.text, ' ')) AS BIGINT) AS tok_before,
+                 CAST(len(string_split(s.seq, chr(1))) AS BIGINT) AS tok_after
+          FROM documents d JOIN s$BpeRounds s USING (doc_id)
+          ORDER BY 1,2,3"""
+    })
+
   val all: Seq[GateQuery] = Seq(x01, x02, x03, x04, x05, x06, x07, x08, x09,
     x10, x11, x12, x13, x14, x15, x16, x17, x18, x19, x20, x21, x22, x23,
     x24, x25, x26, x27, x28, x29, x30, x31, x32, x33, x34, x35, x36, x37,
     x38, x39, x40, x41, x42, x43, x44, x45, x46, x47, x48, x49, x50, x51,
-    x52)
+    x52, x53)
 }

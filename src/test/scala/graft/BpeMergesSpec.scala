@@ -33,6 +33,17 @@ class BpeMergesSpec extends AnyFunSuite {
     assert(got(1) == (2L, "aaa", 1L))
   }
 
+  test("encode applies the learned merges: known before/after counts") {
+    val got = Extensions.bpeEncodeCounts(
+      Seq((0L, "a b a b c"), (1L, "a b x")).toDF("doc_id", "text"), rounds = 2)
+      .as[(Long, Long, Long)].collect()
+      .map { case (id, b, a) => id -> (b, a) }.toMap
+    // merges: "ab" then "abab"; doc 0: a b a b c -> ab ab c -> abab c
+    assert(got(0L) == (5L, 2L), s"doc 0 must compress 5 -> 2: $got")
+    // doc 1: a b x -> ab x (the round-2 merge doesn't occur in it)
+    assert(got(1L) == (3L, 2L))
+  }
+
   test("merged symbols are atomic in later rounds") {
     val got = merges(Seq("x y z w", "x y z q"), rounds = 2)
     // round 1: (x,y) and (y,z) both 2 -> tie to smallest: "x<sep>y"
