@@ -12,23 +12,37 @@ import org.apache.spark.sql.types.StructType
   * construction (same format/schema options).
   */
 object Sources {
-  private val tsFmt = "yyyy-MM-dd'T'HH:mm:ss.SSSSSSXXX"
+  // Write with explicit 6-digit fractional seconds (micros — Spark's
+  // native timestamp precision). TIMESTAMP and TIMESTAMP_NTZ columns
+  // are formatted by *different* options (`timestampFormat` vs
+  // `timestampNTZFormat`) and the NTZ default truncates to millis on
+  // write, so both must be pinned. On read, no format option: the
+  // schema'd parser then takes the lenient ISO path (DateTimeUtils
+  // .stringToTimestamp[WithoutTimeZone]) which keeps all fractional
+  // digits regardless of width.
+  private val tsWriteFmt = "yyyy-MM-dd'T'HH:mm:ss.SSSSSSXXX"
+  private val ntzWriteFmt = "yyyy-MM-dd'T'HH:mm:ss.SSSSSS"
 
   def writeCsv(df: DataFrame, path: String): Unit =
     df.write.mode("overwrite")
-      .option("header", "true").option("timestampFormat", tsFmt)
+      .option("header", "true")
+      .option("timestampFormat", tsWriteFmt)
+      .option("timestampNTZFormat", ntzWriteFmt)
       .csv(path)
 
   def readCsv(spark: SparkSession, schema: StructType, path: String): DataFrame =
     spark.read.schema(schema)
-      .option("header", "true").option("timestampFormat", tsFmt)
+      .option("header", "true")
       .csv(path)
 
   def writeJson(df: DataFrame, path: String): Unit =
-    df.write.mode("overwrite").option("timestampFormat", tsFmt).json(path)
+    df.write.mode("overwrite")
+      .option("timestampFormat", tsWriteFmt)
+      .option("timestampNTZFormat", ntzWriteFmt)
+      .json(path)
 
   def readJson(spark: SparkSession, schema: StructType, path: String): DataFrame =
-    spark.read.schema(schema).option("timestampFormat", tsFmt).json(path)
+    spark.read.schema(schema).json(path)
 
   /** ORC: the columnar alternative to parquet — binary-typed, so no
     * timestamp format round-trip concerns; schema passed explicitly
