@@ -430,9 +430,18 @@ object Extensions {
     // the stage (see lshCandidates) — materialize it once
     val banded = bandTableArr(repArrs, "t:").persist()
     banded.count()
-    val cand = lshCandidates(banded)
-    val ma = broadcast(sigs.select(col("rep").as("rep_a"), col("mask").as("mask_a")))
-    val mb = broadcast(sigs.select(col("rep").as("rep_b"), col("mask").as("mask_b")))
+    val cand = lshCandidates(banded).persist()
+    cand.count()
+    // verify-side masks: semi-join the signature table down to the ids
+    // that actually appear in a candidate pair and broadcast only those
+    // — the full sigs table is |distinct docs|-sized (corpus-scale at
+    // 100 TB), the candidate set is bounded by LSH collisions (x14's
+    // pattern)
+    val candIds = cand.select(col("rep_a").as("rep"))
+      .union(cand.select(col("rep_b").as("rep"))).distinct()
+    val candSigs = sigs.join(candIds, "rep")
+    val ma = broadcast(candSigs.select(col("rep").as("rep_a"), col("mask").as("mask_a")))
+    val mb = broadcast(candSigs.select(col("rep").as("rep_b"), col("mask").as("mask_b")))
     cand.join(ma, "rep_a").join(mb, "rep_b")
       .withColumn("jac",
         bit_count(col("mask_a").bitwiseAND(col("mask_b"))).cast("double") /
@@ -752,14 +761,26 @@ object Extensions {
   // (ba, bb) block pair with the cosine threshold as the residual —
   // each of the B² buckets does (n/B)² compares, evenly spread, no
   // broadcast, no NLJ. Shuffle volume is 2·n·B rows; at a real
-  // cluster size B² while n/B rows fit an executor. The approximate
-  // sub-quadratic paths remain x21 (IVF) / x29 (SRP).
+  // cluster size B² while n/B rows fit an executor.
+  //
+  // CONTRACT: exact all-pairs cosine is Θ(n²) COMPARE work no matter
+  // the layout (measured 79.8× time for 10× rows, BENCH_SFX10), so
+  // this operator is bounded-input BY CONTRACT — the caller hands it
+  // a capped candidate set (an LSH/IVF survivor class, a sampled
+  // recall audit), never a raw corpus. The gate enforces the cap
+  // explicitly (vec_id < X13ExactCap — a no-op at the correctness
+  // SFs, a hard bound above). Unbounded corpora route through the
+  // sub-quadratic paths: x21 (IVF cells) / x29 (SRP bands), with
+  // this operator as their within-bucket verify or sampled oracle.
   private val GridBlocks = 8
+  private[graft] val X13ExactCap = 4096
   private val x13 = GateQuery(
     "x13_dedup_embedding",
     (s, d) => {
-      val v = Tables.embeddings(s, d).select(col("vec_id"), col("embedding"),
-        pmod(col("vec_id"), lit(GridBlocks)).cast("int").as("blk"))
+      val v = Tables.embeddings(s, d)
+        .filter(col("vec_id") < X13ExactCap)
+        .select(col("vec_id"), col("embedding"),
+          pmod(col("vec_id"), lit(GridBlocks)).cast("int").as("blk"))
       val a = v.select(col("vec_id").as("id_a"), col("embedding").as("ea"),
           col("blk").as("ba"))
         .withColumn("bb", explode(sequence(lit(0), lit(GridBlocks - 1))))
@@ -777,10 +798,10 @@ object Extensions {
         .withColumn("cos", cosCol(col("ea"), col("eb")))
         .select(col("id_a"), col("id_b"), col("cos")))
     },
-    Some("""WITH v AS (
+    Some(s"""WITH v AS (
               SELECT vec_id, list_transform(embedding,
                 x -> CAST(FLOOR(x * 1000) AS BIGINT)) AS qv
-              FROM embeddings)
+              FROM embeddings WHERE vec_id < $X13ExactCap)
             SELECT a.vec_id AS id_a, b.vec_id AS id_b,
               list_dot_product(a.qv, b.qv) /
                 (sqrt(list_dot_product(a.qv, a.qv)) * sqrt(list_dot_product(b.qv, b.qv))) AS cos
@@ -1087,10 +1108,14 @@ object Extensions {
         .select(col("rep_b").as("loser")).distinct()
       // class membership joins on the EXACT sig key — a hashed-mask
       // collision can therefore never route a doc to another class's
-      // rep and drop a non-duplicate (DocMasksSpec)
+      // rep and drop a non-duplicate (DocMasksSpec). No broadcast
+      // hints: sigs is |distinct signatures|-sized and losers is
+      // |near-dup classes|-sized — both grow with the corpus, so these
+      // are plain shuffle equi-joins (AQE still size-gates a broadcast
+      // when a side genuinely fits)
       ordered(masks
-        .join(broadcast(sigs.select(col("sig"), col("rep"))), "sig")
-        .join(broadcast(losers), col("rep") === col("loser"), "left_outer")
+        .join(sigs.select(col("sig"), col("rep")), "sig")
+        .join(losers, col("rep") === col("loser"), "left_outer")
         .select(col("doc_id"),
           (col("doc_id") === col("rep") && col("loser").isNull).as("keep")))
     },
@@ -2442,11 +2467,15 @@ object Extensions {
           array_join(sort_array(collect_list(col("doc_id")))
             .cast("array<string>"), ",").as("postings"))
         .persist()
-      shards.count() // two consumers (rollup is a broadcast subtree)
+      shards.count() // two consumers (rollup feeds the df join back)
+      // no broadcast hint on `global`: it is vocabulary-sized (grows
+      // with the corpus, the x35 argument) — both sides are already
+      // hash-partitioned on `term` from the groupBys, so the equi-join
+      // reuses that partitioning; AQE still broadcasts when it fits
       val global = shards.groupBy(col("term"))
         .agg(sum(col("df_shard")).as("df"))
         .filter(col("df") >= IdxMinDf)
-      ordered(shards.join(broadcast(global), "term")
+      ordered(shards.join(global, "term")
         .select(col("term"), col("shard"), col("df"), col("df_shard"),
           col("postings")))
     },
@@ -2746,23 +2775,41 @@ object Extensions {
   // counts. At 100 TB this is x14's candidate-table shape: rows ∝
   // corpus token count, keys are fixed-width hashes, every wide op
   // an equi-shuffle. The classic refinement — keep only every k-th
-  // span hash (winnowing, x10's construction) — drops row count k×
-  // and is a one-line change to the same plan.
+  // span hash (winnowing, x10's construction) — drops row count k×:
+  // exposed as spanDedupCounts' `winnow` param (PERF.md has the
+  // measured row-count/recall delta; the gate runs winnow=1 = exact).
   private val SpanW = 8
 
   /** Per-document duplicated-span counts over (doc_id, text) rows:
     * (doc_id, n_spans = distinct W-token windows, dup_spans = those
-    * occurring in ≥ 2 distinct documents). */
-  private[graft] def spanDedupCounts(docs: DataFrame, w: Int = SpanW): DataFrame = {
+    * occurring in ≥ 2 distinct documents).
+    *
+    * @param winnow row-count reducer for the exploded (doc_id, hash)
+    *   table: keep only spans whose hash ≡ 0 (mod winnow) — CONTENT-
+    *   defined sampling ("0 mod p" shingle selection), so the same
+    *   window text is kept or dropped identically in every document
+    *   regardless of its offset (a positional every-k-th stride would
+    *   silently lose cross-doc matches whenever the shared region
+    *   sits at different offsets mod k in the two docs). Rows drop
+    *   ~winnow×; a duplicated region of ≥ winnow spans expects ≥ 1
+    *   surviving witness; `n_spans`/`dup_spans` then count SAMPLED
+    *   spans (the k×-scaled estimator). winnow=1 keeps every span —
+    *   byte-identical to the exact construction (SpanDedupSpec). */
+  private[graft] def spanDedupCounts(docs: DataFrame, w: Int = SpanW,
+                                     winnow: Int = 1): DataFrame = {
+    require(winnow >= 1, s"winnow must be >= 1, got $winnow")
     val staged = docs.select(col("doc_id"), split(col("text"), " ").as("tk"))
     // distinct span hashes per doc, built row-locally; docs shorter
     // than W yield an empty array (sequence(0, n-W) would DESCEND
     // for n < W — guard it away)
+    val allSpans = array_distinct(transform(
+      sequence(lit(0), size(col("tk")) - w),
+      i => md5(array_join(slice(col("tk"), i + 1, lit(w)), " "))))
+    val sampled = if (winnow == 1) allSpans
+      else filter(allSpans, h =>
+        conv(substr(h, lit(1), lit(8)), 16, 10).cast("long") % winnow === 0)
     val spans = staged.select(col("doc_id"),
-      explode(when(size(col("tk")) >= w,
-        array_distinct(transform(
-          sequence(lit(0), size(col("tk")) - w),
-          i => md5(array_join(slice(col("tk"), i + 1, lit(w)), " ")))))
+      explode(when(size(col("tk")) >= w, sampled)
         .otherwise(array().cast("array<string>"))).as("sh"))
       .persist() // the per-span count and the flag join both consume it
     spans.count()
@@ -3150,9 +3197,11 @@ object Extensions {
   // Scale shape: every join is an equi-join on vertex ids over
   // (long, long) rows — never adjacency lists as single rows, so no
   // row-size blowup on hubs (x41's bounded-shard argument). The
-  // wedge join is Θ(Σ deg²): at real scale the standard refinement
-  // is orienting edges low-degree→high-degree first, which this
-  // layout admits without reshaping (one degree agg + re-key).
+  // wedge join is degree-ORIENTED (low-(deg,id) endpoint → high):
+  // wedges form only at each triangle's min-key vertex, so the join
+  // is Θ(Σ outdeg²) with outdeg ≤ O(√m) — a star hub of degree k
+  // contributes k wedges to its spokes' buckets, not k² to its own
+  // (TriangleSpec's hub fixture pins this).
   private val TriW = 4
   private val x51 = GateQuery(
     "x51_triangle_count",
@@ -3169,15 +3218,42 @@ object Extensions {
         .join(spans.select(col("sh"), col("doc_id").as("b")), Seq("sh"))
         .filter(col("a") < col("b"))
         .select(col("a"), col("b")).distinct()
-        .persist() // wedge sides + closing join all consume it
+        .persist() // degree agg + orientation both consume it
       edges.count()
-      val wedges = edges
-        .join(edges.select(col("a").as("b"), col("b").as("c")), Seq("b"))
+      // Degree orientation: point every edge from its lower-(deg, id)
+      // endpoint to its higher one. Each triangle then has exactly one
+      // vertex with both wedge edges outgoing (its min-key vertex), so
+      // wedges are built ONLY at that vertex — Θ(Σ outdeg²) with
+      // outdeg ≤ O(√m) instead of Θ(Σ deg²), which is what survives
+      // hub vertices (template families are exactly that shape).
+      val deg = edges.select(col("a").as("v"))
+        .union(edges.select(col("b").as("v")))
+        .groupBy(col("v")).agg(count(lit(1)).as("dg"))
+      val dir = edges
+        .join(deg.select(col("v").as("a"), col("dg").as("da")), Seq("a"))
+        .join(deg.select(col("v").as("b"), col("dg").as("db")), Seq("b"))
+        .select(
+          when(struct(col("da"), col("a")) < struct(col("db"), col("b")),
+            col("a")).otherwise(col("b")).as("src"),
+          when(struct(col("da"), col("a")) < struct(col("db"), col("b")),
+            col("b")).otherwise(col("a")).as("dst"),
+          when(struct(col("da"), col("a")) < struct(col("db"), col("b")),
+            col("db")).otherwise(col("da")).as("ddst"))
+        .persist() // both wedge sides + the closing join consume it
+      dir.count()
+      // wedge at the pivot: two out-edges of src, canonically ordered
+      // by the same (deg, id) key so each unordered pair appears once;
+      // the closing edge v→w is then guaranteed to be oriented v→w.
+      val wedges = dir
+        .select(col("src"), col("dst").as("v"), col("ddst").as("dv"))
+        .join(dir.select(col("src"), col("dst").as("w"), col("ddst").as("dw")),
+          Seq("src"))
+        .filter(struct(col("dv"), col("v")) < struct(col("dw"), col("w")))
       val tri = wedges
-        .join(edges.select(col("a"), col("b").as("c")), Seq("a", "c"))
-        .select(col("a"), col("b"), col("c"))
+        .join(dir.select(col("src").as("v"), col("dst").as("w")), Seq("v", "w"))
+        .select(col("src"), col("v"), col("w"))
       ordered(tri
-        .select(explode(array(col("a"), col("b"), col("c"))).as("doc_id"))
+        .select(explode(array(col("src"), col("v"), col("w"))).as("doc_id"))
         .groupBy(col("doc_id")).agg(count(lit(1)).as("n_tri")))
     },
     Some(s"""WITH staged AS (

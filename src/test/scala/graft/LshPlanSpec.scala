@@ -143,6 +143,31 @@ class LshPlanSpec extends AnyFunSuite {
     assert(tight.contains((3L, 4L)))
   }
 
+  test("x04/x19 broadcasts are candidate-restricted, never corpus-sized") {
+    // the only legal forced broadcasts in the minhash verify are the
+    // candidate-id-restricted signature slices (the x14 pattern): a
+    // BroadcastExchange whose subtree contains the candIds semi-join.
+    // A broadcast over a BARE signature/mask table (scan/agg only, no
+    // join below it) is corpus-sized at 100 TB — round 5's killer.
+    withDegradedConf {
+      Seq("x04_dedup_minhash", "x19_dedup_keep").foreach { name =>
+        val df = SparkEntry.queries(name)(spark, "/root/testdata/sf0.001")
+        val plan = df.queryExecution.executedPlan
+        val bcasts = plan.collect {
+          case b: org.apache.spark.sql.execution.exchange.BroadcastExchangeExec => b
+        }
+        bcasts.foreach { b =>
+          val restricted = b.collect {
+            case j: org.apache.spark.sql.execution.joins.BaseJoinExec => j
+          }.nonEmpty
+          assert(restricted,
+            s"$name: BroadcastExchange over an unrestricted (corpus-sized) subtree:\n$b")
+        }
+        spark.catalog.clearCache()
+      }
+    }
+  }
+
   test("size-gated broadcast is still allowed when the table genuinely fits") {
     // default threshold (10 MB) + tiny table: the planner MAY pick a
     // broadcast join — the point is the choice is the OPTIMIZER's
