@@ -45,4 +45,50 @@ class SpanDedupSpec extends AnyFunSuite {
     val got = counts(Seq(0L -> text, 1L -> text), w = 3)
     assert(got(0L) == (3L, 3L) && got(1L) == (3L, 3L))
   }
+
+  test("winnow=1 reproduces the exact construction byte-for-byte") {
+    val docs = Seq(
+      0L -> "a b c d e f g h i j",
+      1L -> "c d e f g h unique1 tail one",
+      2L -> "short doc")
+    val exact = Extensions.spanDedupCounts(docs.toDF("doc_id", "text"), 3)
+      .orderBy("doc_id").collect().toSeq
+    val w1 = Extensions.spanDedupCounts(docs.toDF("doc_id", "text"), 3, winnow = 1)
+      .orderBy("doc_id").collect().toSeq
+    assert(w1 == exact)
+  }
+
+  test("winnowing is content-defined: offset-shifted copies of a region agree on sampled spans") {
+    // the shared region sits at offset 0 in doc 0 and offset 1 in
+    // doc 1 — a positional every-k-th stride would sample disjoint
+    // window sets; hash-mod sampling keys off window CONTENT, so
+    // every surviving span of the region survives in both docs
+    val region = (1 to 40).map(i => s"r$i").mkString(" ")
+    val k = 4
+    val got = Extensions.spanDedupCounts(
+      Seq(0L -> region, 1L -> s"pre $region").toDF("doc_id", "text"),
+      w = 3, winnow = k)
+      .as[(Long, Long, Long)].collect()
+      .map { case (id, n, d) => id -> (n, d) }.toMap
+    // doc 0: all its sampled spans are region spans, all shared
+    val (n0, d0) = got(0L)
+    assert(n0 > 0, s"a 38-window region at winnow=$k should keep >=1 span: $got")
+    assert(d0 == n0, s"every sampled region span is shared: $got")
+    // doc 1 additionally samples (or drops) its 2 pre-boundary spans;
+    // its dup count matches doc 0's sampled-span count exactly
+    val (n1, d1) = got(1L)
+    assert(d1 == n0 && n1 >= d1, s"content-defined agreement failed: $got")
+  }
+
+  test("winnowing drops rows roughly k-fold") {
+    val text = (1 to 200).map(i => s"t$i").mkString(" ")
+    def nSpans(k: Int) = Extensions.spanDedupCounts(
+      Seq(0L -> text).toDF("doc_id", "text"), w = 3, winnow = k)
+      .as[(Long, Long, Long)].collect().head._2
+    val exact = nSpans(1)
+    val sampled = nSpans(4)
+    assert(exact == 198L)
+    assert(sampled > 0 && sampled < exact / 2,
+      s"winnow=4 should keep a small fraction of $exact spans, kept $sampled")
+  }
 }

@@ -44,4 +44,23 @@ class TriangleSpec extends AnyFunSuite {
     assert(got == Map(0L -> 1L, 1L -> 1L, 2L -> 1L),
       s"edge dedup must collapse multi-span pairs: $got")
   }
+
+  test("hub fixture: a star with one closing edge holds exactly one triangle") {
+    // doc 100 is a template-family hub: it shares a DISTINCT window
+    // with each of 8 spokes (degree 8); spokes share nothing with
+    // each other except spokes 0 and 1, which also share a window
+    // the hub lacks — the single closing edge. The degree-oriented
+    // wedge join must build the hub's wedges at the SPOKES (degree ≤
+    // 2), yet still find exactly the {hub, s0, s1} triangle.
+    val spokes = (0 until 8).map { i =>
+      val w = s"w${i}a w${i}b w${i}c w${i}d" // the hub-shared window
+      val closer = if (i <= 1) " z1 z2 z3 z4" else s" u${i}1 u${i}2"
+      i.toLong -> s"$w$closer"
+    }
+    val hubText = (0 until 8).map(i => s"w${i}a w${i}b w${i}c w${i}d sep$i")
+      .mkString(" ")
+    val got = run(spokes :+ (100L -> hubText))
+    assert(got == Map(100L -> 1L, 0L -> 1L, 1L -> 1L),
+      s"exactly the {hub, s0, s1} triangle: $got")
+  }
 }
