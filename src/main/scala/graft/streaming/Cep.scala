@@ -25,14 +25,39 @@ object StepKind {
   case object Repeated extends StepKind
   /** Zero-or-one (`optional` on a relaxed stage): taken greedily if
     * an event matches its guard before the next stage matches;
-    * skipped when the next stage's guard matches first. */
+    * skipped when the next stage's guard matches first. Consecutive
+    * optional stages (the `times(from, to)` expansion) resolve by a
+    * forward scan: an event that matches none of them may satisfy the
+    * first following stage whose guard accepts it. */
   case object Optional extends StepKind
 }
 
-/** One pattern stage: a name (for match selection), its guard, and
-  * its contiguity kind. */
+/** FlinkCEP AFTER_MATCH_SKIP strategy: which OTHER open partials are
+  * discarded when a match emits. All boundaries are the starting
+  * event time of the pruned partial, measured against the emitted
+  * match's span — the emitting partial itself is always consumed. */
+sealed trait SkipStrategy
+object SkipStrategy {
+  /** Keep every open partial — every possible match still emits
+    * (the engine's historical behavior, and the default). */
+  case object NoSkip extends SkipStrategy
+  /** Discard partials that started after the match's first event and
+    * no later than its LAST event: matching resumes past the match. */
+  case object SkipPastLastEvent extends SkipStrategy
+  /** Discard partials that started after the match's first event and
+    * strictly before the FIRST event matched to stage `name`. */
+  final case class SkipToFirst(name: String) extends SkipStrategy
+  /** Discard partials that started after the match's first event and
+    * strictly before the LAST event matched to stage `name`. */
+  final case class SkipToLast(name: String) extends SkipStrategy
+}
+
+/** One pattern stage: a name (for match selection), its guard, its
+  * contiguity kind, and — for a one-or-more stage — an optional
+  * `until` stop condition that terminates the run. */
 final case class PatternStep[E](name: String, pred: E => Boolean,
-                                kind: StepKind = StepKind.Relaxed)
+                                kind: StepKind = StepKind.Relaxed,
+                                until: Option[E => Boolean] = None)
 
 /** Flink-CEP-style sequential event pattern
   * (`Pattern.begin(...).where(...).followedBy(...).within(...)`,
@@ -59,7 +84,8 @@ final case class PatternStep[E](name: String, pred: E => Boolean,
   *    matches one 'removed', exactly the reference NFA's behavior).
   */
 final case class EventPattern[E] private (
-    steps: Vector[PatternStep[E]], withinMs: Long) {
+    steps: Vector[PatternStep[E]], withinMs: Long,
+    skip: SkipStrategy = SkipStrategy.NoSkip) {
 
   /** Conjoin a guard onto the most recent LOGICAL step (Flink
     * `.where`): after [[times]], every clone of the repeated stage
@@ -87,6 +113,59 @@ final case class EventPattern[E] private (
     require(last.kind == StepKind.Relaxed || last.kind == StepKind.Strict,
       "times() applies to plain followedBy/next stages only")
     copy(steps = steps ++ Vector.fill(n - 1)(last))
+  }
+
+  /** Repeat the most recent stage between `from` and `to` times
+    * (Flink `.times(from, to)`), GREEDILY: the stage absorbs up to
+    * `to` guard-matching events; after `from` of them the pattern can
+    * advance when a later stage's guard matches instead. Compiled by
+    * expansion into `from` required clones plus `to - from` OPTIONAL
+    * clones, all sharing the stage name — the match exposes every
+    * absorbed event under that one name. A TERMINAL range stage
+    * requires `within()`: its maximal absorption is only known when
+    * the window closes, which is when the match emits (same contract
+    * as a terminal `oneOrMore`). */
+  def times(from: Int, to: Int): EventPattern[E] = {
+    require(from >= 1 && to >= from,
+      s"times(from, to) needs 1 <= from <= to, got ($from, $to)")
+    val last = steps.last
+    require(last.kind == StepKind.Relaxed,
+      "times(from, to) applies to a relaxed (begin/followedBy) stage " +
+        "only — a strict range would need consecutive() semantics")
+    copy(steps = steps ++ Vector.fill(from - 1)(last) ++
+      Vector.fill(to - from)(last.copy(kind = StepKind.Optional)))
+  }
+
+  /** Stop condition for the most recent `oneOrMore` stage (Flink
+    * `.until`): an event matching `p` TERMINATES the run — it is not
+    * absorbed into the loop (nor offered to later stages). A stopped
+    * terminal loop emits its run immediately (no need to wait for the
+    * window to close); a stopped non-terminal loop advances to await
+    * the next stage. A stop arriving before the run's first event
+    * kills the partial (one-or-more needs at least one). An event
+    * matching both the loop guard and `p` stops — the stop condition
+    * wins, as in FlinkCEP. */
+  def until(p: E => Boolean): EventPattern[E] = {
+    require(steps.last.kind == StepKind.Repeated,
+      "until() applies to a oneOrMore stage")
+    copy(steps = steps.init :+ steps.last.copy(until = Some(p)))
+  }
+
+  /** Set the AFTER_MATCH skip strategy (Flink
+    * `Pattern.begin(name, AfterMatchSkipStrategy...)`): controls
+    * which other open partials are discarded when a match emits —
+    * [[SkipStrategy.NoSkip]] (default: every possible match emits),
+    * [[SkipStrategy.SkipPastLastEvent]], [[SkipStrategy.SkipToFirst]],
+    * [[SkipStrategy.SkipToLast]]. */
+  def afterMatchSkip(s: SkipStrategy): EventPattern[E] = {
+    s match {
+      case SkipStrategy.SkipToFirst(nm) =>
+        require(steps.exists(_.name == nm), s"unknown stage name: $nm")
+      case SkipStrategy.SkipToLast(nm) =>
+        require(steps.exists(_.name == nm), s"unknown stage name: $nm")
+      case _ => ()
+    }
+    copy(skip = s)
   }
 
   /** Quantify the most recent stage as one-or-more (Flink
@@ -182,8 +261,10 @@ object Cep {
       steps: Vector[PatternStep[E]], withinMs: Long,
       eventTimeMs: E => Long,
       partials0: List[Partial[E]], events: Seq[E],
-      watermarkMs: Long): (List[Partial[E]], Vector[Map[String, Seq[E]]],
-                           Vector[Map[String, Seq[E]]]) = {
+      watermarkMs: Long,
+      skip: SkipStrategy = SkipStrategy.NoSkip
+  ): (List[Partial[E]], Vector[Map[String, Seq[E]]],
+      Vector[Map[String, Seq[E]]]) = {
     // group the tagged events under their stage's name, match order;
     // stages cloned by times(n) share a name and merge naturally, a
     // quantified stage contributes its whole run, a negative (or an
@@ -201,12 +282,57 @@ object Cep {
       emitSteps(steps.length, evsRev)
     var partials = partials0
     val out = Vector.newBuilder[Map[String, Seq[E]]]
+    // completions found while processing one event (or one expiry
+    // pass) are STAGED, then emitted in match-start order so the
+    // AFTER_MATCH skip can suppress later-started siblings that
+    // completed on the very same event (FlinkCEP's b+ c example:
+    // SKIP_PAST_LAST_EVENT emits only the b1..bn run, not suffixes)
+    var staged = List.empty[(Long, List[(Int, E)])]
     // advance `p` by consuming `e` into stage `into`, landing on
-    // `into + 1` (or emitting if that completes the pattern)
+    // `into + 1` (or staging a completion if that ends the pattern)
     def consume(kept: scala.collection.mutable.Builder[Partial[E], List[Partial[E]]],
                 t0: Long, acc: List[(Int, E)], into: Int, e: E): Unit = {
-      if (into + 1 == steps.length) out += emit((into, e) :: acc)
+      if (into + 1 == steps.length) staged ::= ((t0, (into, e) :: acc))
       else kept += ((into + 1, t0, (into, e) :: acc))
+    }
+    /** The emitted match's skip span as a drop-predicate over other
+      * partials'/candidates' start times. */
+    def skipDrop(t0m: Long, accFull: List[(Int, E)]): Long => Boolean = {
+      def mappedTimes(nm: String): Seq[Long] = {
+        val idx = steps.zipWithIndex.collect {
+          case (st, i) if st.name == nm => i }.toSet
+        accFull.collect { case (i, e) if idx(i) => eventTimeMs(e) }
+      }
+      skip match {
+        case SkipStrategy.NoSkip => _ => false
+        case SkipStrategy.SkipPastLastEvent =>
+          val tLast = eventTimeMs(accFull.head._2)
+          t0 => t0 > t0m && t0 <= tLast
+        case SkipStrategy.SkipToFirst(nm) =>
+          val ts = mappedTimes(nm)
+          if (ts.isEmpty) _ => false else t0 => t0 > t0m && t0 < ts.min
+        case SkipStrategy.SkipToLast(nm) =>
+          val ts = mappedTimes(nm)
+          if (ts.isEmpty) _ => false else t0 => t0 > t0m && t0 < ts.max
+      }
+    }
+    /** Emit the staged completions in start order; each emission
+      * prunes both the not-yet-emitted siblings and the open set. */
+    def emitStaged(open0: List[Partial[E]]): List[Partial[E]] = {
+      var open = open0
+      var rest = staged.reverse.sortBy(_._1) // stable: fold order on ties
+      staged = Nil
+      while (rest.nonEmpty) {
+        val (t0m, accFull) = rest.head
+        rest = rest.tail
+        out += emit(accFull)
+        if (skip != SkipStrategy.NoSkip) {
+          val drop = skipDrop(t0m, accFull)
+          open = open.filterNot { case (_, t0, _) => drop(t0) }
+          rest = rest.filterNot { case (t0, _) => drop(t0) }
+        }
+      }
+      open
     }
     events.sortBy(eventTimeMs).foreach { e =>
       val t = eventTimeMs(e)
@@ -232,22 +358,40 @@ object Cep {
               // forbidden event observed: kill (drop p)
             } else kept += p
           case StepKind.Repeated =>
+            // stop condition first (until beats the loop guard, as in
+            // FlinkCEP): a non-empty run ends — terminal emits NOW,
+            // non-terminal awaits the next stage; an empty run dies
+            val hasRun = acc.exists(_._1 == stage)
+            val stopped = steps(stage).until.exists(u => inWindow && u(e))
+            if (stopped) {
+              if (hasRun) {
+                if (stage + 1 == steps.length) staged ::= ((t0, acc))
+                else kept += ((stage + 1, t0, acc))
+              } // else: drop p (one-or-more never got its one)
+            }
             // greedy: absorbing wins over advancing; the run ends on
             // an event that matches the NEXT stage but not this one
-            if (inWindow && steps(stage).pred(e))
+            else if (inWindow && steps(stage).pred(e))
               kept += ((stage, t0, (stage, e) :: acc))
-            else if (acc.exists(_._1 == stage) && stage + 1 < steps.length &&
+            else if (hasRun && stage + 1 < steps.length &&
               inWindow && steps(stage + 1).pred(e))
               consume(kept, t0, acc, stage + 1, e)
             else kept += p // relaxed: skip the non-matching event
           case StepKind.Optional =>
             // greedy: taken if its guard matches first…
             if (inWindow && steps(stage).pred(e)) consume(kept, t0, acc, stage, e)
-            // …skipped when the next stage's guard matches first
-            else if (stage + 1 < steps.length && inWindow &&
-              steps(stage + 1).pred(e))
-              consume(kept, t0, acc, stage + 1, e)
-            else kept += p
+            else {
+              // …skipped when a later stage's guard matches first:
+              // scan past consecutive untaken optional stages (the
+              // times(from, to) expansion) to the first stage that
+              // accepts the event
+              var j = stage + 1
+              while (j < steps.length && steps(j).kind == StepKind.Optional &&
+                !steps(j).pred(e)) j += 1
+              if (j < steps.length && inWindow && steps(j).pred(e))
+                consume(kept, t0, acc, j, e)
+              else kept += p
+            }
         }
       }
       partials = kept.result()
@@ -259,10 +403,13 @@ object Cep {
             // no-skip multiplicity, suffix runs open their own)
             partials = (0, t, List((0, e))) :: partials
           case _ =>
-            if (steps.length == 1) out += emit(List((0, e)))
+            if (steps.length == 1) staged ::= ((t, List((0, e))))
             else partials = (1, t, List((0, e))) :: partials
         }
       }
+      // emit this event's completions (start-ordered) and let the
+      // skip strategy prune the open set before the next event
+      partials = emitStaged(partials)
     }
     // expired partials can never complete (events behind the
     // watermark are dropped upstream of this operator) — except a
@@ -270,16 +417,26 @@ object Cep {
     // unviolated) and a TERMINAL one-or-more with a non-empty run
     // (the maximal run is only known once the window closes): both
     // emit here, at expiry
-    val (kept, expired) = partials.partition { case (_, t0, _) =>
-      deadline(withinMs, t0) >= watermarkMs
+    var kept = List.empty[Partial[E]]
+    val expired = List.newBuilder[Partial[E]]
+    partials.foreach { p =>
+      if (deadline(withinMs, p._2) >= watermarkMs) kept ::= p
+      else expired += p
     }
+    kept = kept.reverse
     val timedOut = Vector.newBuilder[Map[String, Seq[E]]]
-    expired.reverse.foreach { case (stage, _, acc) =>
+    expired.result().reverse.foreach { case (stage, t0, acc) =>
       val terminal = stage == steps.length - 1
       val kind = steps(stage).kind
-      if (terminal && kind == StepKind.Negative) out += emit(acc)
+      // an all-optional TAIL (times(from, to) expansion) means every
+      // required stage is satisfied: the window closing fixes the
+      // greedy-maximal absorption, so this emits as a MATCH
+      val optionalTail = kind == StepKind.Optional &&
+        (stage until steps.length).forall(i => steps(i).kind == StepKind.Optional)
+      if (terminal && kind == StepKind.Negative) staged ::= ((t0, acc))
       else if (terminal && kind == StepKind.Repeated &&
-        acc.exists(_._1 == stage)) out += emit(acc)
+        acc.exists(_._1 == stage)) staged ::= ((t0, acc))
+      else if (optionalTail) staged ::= ((t0, acc))
       else {
         // a timed-out partial reports what it DID match: satisfied
         // stages only — include a repeated stage's partial run
@@ -289,6 +446,8 @@ object Cep {
         timedOut += emitSteps(upTo, acc)
       }
     }
+    // window-close emissions (start-ordered) prune the survivors too
+    kept = emitStaged(kept)
     (kept, out.result(), timedOut.result())
   }
 
@@ -338,22 +497,33 @@ object Cep {
         "emitted when the window closes unviolated")
     require(steps.head.kind != StepKind.Optional,
       "a pattern cannot START with an optional stage")
-    require(steps.last.kind != StepKind.Optional,
-      "a terminal optional stage is meaningless — drop it")
-    require(steps.last.kind != StepKind.Repeated ||
+    require(steps.last.kind != StepKind.Optional ||
       pattern.withinMs != Long.MaxValue,
-      "a terminal oneOrMore requires within() — its maximal run is " +
-        "emitted when the window closes")
+      "a terminal optional stage (times(from, to) range) requires " +
+        "within() — its greedy-maximal match is emitted when the " +
+        "window closes")
+    require(steps.last.kind != StepKind.Repeated ||
+      pattern.withinMs != Long.MaxValue ||
+      steps.last.until.isDefined,
+      "a terminal oneOrMore requires within() or until() — its " +
+        "maximal run is emitted when the window closes or the stop " +
+        "condition fires")
     steps.sliding(2).foreach {
       case Vector(a, b) if a.kind == StepKind.Negative ||
-        a.kind == StepKind.Repeated || a.kind == StepKind.Optional =>
+        a.kind == StepKind.Repeated =>
         require(b.kind == StepKind.Relaxed || b.kind == StepKind.Strict,
           s"stage '${b.name}' after '${a.name}' (${a.kind}) must be a " +
             "plain followedBy/next stage — its guard decides when the " +
             s"${a.kind} stage resolves")
+      case Vector(a, b) if a.kind == StepKind.Optional =>
+        require(b.kind != StepKind.Negative && b.kind != StepKind.Repeated,
+          s"stage '${b.name}' after optional '${a.name}' must be a " +
+            "plain or optional stage — the forward scan resolves " +
+            "consecutive optionals")
       case _ => ()
     }
     val withinMs = pattern.withinMs
+    val skip = pattern.skip
 
     events.groupByKey(keyFn)
       .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
@@ -363,7 +533,7 @@ object Cep {
           // where terminal-notFollowedBy matches emit
           val (partials, matches, timeouts) = step(steps, withinMs, eventTimeMs,
             state.getOption.getOrElse(Nil), in.toVector,
-            state.getCurrentWatermarkMs())
+            state.getCurrentWatermarkMs(), skip)
           if (partials.isEmpty) state.remove()
           else {
             state.update(partials)

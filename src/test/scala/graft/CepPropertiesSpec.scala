@@ -2,7 +2,7 @@ package graft
 
 import org.scalatest.funsuite.AnyFunSuite
 import org.scalacheck.{Gen, Prop, Test => SCTest}
-import graft.streaming.{Cep, EventPattern}
+import graft.streaming.{Cep, EventPattern, SkipStrategy}
 
 /** Fuzzes the pure NFA batch step ([[Cep.step]]) that
   * [[Cep.detect]] executes per key per micro-batch:
@@ -90,6 +90,61 @@ class CepPropertiesSpec extends AnyFunSuite {
       val whole = run(ab, Seq(sorted)).map(m => (m("A").head.ts, m("B").head.ts)).sorted
       val split = run(ab, batches).map(m => (m("A").head.ts, m("B").head.ts)).sorted
       whole == split
+    })
+  }
+
+  test("AFTER_MATCH skip strategies emit a sub-multiset of noSkip") {
+    val strategies = Seq[SkipStrategy](SkipStrategy.SkipPastLastEvent,
+      SkipStrategy.SkipToFirst("B"), SkipStrategy.SkipToLast("B"))
+    check("skip-subset", Prop.forAll(genEvents) { evs =>
+      val all = run(ab, Seq(evs)).map(m => (m("A").head.ts, m("B").head.ts))
+      strategies.forall { s =>
+        val got = run(ab.afterMatchSkip(s), Seq(evs))
+          .map(m => (m("A").head.ts, m("B").head.ts))
+        // every skipped-mode match must be one of the noSkip matches,
+        // with multiplicity (remove each found element once)
+        val remaining = got.foldLeft(all.toList) { (acc, x) =>
+          val i = acc.indexOf(x)
+          if (i >= 0) acc.patch(i, Nil, 1) else acc
+        }
+        remaining.length == all.length - got.length
+      }
+    })
+  }
+
+  test("micro-batch boundaries never change skipPastLastEvent matches either") {
+    val pat = ab.afterMatchSkip(SkipStrategy.SkipPastLastEvent)
+    val genSplit = for {
+      evs <- genEvents
+      sorted = evs.sortBy(_.ts)
+      cuts <- Gen.listOfN(3, Gen.choose(0, math.max(0, sorted.length)))
+    } yield (sorted, cuts.sorted)
+    check("skip-batching-invariance", Prop.forAll(genSplit) {
+      case (sorted, cuts) =>
+        val bounds = (0 +: cuts :+ sorted.length).distinct.sorted
+        val batches = bounds.zip(bounds.tail).map { case (i, j) =>
+          sorted.slice(i, j) }
+        val whole = run(pat, Seq(sorted))
+          .map(m => (m("A").head.ts, m("B").head.ts)).sorted
+        val split = run(pat, batches)
+          .map(m => (m("A").head.ts, m("B").head.ts)).sorted
+        whole == split
+    })
+  }
+
+  test("times(1,2) range matches hold 1..2 guarded B's between A and C, in window") {
+    val pat = EventPattern.begin[Ev]("A").where(_.kind == "a")
+      .followedBy("B").where(_.kind == "b").times(1, 2)
+      .followedBy("C").where(_.kind == "c")
+      .within(java.time.Duration.ofMillis(W))
+    check("range-invariants", Prop.forAll(genEvents) { evs =>
+      run(pat, Seq(evs)).forall { m =>
+        val (a, bs, c) = (m("A").head, m("B"), m("C").head)
+        val seq = (a.ts +: bs.map(_.ts)) :+ c.ts
+        bs.size >= 1 && bs.size <= 2 &&
+          a.kind == "a" && bs.forall(_.kind == "b") && c.kind == "c" &&
+          seq == seq.sorted && c.ts - a.ts <= W
+      }
     })
   }
 

@@ -411,6 +411,192 @@ class CepSpec extends AnyFunSuite {
     q.stop()
   }
 
+  test("times(from, to) range: min enforced, greedy absorption up to max") {
+    val pat = EventPattern.begin[Sensor]("spike").where(_.kind == "spike")
+      .followedBy("beat").where(_.kind == "beat").times(2, 4)
+      .followedBy("crash").where(_.kind == "crash")
+      .within(java.time.Duration.ofHours(1))
+    val in = MemoryStream[Sensor]
+    val q = Cep.detect(
+        in.toDS().withWatermark("ets", "0 seconds"),
+        (e: Sensor) => e.device, (e: Sensor) => e.ets.getTime, pat) { m =>
+        (m("spike").head.device, m("beat").size, m("crash").size)
+      }.toDF("device", "n_beats", "n_crash")
+      .writeStream.format("memory").queryName("cepRange1")
+      .outputMode(OutputMode.Append).start()
+    def feed(dev: String, nBeats: Int): Seq[Sensor] =
+      Sensor(dev, "spike", t("2019-06-26T10:00:00Z")) +:
+        (1 to nBeats).map(i =>
+          Sensor(dev, "beat", t(f"2019-06-26T10:0$i:00Z"))) :+
+        Sensor(dev, "crash", t("2019-06-26T10:09:00Z"))
+    in.addData(feed("d1", 1) ++ feed("d2", 2) ++ feed("d3", 3) ++ feed("d6", 6))
+    q.processAllAvailable()
+    val got = spark.table("cepRange1").as[(String, Int, Int)].collect().toSet
+    // d1: below min — no match. d2/d3: in range, all beats captured.
+    // d6: absorbs the max 4 greedily, beats 5-6 are relaxed noise.
+    assert(got == Set(("d2", 2, 1), ("d3", 3, 1), ("d6", 4, 1)))
+    q.stop()
+  }
+
+  test("terminal times(from, to): full absorption emits at max, partial at window close") {
+    val pat = EventPattern.begin[Sensor]("spike").where(_.kind == "spike")
+      .followedBy("beat").where(_.kind == "beat").times(1, 2)
+      .within(java.time.Duration.ofMinutes(10))
+    val in = MemoryStream[Sensor]
+    val q = Cep.detect(
+        in.toDS().withWatermark("ets", "0 seconds"),
+        (e: Sensor) => e.device, (e: Sensor) => e.ets.getTime, pat) { m =>
+        (m("spike").head.device, m("beat").size)
+      }.toDF("device", "n_beats")
+      .writeStream.format("memory").queryName("cepRange2")
+      .outputMode(OutputMode.Append).start()
+    in.addData(
+      // d1 fills the range: emits IMMEDIATELY on the 2nd beat
+      Sensor("d1", "spike", t("2019-06-26T10:00:00Z")),
+      Sensor("d1", "beat", t("2019-06-26T10:01:00Z")),
+      Sensor("d1", "beat", t("2019-06-26T10:02:00Z")),
+      // d2 reaches only the min: emits at window close
+      Sensor("d2", "spike", t("2019-06-26T10:00:00Z")),
+      Sensor("d2", "beat", t("2019-06-26T10:01:00Z")),
+      // d3 never reaches the min: times out silently
+      Sensor("d3", "spike", t("2019-06-26T10:00:00Z")))
+    q.processAllAvailable()
+    val early = spark.table("cepRange2").as[(String, Int)].collect().toSet
+    assert(early == Set(("d1", 2)), s"max absorption emits eagerly: $early")
+    in.addData(
+      Sensor("d2", "noise", t("2019-06-26T11:00:00Z")),
+      Sensor("d3", "noise", t("2019-06-26T11:00:00Z")))
+    q.processAllAvailable()
+    val got = spark.table("cepRange2").as[(String, Int)].collect().toSet
+    assert(got == Set(("d1", 2), ("d2", 1)))
+    q.stop()
+  }
+
+  test("terminal times(from, to) without within() is rejected") {
+    val bad = EventPattern.begin[Sensor]("spike").where(_.kind == "spike")
+      .followedBy("beat").where(_.kind == "beat").times(1, 3)
+    val in = MemoryStream[Sensor]
+    val ex = intercept[IllegalArgumentException] {
+      Cep.detect(
+        in.toDS().withWatermark("ets", "0 seconds"),
+        (e: Sensor) => e.device, (e: Sensor) => e.ets.getTime, bad) { m =>
+        m("spike").head.device
+      }
+    }
+    assert(ex.getMessage.contains("within"))
+  }
+
+  test("until() terminates a terminal oneOrMore immediately, stop event not absorbed") {
+    val pat = EventPattern.begin[Sensor]("spike").where(_.kind == "spike")
+      .followedBy("beat").where(_.kind == "beat").oneOrMore
+      .until(_.kind == "stop")
+      .within(java.time.Duration.ofHours(1))
+    val in = MemoryStream[Sensor]
+    val q = Cep.detect(
+        in.toDS().withWatermark("ets", "0 seconds"),
+        (e: Sensor) => e.device, (e: Sensor) => e.ets.getTime, pat) { m =>
+        (m("spike").head.device, m("beat").size)
+      }.toDF("device", "n_beats")
+      .writeStream.format("memory").queryName("cepUntil1")
+      .outputMode(OutputMode.Append).start()
+    in.addData(
+      Sensor("d1", "spike", t("2019-06-26T10:00:00Z")),
+      Sensor("d1", "beat", t("2019-06-26T10:01:00Z")),
+      Sensor("d1", "beat", t("2019-06-26T10:02:00Z")),
+      Sensor("d1", "stop", t("2019-06-26T10:03:00Z")),
+      // d2's stop arrives before any beat: the partial dies
+      Sensor("d2", "spike", t("2019-06-26T10:00:00Z")),
+      Sensor("d2", "stop", t("2019-06-26T10:01:00Z")),
+      Sensor("d2", "beat", t("2019-06-26T10:02:00Z")))
+    q.processAllAvailable()
+    // no watermark advance needed — until() emitted d1 directly
+    val got = spark.table("cepUntil1").as[(String, Int)].collect().toSet
+    assert(got == Set(("d1", 2)),
+      s"stop ends the run without being absorbed; empty runs die: $got")
+    q.stop()
+  }
+
+  test("until() on a non-terminal oneOrMore: stopped run advances to the next stage") {
+    val pat = EventPattern.begin[Sensor]("spike").where(_.kind == "spike")
+      .followedBy("beat").where(_.kind == "beat").oneOrMore
+      .until(_.kind == "stop")
+      .followedBy("crash").where(_.kind == "crash")
+      .within(java.time.Duration.ofHours(1))
+    val in = MemoryStream[Sensor]
+    val q = Cep.detect(
+        in.toDS().withWatermark("ets", "0 seconds"),
+        (e: Sensor) => e.device, (e: Sensor) => e.ets.getTime, pat) { m =>
+        (m("spike").head.device, m("beat").size, m("crash").size)
+      }.toDF("device", "n_beats", "n_crash")
+      .writeStream.format("memory").queryName("cepUntil2")
+      .outputMode(OutputMode.Append).start()
+    in.addData(
+      // d1: run stopped, then crash completes
+      Sensor("d1", "spike", t("2019-06-26T10:00:00Z")),
+      Sensor("d1", "beat", t("2019-06-26T10:01:00Z")),
+      Sensor("d1", "stop", t("2019-06-26T10:02:00Z")),
+      Sensor("d1", "beat", t("2019-06-26T10:03:00Z")), // after stop: NOT absorbed
+      Sensor("d1", "crash", t("2019-06-26T10:04:00Z")),
+      // d2: no stop — crash still closes the run the normal way
+      Sensor("d2", "spike", t("2019-06-26T10:00:00Z")),
+      Sensor("d2", "beat", t("2019-06-26T10:01:00Z")),
+      Sensor("d2", "crash", t("2019-06-26T10:02:00Z")))
+    q.processAllAvailable()
+    val got = spark.table("cepUntil2").as[(String, Int, Int)].collect().toSet
+    assert(got == Set(("d1", 1, 1), ("d2", 1, 1)))
+    q.stop()
+  }
+
+  private def runPattern(pat: EventPattern[Sensor], name: String,
+                         events: Seq[Sensor]): Set[(Long, Int)] = {
+    val in = MemoryStream[Sensor]
+    val q = Cep.detect(
+        in.toDS().withWatermark("ets", "0 seconds"),
+        (e: Sensor) => e.device, (e: Sensor) => e.ets.getTime, pat) { m =>
+        (m("beat").head.ets.getTime, m("beat").size)
+      }.toDF("run_start", "n_beats")
+      .writeStream.format("memory").queryName(name)
+      .outputMode(OutputMode.Append).start()
+    in.addData(events)
+    q.processAllAvailable()
+    val got = spark.table(name).as[(Long, Int)].collect().toSet
+    q.stop()
+    got
+  }
+
+  test("AFTER_MATCH skip strategies change match multiplicity on the b+ c chain") {
+    // the FlinkCEP documentation example: beats b1 b2 b3, then crash.
+    // noSkip emits every suffix run; skipPastLastEvent only the
+    // earliest (maximal) one; skipToFirst("beat") behaves like noSkip
+    // here (the skip span [start, first beat) is empty for suffixes);
+    // skipToLast("beat") keeps runs starting AT the last beat.
+    def base = EventPattern.begin[Sensor]("beat").where(_.kind == "beat")
+      .oneOrMore
+      .followedBy("crash").where(_.kind == "crash")
+      .within(java.time.Duration.ofHours(1))
+    val evs = Seq(
+      Sensor("d1", "beat", t("2019-06-26T10:00:00Z")),
+      Sensor("d1", "beat", t("2019-06-26T10:01:00Z")),
+      Sensor("d1", "beat", t("2019-06-26T10:02:00Z")),
+      Sensor("d1", "crash", t("2019-06-26T10:03:00Z")))
+    val t0 = t("2019-06-26T10:00:00Z").getTime
+    val t1 = t("2019-06-26T10:01:00Z").getTime
+    val t2 = t("2019-06-26T10:02:00Z").getTime
+    assert(runPattern(base, "cepSkip0", evs) ==
+      Set((t0, 3), (t1, 2), (t2, 1)), "noSkip: every suffix run emits")
+    assert(runPattern(base.afterMatchSkip(
+        graft.streaming.SkipStrategy.SkipPastLastEvent), "cepSkip1", evs) ==
+      Set((t0, 3)), "skipPastLastEvent: suffixes inside the span die")
+    assert(runPattern(base.afterMatchSkip(
+        graft.streaming.SkipStrategy.SkipToLast("beat")), "cepSkip2", evs) ==
+      Set((t0, 3), (t2, 1)),
+      "skipToLast(beat): only runs before the last beat die")
+    assert(runPattern(base.afterMatchSkip(
+        graft.streaming.SkipStrategy.SkipToFirst("crash")), "cepSkip3", evs) ==
+      Set((t0, 3)),
+      "skipToFirst(crash): the span reaches the crash — suffixes die")
+  }
+
   test("optional: taken when present, skipped when the next stage matches first") {
     val pat = EventPattern.begin[Sensor]("spike").where(_.kind == "spike")
       .followedBy("stall").where(_.kind == "stall").optional
