@@ -40,6 +40,37 @@ class CorpusPrepOpsSpec extends AnyFunSuite {
       s"label must flow 1 -> 2 -> 3 even though 2 is not in nodes: $got")
   }
 
+  test("cc: delta iteration matches brute-force union-find on a mixed fixture") {
+    // cliques (settle round 1-2 and drop out of the delta), a long
+    // chain (keeps the frontier alive for many rounds), a bridge
+    // between a clique and the chain, and isolated nodes — the shapes
+    // whose interaction the delta optimization must not perturb
+    val cliqueA = for (i <- 10L to 15L; j <- i + 1 to 15L) yield (i, j)
+    val cliqueB = for (i <- 20L to 24L; j <- i + 1 to 24L) yield (i, j)
+    val chain = (30L until 60L).map(i => (i, i + 1))
+    val bridge = Seq((15L, 30L)) // cliqueA joins the chain late
+    val edges = (cliqueA ++ cliqueB ++ chain ++ bridge).toDF("src", "dst")
+    val ids = ((10L to 15L) ++ (20L to 24L) ++ (30L to 60L) ++ Seq(99L, 100L))
+    val nodes = ids.toDF("id")
+    val got = ConnectedComponents.label(nodes, edges)
+      .as[(Long, Long)].collect().toMap
+    // brute-force union-find reference
+    val parent = scala.collection.mutable.Map(ids.map(i => i -> i): _*)
+    def find(x: Long): Long =
+      if (parent(x) == x) x else { val r = find(parent(x)); parent(x) = r; r }
+    (cliqueA ++ cliqueB ++ chain ++ bridge).foreach { case (a, b) =>
+      parent.getOrElseUpdate(a, a); parent.getOrElseUpdate(b, b)
+      val (ra, rb) = (find(a), find(b)); if (ra != rb) parent(ra) = rb
+    }
+    val roots = parent.keys.groupBy(find)
+    val expected = roots.flatMap { case (_, members) =>
+      val m = members.filter(ids.contains).toSeq
+      val lbl = members.min
+      m.map(_ -> lbl)
+    }
+    assert(got == expected, s"mismatch: ${got.toSet -- expected.toSet}")
+  }
+
   test("cc: edge direction does not matter") {
     val nodes = Seq(1L, 2L, 3L).toDF("id")
     val fwd = Seq((1L, 3L), (3L, 2L)).toDF("src", "dst")

@@ -1,0 +1,34 @@
+package graft
+
+import graft.queries.Extensions
+import org.apache.spark.sql.functions._
+
+/** Dev probe: measured row-count / recall delta of span-table
+  * winnowing (spanDedupCounts' `winnow` param) at a given SF — the
+  * PERF.md numbers. Row count = Σ n_spans (the exploded (doc_id,
+  * hash) table the shuffle carries); recall = fraction of the exact
+  * run's dup-flagged docs (dup_spans > 0) still flagged at winnow=k. */
+object WinnowProbe {
+  def main(args: Array[String]): Unit = {
+    val spark = TestSpark.spark
+    val d = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val docs = Tables.documents(spark, d)
+    val exact = Extensions.spanDedupCounts(docs).persist()
+    val exactRows = exact.agg(sum("n_spans")).head.getLong(0)
+    val exactDup = exact.filter(col("dup_spans") > 0)
+      .select("doc_id").persist()
+    val nExactDup = exactDup.count()
+    println(f"winnow=1 rows=$exactRows%d dup_docs=$nExactDup%d recall=1.000")
+    Seq(2, 4, 8).foreach { k =>
+      val w = Extensions.spanDedupCounts(docs, winnow = k).persist()
+      val rows = w.agg(sum("n_spans")).head.getLong(0)
+      val flagged = w.filter(col("dup_spans") > 0).select("doc_id")
+      val kept = flagged.join(exactDup, "doc_id").count()
+      val recall = kept.toDouble / nExactDup
+      println(f"winnow=$k%d rows=$rows%d dup_docs=${flagged.count()}%d " +
+        f"recall=$recall%.3f rows_ratio=${rows.toDouble / exactRows}%.3f")
+      w.unpersist()
+    }
+    spark.stop()
+  }
+}

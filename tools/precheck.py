@@ -6,8 +6,13 @@ result parquet, and compares: columns sorted by name, rows sorted,
 exact value equality (floats compared bitwise-exact).
 
 Usage: python3 tools/precheck.py <sfDir> <verifyOutDir>
+
+GRAFT_ORACLE_TIMEOUT=<seconds> (optional) interrupts a DuckDB oracle
+that exceeds the budget and records the query as SKIP (oracle
+infeasible at this scale — e.g. the all-pairs or recursive-CTE
+oracles at sf1) instead of hanging the whole gate.
 """
-import json, sys, glob
+import json, sys, glob, os, threading
 import duckdb
 import pandas as pd
 
@@ -26,14 +31,35 @@ def main(sf_dir: str, out_dir: str) -> int:
     for t in TABLES:
         con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
     oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
-    n_ok = n_bad = 0
+    timeout = float(os.environ.get("GRAFT_ORACLE_TIMEOUT", "0") or 0)
+
+    def run_oracle(sql: str):
+        box = {}
+        def work():
+            try: box["df"] = con.sql(sql).df()
+            except Exception as e: box["err"] = e
+        if timeout <= 0:
+            work()
+        else:
+            th = threading.Thread(target=work, daemon=True)
+            th.start(); th.join(timeout)
+            if th.is_alive():
+                con.interrupt(); th.join(30)
+                box.setdefault("err", TimeoutError(f"oracle > {timeout}s"))
+        if "err" in box: raise box["err"]
+        return box["df"]
+
+    n_ok = n_bad = n_skip = 0
     for name, sql in sorted(oracle.items()):
         files = glob.glob(f"{out_dir}/{name}/*.parquet")
         if not files:
             print(f"FAIL {name}: no spark output"); n_bad += 1; continue
         try:
             got = con.sql(f"SELECT * FROM read_parquet({files!r})").df()
-            exp = con.sql(sql).df()
+            exp = run_oracle(sql)
+        except TimeoutError as e:
+            print(f"SKIP {name}: {e} (rows-only: spark={len(con.sql(f'SELECT * FROM read_parquet({files!r})').df())})")
+            n_skip += 1; continue
         except Exception as e:
             print(f"FAIL {name}: {e}"); n_bad += 1; continue
         g, e = norm(got), norm(exp)
@@ -52,7 +78,8 @@ def main(sf_dir: str, out_dir: str) -> int:
             n_bad += 1; continue
         print(f"ok   {name}: {len(g)} rows")
         n_ok += 1
-    print(f"== {n_ok} ok, {n_bad} fail ==")
+    skip = f", {n_skip} skip" if n_skip else ""
+    print(f"== {n_ok} ok, {n_bad} fail{skip} ==")
     return 1 if n_bad else 0
 
 if __name__ == "__main__":
