@@ -40,8 +40,9 @@ object Verify {
       case c if c < ' ' => f"\\u${c.toInt}%04x"
       case c => c.toString
     } + "\""
+    // always the FULL oracle map: a dev `only` run must not shrink the
+    // driver-consumed json (the parquet dumps it references survive)
     val json = SparkEntry.oracleSql
-      .filter { case (name, _) => only.forall(_.contains(name)) }
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
     spark.stop()

@@ -105,8 +105,14 @@ object Extensions {
          SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS w
          FROM documents),
        dmask AS (
+         -- bit 63 spelled out: DuckDB rejects 1::BIGINT << 63 as a
+         -- signed overflow, while Spark's shiftleft wraps it to
+         -- Long.MinValue — the CASE reproduces the wrapped value
          SELECT doc_id,
-           bit_or(CAST(1 AS BIGINT) << CAST(${duckHex32("md5(w)")} % 64 AS INT)) AS mask
+           bit_or(CASE WHEN CAST(${duckHex32("md5(w)")} % 64 AS INT) = 63
+                  THEN CAST(-9223372036854775808 AS BIGINT)
+                  ELSE CAST(1 AS BIGINT) << CAST(${duckHex32("md5(w)")} % 64 AS INT)
+                  END) AS mask
          FROM toks GROUP BY 1),
        masks AS (
          SELECT d.doc_id,
