@@ -1,0 +1,112 @@
+package graft.streaming
+
+import org.apache.spark.sql.{Dataset, Encoder}
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Flink's lateness surface, Spark-first. The reference assumes
+  * strictly in-order streams (`README.md:114` — ascending timestamps),
+  * so nothing is lost for parity; this closes the FlinkCEP-adjacent
+  * API gap (`allowedLateness`, `sideOutputLateData`) for out-of-order
+  * producers.
+  *
+  * The two halves map onto Spark differently:
+  *
+  *  - **allowedLateness(d)** — Flink keeps a window's state d past the
+  *    watermark and re-fires on late updates. Structured Streaming's
+  *    native equivalent is `withWatermark(delay + d)` with
+  *    update-mode sinks: the watermark delay IS the lateness
+  *    allowance, refinements flow as update rows. Use that; no
+  *    custom operator needed (documented here because the mapping is
+  *    the API answer, and [[CommitStreams]]' windowed aggregations
+  *    all take their allowance through the watermark delay).
+  *
+  *  - **sideOutputLateData(tag)** — Spark DROPS rows behind the
+  *    watermark at every stateful operator, silently (only the
+  *    `numRowsDroppedByWatermark` metric remains). There is no
+  *    side-output hook, and a `flatMapGroupsWithState` downstream of
+  *    `withWatermark` never even SEES late rows (they are filtered
+  *    upstream of the operator). [[tagLate]] therefore runs on the
+  *    raw un-watermarked stream and tracks the bounded-out-of-
+  *    orderness watermark ITSELF, per shuffle bucket: watermark =
+  *    max event time seen − delay, an event is late iff its time is
+  *    behind the bucket's watermark at arrival — exactly Flink's
+  *    `BoundedOutOfOrdernessWatermarks` + `sideOutputLateData` fused
+  *    into one keyed operator. Per-bucket watermarks mirror Flink's
+  *    per-source-split watermarks BEFORE alignment: a bucket only
+  *    declares late what ITS OWN history proves late, so tagging is
+  *    deterministic for a deterministic bucket assignment and never
+  *    over-tags vs the aligned global watermark (min over buckets).
+  *
+  * Downstream, route the two branches with `filter` on the tag: the
+  * on-time branch gets `withWatermark(delay)` and behaves exactly as
+  * if the tagger were absent (its rows are by construction within
+  * the allowance); the late branch is the side output — audit it,
+  * dead-letter it, or merge-correct offline.
+  */
+object LateData {
+
+  /** State per bucket: max event-time milliseconds seen so far. */
+  private type MaxTs = Long
+
+  /** Tag every event with whether it is LATE under a bounded-out-of-
+    * orderness watermark of `delayMs`, tracked per `buckets`-way
+    * shuffle group (Flink: per-split watermark + sideOutputLateData).
+    *
+    * @param ds        raw stream — do NOT pre-apply `withWatermark`
+    *                  (Spark would silently drop the late rows this
+    *                  operator exists to surface)
+    * @param eventTimeMs event-time extractor (epoch millis)
+    * @param delayMs   the out-of-orderness bound: an event older than
+    *                  `maxSeen - delayMs` is late
+    * @param bucketOf  deterministic bucket id for an event; defaults
+    *                  to a single global bucket (= Flink's aligned
+    *                  watermark; shard for throughput once per-split
+    *                  semantics are acceptable)
+    * @return the input events, each paired with `isLate` */
+  def tagLate[E](
+      ds: Dataset[E],
+      eventTimeMs: E => Long,
+      delayMs: Long,
+      bucketOf: E => Int = (_: E) => 0)(
+      implicit iEnc: Encoder[Int],
+      oEnc: Encoder[(E, Boolean)],
+      sEnc: Encoder[MaxTs]): Dataset[(E, Boolean)] = {
+    require(delayMs >= 0, s"delayMs must be >= 0, got $delayMs")
+    ds.groupByKey(bucketOf)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (_: Int, in: Iterator[E], state: GroupState[MaxTs]) =>
+          var maxTs = state.getOption.getOrElse(Long.MinValue)
+          // event-time order within the batch: a batch is an arrival
+          // unit, so its events judge against the watermark as of the
+          // batch START (all of them "arrived together"), exactly how
+          // Flink's periodic watermark generator sees a burst — then
+          // the batch advances the watermark once, at the end
+          val watermark =
+            if (maxTs == Long.MinValue) Long.MinValue else maxTs - delayMs
+          val out = in.map { e =>
+            val t = eventTimeMs(e)
+            if (t > maxTs) maxTs = t
+            (e, t < watermark)
+          }.toVector
+          state.update(maxTs)
+          out.iterator
+      }
+  }
+
+  /** [[tagLate]] split into its two branches: `(onTime, late)` —
+    * the on-time stream is safe to `withWatermark(delayMs)` + window
+    * downstream (every row is within the allowance by construction);
+    * the late stream is Flink's side output. */
+  def split[E](
+      ds: Dataset[E],
+      eventTimeMs: E => Long,
+      delayMs: Long,
+      bucketOf: E => Int = (_: E) => 0)(
+      implicit iEnc: Encoder[Int],
+      eEnc: Encoder[E],
+      oEnc: Encoder[(E, Boolean)],
+      sEnc: Encoder[MaxTs]): (Dataset[E], Dataset[E]) = {
+    val tagged = tagLate(ds, eventTimeMs, delayMs, bucketOf)
+    (tagged.filter(!_._2).map(_._1), tagged.filter(_._2).map(_._1))
+  }
+}

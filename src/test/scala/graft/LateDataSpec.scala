@@ -1,0 +1,119 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.streaming.OutputMode
+import graft.streaming.LateData
+
+/** Flink-style late-data surface ([[graft.streaming.LateData]]):
+  * bounded-out-of-orderness tagging on a raw stream, the side-output
+  * split, and per-bucket watermark independence. */
+class LateDataSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+  implicit lazy val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+
+  private def t(iso: String) =
+    java.sql.Timestamp.from(java.time.Instant.parse(iso))
+
+  private val Delay = 10 * 60 * 1000L // 10 minutes
+
+  test("in-order events are never late; an event behind max-delay is") {
+    val in = MemoryStream[Sensor]
+    val q = LateData.tagLate(in.toDS(), (e: Sensor) => e.ets.getTime, Delay)
+      .map { case (e, late) => (e.kind, late) }
+      .toDF("kind", "late")
+      .writeStream.format("memory").queryName("late1")
+      .outputMode(OutputMode.Append).start()
+    in.addData(
+      Sensor("d1", "a", t("2019-06-26T10:00:00Z")),
+      Sensor("d1", "b", t("2019-06-26T10:30:00Z"))) // advances max to 10:30
+    q.processAllAvailable()
+    in.addData(
+      Sensor("d1", "in_allowance", t("2019-06-26T10:21:00Z")), // 9m behind: ok
+      Sensor("d1", "too_old", t("2019-06-26T10:00:00Z")))      // 30m behind: late
+    q.processAllAvailable()
+    val got = spark.table("late1").as[(String, Boolean)].collect().toMap
+    assert(got == Map("a" -> false, "b" -> false,
+      "in_allowance" -> false, "too_old" -> true))
+    q.stop()
+  }
+
+  test("a batch judges against the watermark as of its start (burst semantics)") {
+    val in = MemoryStream[Sensor]
+    val q = LateData.tagLate(in.toDS(), (e: Sensor) => e.ets.getTime, Delay)
+      .map { case (e, late) => (e.kind, late) }
+      .toDF("kind", "late")
+      .writeStream.format("memory").queryName("late2")
+      .outputMode(OutputMode.Append).start()
+    // one burst: the fresh event and a 30m-older one arrive together —
+    // neither is late, because the watermark had not advanced when the
+    // burst arrived (Flink's periodic generator behaves the same way)
+    in.addData(
+      Sensor("d1", "fresh", t("2019-06-26T10:30:00Z")),
+      Sensor("d1", "old_same_batch", t("2019-06-26T10:00:00Z")))
+    q.processAllAvailable()
+    // next batch: now the 10:30 max is the baseline
+    in.addData(Sensor("d1", "old_next_batch", t("2019-06-26T10:00:00Z")))
+    q.processAllAvailable()
+    val got = spark.table("late2").as[(String, Boolean)].collect().toMap
+    assert(got == Map("fresh" -> false, "old_same_batch" -> false,
+      "old_next_batch" -> true))
+    q.stop()
+  }
+
+  test("per-bucket watermarks are independent (per-split semantics)") {
+    val in = MemoryStream[Sensor]
+    val q = LateData.tagLate(in.toDS(), (e: Sensor) => e.ets.getTime, Delay,
+        bucketOf = (e: Sensor) => e.device.hashCode)
+      .map { case (e, late) => (e.device + ":" + e.kind, late) }
+      .toDF("key", "late")
+      .writeStream.format("memory").queryName("late3")
+      .outputMode(OutputMode.Append).start()
+    in.addData(Sensor("d1", "adv", t("2019-06-26T12:00:00Z"))) // d1 far ahead
+    q.processAllAvailable()
+    in.addData(
+      Sensor("d2", "first", t("2019-06-26T10:00:00Z")), // d2's own first event
+      Sensor("d1", "old", t("2019-06-26T10:00:00Z")))   // 2h behind d1's max
+    q.processAllAvailable()
+    val got = spark.table("late3").as[(String, Boolean)].collect().toMap
+    assert(got == Map("d1:adv" -> false, "d2:first" -> false,
+      "d1:old" -> true),
+      s"d2 must not inherit d1's watermark: $got")
+    q.stop()
+  }
+
+  test("split routes late rows to the side output; on-time branch windows cleanly") {
+    val in = MemoryStream[Sensor]
+    val (onTime, late) = LateData.split(
+      in.toDS(), (e: Sensor) => e.ets.getTime, Delay)
+    // the on-time branch is watermark-safe by construction: count
+    // per 30m tumbling window downstream
+    val agg = onTime
+      .withWatermark("ets", "10 minutes")
+      .groupBy(org.apache.spark.sql.functions.window(
+        org.apache.spark.sql.functions.col("ets"), "30 minutes"))
+      .count()
+    val q1 = agg.select("window.start", "count")
+      .writeStream.format("memory").queryName("lateAgg")
+      .outputMode(OutputMode.Update).start()
+    val q2 = late.map(_.kind).toDF("kind")
+      .writeStream.format("memory").queryName("lateSide")
+      .outputMode(OutputMode.Append).start()
+    in.addData(
+      Sensor("d1", "a", t("2019-06-26T10:00:00Z")),
+      Sensor("d1", "b", t("2019-06-26T10:10:00Z")))
+    q1.processAllAvailable(); q2.processAllAvailable()
+    in.addData(
+      Sensor("d1", "c", t("2019-06-26T10:12:00Z")), // on time, same window
+      Sensor("d1", "z", t("2019-06-26T09:00:00Z"))) // 70m behind: side output
+    q1.processAllAvailable(); q2.processAllAvailable()
+    val sideRows = spark.table("lateSide").as[String].collect().toSet
+    assert(sideRows == Set("z"), s"side output must hold exactly z: $sideRows")
+    val counts = spark.table("lateAgg")
+      .as[(java.sql.Timestamp, Long)].collect().toMap
+    assert(counts(t("2019-06-26T10:00:00Z")) == 3L,
+      s"a, b, c all land in the 10:00 window: $counts")
+    q1.stop(); q2.stop()
+  }
+}
