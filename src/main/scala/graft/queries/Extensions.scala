@@ -974,53 +974,62 @@ object Extensions {
   // (the filter stage of a training-data pipeline). Every term is an
   // integer comparison or a single-division ratio — deterministic on
   // both engines; docs pass at score >= 3.
-  private val x16 = GateQuery(
-    "x16_quality_score",
-    (s, d) => {
-      // staged projection: tokenize once into integer stats, then
-      // score over the stat COLUMNS. Writing `score` as one
-      // expression tree over the raw text duplicates the split()
-      // inside every when() branch and again for `keep` (~20
-      // evaluations per row; measured 16s vs 0.3s for the x08 stats
-      // over the same corpus).
-      val toks = split(col("text"), " ")
-      val stats = Tables.documents(s, d).select(
-        col("doc_id"),
+  /** x16's score replayed in SQL, `source` carried for x54. */
+  private val duckQualityCte =
+    """qt AS (
+         SELECT doc_id, source,
+           len(string_split(text, ' ')) AS n_tok,
+           len(list_distinct(string_split(text, ' '))) AS n_uniq,
+           len(list_filter(string_split(text, ' '),
+             x -> x = 'the' OR x = 'a' OR x = 'and' OR x = 'of')) AS stop_cnt,
+           CAST(length(text) - len(string_split(text, ' ')) + 1 AS DOUBLE)
+             / len(string_split(text, ' ')) AS avg_len
+         FROM documents),
+       qsc AS (
+         SELECT doc_id, source,
+           (CASE WHEN n_tok >= 5 AND n_tok <= 2000 THEN 1 ELSE 0 END) +
+           (CASE WHEN avg_len >= 2.0 AND avg_len <= 15.0 THEN 1 ELSE 0 END) +
+           (CASE WHEN CAST(stop_cnt AS DOUBLE) / n_tok >= 0.01 THEN 1 ELSE 0 END) +
+           (CASE WHEN CAST(n_uniq AS DOUBLE) / n_tok >= 0.3 THEN 1 ELSE 0 END)
+           AS quality_score
+         FROM qt)"""
+
+  /** x16's integer quality score as a per-doc table, carrying the
+    * extra columns asked for (x54 needs `source`). Staged projection:
+    * tokenize ONCE into integer stats, then score over the stat
+    * COLUMNS — writing `score` as one expression tree over the raw
+    * text duplicates the split() inside every when() branch (~20
+    * evaluations per row; measured 16 s vs 0.3 s). */
+  private def qualityScored(docs: DataFrame,
+                            carry: Seq[String] = Nil): DataFrame = {
+    val toks = split(col("text"), " ")
+    val stats = docs.select(
+      (col("doc_id") +: carry.map(col)) ++ Seq(
         size(toks).as("n_tok"),
         size(array_distinct(toks)).as("n_uniq"),
         size(filter(toks, t => t.isin("the", "a", "and", "of"))).as("stop_cnt"),
-        length(col("text")).as("n_chars"))
-      val avgLen = (col("n_chars") - col("n_tok") + 1).cast("double") / col("n_tok")
-      val scored = stats.select(
-        col("doc_id"),
+        length(col("text")).as("n_chars")): _*)
+    val avgLen = (col("n_chars") - col("n_tok") + 1).cast("double") / col("n_tok")
+    stats.select(
+      (col("doc_id") +: carry.map(col)) :+
         (when(col("n_tok") >= 5 && col("n_tok") <= 2000, 1).otherwise(0) +
          when(avgLen >= 2.0 && avgLen <= 15.0, 1).otherwise(0) +
          when(col("stop_cnt").cast("double") / col("n_tok") >= 0.01, 1).otherwise(0) +
          when(col("n_uniq").cast("double") / col("n_tok") >= 0.3, 1).otherwise(0))
-          .as("quality_score"))
+          .as("quality_score"): _*)
+  }
+
+  private val x16 = GateQuery(
+    "x16_quality_score",
+    (s, d) => {
+      val scored = qualityScored(Tables.documents(s, d))
       ordered(scored.select(
         col("doc_id"), col("quality_score"),
         (col("quality_score") >= 3).as("keep")))
     },
-    Some("""WITH t AS (
-              SELECT doc_id,
-                len(string_split(text, ' ')) AS n_tok,
-                len(list_distinct(string_split(text, ' '))) AS n_uniq,
-                len(list_filter(string_split(text, ' '),
-                  x -> x = 'the' OR x = 'a' OR x = 'and' OR x = 'of')) AS stop_cnt,
-                CAST(length(text) - len(string_split(text, ' ')) + 1 AS DOUBLE)
-                  / len(string_split(text, ' ')) AS avg_len
-              FROM documents),
-            sc AS (
-              SELECT doc_id,
-                (CASE WHEN n_tok >= 5 AND n_tok <= 2000 THEN 1 ELSE 0 END) +
-                (CASE WHEN avg_len >= 2.0 AND avg_len <= 15.0 THEN 1 ELSE 0 END) +
-                (CASE WHEN CAST(stop_cnt AS DOUBLE) / n_tok >= 0.01 THEN 1 ELSE 0 END) +
-                (CASE WHEN CAST(n_uniq AS DOUBLE) / n_tok >= 0.3 THEN 1 ELSE 0 END)
-                AS quality_score
-              FROM t)
+    Some(s"""WITH $duckQualityCte
             SELECT doc_id, quality_score, quality_score >= 3 AS keep
-            FROM sc ORDER BY 1,2,3"""))
+            FROM qsc ORDER BY 1,2,3"""))
 
   // ---------------------------------------------------------------- x17
   // Language ID, n-gram flavor: density of the most frequent English
@@ -3344,9 +3353,58 @@ object Extensions {
           ORDER BY 1,2,3"""
     })
 
+  // ---------------------------------------------------------------- x54
+  // Domain capping — the CCNet/RefinedWeb pipeline stage that bounds
+  // any one domain's contribution to the training mix: per source,
+  // keep only the CapK highest-quality documents (x16's score, doc_id
+  // tie-break), every document labeled kept/dropped.
+  //
+  // Scale shape: exact per-key top-K via SALTED TWO-PHASE ranking —
+  // a single `row_number over (partition by source)` window funnels
+  // every hot domain's documents through one sorting partition (the
+  // very skew domain capping exists to fight). Phase 1 ranks within
+  // (source, salt) and keeps each salt's top CapK — the global top-K
+  // is a subset of the union (at most K-1 docs outrank a global
+  // winner anywhere, so it ranks ≤ K within its own salt). Phase 2
+  // re-ranks the ≤ salts×CapK survivors per source — a bounded-size
+  // window regardless of domain size. The salt count scales with the
+  // cluster, like x52. The kept flag joins back doc_id-keyed; the
+  // oracle replays the plain unsalted ranking (salt-invariant by the
+  // subset lemma; DomainCapSpec pins it on a skewed fixture).
+  private val CapK = 10
+  private val CapSalts = 4
+  private[graft] def domainCapped(docs: DataFrame, k: Int = CapK,
+                                  salts: Int = CapSalts): DataFrame = {
+    val scored = qualityScored(docs, carry = Seq("source"))
+    val order = Seq(col("quality_score").desc, col("doc_id").asc)
+    val w1 = Window.partitionBy(col("source"),
+      pmod(col("doc_id"), lit(salts))).orderBy(order: _*)
+    val cand = scored.withColumn("rn1", row_number().over(w1))
+      .filter(col("rn1") <= k)
+    val w2 = Window.partitionBy(col("source")).orderBy(order: _*)
+    val kept = cand.withColumn("rn", row_number().over(w2))
+      .filter(col("rn") <= k)
+      .select(col("doc_id"), lit(true).as("kept"))
+    scored.join(kept, Seq("doc_id"), "left_outer")
+      .select(col("doc_id"), col("source"), col("quality_score"),
+        coalesce(col("kept"), lit(false)).as("kept"))
+  }
+  private val x54 = GateQuery(
+    "x54_domain_cap",
+    (s, d) => ordered(domainCapped(Tables.documents(s, d))),
+    Some(s"""WITH $duckQualityCte,
+          r AS (
+            SELECT doc_id, source, quality_score,
+                   row_number() OVER (
+                     PARTITION BY source
+                     ORDER BY quality_score DESC, doc_id) AS rn
+            FROM qsc)
+          SELECT doc_id, source, quality_score, rn <= $CapK AS kept
+          FROM r ORDER BY 1,2,3,4"""))
+
   val all: Seq[GateQuery] = Seq(x01, x02, x03, x04, x05, x06, x07, x08, x09,
     x10, x11, x12, x13, x14, x15, x16, x17, x18, x19, x20, x21, x22, x23,
     x24, x25, x26, x27, x28, x29, x30, x31, x32, x33, x34, x35, x36, x37,
     x38, x39, x40, x41, x42, x43, x44, x45, x46, x47, x48, x49, x50, x51,
-    x52, x53)
+    x52, x53, x54)
 }
