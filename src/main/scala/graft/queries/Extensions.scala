@@ -3402,9 +3402,99 @@ object Extensions {
           SELECT doc_id, source, quality_score, rn <= $CapK AS kept
           FROM r ORDER BY 1,2,3,4"""))
 
+  // ---------------------------------------------------------------- x55
+  // Split-leakage audit: assign every document to train/test by a
+  // deterministic CONTENT hash (md5 of text, mod 10: 8 train / 2
+  // test — identical docs can never straddle a content-keyed split),
+  // then surface the near-duplicate pairs that DO straddle it —
+  // train docs whose bigram Jaccard against a test doc clears the
+  // x14 threshold. This is the eval-contamination report a training
+  // pipeline runs before shipping a split: x42 audits against an
+  // external benchmark, x55 audits the split itself.
+  //
+  // Scale shape: x14's bigram MinHash-LSH family, but BIPARTITE and
+  // all-shuffle — a random split's test side is corpus-proportional
+  // (unlike x42's MB-sized benchmark), so NOTHING broadcasts here:
+  // candidates come from a plain band-key equi-join of the two band
+  // tables, and the verify joins are candidate-id-restricted
+  // (the x14/x04 pattern) without hints — AQE size-gates.
+  private val LeakThreshold = NgramThreshold
+  private val x55 = GateQuery(
+    "x55_split_leakage",
+    (s, d) => {
+      val docs = Tables.documents(s, d)
+        .repartition(col("doc_id")) // 1-split scan: spread the shingling
+        .select(col("doc_id"),
+          (pmod(hex32(md5(col("text"))), lit(10)) < 8).as("is_train"),
+          bigramsExpr.as("bgs"))
+        .persist()
+      docs.count()
+      def side(train: Boolean) = bandTableArr(
+        docs.filter(if (train) col("is_train") else !col("is_train"))
+          .select(col("doc_id").as("rep"), col("bgs").as("arr")), "b:")
+      val joinCond = col("a.band") === col("b.band") &&
+        (0 until BandRows).map(j => col(s"a.k$j") === col(s"b.k$j"))
+          .reduce(_ && _)
+      val cand = side(train = true).as("a")
+        .join(side(train = false).as("b"), joinCond)
+        .select(col("a.rep").as("train_id"), col("b.rep").as("test_id"))
+        .distinct()
+        .persist()
+      cand.count()
+      def candBgs(idCol: String, bgsCol: String) = docs
+        .join(cand.select(col(idCol).as("doc_id")).distinct(), "doc_id")
+        .select(col("doc_id").as(idCol), col("bgs").as(bgsCol))
+      val inter = size(array_intersect(col("bgs_t"), col("bgs_e")))
+      val jac = inter.cast("double") /
+        (size(col("bgs_t")) + size(col("bgs_e")) - inter)
+      ordered(cand
+        .join(candBgs("train_id", "bgs_t"), "train_id")
+        .join(candBgs("test_id", "bgs_e"), "test_id")
+        .withColumn("jac", jac)
+        .filter(col("jac") >= LeakThreshold)
+        .select(col("train_id"), col("test_id"), col("jac")))
+    },
+    Some {
+      val mhCols = (0 until NumMinhash).map { i =>
+        s"MIN((h * ${mhA(i)} + ${mhB(i)}) % $Mod32) AS mh$i"
+      }.mkString(", ")
+      def bandSelects(src: String) = (0 until NumBands).map { b =>
+        val ks = (0 until BandRows)
+          .map(j => s"mh${BandRows * b + j} AS k$j").mkString(", ")
+        s"SELECT rep, $b AS band, $ks FROM $src"
+      }.mkString(" UNION ALL ")
+      val joinKeys = "a.band = b.band AND " +
+        (0 until BandRows).map(j => s"a.k$j = b.k$j").mkString(" AND ")
+      s"""WITH sp AS (
+             SELECT doc_id, string_split(text, ' ') AS tk,
+                    ${duckHex32("md5(text)")} % 10 < 8 AS is_train
+             FROM documents),
+           dbg AS (SELECT doc_id, is_train, $duckBigrams AS bgs
+                   FROM (SELECT doc_id, is_train, tk FROM sp)),
+           bg_toks AS (SELECT doc_id, is_train, unnest(bgs) AS tok FROM dbg),
+           th AS (SELECT doc_id AS rep, is_train,
+                    ${duckHex32("md5('b:' || tok)")} AS h FROM bg_toks),
+           tmh AS (SELECT rep, $mhCols FROM th WHERE is_train GROUP BY rep),
+           emh AS (SELECT rep, $mhCols FROM th WHERE NOT is_train GROUP BY rep),
+           tband AS (${bandSelects("tmh")}),
+           eband AS (${bandSelects("emh")}),
+           cand AS (
+             SELECT DISTINCT a.rep AS train_id, b.rep AS test_id
+             FROM tband a JOIN eband b ON $joinKeys)
+          SELECT c.train_id, c.test_id,
+            CAST(len(list_intersect(t.bgs, e.bgs)) AS DOUBLE) /
+              (len(t.bgs) + len(e.bgs) - len(list_intersect(t.bgs, e.bgs))) AS jac
+          FROM cand c
+          JOIN dbg t ON t.doc_id = c.train_id
+          JOIN dbg e ON e.doc_id = c.test_id
+          WHERE CAST(len(list_intersect(t.bgs, e.bgs)) AS DOUBLE) /
+              (len(t.bgs) + len(e.bgs) - len(list_intersect(t.bgs, e.bgs))) >= $LeakThreshold
+          ORDER BY 1,2,3"""
+    })
+
   val all: Seq[GateQuery] = Seq(x01, x02, x03, x04, x05, x06, x07, x08, x09,
     x10, x11, x12, x13, x14, x15, x16, x17, x18, x19, x20, x21, x22, x23,
     x24, x25, x26, x27, x28, x29, x30, x31, x32, x33, x34, x35, x36, x37,
     x38, x39, x40, x41, x42, x43, x44, x45, x46, x47, x48, x49, x50, x51,
-    x52, x53, x54)
+    x52, x53, x54, x55)
 }
