@@ -3,6 +3,7 @@ package graft.streaming
 import graft.queries.Extensions
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
 
 /** Streaming twins of the batch training-pipeline filters (x24
   * decontamination, x25 stratified sampling): an ingest stream is
@@ -197,5 +198,56 @@ object DocStreams {
       .withColumn("jac", jac)
       .filter(col("jac") >= threshold)
       .select(col("doc_id"), col("bench_id"), col("jac"))
+  }
+
+  /** Streaming twin of x54 domain capping: ONLINE per-source top-K
+    * admission. State per source is the current kept set — exactly K
+    * (quality, doc_id) pairs, never more — so total state is
+    * K × |domains|, independent of stream length. Each arrival emits
+    * an `admit` or `reject` row; an admit that displaces a weaker
+    * kept doc also emits an `evict` row for it, so a downstream
+    * materialized view (admits minus evicts) IS the live capped set.
+    * The final kept set after any prefix equals the batch
+    * [[graft.queries.Extensions.domainCapped]] kept set over the
+    * same docs (top-K of a set is arrival-order-free;
+    * DocStreamsSpec pins the equality) — only the admit/evict
+    * HISTORY depends on arrival order, as online admission must.
+    * Scale note: hot domains concentrate on their state partition —
+    * the batch twin's salt trick cannot apply online (per-salt
+    * admission would admit K per salt) — but per-record work is
+    * O(log K) against a K-bounded buffer, so the hot partition is
+    * throughput-bound, never memory-bound.
+    * Column contract: input has (doc_id, text, source). */
+  def domainCapStream(docs: DataFrame, k: Int = 10): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val scored = Extensions.qualityScored(docs, carry = Seq("source"))
+      .select(col("doc_id"), col("source"), col("quality_score"))
+      .as[(Long, String, Int)]
+    // kept-set entry: (quality, doc_id); better = higher quality,
+    // ties to the smaller id — the batch op's exact order
+    def better(a: (Int, Long), b: (Int, Long)): Boolean =
+      a._1 > b._1 || (a._1 == b._1 && a._2 < b._2)
+    scored.groupByKey(_._2)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (src: String, in: Iterator[(Long, String, Int)],
+         state: GroupState[List[(Int, Long)]]) =>
+          var kept = state.getOption.getOrElse(Nil) // sorted best-first
+          val out = List.newBuilder[(Long, String, Int, String)]
+          in.foreach { case (id, _, qual) =>
+            val cand = (qual, id)
+            if (kept.size < k) {
+              kept = (cand :: kept).sortWith(better)
+              out += ((id, src, qual, "admit"))
+            } else if (better(cand, kept.last)) {
+              val worst = kept.last
+              kept = (cand :: kept.init).sortWith(better)
+              out += ((id, src, qual, "admit"))
+              out += ((worst._2, src, worst._1, "evict"))
+            } else out += ((id, src, qual, "reject"))
+          }
+          state.update(kept)
+          out.result().iterator
+      }.toDF("doc_id", "source", "quality_score", "event")
   }
 }

@@ -3,10 +3,13 @@ package graft
 import org.scalatest.funsuite.AnyFunSuite
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
 import org.apache.spark.sql.functions._
+import graft.queries.Extensions
 import graft.streaming.DocStreams
 
 case class Doc(doc_id: Long, text: String, lang: String)
 case class Rec(doc_id: Long, rec: String)
+case class CapDoc(doc_id: Long, text: String, lang: String,
+                  source: String, n_chars: Long)
 
 /** Streaming twins of x24/x25: stateless decontamination flags and
   * stratified sampling over a MemoryStream, including batch/stream
@@ -319,6 +322,43 @@ class DocStreamsSpec extends AnyFunSuite {
     // over ALL 180 tokens 'hot' has 90 > 180/(k+1)=36 -> guaranteed
     assert(end.contains("hot") && end.length <= k,
       s"cumulative guarantee violated: $end")
+    q.stop()
+  }
+
+  test("domain cap stream: admits-minus-evicts equals the batch kept set, any arrival order") {
+    val rich = "the quick brown fox jumps over a lazy dog and then rests " +
+      "of course with ample unique words in this sentence"
+    val docs =
+      (0L until 12L).map(i =>
+        CapDoc(i, if (i % 3 == 0) rich else "x x x x x x", "en", "hot", 1L)) ++
+      (100L until 103L).map(i => CapDoc(i, rich, "en", "small", 1L))
+    val k = 3
+    val in = MemoryStream[CapDoc]
+    val q = DocStreams.domainCapStream(in.toDF(), k)
+      .writeStream.format("memory").queryName("cap").outputMode("append").start()
+    // adversarial arrival order: weak docs first, strong ones later
+    // (forces evictions), split across micro-batches
+    val shuffled = docs.sortBy(d => (-(d.doc_id % 3), d.doc_id))
+    in.addData(shuffled.take(6)); q.processAllAvailable()
+    in.addData(shuffled.drop(6)); q.processAllAvailable()
+    val events = spark.table("cap")
+      .as[(Long, String, Int, String)].collect()
+    // each doc arrives once and an evicted doc never re-enters, so
+    // the live set is a plain set difference — row order immaterial
+    def ids(ev: String) = events.filter(_._4 == ev).map(_._1).toSet
+    val live = ids("admit") -- ids("evict")
+    val batchKept = Extensions.domainCapped(
+      docs.toDF("doc_id", "text", "lang", "source", "n_chars"), k, 2)
+      .filter("kept").select("doc_id").as[Long].collect().toSet
+    assert(live == batchKept,
+      s"stream live set $live != batch kept $batchKept")
+    // every arrival got exactly one admit-or-reject decision
+    assert(ids("admit").size + ids("reject").size == docs.size)
+    // per-source live count respects the cap
+    val liveBySource = events.filter(e => live(e._1)).groupBy(_._2)
+    liveBySource.foreach { case (src, evs) =>
+      assert(evs.map(_._1).distinct.size <= k, s"$src over cap")
+    }
     q.stop()
   }
 }
