@@ -40,18 +40,20 @@ import org.apache.spark.sql.functions._
   * shuffle, leaving only the (rare) long-chain frontier in flight.
   *
   * Iterative-plan hygiene: each round's label table is
-  * `localCheckpoint(eager)`-ed — the logical plan of round N
-  * otherwise embeds round N-1's plan TWICE (once per union arm), so
-  * lineage grows 2^rounds and planning alone explodes (observed: a
-  * 2 GB plan string before the checkpoint was added). Checkpointing
-  * truncates the lineage to the materialized blocks each round, the
-  * standard fix for iterative DataFrame algorithms. The convergence
-  * count and the next round's delta are both cheap scans of those
-  * same cached blocks. (An accumulator-fused single-action variant
-  * was measured SLOWER — the count-on-cached-blocks job is ~free,
-  * while re-rooting through RDD[Row] costs conversions and codegen:
-  * CcAbProbe, new 13.0 s vs old 10.7 s on a 95k-edge fixture — so
-  * two cheap actions per round it stays.)
+  * `localCheckpoint`-ed — the logical plan of round N otherwise
+  * embeds round N-1's plan TWICE (once per union arm), so lineage
+  * grows 2^rounds and planning alone explodes (observed: a 2 GB plan
+  * string before the checkpoint was added). Checkpointing truncates
+  * the lineage to the materialized blocks each round, the standard
+  * fix for iterative DataFrame algorithms. The checkpoint is LAZY
+  * (`eager = false`): the convergence count is the round's single
+  * action — it computes the round's plan once, the localCheckpoint
+  * mark persists the blocks as a side effect of that same job, and
+  * the next round's joins read the cached blocks. One Spark job per
+  * round instead of two. (An accumulator-fused variant that pushes
+  * the count into an RDD map was measured SLOWER — re-rooting
+  * through RDD[Row] costs conversions and codegen: CcAbProbe — so
+  * the count stays a DataFrame action.)
   */
 object ConnectedComponents {
 
@@ -60,9 +62,15 @@ object ConnectedComponents {
     * @param edges columns `src`, `dst` — UNDIRECTED pairs (each pair
     *              listed once in either direction)
     * @param maxRounds safety bound on propagation rounds
+    * @param delta if true, the edge join carries only labels that
+    *              changed last round (Flink delta-iterate shape);
+    *              if false, it carries the full label table every
+    *              round. Identical fixpoint and round trajectory
+    *              (CorpusPrepOpsSpec pins both against union-find);
+    *              see the A/B note below for which wins where.
     * @return (id, component) — component = min node id reachable */
   def label(nodes: DataFrame, edges: DataFrame,
-            maxRounds: Int = 50): DataFrame = {
+            maxRounds: Int = 50, delta: Boolean = true): DataFrame = {
     // symmetrize once: propagation must flow both ways along a pair
     val sym = edges.select(col("src"), col("dst"))
       .union(edges.select(col("dst").as("src"), col("src").as("dst")))
@@ -70,11 +78,12 @@ object ConnectedComponents {
     sym.count()
 
     val lblType = nodes.schema("id").dataType
-    // localCheckpoint: truncate lineage every round (see scaladoc)
+    // localCheckpoint: truncate lineage every round (see scaladoc).
+    // Round 0's is eager — nothing else materializes it.
     var labels = nodes.select(col("id"), col("id").as("lbl"))
       .localCheckpoint(true)
     // round 1: every label is news
-    var delta = labels
+    var front = labels
     var changed = 1L
     var round = 0
     while (changed > 0 && round < maxRounds) {
@@ -84,7 +93,7 @@ object ConnectedComponents {
       // convergence check then needs no extra join, and reads the
       // already-checkpointed blocks
       val viaEdge = sym
-        .join(delta, sym("src") === delta("id"))
+        .join(front, sym("src") === front("id"))
         .select(col("dst").as("id"), col("lbl"),
           lit(null).cast(lblType).as("old"))
       val mins = labels
@@ -99,14 +108,15 @@ object ConnectedComponents {
       val jumped = mins
         .join(mins.select(col("id").as("lbl"), col("lbl").as("lbl2")), "lbl")
         .select(col("id"), col("lbl2").as("lbl"), col("old"))
-        .localCheckpoint(true)
+        .localCheckpoint(false) // lazy: the count below materializes it
       // null-safe: an edge endpoint missing from `nodes` surfaces with
       // old=null in its first round — `=!=` would read that as
       // "unchanged" and could stop the loop before it propagates
       val changedRows = jumped.filter(!(col("lbl") <=> col("old")))
-      changed = changedRows.count()
+      changed = changedRows.count() // the round's ONE action
       labels = jumped.select(col("id"), col("lbl"))
-      delta = changedRows.select(col("id"), col("lbl"))
+      front = if (delta) changedRows.select(col("id"), col("lbl"))
+              else labels
       round += 1
     }
     sym.unpersist()

@@ -783,6 +783,17 @@ object Extensions {
   private val x13 = GateQuery(
     "x13_dedup_embedding",
     (s, d) => {
+      // make a capped run distinguishable from full coverage: count
+      // the excluded tail (parquet metadata count — no scan) and say
+      // so out loud, so "gate green" is never mistaken for "exact
+      // all-pairs ran over the whole corpus"
+      val excluded = Tables.embeddings(s, d)
+        .filter(col("vec_id") >= X13ExactCap).count()
+      if (excluded > 0)
+        org.slf4j.LoggerFactory.getLogger(getClass).warn(
+          s"x13: bounded-input contract active — $excluded vectors " +
+            s"beyond X13ExactCap=$X13ExactCap excluded from exact " +
+            "all-pairs (route unbounded corpora through x21/x29)")
       val v = Tables.embeddings(s, d)
         .filter(col("vec_id") < X13ExactCap)
         .select(col("vec_id"), col("embedding"),
@@ -1742,17 +1753,27 @@ object Extensions {
   // pair); the component labeling is the standard transitive answer a
   // training pipeline ships. Deterministic fixpoint → the oracle
   // replays it as a recursive CTE.
+  /** x30's graph input, materialized: (nodes(id), edges(src, dst)) —
+    * the distinct-signature reps and the verified MinHash pair list.
+    * Exposed for the CcAbProbe A/B harness, which measures
+    * [[graft.ops.ConnectedComponents]] variants on the REAL graph
+    * shape rather than a synthetic fixture. */
+  private[graft] def x30Input(s: SparkSession, d: String)
+      : (DataFrame, DataFrame) = {
+    val sigs = sigTable(s, d).persist()
+    sigs.count()
+    val pairs = verifiedMinhashPairs(s, d, sigs)
+      .select(col("rep_a"), col("rep_b")).persist()
+    pairs.count()
+    (sigs.select(col("rep").as("id")),
+      pairs.select(col("rep_a").as("src"), col("rep_b").as("dst")))
+  }
+
   private val x30 = GateQuery(
     "x30_dedup_components",
     (s, d) => {
-      val sigs = sigTable(s, d).persist()
-      sigs.count()
-      val pairs = verifiedMinhashPairs(s, d, sigs)
-        .select(col("rep_a"), col("rep_b")).persist()
-      pairs.count()
-      val comps = graft.ops.ConnectedComponents.label(
-        nodes = sigs.select(col("rep").as("id")),
-        edges = pairs.select(col("rep_a").as("src"), col("rep_b").as("dst")))
+      val (nodes, edges) = x30Input(s, d)
+      val comps = graft.ops.ConnectedComponents.label(nodes, edges)
       ordered(comps.select(col("id").as("rep"), col("component")))
     },
     Some(s"""WITH RECURSIVE $duckMasksCte, $duckMinhashCtes,

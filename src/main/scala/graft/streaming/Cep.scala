@@ -98,6 +98,37 @@ final case class EventPattern[E] private (
     })
   }
 
+  /** Disjoin a guard onto the most recent logical step (Flink
+    * `.where(a).or(b)` → `a || b`): the new guard ORs against the
+    * stage's ENTIRE accumulated condition, exactly FlinkCEP's
+    * `OrCondition(prev, p)` — so `.where(a).or(b).where(c)` reads
+    * `(a || b) && c`. Applies to every clone of a [[times]]-expanded
+    * stage, like [[where]]. */
+  def or(p: E => Boolean): EventPattern[E] = {
+    val nm = steps.last.name
+    copy(steps = steps.map { st =>
+      if (st.name != nm) st
+      else { val prev = st.pred; st.copy(pred = e => prev(e) || p(e)) }
+    })
+  }
+
+  /** Narrow the most recent stage to events of runtime subtype `T`
+    * (Flink `.subtype(classOf[T])`): events that are not a `T` do
+    * not match the stage — for a relaxed stage they are skipped, for
+    * a strict stage they kill the partial, exactly as any other
+    * guard failure. Conjoined like [[where]], so later `.where` /
+    * `.or` guards still see the declared `E`; use [[whereSubtype]]
+    * to write the guard against `T` directly. */
+  def subtype[T <: E](implicit ct: scala.reflect.ClassTag[T]): EventPattern[E] =
+    where(e => ct.runtimeClass.isInstance(e))
+
+  /** [[subtype]] + a guard typed on the subtype (the one-call form of
+    * Flink's `.subtype(classOf[T]).where(t => ...)`): matches events
+    * that are a `T` AND satisfy `p` on the downcast value. */
+  def whereSubtype[T <: E](p: T => Boolean)(
+      implicit ct: scala.reflect.ClassTag[T]): EventPattern[E] =
+    where(e => ct.runtimeClass.isInstance(e) && p(e.asInstanceOf[T]))
+
   /** Repeat the most recent stage exactly `n` times (Flink
     * `.times(n)`): the stage must match n events before the pattern
     * advances, with the stage's OWN contiguity between repetitions —
@@ -296,7 +327,20 @@ object Cep {
       else kept += ((into + 1, t0, (into, e) :: acc))
     }
     /** The emitted match's skip span as a drop-predicate over other
-      * partials'/candidates' start times. */
+      * partials'/candidates' start times.
+      *
+      * Equal-timestamp caveat: the predicate is keyed on start TIME
+      * alone (`t0 > t0m && …`), so a partial whose start event shares
+      * the emitted match's start timestamp is never pruned — it is
+      * not "later-started" under time ordering — and ties among
+      * staged completions resolve by the stable fold order, not event
+      * identity. FlinkCEP prunes by SharedBuffer entry identity, so
+      * when distinct events carry the SAME timestamp the two engines
+      * can keep different siblings. Within this engine the outcome is
+      * deterministic (events at one timestamp process in input
+      * order); the divergence is observable only on colliding
+      * timestamps, which the event-time NFA already treats as
+      * simultaneous everywhere else. */
     def skipDrop(t0m: Long, accFull: List[(Int, E)]): Long => Boolean = {
       def mappedTimes(nm: String): Seq[Long] = {
         val idx = steps.zipWithIndex.collect {

@@ -219,6 +219,9 @@ object DocStreams {
     * throughput-bound, never memory-bound.
     * Column contract: input has (doc_id, text, source). */
   def domainCapStream(docs: DataFrame, k: Int = 10): DataFrame = {
+    // k = 0 would make the first arrival read kept.last of an empty
+    // list inside the stateful operator — fail at plan time instead
+    require(k >= 1, s"domainCapStream requires k >= 1, got $k")
     val spark = docs.sparkSession
     import spark.implicits._
     val scored = Extensions.qualityScored(docs, carry = Seq("source"))

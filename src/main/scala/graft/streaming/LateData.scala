@@ -96,7 +96,16 @@ object LateData {
   /** [[tagLate]] split into its two branches: `(onTime, late)` —
     * the on-time stream is safe to `withWatermark(delayMs)` + window
     * downstream (every row is within the allowance by construction);
-    * the late stream is Flink's side output. */
+    * the late stream is Flink's side output.
+    *
+    * Cost note: the branches are two filters over ONE tagLate
+    * Dataset, but if each branch is started as its own streaming
+    * query, Structured Streaming runs the stateful tagger once PER
+    * QUERY with independent (deterministic, identical) state — same
+    * tags, double the state and compute. When both branches are
+    * consumed, prefer writing the single tagged stream ([[tagLate]])
+    * to one sink and filtering on the `late` flag downstream, or use
+    * `foreachBatch` to fan out both branches from one query. */
   def split[E](
       ds: Dataset[E],
       eventTimeMs: E => Long,

@@ -3,10 +3,22 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-/** Dev A/B probe: the accumulator-fused CC loop vs the previous
-  * two-action (localCheckpoint + count) loop, on a graph shaped like
-  * x30's real input at sf0.1 (~4k nodes, ~120k edges: dense near-dup
-  * cliques plus a chain to force pointer-jump rounds). */
+/** Dev A/B probe for [[graft.ops.ConnectedComponents]] variants:
+  *
+  *   - `delta1` — delta-iteration frontier, lazy-checkpoint single
+  *     action per round (the current implementation)
+  *   - `full1`  — full-label edge join, lazy-checkpoint single action
+  *   - `old2`   — round-5 verbatim: full-label edge join, EAGER
+  *     checkpoint + separate convergence count (two actions/round)
+  *
+  * Run with no args → the synthetic clique+chain fixture (~4k nodes,
+  * ~95k edges). Run with an SF dir arg (e.g. /root/testdata/sf0.1 or
+  * /tmp/sf1) → x30's REAL graph (distinct-signature reps + verified
+  * MinHash pairs via [[graft.queries.Extensions.x30Input]]), which is
+  * what the bench measures. Variants are interleaved across
+  * PROFILE_RUNS sweeps (default 4) and the min per variant printed —
+  * sandbox timing noise is ~3x, so only min-of-N interleaved is
+  * trustworthy. */
 object CcAbProbe {
   /** The round-5 implementation, verbatim semantics. */
   private def labelOld(nodes: DataFrame, edges: DataFrame,
@@ -48,25 +60,47 @@ object CcAbProbe {
       .config("spark.ui.enabled", "false")).getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     import spark.implicits._
-    val nodes = (1L to 4000L).toDF("id")
-    // 30 cliques of 80 → ~95k edges, plus a 500-node chain
-    val cliques = (0 until 30).flatMap { c =>
-      val base = c * 100L + 1
-      for (i <- 0 until 80; j <- i + 1 until 80)
-        yield (base + i, base + j)
+
+    val (nodes, edges) = args.headOption match {
+      case Some(dir) =>
+        val (n, e) = graft.queries.Extensions.x30Input(spark, dir)
+        val np = n.persist(); val ep = e.persist()
+        println(s"real input $dir: nodes=${np.count()} edges=${ep.count()}")
+        (np, ep)
+      case None =>
+        val n = (1L to 4000L).toDF("id")
+        // 30 cliques of 80 → ~95k edges, plus a 500-node chain
+        val cliques = (0 until 30).flatMap { c =>
+          val base = c * 100L + 1
+          for (i <- 0 until 80; j <- i + 1 until 80)
+            yield (base + i, base + j)
+        }
+        val chain = (3000L to 3500L).map(i => (i, i + 1))
+        val e = (cliques ++ chain).toDF("src", "dst")
+        println(s"synthetic input: edges=${e.count()}")
+        (n, e)
     }
-    val chain = (3000L to 3500L).map(i => (i, i + 1))
-    val edges = (cliques ++ chain).toDF("src", "dst")
-    println(s"edges: ${edges.count()}")
-    for (r <- 1 to 3) {
-      var t0 = System.nanoTime()
-      val nNew = graft.ops.ConnectedComponents.label(nodes, edges).count()
-      val tNew = (System.nanoTime() - t0) / 1e9
-      t0 = System.nanoTime()
-      val nOld = labelOld(nodes, edges).count()
-      val tOld = (System.nanoTime() - t0) / 1e9
-      println(f"run$r: new=$tNew%.2f s ($nNew rows)  old=$tOld%.2f s ($nOld rows)")
+
+    val variants: Seq[(String, () => Long)] = Seq(
+      "delta1" -> (() => graft.ops.ConnectedComponents
+        .label(nodes, edges, delta = true).count()),
+      "full1" -> (() => graft.ops.ConnectedComponents
+        .label(nodes, edges, delta = false).count()),
+      "old2" -> (() => labelOld(nodes, edges).count()))
+
+    val runs = sys.env.get("PROFILE_RUNS").map(_.toInt).getOrElse(4)
+    val times = scala.collection.mutable.Map[String, List[Double]]()
+      .withDefaultValue(Nil)
+    for (r <- 1 to runs; (name, f) <- variants) {
+      val t0 = System.nanoTime()
+      val rows = f()
+      val t = (System.nanoTime() - t0) / 1e9
+      times(name) = t :: times(name)
+      println(f"run$r $name%-6s $t%6.2f s  ($rows rows)")
     }
+    for ((name, _) <- variants)
+      println(f"MIN $name%-6s ${times(name).min}%6.2f s  (all: ${
+        times(name).reverse.map(t => f"$t%.2f").mkString(", ")})")
     spark.stop()
   }
 }

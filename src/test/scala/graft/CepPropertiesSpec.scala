@@ -148,6 +148,48 @@ class CepPropertiesSpec extends AnyFunSuite {
     })
   }
 
+  test("or() is exactly guard disjunction: where(a).or(b) == where(a || b)") {
+    // both arms on both stages, so the property exercises or-guards
+    // opening partials, advancing them, and conjunction after or
+    val viaOr = EventPattern.begin[Ev]("A")
+      .where(_.kind == "a").or(_.kind == "c")
+      .followedBy("B").where(_.kind == "b").or(_.kind == "noise")
+      .where(_.ts % 2 == 0) // (b || noise) && even
+      .within(java.time.Duration.ofMillis(W))
+    val viaLambda = EventPattern.begin[Ev]("A")
+      .where(e => e.kind == "a" || e.kind == "c")
+      .followedBy("B")
+      .where(e => (e.kind == "b" || e.kind == "noise") && e.ts % 2 == 0)
+      .within(java.time.Duration.ofMillis(W))
+    check("or-equivalence", Prop.forAll(genEvents) { evs =>
+      val key = (m: Map[String, Seq[Ev]]) => (m("A").head, m("B").head)
+      run(viaOr, Seq(evs)).map(key) == run(viaLambda, Seq(evs)).map(key)
+    })
+  }
+
+  test("or-guard matches satisfy the disjunction and batching invariance holds") {
+    val pat = EventPattern.begin[Ev]("A")
+      .where(_.kind == "a").or(_.kind == "c")
+      .followedBy("B").where(_.kind == "b")
+      .within(java.time.Duration.ofMillis(W))
+    val genSplit = for {
+      evs <- genEvents
+      sorted = evs.sortBy(_.ts)
+      cuts <- Gen.listOfN(3, Gen.choose(0, math.max(0, sorted.length)))
+    } yield (sorted, cuts.sorted)
+    check("or-batching-invariance", Prop.forAll(genSplit) {
+      case (sorted, cuts) =>
+        val bounds = (0 +: cuts :+ sorted.length).distinct.sorted
+        val batches = bounds.zip(bounds.tail).map { case (i, j) =>
+          sorted.slice(i, j) }
+        val whole = run(pat, Seq(sorted))
+        val split = run(pat, batches)
+        whole.forall(m => Set("a", "c")(m("A").head.kind)) &&
+          whole.map(m => (m("A").head.ts, m("B").head.ts)).sorted ==
+            split.map(m => (m("A").head.ts, m("B").head.ts)).sorted
+    })
+  }
+
   test("three-stage matches are in-order, guard-satisfying, in-window subsequences") {
     val abc = EventPattern.begin[Ev]("A").where(_.kind == "a")
       .followedBy("B").where(_.kind == "b")

@@ -623,4 +623,59 @@ class CepSpec extends AnyFunSuite {
     assert(got == Set(("d1", 1, 1), ("d2", 0, 1)))
     q.stop()
   }
+
+  test("or(): a stage guard disjunction — either kind starts the match") {
+    // spike OR surge opens; .where after .or conjoins onto (a || b)
+    val pat = EventPattern.begin[Sensor]("start")
+      .where(_.kind == "spike").or(_.kind == "surge")
+      .where(_.device != "quarantined")
+      .followedBy("crash").where(_.kind == "crash")
+      .within(java.time.Duration.ofHours(1))
+    val in = MemoryStream[Sensor]
+    val q = Cep.detect(
+        in.toDS().withWatermark("ets", "0 seconds"),
+        (e: Sensor) => e.device, (e: Sensor) => e.ets.getTime, pat) { m =>
+        (m("start").head.device, m("start").head.kind)
+      }.toDF("device", "start_kind")
+      .writeStream.format("memory").queryName("cepOr1")
+      .outputMode(OutputMode.Append).start()
+    in.addData(
+      Sensor("d1", "spike", t("2019-06-26T10:00:00Z")),
+      Sensor("d1", "crash", t("2019-06-26T10:10:00Z")),
+      Sensor("d2", "surge", t("2019-06-26T10:00:00Z")),
+      Sensor("d2", "crash", t("2019-06-26T10:10:00Z")),
+      Sensor("d3", "stall", t("2019-06-26T10:00:00Z")), // matches neither arm
+      Sensor("d3", "crash", t("2019-06-26T10:10:00Z")),
+      Sensor("quarantined", "spike", t("2019-06-26T10:00:00Z")), // killed by the post-or where
+      Sensor("quarantined", "crash", t("2019-06-26T10:10:00Z")))
+    q.processAllAvailable()
+    val got = spark.table("cepOr1").as[(String, String)].collect().toSet
+    assert(got == Set(("d1", "spike"), ("d2", "surge")))
+    q.stop()
+  }
+
+  test("subtype()/whereSubtype(): stage narrowed to a runtime subtype (pure NFA)") {
+    // driven through Cep.step directly — a sealed ADT needs no Spark
+    // encoder there, and detect() executes exactly this step function
+    sealed trait Alarm { def ts: Long }
+    case class Warn(ts: Long) extends Alarm
+    case class Fatal(ts: Long, code: Int) extends Alarm
+    val pat = EventPattern.begin[Alarm]("w").subtype[Warn]
+      .followedBy("f").whereSubtype[Fatal](_.code >= 500)
+      .within(java.time.Duration.ofMillis(100))
+    val events = List[Alarm](
+      Warn(0),            // opens
+      Fatal(10, 404),     // a Fatal but sub-threshold: skipped (relaxed)
+      Warn(20),           // opens a second partial
+      Fatal(30, 503))     // closes BOTH opens (one event, many partials)
+    val (_, matches, _) = Cep.step(pat.steps, pat.withinMs,
+      (e: Alarm) => e.ts, List.empty[Cep.Partial[Alarm]], events, Long.MinValue)
+    val got = matches.map(m => (m("w").head.ts, m("f").head.ts)).toSet
+    assert(got == Set((0L, 30L), (20L, 30L)))
+    // a Fatal never satisfies the Warn-subtyped stage
+    val (open, none, _) = Cep.step(pat.steps, pat.withinMs,
+      (e: Alarm) => e.ts, List.empty[Cep.Partial[Alarm]],
+      List[Alarm](Fatal(0, 503), Fatal(10, 503)), Long.MinValue)
+    assert(none.isEmpty && open.isEmpty)
+  }
 }

@@ -69,6 +69,13 @@ class CorpusPrepOpsSpec extends AnyFunSuite {
       m.map(_ -> lbl)
     }
     assert(got == expected, s"mismatch: ${got.toSet -- expected.toSet}")
+    // the full-join shape (delta=false) reaches the identical fixpoint
+    // — the round-7 A/B keeps delta as default (CcAbProbe: three-way
+    // tie at min-of-4 on the real graph at sf0.1 AND sf1), and this
+    // pins that both shapes stay interchangeable
+    val gotFull = ConnectedComponents.label(nodes, edges, delta = false)
+      .as[(Long, Long)].collect().toMap
+    assert(gotFull == expected, "delta=false diverged from union-find")
   }
 
   test("cc: edge direction does not matter") {
