@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
-import graft.functions.{FreqCandidatesAgg, LongCosine, MinHashAgg, MinHashArr, QuantizedCosine, SimHashAgg, SimHashArr, SrpBands, TokenBigrams, TokenMask, TokenSetSig}
+import graft.functions.{FreqCandidatesAgg, LongCosine, MinHashAgg, MinHashArr, PqAdc, PqEncode, QuantizedCosine, SimHashAgg, SimHashArr, SrpBands, TokenBigrams, TokenMask, TokenSetSig}
 
 /** SparkSessionExtensions entry point: makes graft's native
   * expressions available in any session via configuration —
@@ -66,6 +66,23 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         MinHashArr(arr, p.toString)
       case exprs => throw new IllegalArgumentException(
         s"minhash_arr(array<string>[, prefix-literal]) — got ${exprs.length} args")
+    })
+    // pq_encode(qv, cbflat, m, k, subDim) / pq_adc(qq, codes, cbflat,
+    // m, k, subDim) — the PQ geometry is burned into the expression,
+    // so the shape args must be int literals
+    inject(ext, "pq_encode", classOf[PqEncode], {
+      case Seq(qv, cb, Literal(m: Int, _), Literal(k: Int, _),
+               Literal(s: Int, _)) => PqEncode(qv, cb, m, k, s)
+      case exprs => throw new IllegalArgumentException(
+        "pq_encode(array<bigint>, array<bigint>, m-lit, k-lit, " +
+          s"subDim-lit) — got ${exprs.length} args")
+    })
+    inject(ext, "pq_adc", classOf[PqAdc], {
+      case Seq(qq, codes, cb, Literal(m: Int, _), Literal(k: Int, _),
+               Literal(s: Int, _)) => PqAdc(qq, codes, cb, m, k, s)
+      case exprs => throw new IllegalArgumentException(
+        "pq_adc(array<bigint>, array<int>, array<bigint>, m-lit, " +
+          s"k-lit, subDim-lit) — got ${exprs.length} args")
     })
   }
 }

@@ -2681,18 +2681,20 @@ object Extensions {
   private val PqSub = 16 // dims per subspace (4 × 16 = 64)
   private val PqK = 16   // codewords per subspace
 
-  /** Exact squared L2 between two already-quantized long arrays. */
-  private def l2sqCol(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)),
-      lit(0L), (acc, z) => acc + z)
-
   /** Codebook + per-vector PQ codes for `v` (vec_id, qv): returns
-    * (vec_id, codes: array<int> of M, model) with the codebook
-    * collapsed into every row's `model` column (one broadcast row).
-    * Encoding is a per-row argmin-L2² HOF — zero shuffles. */
+    * (vec_id, codes: array<int> of M, model, cbflat) with the
+    * codebook collapsed into every row's `model` column (one
+    * broadcast row; `cbflat` is the same codebook flattened to one
+    * array<long> in (sub, code) row-major order — the layout
+    * [[graft.functions.PqEncode]] indexes directly). Encoding is a
+    * per-row argmin-L2² — zero shuffles — as a native codegen'd
+    * expression: the m·k·subDim multiply-adds per row made the
+    * interpreted aggregate-over-filter HOF the encode bottleneck at
+    * sf1 (PqAnnSpec pins the native codes to a driver-side
+    * reference). */
   private[graft] def pqEncoded(v: DataFrame): DataFrame = {
     // codebook → ONE row: sorted array<struct<sub,code,cv>> (the
-    // sort makes in-array order = (sub, code), so the encode HOF's
+    // sort makes in-array order = (sub, code), so the encoder's
     // strict `<` breaks ties to the smallest code)
     val cb = v.filter(col("vec_id") < PqK)
       .select(col("vec_id").cast("int").as("code"), col("qv"))
@@ -2700,37 +2702,25 @@ object Extensions {
       .select(struct(col("sub"), col("code"),
         slice(col("qv"), col("sub") * PqSub + 1, lit(PqSub)).as("cv")).as("e"))
       .agg(sort_array(collect_list(col("e"))).as("model"))
+      .withColumn("cbflat", flatten(transform(col("model"), e => e("cv"))))
 
-    // encode: per-row argmin-L2² per subspace against the broadcast
-    // model — array<int> of M codes per vector, zero shuffles
-    val codes = transform(sequence(lit(0), lit(PqM - 1)), sub =>
-      aggregate(
-        filter(col("model"), e => e("sub") === sub),
-        struct(lit(-1).as("code"), lit(Long.MaxValue).as("d")),
-        (acc, e) => {
-          val dd = l2sqCol(
-            slice(col("qv"), sub * PqSub + 1, lit(PqSub)), e("cv"))
-          when(dd < acc("d"),
-            struct(e("code").as("code"), dd.as("d"))).otherwise(acc)
-        })("code"))
     v.crossJoin(broadcast(cb))
-      .withColumn("codes", codes)
-      .select(col("vec_id"), col("codes"), col("model"))
+      .withColumn("codes", graft.functions.PqEncode.pqEncode(
+        col("qv"), col("cbflat"), PqM, PqK, PqSub))
+      .select(col("vec_id"), col("codes"), col("model"), col("cbflat"))
   }
 
   /** ADC top-k: queries (vec_id < NumQueries) broadcast against the
     * PQ codes; distance is the per-subspace L2²(query slice, assigned
-    * codeword) sum — a per-row HOF over exact longs. */
+    * codeword) sum over exact longs — [[graft.functions.PqAdc]], a
+    * fused codegen loop, because this evaluates once per
+    * (query, corpus-vector) pair: x44's true hot path. */
   private[graft] def pqTopK(v: DataFrame): DataFrame = {
     val enc = pqEncoded(v)
     val q = v.filter(col("vec_id") < NumQueries)
       .select(col("vec_id").as("qid"), col("qv").as("qq"))
-    val adist = aggregate(sequence(lit(0), lit(PqM - 1)), lit(0L),
-      (acc, sub) => acc + l2sqCol(
-        slice(col("qq"), sub * PqSub + 1, lit(PqSub)),
-        element_at(filter(col("model"), e =>
-          e("sub") === sub &&
-            e("code") === element_at(col("codes"), sub + 1)), 1)("cv")))
+    val adist = graft.functions.PqAdc.pqAdc(
+      col("qq"), col("codes"), col("cbflat"), PqM, PqK, PqSub)
     val scored = broadcast(q)
       .join(enc, col("qid") =!= col("vec_id"))
       .withColumn("adist", adist)
@@ -3093,8 +3083,21 @@ object Extensions {
   private def bpeRun(docs: DataFrame,
                      rounds: Int): (Vector[DataFrame], DataFrame) = {
     val sep = lit(BpeSep)
+    // two fixes the sf1 profile demanded (2.6-3.3 s PER ROUND in 2
+    // tasks): (1) the corpus arrives as O(parquet splits) partitions
+    // — at sf1 that is TWO, so every round's CPU-heavy
+    // replace+split+explode ran on 2 of 32 cores; an explicit-N
+    // repartition spreads it (explicit N is exempt from AQE's
+    // size-based coalescing, which would fold these CPU-bound
+    // partitions back together). (2) each round's rewrite is
+    // localCheckpoint'ed (lazily — the NEXT round's pair count
+    // materializes it), otherwise round r's count re-runs all r-1
+    // earlier replace passes from lineage: O(R²) corpus scans.
+    val par = docs.sparkSession.sessionState.conf.numShufflePartitions
     var seqs = docs.select(col("doc_id"),
       regexp_replace(col("text"), " ", BpeSep).as("seq"))
+      .repartition(par)
+      .localCheckpoint(false)
     val tops = (1 to rounds).map { _ =>
       // adjacent pairs of the CURRENT symbol sequences, counted
       val pairs = seqs
@@ -3117,6 +3120,7 @@ object Extensions {
       seqs = seqs.crossJoin(broadcast(top))
         .select(col("doc_id"), replace(col("seq"), col("pair"),
           replace(col("pair"), sep, lit(""))).as("seq"))
+        .localCheckpoint(false)
       top
     }.toVector
     (tops, seqs)

@@ -82,6 +82,30 @@ class PqAnnSpec extends AnyFunSuite {
     assert(top.count() === 10 * 5)
   }
 
+  test("native pq_encode matches a driver-side argmin-L2² reference") {
+    // pure-Scala replay of the PQ contract: codebook = first K
+    // vectors' subspace slices, code = argmin L2², ties to the
+    // smallest code (strict < scan in code order)
+    val raw = (0 until 40).map { id =>
+      id.toLong -> Array.tabulate(Dim)(i => ((id * 31 + i * 7) % 997 - 498).toLong)
+    }.toMap
+    def slice(v: Array[Long], sub: Int) =
+      v.slice(sub * Sub, (sub + 1) * Sub)
+    def l2sq(a: Array[Long], b: Array[Long]) =
+      a.zip(b).map { case (x, y) => (x - y) * (x - y) }.sum
+    val expected = raw.map { case (id, v) =>
+      id -> (0 until M).map { sub =>
+        (0 until K).minBy(code => (l2sq(slice(v, sub),
+          slice(raw(code.toLong), sub)), code))
+      }
+    }
+    val got = Extensions.pqEncoded(vecs).select($"vec_id", $"codes")
+      .as[(Long, Seq[Int])].collect().toMap
+    raw.keys.foreach { id =>
+      assert(got(id) == expected(id), s"codes diverge for vec $id")
+    }
+  }
+
   test("plan: encode side has no shuffle — model broadcasts, corpus stays put") {
     val enc = Extensions.pqEncoded(vecs)
     val plan = enc.queryExecution.executedPlan.toString
