@@ -65,12 +65,29 @@ object ConnectedComponents {
     * @param delta if true, the edge join carries only labels that
     *              changed last round (Flink delta-iterate shape);
     *              if false, it carries the full label table every
-    *              round. Identical fixpoint and round trajectory
+    *              round. Identical fixpoint
     *              (CorpusPrepOpsSpec pins both against union-find);
     *              see the A/B note below for which wins where.
+    * @param jumpAfter rounds before POINTER JUMPING kicks in. The
+    *              jump (lbl ← lbl[lbl], a mins self-join) doubles
+    *              propagation distance per round — the O(log
+    *              diameter) guarantee — but costs a third exchange
+    *              every round, and the round-7 A/B (CcAbProbe, real
+    *              x30 graph, min-of-3) measured it a net LOSS on
+    *              near-dup graphs, whose dense clusters settle in a
+    *              handful of one-hop rounds anyway: no-jump 4.27 s
+    *              vs jumped 6.65 s at sf0.1 (7 vs 6 rounds), tie at
+    *              sf1 (10.77 vs 10.63 s, 10 vs 8 rounds). The hybrid
+    *              walks one hop per round while the frontier is
+    *              young and flips to jumping only past `jumpAfter` —
+    *              so a pathological long-chain component (the shape
+    *              that needs the guarantee) still converges in
+    *              8 + O(log diameter) rounds, while the common case
+    *              never pays for the self-join.
     * @return (id, component) — component = min node id reachable */
   def label(nodes: DataFrame, edges: DataFrame,
-            maxRounds: Int = 50, delta: Boolean = true): DataFrame = {
+            maxRounds: Int = 50, delta: Boolean = true,
+            jumpAfter: Int = 8): DataFrame = {
     // symmetrize once: propagation must flow both ways along a pair
     val sym = edges.select(col("src"), col("dst"))
       .union(edges.select(col("dst").as("src"), col("src").as("dst")))
@@ -104,10 +121,14 @@ object ConnectedComponents {
       // pointer jump: follow the label one more hop (labels always
       // point at node ids, so the inner self-join is total) — this
       // doubles propagation distance per round, making rounds
-      // logarithmic in the diameter instead of linear
-      val jumped = mins
-        .join(mins.select(col("id").as("lbl"), col("lbl").as("lbl2")), "lbl")
-        .select(col("id"), col("lbl2").as("lbl"), col("old"))
+      // logarithmic in the diameter instead of linear. Deferred
+      // until `jumpAfter` (see scaladoc): the common near-dup graph
+      // converges before it ever fires
+      val stepped = if (round < jumpAfter) mins
+        else mins
+          .join(mins.select(col("id").as("lbl"), col("lbl").as("lbl2")), "lbl")
+          .select(col("id"), col("lbl2").as("lbl"), col("old"))
+      val jumped = stepped
         .localCheckpoint(false) // lazy: the count below materializes it
       // null-safe: an edge endpoint missing from `nodes` surfaces with
       // old=null in its first round — `=!=` would read that as

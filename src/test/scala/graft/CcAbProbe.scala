@@ -81,11 +81,46 @@ object CcAbProbe {
         (n, e)
     }
 
+    // delta frontier WITHOUT the pointer-jump self-join: one less
+    // exchange per round, potentially more rounds (propagation walks
+    // one hop per round instead of doubling)
+    def labelNoJump(nodes: DataFrame, edges: DataFrame): DataFrame = {
+      val sym = edges.select(col("src"), col("dst"))
+        .union(edges.select(col("dst").as("src"), col("src").as("dst")))
+        .persist()
+      sym.count()
+      val lblType = nodes.schema("id").dataType
+      var labels = nodes.select(col("id"), col("id").as("lbl"))
+        .localCheckpoint(true)
+      var front = labels
+      var changed = 1L
+      var round = 0
+      while (changed > 0 && round < 99) {
+        val viaEdge = sym
+          .join(front, sym("src") === front("id"))
+          .select(col("dst").as("id"), col("lbl"),
+            lit(null).cast(lblType).as("old"))
+        val mins = labels
+          .select(col("id"), col("lbl"), col("lbl").as("old"))
+          .union(viaEdge)
+          .groupBy(col("id"))
+          .agg(min(col("lbl")).as("lbl"), max(col("old")).as("old"))
+          .localCheckpoint(false)
+        val changedRows = mins.filter(!(col("lbl") <=> col("old")))
+        changed = changedRows.count()
+        labels = mins.select(col("id"), col("lbl"))
+        front = changedRows.select(col("id"), col("lbl"))
+        round += 1
+      }
+      println(s"    nojump rounds=$round")
+      sym.unpersist()
+      labels.select(col("id"), col("lbl").as("component"))
+    }
+
     val variants: Seq[(String, () => Long)] = Seq(
       "delta1" -> (() => graft.ops.ConnectedComponents
         .label(nodes, edges, delta = true).count()),
-      "full1" -> (() => graft.ops.ConnectedComponents
-        .label(nodes, edges, delta = false).count()),
+      "nojump" -> (() => labelNoJump(nodes, edges).count()),
       "old2" -> (() => labelOld(nodes, edges).count()))
 
     val runs = sys.env.get("PROFILE_RUNS").map(_.toInt).getOrElse(4)

@@ -57,4 +57,67 @@ class RocksDbStateSpec extends AnyFunSuite {
       q.stop()
     } finally prev.fold(spark.conf.unset(key))(spark.conf.set(key, _))
   }
+
+  test("domain-cap admission state is identical under the RocksDB store") {
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key, Sessions.stateStoreProviders("rocksdb"))
+    try {
+      val rich = "the quick brown fox jumps over a lazy dog and then " +
+        "rests of course with ample unique words in this sentence"
+      val docs =
+        (0L until 12L).map(i =>
+          CapDoc(i, if (i % 3 == 0) rich else "x x x x x x", "en", "hot", 1L)) ++
+        (100L until 103L).map(i => CapDoc(i, rich, "en", "small", 1L))
+      val in = MemoryStream[CapDoc]
+      val q = graft.streaming.DocStreams.domainCapStream(in.toDF(), k = 3)
+        .writeStream.format("memory").queryName("rocksCap")
+        .outputMode(OutputMode.Append).start()
+      val shuffled = docs.sortBy(d => (-(d.doc_id % 3), d.doc_id))
+      in.addData(shuffled.take(6)); q.processAllAvailable()
+      in.addData(shuffled.drop(6)); q.processAllAvailable()
+      val events = spark.table("rocksCap")
+        .as[(Long, String, Int, String)].collect()
+      def ids(ev: String) = events.filter(_._4 == ev).map(_._1).toSet
+      val live = ids("admit") -- ids("evict")
+      // same batch-kept-set contract DocStreamsSpec pins on the
+      // default provider — flipping the store must not perturb it
+      val batchKept = graft.queries.Extensions.domainCapped(
+        docs.toDF("doc_id", "text", "lang", "source", "n_chars"), 3, 2)
+        .filter("kept").select("doc_id").as[Long].collect().toSet
+      assert(live == batchKept,
+        s"rocksdb live set $live != batch kept $batchKept")
+      assert(ids("admit").size + ids("reject").size == docs.size)
+      q.stop()
+    } finally prev.fold(spark.conf.unset(key))(spark.conf.set(key, _))
+  }
+
+  test("x50 latest-state upsert view is identical under the RocksDB store") {
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key, Sessions.stateStoreProviders("rocksdb"))
+    try {
+      val in = MemoryStream[Ev]
+      val q = graft.streaming.EventStreams.latestState(in.toDF())
+        .writeStream.format("memory").queryName("rocksCdc")
+        .outputMode("update").start()
+      def state() = spark.table("rocksCdc")
+        .as[(Long, String, Double, java.sql.Timestamp, Boolean)].collect()
+        .groupBy(_._1).map { case (u, rows) =>
+          u -> rows.maxBy(_._4.getTime) }.toMap
+      def ts(iso: String) =
+        java.sql.Timestamp.from(java.time.Instant.parse(iso))
+      in.addData(
+        Ev(1, ts("2024-01-01T10:00:00Z"), 7, "view", 1.0, "{}"),
+        Ev(2, ts("2024-01-01T10:05:00Z"), 7, "purchase", 9.0, "{}"))
+      q.processAllAvailable()
+      // late-arriving older event must not overwrite; newer tombstone must
+      in.addData(Ev(3, ts("2024-01-01T10:01:00Z"), 7, "click", 2.0, "{}"))
+      q.processAllAvailable()
+      assert(state()(7L)._2 == "purchase")
+      in.addData(Ev(4, ts("2024-01-01T10:30:00Z"), 7, "error", 0.0, "{}"))
+      q.processAllAvailable()
+      val s = state()
+      assert(s(7L)._2 == "error" && s(7L)._5, s"tombstone must win: $s")
+      q.stop()
+    } finally prev.fold(spark.conf.unset(key))(spark.conf.set(key, _))
+  }
 }
