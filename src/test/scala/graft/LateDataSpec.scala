@@ -116,4 +116,56 @@ class LateDataSpec extends AnyFunSuite {
       s"a, b, c all land in the 10:00 window: $counts")
     q1.stop(); q2.stop()
   }
+
+  test("allowedLateness mapping: update-mode refinement rows, then drop past allowance") {
+    // pins the documented Flink divergence (LateData scaladoc): Flink
+    // allowedLateness(d) RE-FIRES the window's full result d past the
+    // watermark; the Spark mapping — withWatermark(delay + allowance)
+    // + update sink — emits REFINEMENT rows for the same window
+    // instead, and silently drops rows once behind the extended
+    // watermark. This test pins that exact update-row sequence.
+    val delayPlusAllowance = "30 minutes" // 10m ooo-bound + 20m allowance
+    val in = MemoryStream[Sensor]
+    val q = in.toDS()
+      .withWatermark("ets", delayPlusAllowance)
+      .groupBy(org.apache.spark.sql.functions.window(
+        org.apache.spark.sql.functions.col("ets"), "30 minutes"))
+      .count()
+      .select("window.start", "count")
+      .writeStream.format("memory").queryName("lateness")
+      .outputMode(OutputMode.Update).start()
+    def rows() = spark.table("lateness")
+      .as[(java.sql.Timestamp, Long)].collect().toSeq
+    // batch 1: the 10:00 window fires with count 2
+    in.addData(
+      Sensor("d1", "a", t("2019-06-26T10:00:00Z")),
+      Sensor("d1", "b", t("2019-06-26T10:10:00Z")))
+    q.processAllAvailable()
+    assert(rows() == Seq((t("2019-06-26T10:00:00Z"), 2L)))
+    // batch 2: rows are judged against the watermark as of the batch
+    // START (09:40 here), so the out-of-order 10:15 row is inside the
+    // allowance; the 10:00 window is still open (its end 10:30 is
+    // ahead of the post-batch watermark 10:20) and refines to a
+    // SECOND update row, count=3 — Flink would re-fire the window,
+    // Spark emits the refinement: the pinned divergence.
+    in.addData(
+      Sensor("d1", "adv", t("2019-06-26T10:50:00Z")),
+      Sensor("d1", "late_ok", t("2019-06-26T10:15:00Z")))
+    q.processAllAvailable()
+    assert(rows().toSet ==
+      Set((t("2019-06-26T10:00:00Z"), 2L), (t("2019-06-26T10:00:00Z"), 3L),
+          (t("2019-06-26T10:30:00Z"), 1L)),
+      s"late row within allowance must emit a refinement row: ${rows()}")
+    // batch 3: advance watermark past the 10:00 window's end + let a
+    // too-late row arrive — it must be silently dropped (no new
+    // update row for the 10:00 window)
+    in.addData(Sensor("d1", "adv2", t("2019-06-26T11:30:00Z"))) // wm → 11:00
+    q.processAllAvailable()
+    in.addData(Sensor("d1", "too_late", t("2019-06-26T10:20:00Z")))
+    q.processAllAvailable()
+    val finalRows = rows().filter(_._1 == t("2019-06-26T10:00:00Z"))
+    assert(finalRows.map(_._2).max == 3L,
+      s"row past the allowance must not refine the closed window: ${rows()}")
+    q.stop()
+  }
 }
