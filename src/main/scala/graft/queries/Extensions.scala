@@ -2824,19 +2824,14 @@ object Extensions {
   private[graft] def spanDedupCounts(docs: DataFrame, w: Int = SpanW,
                                      winnow: Int = 1): DataFrame = {
     require(winnow >= 1, s"winnow must be >= 1, got $winnow")
-    val staged = docs.select(col("doc_id"), split(col("text"), " ").as("tk"))
-    // distinct span hashes per doc, built row-locally; docs shorter
-    // than W yield an empty array (sequence(0, n-W) would DESCEND
-    // for n < W — guard it away)
-    val allSpans = array_distinct(transform(
-      sequence(lit(0), size(col("tk")) - w),
-      i => md5(array_join(slice(col("tk"), i + 1, lit(w)), " "))))
-    val sampled = if (winnow == 1) allSpans
-      else filter(allSpans, h =>
-        conv(substr(h, lit(1), lit(8)), 16, 10).cast("long") % winnow === 0)
-    val spans = staged.select(col("doc_id"),
-      explode(when(size(col("tk")) >= w, sampled)
-        .otherwise(array().cast("array<string>"))).as("sh"))
+    // distinct span hashes per doc, built row-locally in ONE fused
+    // native pass (split + rolling window + incremental md5 + winnow
+    // + distinct — graft.functions.SpanHashes; SpanHashesSpec pins it
+    // bit-identical to the HOF formulation it replaced, including the
+    // n < w empty-array guard and the conv-based winnow filter)
+    val spans = docs.select(col("doc_id"),
+      explode(graft.functions.SpanHashes.spanHashes(col("text"), w, winnow))
+        .as("sh"))
       .persist() // the per-span count and the flag join both consume it
     spans.count()
     val perSpan = spans.groupBy(col("sh"))
@@ -3243,21 +3238,39 @@ object Extensions {
   // contributes k wedges to its spokes' buckets, not k² to its own
   // (TriangleSpec's hub fixture pins this).
   private val TriW = 4
+
+  /** Undirected span-sharing edges: (a < b) doc-id pairs that share a
+    * w-token window (fused native [[graft.functions.SpanHashes]]
+    * build — document text never shuffles, only (doc_id, hash) rows).
+    * The dedup-graph substrate under x51 (triangles) and x56
+    * (PageRank); callers persist. */
+  private[graft] def spanEdges(docs: DataFrame, w: Int): DataFrame = {
+    val spans = docs.select(col("doc_id"),
+      explode(graft.functions.SpanHashes.spanHashes(col("text"), w)).as("sh"))
+    spans.select(col("sh"), col("doc_id").as("a"))
+      .join(spans.select(col("sh"), col("doc_id").as("b")), Seq("sh"))
+      .filter(col("a") < col("b"))
+      .select(col("a"), col("b")).distinct()
+  }
+
+  /** DuckDB twin of [[spanEdges]]: `staged`/`spans`/`edges` CTE text
+    * (callers embed after `WITH`). */
+  private def duckSpanEdgesCte(w: Int): String =
+    s"""staged AS (
+              SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+            spans AS (
+              SELECT DISTINCT doc_id,
+                     md5(array_to_string(tk[i+1 : i+$w], ' ')) AS sh
+              FROM staged,
+                   unnest(range(0, GREATEST(len(tk) - ${w - 1}, 0))) AS u(i)),
+            edges AS (
+              SELECT DISTINCT a.doc_id AS a, b.doc_id AS b
+              FROM spans a JOIN spans b ON a.sh = b.sh AND a.doc_id < b.doc_id)"""
+
   private val x51 = GateQuery(
     "x51_triangle_count",
     (s, d) => {
-      val staged = Tables.documents(s, d)
-        .select(col("doc_id"), split(col("text"), " ").as("tk"))
-      val spans = staged.select(col("doc_id"),
-        explode(when(size(col("tk")) >= TriW,
-          array_distinct(transform(
-            sequence(lit(0), size(col("tk")) - TriW),
-            i => md5(array_join(slice(col("tk"), i + 1, lit(TriW)), " ")))))
-          .otherwise(array().cast("array<string>"))).as("sh"))
-      val edges = spans.select(col("sh"), col("doc_id").as("a"))
-        .join(spans.select(col("sh"), col("doc_id").as("b")), Seq("sh"))
-        .filter(col("a") < col("b"))
-        .select(col("a"), col("b")).distinct()
+      val edges = spanEdges(Tables.documents(s, d), TriW)
         .persist() // degree agg + orientation both consume it
       edges.count()
       // Degree orientation: point every edge from its lower-(deg, id)
@@ -3296,16 +3309,7 @@ object Extensions {
         .select(explode(array(col("src"), col("v"), col("w"))).as("doc_id"))
         .groupBy(col("doc_id")).agg(count(lit(1)).as("n_tri")))
     },
-    Some(s"""WITH staged AS (
-              SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
-            spans AS (
-              SELECT DISTINCT doc_id,
-                     md5(array_to_string(tk[i+1 : i+$TriW], ' ')) AS sh
-              FROM staged,
-                   unnest(range(0, GREATEST(len(tk) - ${TriW - 1}, 0))) AS u(i)),
-            edges AS (
-              SELECT DISTINCT a.doc_id AS a, b.doc_id AS b
-              FROM spans a JOIN spans b ON a.sh = b.sh AND a.doc_id < b.doc_id),
+    Some(s"""WITH ${duckSpanEdgesCte(TriW)},
             wedges AS (
               SELECT e1.a, e1.b, e2.b AS c
               FROM edges e1 JOIN edges e2 ON e1.b = e2.a),
@@ -3517,9 +3521,167 @@ object Extensions {
           ORDER BY 1,2,3"""
     })
 
+  // ---------------------------------------------------------------- x56
+  // PageRank over the span-sharing document graph — the canonical
+  // iterative-propagation workload, completing the graph-diagnostic
+  // trio: x30 = reachability (which docs are transitively connected),
+  // x51 = local density (template families vs chance collisions),
+  // x56 = CENTRALITY (which docs sit at the core of a duplication
+  // family — the doc a curation pipeline keeps as the family's
+  // representative, or down-weights as boilerplate nexus).
+  //
+  // INTEGER fixed-point arithmetic throughout (scale 10^6, floor
+  // division): rank sums are order-independent and bit-identical
+  // across engines — no float-summation nondeterminism — so the gate
+  // hash-matches a DuckDB replay of the same recurrence:
+  //   r_0(v)     = S
+  //   r_{t+1}(v) = floor(S·15/100)
+  //              + Σ_{u∈N(v)} floor(r_t(u)·85 / (100·deg(u)))
+  //
+  // Scale shape: classic Pregel-on-relations — per iteration ONE
+  // equi-join of the degree-annotated directed edge list (persisted
+  // once, reused all rounds) against the current rank table, ONE
+  // hash-agg by destination (map-side partial sums). No adjacency
+  // lists as rows (hub-safe, x41's bounded-shard argument), no
+  // driver-side state; 10 fixed iterations = 10 chained shuffles
+  // executed in one action. At 100 TB: edges partition by src, ranks
+  // by v — co-partitioned joins all the way down.
+  private val PrIters = graft.ops.PageRank.DefaultIters
+  private val PrScale = graft.ops.PageRank.DefaultScale
+  private val PrBase = PrScale * 15 / 100
+
+  private val x56 = GateQuery(
+    "x56_pagerank",
+    (s, d) => {
+      val edges = spanEdges(Tables.documents(s, d), TriW).persist()
+      edges.count()
+      ordered(graft.ops.PageRank.run(edges)
+        .select(col("id").as("doc_id"), col("pr")))
+    },
+    Some {
+      val iterCtes = (1 to PrIters).map { t =>
+        s"""r$t AS (
+              SELECT d.dst AS v,
+                     CAST($PrBase + sum((r.r * 85) // (100 * g.dg)) AS BIGINT) AS r
+              FROM dir d JOIN r${t - 1} r ON d.src = r.v
+                         JOIN deg g ON d.src = g.src
+              GROUP BY 1)"""
+      }.mkString(",\n            ")
+      s"""WITH ${duckSpanEdgesCte(TriW)},
+            dir AS (SELECT a AS src, b AS dst FROM edges
+                    UNION ALL SELECT b AS src, a AS dst FROM edges),
+            deg AS (SELECT src, CAST(count(*) AS BIGINT) AS dg
+                    FROM dir GROUP BY 1),
+            r0 AS (SELECT src AS v, CAST($PrScale AS BIGINT) AS r FROM deg),
+            $iterCtes
+          SELECT v AS doc_id, r AS pr FROM r$PrIters ORDER BY 1,2"""
+    })
+
+  // ---------------------------------------------------------------- x57
+  // Retention cohorts over the events stream: users grouped by
+  // first-seen week, distinct actives counted per subsequent week
+  // offset — the standard product-analytics retention triangle, and
+  // (for a training pipeline) the freshness/engagement profile of a
+  // crawl source. Weeks are date_trunc('week') Mondays in both
+  // engines; offsets are exact integer multiples of 7 days, emitted
+  // as BIGINT; week labels emitted as yyyy-MM-dd strings so neither
+  // engine's date/timestamp rendering enters the hash.
+  //
+  // Scale shape: two shuffles — min(ts) by user (map-side partial
+  // min), then distinct-count by (cohort, offset) over rows already
+  // reduced to (user, cohort, offset).distinct — no window sort, no
+  // per-user event ordering.
+  private val x57 = GateQuery(
+    "x57_retention_cohorts",
+    (s, d) => {
+      val ev = Tables.events(s, d).select(col("user_id"), col("ts"))
+      val firstSeen = ev.groupBy(col("user_id"))
+        .agg(min(col("ts")).as("first_ts"))
+      ordered(ev.join(firstSeen, Seq("user_id"))
+        .select(col("user_id"),
+          date_trunc("week", col("first_ts")).as("cw"),
+          date_trunc("week", col("ts")).as("aw"))
+        .select(col("user_id"),
+          date_format(col("cw"), "yyyy-MM-dd").as("cohort_week"),
+          expr("CAST(datediff(aw, cw) div 7 AS BIGINT)").as("week_offset"))
+        .groupBy(col("cohort_week"), col("week_offset"))
+        .agg(countDistinct(col("user_id")).as("n_users")))
+    },
+    Some("""WITH fs AS (
+              SELECT user_id, min(ts) AS first_ts FROM events GROUP BY 1),
+            act AS (
+              SELECT e.user_id,
+                     date_trunc('week', f.first_ts) AS cw,
+                     date_trunc('week', e.ts) AS aw
+              FROM events e JOIN fs f ON e.user_id = f.user_id)
+            SELECT strftime(cw, '%Y-%m-%d') AS cohort_week,
+                   CAST(date_diff('day', cw, aw) // 7 AS BIGINT) AS week_offset,
+                   CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+            FROM act GROUP BY 1,2 ORDER BY 1,2,3"""))
+
+  // ---------------------------------------------------------------- x58
+  // Ordered funnel over the events stream: how many users performed
+  // view, then click strictly after it, then purchase strictly after
+  // that — the classic conversion funnel, computed by min-timestamp
+  // CHAINING (step t's earliest qualifying time feeds step t+1's
+  // strictly-after filter) rather than per-user event sorting.
+  //
+  // Scale shape: one groupBy per step on user_id (map-side partial
+  // min) + one equi-join per step against the previous step's
+  // (user, t) table — no window sort over the event log, no
+  // sessionized state. At 100 TB the step tables are user-cardinality
+  // (≪ event-cardinality) and every join is user-keyed.
+  private val FunnelSteps = Seq("view", "click", "purchase")
+  private val x58 = GateQuery(
+    "x58_funnel",
+    (s, d) => {
+      val ev = Tables.events(s, d)
+        .select(col("user_id"), col("event_type"), col("ts"))
+      def step(prev: Option[DataFrame], name: String): DataFrame = {
+        val base = ev.filter(col("event_type") === name)
+        prev match {
+          case None => base.groupBy(col("user_id"))
+            .agg(min(col("ts")).as("t"))
+          case Some(p) => base
+            .join(p.select(col("user_id"), col("t").as("pt")), Seq("user_id"))
+            .filter(col("ts") > col("pt"))
+            .groupBy(col("user_id")).agg(min(col("ts")).as("t"))
+        }
+      }
+      val s1 = step(None, FunnelSteps(0))
+      val s2 = step(Some(s1), FunnelSteps(1))
+      val s3 = step(Some(s2), FunnelSteps(2))
+      def cnt(df: DataFrame, i: Int): DataFrame =
+        df.agg(count(lit(1)).as("n_users"))
+          .select(lit(i + 1).as("step"),
+            lit(FunnelSteps(i)).as("step_name"), col("n_users"))
+      ordered(cnt(s1, 0).union(cnt(s2, 1)).union(cnt(s3, 2)))
+    },
+    Some(s"""WITH s1 AS (
+              SELECT user_id, min(ts) AS t FROM events
+              WHERE event_type = '${FunnelSteps(0)}' GROUP BY 1),
+            s2 AS (
+              SELECT e.user_id, min(e.ts) AS t
+              FROM events e JOIN s1 ON e.user_id = s1.user_id
+              WHERE e.event_type = '${FunnelSteps(1)}' AND e.ts > s1.t
+              GROUP BY 1),
+            s3 AS (
+              SELECT e.user_id, min(e.ts) AS t
+              FROM events e JOIN s2 ON e.user_id = s2.user_id
+              WHERE e.event_type = '${FunnelSteps(2)}' AND e.ts > s2.t
+              GROUP BY 1)
+            SELECT * FROM (
+              SELECT CAST(1 AS INT) AS step, '${FunnelSteps(0)}' AS step_name,
+                     CAST(count(*) AS BIGINT) AS n_users FROM s1
+              UNION ALL SELECT CAST(2 AS INT), '${FunnelSteps(1)}',
+                     CAST(count(*) AS BIGINT) FROM s2
+              UNION ALL SELECT CAST(3 AS INT), '${FunnelSteps(2)}',
+                     CAST(count(*) AS BIGINT) FROM s3)
+            ORDER BY 1,2,3"""))
+
   val all: Seq[GateQuery] = Seq(x01, x02, x03, x04, x05, x06, x07, x08, x09,
     x10, x11, x12, x13, x14, x15, x16, x17, x18, x19, x20, x21, x22, x23,
     x24, x25, x26, x27, x28, x29, x30, x31, x32, x33, x34, x35, x36, x37,
     x38, x39, x40, x41, x42, x43, x44, x45, x46, x47, x48, x49, x50, x51,
-    x52, x53, x54, x55)
+    x52, x53, x54, x55, x56, x57, x58)
 }
