@@ -2,6 +2,7 @@ package graft.streaming
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
 import org.apache.spark.sql.types._
 import graft.ops.Cols.moneySum
 
@@ -98,4 +99,91 @@ object EventStreams {
       .agg(count(lit(1)).as("n_events"), moneySum(col("value")).as("sum_value"))
       .select(col("user_id"), col("session_window.start").as("session_start"),
               col("n_events"), col("sum_value"))
+
+  /** x58 streaming: the ordered funnel maintained continuously — one
+    * append row (user_id, step, step_name, ts) per step TRANSITION,
+    * carrying exactly the chained min timestamp the batch
+    * min-chaining computes (step t = earliest step-t event strictly
+    * after the step-(t−1) time). A downstream `groupBy(step).count()`
+    * is the live funnel.
+    *
+    * Correctness under disorder: a fold over raw ARRIVAL order is not
+    * order-insensitive — a click arriving before its user's earlier
+    * view would be discarded, yet it qualifies once the view lands —
+    * so events BUFFER in per-user state until the watermark passes
+    * them, then fold in (event-time, event_id) order. Transitions
+    * therefore fire only on finalized prefixes: deterministic, final,
+    * no retractions — the same contract as the CEP engine's
+    * watermark-gated NFA ([[Cep]]), specialized to the monotone
+    * step-chain where full generality isn't needed.
+    *
+    * State per user = the achieved step-time chain (≤ |steps|
+    * timestamps) + the un-finalized buffer (bounded by the lateness
+    * horizon × the user's event rate). Ripe events drain every
+    * trigger — via the key's own new data or the event-time timeout
+    * that re-fires while anything is buffered. Spark's stateful-op
+    * late-row filtering drops arrivals older than the watermark
+    * before they reach the operator, matching the buffered fold's
+    * finality assumption.
+    *
+    * Watermark contract: Catalyst pushes the step-type filter BELOW
+    * the watermark node, so the stream's watermark advances on STEP
+    * events only — a stream of exclusively non-step events never
+    * finalizes buffered transitions (FunnelStreamSpec's sentinels
+    * are step-typed for exactly this reason). */
+  def funnelStream(events: DataFrame,
+                   steps: Seq[String] = Seq("view", "click", "purchase"),
+                   lateness: String = "0 seconds"): DataFrame = {
+    require(steps.nonEmpty, "funnelStream requires at least one step")
+    val spark = events.sparkSession
+    import spark.implicits._
+    import java.sql.Timestamp
+    val typed = events
+      .withWatermark("ts", lateness)
+      .filter(col("event_type").isin(steps: _*))
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+      .as[(Long, Timestamp, Long, String)]
+    // sort key: exact event time to the nanosecond, then event_id
+    def key(e: (Timestamp, Long, String)): (Long, Int, Long) =
+      (e._1.getTime, e._1.getNanos, e._2)
+    typed.groupByKey(_._1)
+      .flatMapGroupsWithState(OutputMode.Append,
+        GroupStateTimeout.EventTimeTimeout) {
+        (user: Long, in: Iterator[(Long, Timestamp, Long, String)],
+         state: GroupState[(List[Timestamp], List[(Timestamp, Long, String)])]) =>
+          val wm = state.getCurrentWatermarkMs()
+          var (achieved, buf) = state.getOption.getOrElse(
+            (Nil: List[Timestamp], Nil: List[(Timestamp, Long, String)]))
+          buf = buf ++ in.map(e => (e._2, e._3, e._4))
+          // ripe = strictly before the watermark millisecond: a
+          // same-ms event with smaller sub-ms fraction could still
+          // arrive, so the boundary ms stays buffered one trigger
+          val (ripe, rest) = buf.partition(_._1.getTime < wm)
+          val out = List.newBuilder[(Long, Int, String, Timestamp)]
+          ripe.sortBy(key).foreach { case (t, _, tp) =>
+            val next = achieved.length
+            if (next < steps.length && tp == steps(next) &&
+                achieved.forall(prev => t.compareTo(prev) > 0)) {
+              achieved = t :: achieved
+              out += ((user, next + 1, steps(next), t))
+            }
+          }
+          // a user with NO progress and NO buffer is indistinguishable
+          // from a fresh one — drop the state. A user with progress
+          // keeps it FOREVER (forgetting a completed funnel would let
+          // a later event restart it and re-emit transitions); a
+          // completed user's buffer is useless — drop it.
+          val keepBuf =
+            if (achieved.length == steps.length) Nil else rest
+          if (achieved.isEmpty && keepBuf.isEmpty) state.remove()
+          else {
+            state.update((achieved, keepBuf))
+            if (keepBuf.nonEmpty)
+              state.setTimeoutTimestamp(
+                math.max(keepBuf.map(_._1.getTime).min, wm + 1))
+          }
+          out.result().iterator
+      }
+      .toDF("user_id", "step", "step_name", "ts")
+  }
 }

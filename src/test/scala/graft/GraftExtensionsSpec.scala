@@ -60,6 +60,32 @@ class GraftExtensionsSpec extends AnyFunSuite {
       val mhaNoPfx = s2.sql("SELECT minhash_arr(array('tok')) AS m")
         .collect().head.getSeq[Long](0)
       assert(mhaNoPfx.length == 16 && mhaNoPfx != mha)
+      // round-7 natives: span_hashes, long_cosine, freq_candidates,
+      // pq_encode/pq_adc all resolve through the extension
+      val sp = s2.sql("SELECT span_hashes('a b c', 2) AS s, md5('a b') AS e")
+        .collect().head
+      assert(sp.getSeq[String](0).length == 2 &&
+        sp.getSeq[String](0).head == sp.getString(1))
+      val spw = s2.sql("SELECT span_hashes('a b c', 2, 1000000007) AS s")
+        .collect().head.getSeq[String](0)
+      assert(spw.isEmpty, "a huge winnow modulus filters everything")
+      val lc = s2.sql(
+        "SELECT long_cosine(array(3L, 4L), array(3L, 4L)) AS c")
+        .collect().head.getDouble(0)
+      assert(lc == 1.0)
+      val fc = s2.sql(
+        "SELECT freq_candidates(t) AS f FROM VALUES ('a'), ('a'), ('b') AS v(t)")
+        .collect().head
+      assert(!fc.isNullAt(0))
+      val pq = s2.sql(
+        """SELECT pq_encode(array(1L, 9L), array(0L, 8L), 2, 1, 1) AS c""")
+        .collect().head.getSeq[Int](0)
+      assert(pq == Seq(0, 0), "single codeword per subspace -> code 0")
+      val adc = s2.sql(
+        """SELECT pq_adc(array(1L, 9L), array(0, 0), array(0L, 8L),
+                         2, 1, 1) AS d""")
+        .collect().head.getLong(0)
+      assert(adc == 2L, "(1-0)^2 + (9-8)^2")
     } finally {
       SparkSession.setActiveSession(shared)
       SparkSession.setDefaultSession(shared)
