@@ -131,6 +131,74 @@ object EventStreams {
     * events only — a stream of exclusively non-step events never
     * finalizes buffered transitions (FunnelStreamSpec's sentinels
     * are step-typed for exactly this reason). */
+  /** x57 streaming: the retention triangle maintained continuously —
+    * one append row (user_id, cohort_week, week_offset) the FIRST
+    * time a user is active in a given week offset from their cohort
+    * (first-seen) week; a downstream
+    * `groupBy(cohort_week, week_offset).count()` is the live
+    * retention table, equal to batch x57's distinct-user counts
+    * because rows are already unique per (user, offset).
+    *
+    * Disorder threatens the COHORT here: a late-arriving earlier
+    * event re-bases first_seen, shifting every offset already
+    * emitted — a retraction no append stream can express. So, like
+    * [[funnelStream]], events buffer in per-user state until the
+    * watermark passes them and fold in (event-time, event_id) order:
+    * the cohort is assigned by the true earliest finalized event and
+    * never moves. State per user = cohort epoch-day + emitted
+    * offsets + the un-finalized buffer (lateness-horizon-bounded).
+    * Weeks are UTC date_trunc('week') Mondays, emitted yyyy-MM-dd —
+    * bit-matching the batch gate's labels. */
+  def retentionStream(events: DataFrame,
+                      lateness: String = "0 seconds"): DataFrame = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    import java.sql.Timestamp
+    import java.time.{DayOfWeek, ZoneOffset}
+    import java.time.temporal.TemporalAdjusters
+    def weekDay(t: Timestamp): Long =
+      t.toInstant.atZone(ZoneOffset.UTC).toLocalDate
+        .`with`(TemporalAdjusters.previousOrSame(DayOfWeek.MONDAY))
+        .toEpochDay
+    val typed = events
+      .withWatermark("ts", lateness)
+      .select(col("user_id"), col("ts"), col("event_id"))
+      .as[(Long, Timestamp, Long)]
+    typed.groupByKey(_._1)
+      .flatMapGroupsWithState(OutputMode.Append,
+        GroupStateTimeout.EventTimeTimeout) {
+        (user: Long, in: Iterator[(Long, Timestamp, Long)],
+         state: GroupState[(Long, List[Long], List[(Timestamp, Long)])]) =>
+          val wm = state.getCurrentWatermarkMs()
+          // cohort epoch-day (−1 = unassigned), emitted offsets, buffer
+          var (cohort, seen, buf) = state.getOption.getOrElse(
+            (-1L, Nil: List[Long], Nil: List[(Timestamp, Long)]))
+          buf = buf ++ in.map(e => (e._2, e._3))
+          val (ripe, rest) = buf.partition(_._1.getTime < wm)
+          val out = List.newBuilder[(Long, String, Long)]
+          ripe.sortBy(e => (e._1.getTime, e._1.getNanos, e._2))
+            .foreach { case (t, _) =>
+              val wd = weekDay(t)
+              if (cohort < 0) cohort = wd
+              val off = (wd - cohort) / 7
+              if (!seen.contains(off)) {
+                seen = off :: seen
+                out += ((user,
+                  java.time.LocalDate.ofEpochDay(cohort).toString, off))
+              }
+            }
+          if (cohort < 0 && rest.isEmpty) state.remove()
+          else {
+            state.update((cohort, seen, rest))
+            if (rest.nonEmpty)
+              state.setTimeoutTimestamp(
+                math.max(rest.map(_._1.getTime).min, wm + 1))
+          }
+          out.result().iterator
+      }
+      .toDF("user_id", "cohort_week", "week_offset")
+  }
+
   def funnelStream(events: DataFrame,
                    steps: Seq[String] = Seq("view", "click", "purchase"),
                    lateness: String = "0 seconds"): DataFrame = {
