@@ -3254,16 +3254,21 @@ object Extensions {
   }
 
   /** DuckDB twin of [[spanEdges]]: `staged`/`spans`/`edges` CTE text
-    * (callers embed after `WITH`). */
+    * (callers embed after `WITH`). MATERIALIZED matters: DuckDB
+    * inlines a CTE per reference, and both consumers (x51's wedge +
+    * closing joins, x56's per-iteration joins) reference these
+    * repeatedly — without the hint the span self-join re-executes per
+    * reference (x56's sf1 oracle: >300 s inlined, 12 s materialized,
+    * identical rows). */
   private def duckSpanEdgesCte(w: Int): String =
-    s"""staged AS (
+    s"""staged AS MATERIALIZED (
               SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
-            spans AS (
+            spans AS MATERIALIZED (
               SELECT DISTINCT doc_id,
                      md5(array_to_string(tk[i+1 : i+$w], ' ')) AS sh
               FROM staged,
                    unnest(range(0, GREATEST(len(tk) - ${w - 1}, 0))) AS u(i)),
-            edges AS (
+            edges AS MATERIALIZED (
               SELECT DISTINCT a.doc_id AS a, b.doc_id AS b
               FROM spans a JOIN spans b ON a.sh = b.sh AND a.doc_id < b.doc_id)"""
 
@@ -3568,9 +3573,11 @@ object Extensions {
               GROUP BY 1)"""
       }.mkString(",\n            ")
       s"""WITH ${duckSpanEdgesCte(TriW)},
-            dir AS (SELECT a AS src, b AS dst FROM edges
+            dir AS MATERIALIZED (
+                    SELECT a AS src, b AS dst FROM edges
                     UNION ALL SELECT b AS src, a AS dst FROM edges),
-            deg AS (SELECT src, CAST(count(*) AS BIGINT) AS dg
+            deg AS MATERIALIZED (
+                    SELECT src, CAST(count(*) AS BIGINT) AS dg
                     FROM dir GROUP BY 1),
             r0 AS (SELECT src AS v, CAST($PrScale AS BIGINT) AS r FROM deg),
             $iterCtes
