@@ -3686,9 +3686,103 @@ object Extensions {
                      CAST(count(*) AS BIGINT) FROM s3)
             ORDER BY 1,2,3"""))
 
+  // ---------------------------------------------------------------- x59
+  // SCD2 history build: the changelog's OTHER materialization. x50
+  // compacts to latest-state-wins; x59 builds the full slowly-
+  // changing-dimension type-2 history — one row per STATE CHANGE with
+  // [valid_from, valid_to) interval and an is_current flag — the
+  // lakehouse dimension-table shape every warehouse downstream of a
+  // CDC feed maintains. Consecutive identical states collapse (a
+  // repeated reading is not a change).
+  //
+  // Scale shape: one hash shuffle on the entity key + in-partition
+  // sort, two window passes over the SAME partitioning (lag to
+  // detect changes, lead over the changes to close intervals) — no
+  // self-join, no per-entity collect. Timestamps emitted as
+  // microsecond strings (the q18 parity pattern) and the open
+  // interval as a sentinel, so no NULL ever reaches the output.
+  private val TsFmt = "yyyy-MM-dd HH:mm:ss.SSSSSS"
+  private val DuckTsFmt = "%Y-%m-%d %H:%M:%S.%f"
+  private val OpenEnd = "9999-12-31 00:00:00.000000"
+  private val x59 = GateQuery(
+    "x59_scd2_history",
+    (s, d) => {
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("event_id"))
+      val changes = Tables.events(s, d)
+        .select(col("user_id"), col("event_type").as("state"),
+          col("ts"), col("event_id"))
+        .withColumn("prev", lag(col("state"), 1).over(w))
+        .filter(col("prev").isNull || col("prev") =!= col("state"))
+      val w2 = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("event_id"))
+      ordered(changes
+        .withColumn("nxt", lead(col("ts"), 1).over(w2))
+        .select(col("user_id"), col("event_id"), col("state"),
+          date_format(col("ts"), TsFmt).as("valid_from"),
+          coalesce(date_format(col("nxt"), TsFmt), lit(OpenEnd))
+            .as("valid_to"),
+          col("nxt").isNull.as("is_current")))
+    },
+    Some(s"""WITH seq AS (
+              SELECT user_id, event_type AS state, ts, event_id,
+                     lag(event_type) OVER (
+                       PARTITION BY user_id ORDER BY ts, event_id) AS prev
+              FROM events),
+            chg AS (
+              SELECT user_id, state, ts, event_id FROM seq
+              WHERE prev IS NULL OR prev <> state)
+            SELECT user_id, event_id, state,
+                   strftime(ts, '$DuckTsFmt') AS valid_from,
+                   coalesce(strftime(lead(ts) OVER (
+                       PARTITION BY user_id ORDER BY ts, event_id),
+                     '$DuckTsFmt'), '$OpenEnd') AS valid_to,
+                   lead(ts) OVER (
+                     PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+                     AS is_current
+            FROM chg ORDER BY 1,2,3,4,5,6"""))
+
+  // ---------------------------------------------------------------- x60
+  // Deterministic weighted sampling (priority sampling): select K
+  // docs where selection probability rises with quality — the
+  // training-mix move between uniform sampling (x25) and hard
+  // capping (x54). Priority = hash/weight (Duffield-style priority
+  // sampling with a content hash standing in for the uniform draw):
+  // reproducible on any cluster, no RNG state, and a doc's fate is a
+  // pure function of its content + weight. IEEE double division of
+  // exact integers is bit-specified, so even the float priority
+  // hash-matches the oracle.
+  //
+  // Scale shape: per-row score + ONE global top-K
+  // (TakeOrderedAndProject: map-side partial top-K per partition, K
+  // rows to the driver stage — never a full sort of the corpus).
+  private val PrioK = 100
+  private val x60 = GateQuery(
+    "x60_weighted_sample",
+    (s, d) => {
+      val scored = qualityScored(Tables.documents(s, d), carry = Seq("text"))
+      val prio = hex32(md5(col("text"))).cast("double") /
+        (col("quality_score") + 1).cast("double")
+      ordered(scored
+        .withColumn("prio", prio)
+        .orderBy(col("prio"), col("doc_id"))
+        .limit(PrioK)
+        .select(col("doc_id"), col("quality_score"), col("prio")))
+    },
+    Some(s"""WITH $duckQualityCte,
+            pr AS (
+              SELECT q.doc_id, q.quality_score,
+                     CAST(${duckHex32("md5(d.text)")} AS DOUBLE) /
+                       (q.quality_score + 1) AS prio
+              FROM qsc q JOIN documents d ON q.doc_id = d.doc_id)
+            SELECT * FROM (
+              SELECT doc_id, quality_score, prio FROM pr
+              ORDER BY prio, doc_id LIMIT $PrioK)
+            ORDER BY 1,2,3"""))
+
   val all: Seq[GateQuery] = Seq(x01, x02, x03, x04, x05, x06, x07, x08, x09,
     x10, x11, x12, x13, x14, x15, x16, x17, x18, x19, x20, x21, x22, x23,
     x24, x25, x26, x27, x28, x29, x30, x31, x32, x33, x34, x35, x36, x37,
     x38, x39, x40, x41, x42, x43, x44, x45, x46, x47, x48, x49, x50, x51,
-    x52, x53, x54, x55, x56, x57, x58)
+    x52, x53, x54, x55, x56, x57, x58, x59, x60)
 }
