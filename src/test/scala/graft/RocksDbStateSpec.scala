@@ -120,4 +120,61 @@ class RocksDbStateSpec extends AnyFunSuite {
       q.stop()
     } finally prev.fold(spark.conf.unset(key))(spark.conf.set(key, _))
   }
+
+  private def tsOf(iso: String) =
+    java.sql.Timestamp.from(java.time.Instant.parse(iso))
+
+  test("funnel buffered fold + timeouts are identical under the RocksDB store") {
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key, Sessions.stateStoreProviders("rocksdb"))
+    try {
+      val in = MemoryStream[Ev]
+      val q = graft.streaming.EventStreams.funnelStream(in.toDF())
+        .writeStream.format("memory").queryName("rocksFun")
+        .outputMode("append").start()
+      // the FunnelStreamSpec disorder fixture: click arrives before
+      // its user's earlier view; sentinels drain via timeouts
+      in.addData(Ev(1, tsOf("2024-01-01T10:05:00Z"), 1, "click", 1.0, "{}"),
+                 Ev(2, tsOf("2024-01-01T10:00:00Z"), 1, "view", 1.0, "{}"))
+      q.processAllAvailable()
+      in.addData(Ev(3, tsOf("2024-01-01T10:10:00Z"), 1, "purchase", 1.0, "{}"))
+      q.processAllAvailable()
+      Seq("12:00", "13:00", "14:00").zipWithIndex.foreach { case (h, i) =>
+        in.addData(Ev(90 + i, tsOf(s"2024-01-01T$h:00Z"), 9, "view", 1.0, "{}"))
+        q.processAllAvailable()
+      }
+      val got = spark.table("rocksFun")
+        .as[(Long, Int, String, java.sql.Timestamp)].collect()
+        .filter(_._1 == 1L).toSet
+      assert(got == Set(
+        (1L, 1, "view", tsOf("2024-01-01T10:00:00Z")),
+        (1L, 2, "click", tsOf("2024-01-01T10:05:00Z")),
+        (1L, 3, "purchase", tsOf("2024-01-01T10:10:00Z"))))
+      q.stop()
+    } finally prev.fold(spark.conf.unset(key))(spark.conf.set(key, _))
+  }
+
+  test("retention cohort state is identical under the RocksDB store") {
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key, Sessions.stateStoreProviders("rocksdb"))
+    try {
+      val in = MemoryStream[Ev]
+      val q = graft.streaming.EventStreams.retentionStream(in.toDF())
+        .writeStream.format("memory").queryName("rocksRet")
+        .outputMode("append").start()
+      // cohort-rebase fixture: the earlier event arrives second
+      in.addData(Ev(1, tsOf("2024-01-10T12:00:00Z"), 1, "click", 1.0, "{}"),
+                 Ev(2, tsOf("2024-01-02T09:00:00Z"), 1, "click", 1.0, "{}"))
+      q.processAllAvailable()
+      Seq("2024-02-01", "2024-02-02", "2024-02-03").zipWithIndex.foreach {
+        case (d, i) =>
+          in.addData(Ev(90 + i, tsOf(s"${d}T00:00:00Z"), 9, "click", 1.0, "{}"))
+          q.processAllAvailable()
+      }
+      val got = spark.table("rocksRet")
+        .as[(Long, String, Long)].collect().filter(_._1 == 1L).toSet
+      assert(got == Set((1L, "2024-01-01", 0L), (1L, "2024-01-01", 1L)))
+      q.stop()
+    } finally prev.fold(spark.conf.unset(key))(spark.conf.set(key, _))
+  }
 }
