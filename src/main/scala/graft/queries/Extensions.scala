@@ -3701,9 +3701,9 @@ object Extensions {
   // self-join, no per-entity collect. Timestamps emitted as
   // microsecond strings (the q18 parity pattern) and the open
   // interval as a sentinel, so no NULL ever reaches the output.
-  private val TsFmt = "yyyy-MM-dd HH:mm:ss.SSSSSS"
+  private[graft] val TsFmt = "yyyy-MM-dd HH:mm:ss.SSSSSS"
   private val DuckTsFmt = "%Y-%m-%d %H:%M:%S.%f"
-  private val OpenEnd = "9999-12-31 00:00:00.000000"
+  private[graft] val OpenEnd = "9999-12-31 00:00:00.000000"
   private val x59 = GateQuery(
     "x59_scd2_history",
     (s, d) => {

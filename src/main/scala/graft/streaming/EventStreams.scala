@@ -199,6 +199,75 @@ object EventStreams {
       .toDF("user_id", "cohort_week", "week_offset")
   }
 
+  /** x59 streaming: the SCD2 dimension history maintained
+    * continuously. Append rows carry full interval records; an
+    * interval first appears OPEN (sentinel valid_to, is_current) and
+    * is re-emitted CLOSED when the next state change finalizes — the
+    * CDC-sink upsert pattern, so the live dimension is the LATEST row
+    * per (user_id, event_id) and equals batch x59 over the same
+    * events (Scd2StreamSpec pins it on the real corpus).
+    *
+    * Disorder: an out-of-order event can change WHICH transitions
+    * exist (a late earlier event splits or absorbs an interval), so —
+    * like [[funnelStream]]/[[retentionStream]] — events buffer until
+    * the watermark passes them and fold in (event-time, event_id)
+    * order: every emitted interval is final except for its single
+    * possible close re-emission. State per user = the open interval +
+    * the un-finalized buffer. */
+  def scd2Stream(events: DataFrame,
+                 lateness: String = "0 seconds"): DataFrame = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    import java.sql.Timestamp
+    val tsFmt = graft.queries.Extensions.TsFmt
+    val openEnd = graft.queries.Extensions.OpenEnd
+    val typed = events
+      .withWatermark("ts", lateness)
+      .select(col("user_id"), col("ts"), col("event_id"),
+        col("event_type"))
+      .as[(Long, Timestamp, Long, String)]
+    typed.groupByKey(_._1)
+      .flatMapGroupsWithState(OutputMode.Append,
+        GroupStateTimeout.EventTimeTimeout) {
+        (user: Long, in: Iterator[(Long, Timestamp, Long, String)],
+         state: GroupState[(String, Option[(Timestamp, Long)],
+                            List[(Timestamp, Long, String)])]) =>
+          // built here: DateTimeFormatter is not serializable
+          val fmt = java.time.format.DateTimeFormatter
+            .ofPattern(tsFmt).withZone(java.time.ZoneOffset.UTC)
+          def f(t: Timestamp): String = fmt.format(t.toInstant)
+          val wm = state.getCurrentWatermarkMs()
+          // (open-interval state name, open (from, event_id), buffer)
+          var (lastState, open, buf) = state.getOption.getOrElse(
+            ("", None: Option[(Timestamp, Long)],
+              Nil: List[(Timestamp, Long, String)]))
+          buf = buf ++ in.map(e => (e._2, e._3, e._4))
+          val (ripe, rest) = buf.partition(_._1.getTime < wm)
+          val out = List.newBuilder[(Long, Long, String, String, String, Boolean)]
+          ripe.sortBy(e => (e._1.getTime, e._1.getNanos, e._2))
+            .foreach { case (t, id, st) =>
+              if (open.isEmpty || st != lastState) {
+                open.foreach { case (from, oid) =>
+                  out += ((user, oid, lastState, f(from), f(t), false))
+                }
+                out += ((user, id, st, f(t), openEnd, true))
+                lastState = st
+                open = Some((t, id))
+              }
+            }
+          if (open.isEmpty && rest.isEmpty) state.remove()
+          else {
+            state.update((lastState, open, rest))
+            if (rest.nonEmpty)
+              state.setTimeoutTimestamp(
+                math.max(rest.map(_._1.getTime).min, wm + 1))
+          }
+          out.result().iterator
+      }
+      .toDF("user_id", "event_id", "state", "valid_from", "valid_to",
+        "is_current")
+  }
+
   def funnelStream(events: DataFrame,
                    steps: Seq[String] = Seq("view", "click", "purchase"),
                    lateness: String = "0 seconds"): DataFrame = {
