@@ -1,0 +1,53 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Plan-shape assertions for the round-7 analytics gates: the scale
+  * claims in their scaladocs must be visible in the executed plans,
+  * not just asserted in prose. */
+class AnalyticsPlanSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+
+  private val dir = "/root/testdata/sf0.001"
+
+  private def planOf(name: String): String = {
+    val df = SparkEntry.queries(name)(spark, dir)
+    df.collect()
+    df.queryExecution.executedPlan.toString
+  }
+
+  test("x60 weighted sample: global top-K is TakeOrdered, never a corpus sort+limit") {
+    val plan = planOf("x60_weighted_sample")
+    assert(plan.contains("TakeOrderedAndProject"), plan)
+    // the only Sort is ordered()'s final output sort of K rows — the
+    // selection itself must not globally sort the corpus
+    assert(!plan.contains("GlobalLimit"), s"sort+limit shape leaked:\n$plan")
+  }
+
+  test("x59 SCD2: both window passes ride ONE user-keyed shuffle") {
+    // AQE's plan string appends an "== Initial Plan ==" duplicate —
+    // count only the executed final section
+    val plan = planOf("x59_scd2_history").split("== Initial Plan ==")(0)
+    val exchanges = "Exchange hashpartitioning\\(user_id".r
+      .findAllIn(plan).length
+    assert(exchanges == 1,
+      s"expected 1 user_id exchange (lag + lead share it), got $exchanges:\n$plan")
+    // and the second window must NOT re-sort: one Sort on (user, ts, id)
+    val sorts = "Sort \\[user_id[^\\]]*ts".r.findAllIn(plan).length
+    assert(sorts == 1, s"expected the windows to share one sort, got $sorts")
+  }
+
+  test("x58 funnel: every join is user-keyed; no event-log window sort") {
+    val plan = planOf("x58_funnel")
+    assert(!plan.contains("Window"), s"funnel must not window-sort:\n$plan")
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"), plan)
+  }
+
+  test("x57 retention: no window sort; aggregates carry partial (map-side) phases") {
+    val plan = planOf("x57_retention_cohorts")
+    assert(!plan.contains("Window"), plan)
+    assert(plan.contains("partial_min") || plan.contains("partial_count") ||
+      plan.contains("HashAggregate"), plan)
+  }
+}
