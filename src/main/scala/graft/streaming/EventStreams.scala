@@ -122,9 +122,15 @@ object EventStreams {
     * horizon × the user's event rate). Ripe events drain every
     * trigger — via the key's own new data or the event-time timeout
     * that re-fires while anything is buffered. Spark's stateful-op
-    * late-row filtering drops arrivals older than the watermark
-    * before they reach the operator, matching the buffered fold's
-    * finality assumption.
+    * late-row filtering drops arrivals AT or older than the watermark
+    * (ts <= wm, verified empirically) before they reach the operator,
+    * matching the buffered fold's finality assumption — but note the
+    * boundary: under `lateness = "0 seconds"` an event whose time
+    * exactly TIES a previous trigger's max event time is dropped.
+    * Give a nonzero lateness budget whenever exact event-time ties
+    * can straddle triggers (StreamFoldPropertiesSpec exercises this
+    * with tie-heavy corpora at 1 s lateness); the same contract
+    * applies to [[retentionStream]] and [[scd2Stream]].
     *
     * Watermark contract: Catalyst pushes the step-type filter BELOW
     * the watermark node, so the stream's watermark advances on STEP
