@@ -3780,9 +3780,68 @@ object Extensions {
               ORDER BY prio, doc_id LIMIT $PrioK)
             ORDER BY 1,2,3"""))
 
+  // ---------------------------------------------------------------- x61
+  // Source-overlap matrix: pairwise exact bigram Jaccard between
+  // SOURCES — the corpus-diversity report a curation pipeline reads
+  // before weighting a mix (two crawls of the same registry look
+  // independent at the doc level until their vocabularies turn out
+  // 90% shared). Doc-granularity overlap is x14/x55's job; this is
+  // the registry-level rollup.
+  //
+  // Scale shape: (source, bigram) DISTINCT pairs (vocab × sources
+  // rows — document text collapses to per-source vocabularies
+  // first), then a bigram-keyed self-join whose output is bounded by
+  // |sources|² per bigram. EXACT is the right tool for a bounded
+  // source registry (language × curated-crawl, hundreds); for
+  // open-domain keys (millions of hosts) the move is per-key
+  // sketches (x18's HLL + inclusion-exclusion) or doc-level LSH
+  // (x04) — quadratic-in-sources exactness is priced for registries,
+  // and that bound is the documented contract.
+  private val x61 = GateQuery(
+    "x61_source_overlap",
+    (s, d) => {
+      val st = Tables.documents(s, d)
+        .select(col("source"), explode(bigramsExpr).as("tok"))
+        .distinct()
+        .persist() // sizes agg + pair self-join both consume it
+      st.count()
+      val sizes = st.groupBy(col("source")).agg(count(lit(1)).as("n"))
+      val pairs = st.as("a")
+        .join(st.as("b"), col("a.tok") === col("b.tok") &&
+          col("a.source") < col("b.source"))
+        .groupBy(col("a.source").as("src_a"), col("b.source").as("src_b"))
+        .agg(count(lit(1)).as("inter"))
+      ordered(pairs
+        .join(sizes.select(col("source").as("src_a"), col("n").as("na")),
+          Seq("src_a"))
+        .join(sizes.select(col("source").as("src_b"), col("n").as("nb")),
+          Seq("src_b"))
+        .select(col("src_a"), col("src_b"), col("inter"),
+          (col("inter").cast("double") /
+            (col("na") + col("nb") - col("inter"))).as("jaccard")))
+    },
+    Some(s"""WITH staged AS (
+              SELECT source, string_split(text, ' ') AS tk FROM documents),
+            st AS MATERIALIZED (
+              SELECT DISTINCT source, tok
+              FROM (SELECT source, unnest($duckBigrams) AS tok FROM staged)),
+            sizes AS (SELECT source, count(*) AS n FROM st GROUP BY 1),
+            pairs AS (
+              SELECT a.source AS src_a, b.source AS src_b,
+                     CAST(count(*) AS BIGINT) AS inter
+              FROM st a JOIN st b
+                ON a.tok = b.tok AND a.source < b.source
+              GROUP BY 1, 2)
+            SELECT p.src_a, p.src_b, p.inter,
+                   CAST(p.inter AS DOUBLE) / (sa.n + sb.n - p.inter) AS jaccard
+            FROM pairs p
+            JOIN sizes sa ON sa.source = p.src_a
+            JOIN sizes sb ON sb.source = p.src_b
+            ORDER BY 1,2,3,4"""))
+
   val all: Seq[GateQuery] = Seq(x01, x02, x03, x04, x05, x06, x07, x08, x09,
     x10, x11, x12, x13, x14, x15, x16, x17, x18, x19, x20, x21, x22, x23,
     x24, x25, x26, x27, x28, x29, x30, x31, x32, x33, x34, x35, x36, x37,
     x38, x39, x40, x41, x42, x43, x44, x45, x46, x47, x48, x49, x50, x51,
-    x52, x53, x54, x55, x56, x57, x58, x59, x60)
+    x52, x53, x54, x55, x56, x57, x58, x59, x60, x61)
 }
