@@ -2,7 +2,6 @@ package graft.streaming
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
 import org.apache.spark.sql.types._
 import graft.ops.Cols.moneySum
 
@@ -100,6 +99,108 @@ object EventStreams {
       .select(col("user_id"), col("session_window.start").as("session_start"),
               col("n_events"), col("sum_value"))
 
+  /** x57 streaming: the retention triangle maintained continuously —
+    * one append row (user_id, cohort_week, week_offset) the FIRST
+    * time a user is active in a given week offset from their cohort
+    * (first-seen) week; a downstream
+    * `groupBy(cohort_week, week_offset).count()` is the live
+    * retention table, equal to batch x57's distinct-user counts
+    * because rows are already unique per (user, offset).
+    *
+    * Disorder threatens the COHORT here: a late-arriving earlier
+    * event re-bases first_seen, shifting every offset already
+    * emitted — a retraction no append stream can express. So, like
+    * [[funnelStream]], events buffer in per-user state until the
+    * watermark passes them and fold in (event-time, event_id) order:
+    * the cohort is assigned by the true earliest finalized event and
+    * never moves. State per user = cohort epoch-day + emitted
+    * offsets + the un-finalized buffer (lateness-horizon-bounded).
+    * Weeks are UTC date_trunc('week') Mondays, emitted yyyy-MM-dd —
+    * bit-matching the batch gate's labels. */
+  def retentionStream(events: DataFrame,
+                      lateness: String = "0 seconds"): DataFrame = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    import java.sql.Timestamp
+    import java.time.{DayOfWeek, ZoneOffset}
+    import java.time.temporal.TemporalAdjusters
+    def weekDay(t: Timestamp): Long =
+      t.toInstant.atZone(ZoneOffset.UTC).toLocalDate
+        .`with`(TemporalAdjusters.previousOrSame(DayOfWeek.MONDAY))
+        .toEpochDay
+    val typed = events
+      .withWatermark("ts", lateness)
+      .select(col("user_id"), col("ts"), col("event_id"))
+      .as[(Long, Timestamp, Long)]
+    // state = (cohort epoch-day, −1 = unassigned; emitted offsets)
+    BufferedFold.run[Long, (Long, Timestamp, Long),
+        (Long, List[Long]), (Long, String, Long)](
+      typed, _._1, _._2, _._3, (-1L, Nil),
+      step = { case ((cohort0, seen), (user, t, _)) =>
+        val wd = weekDay(t)
+        val cohort = if (cohort0 < 0) wd else cohort0
+        val off = (wd - cohort) / 7
+        if (!seen.contains(off))
+          ((cohort, off :: seen), List((user,
+            java.time.LocalDate.ofEpochDay(cohort).toString, off)))
+        else ((cohort, seen), Nil)
+      },
+      retain = _._1 >= 0)
+      .toDF("user_id", "cohort_week", "week_offset")
+  }
+
+  /** x59 streaming: the SCD2 dimension history maintained
+    * continuously. Append rows carry full interval records; an
+    * interval first appears OPEN (sentinel valid_to, is_current) and
+    * is re-emitted CLOSED when the next state change finalizes — the
+    * CDC-sink upsert pattern, so the live dimension is the LATEST row
+    * per (user_id, event_id) and equals batch x59 over the same
+    * events (Scd2StreamSpec pins it on the real corpus).
+    *
+    * Disorder: an out-of-order event can change WHICH transitions
+    * exist (a late earlier event splits or absorbs an interval), so —
+    * like [[funnelStream]]/[[retentionStream]] — events buffer until
+    * the watermark passes them and fold in (event-time, event_id)
+    * order: every emitted interval is final except for its single
+    * possible close re-emission. State per user = the open interval +
+    * the un-finalized buffer. */
+  def scd2Stream(events: DataFrame,
+                 lateness: String = "0 seconds"): DataFrame = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    import java.sql.Timestamp
+    val tsFmt = graft.queries.Extensions.TsFmt
+    val openEnd = graft.queries.Extensions.OpenEnd
+    val typed = events
+      .withWatermark("ts", lateness)
+      .select(col("user_id"), col("ts"), col("event_id"),
+        col("event_type"))
+      .as[(Long, Timestamp, Long, String)]
+    // state = (open-interval state name, open (from, event_id)).
+    // The per-event formatter cost is fine: fmt construction happens
+    // inside step via a lazy holder (DateTimeFormatter itself is not
+    // serializable, so it cannot be captured).
+    BufferedFold.run[Long, (Long, Timestamp, Long, String),
+        (String, Option[(Timestamp, Long)]),
+        (Long, Long, String, String, String, Boolean)](
+      typed, _._1, _._2, _._3, ("", None),
+      step = { case ((lastState, open), (user, t, id, st)) =>
+        val fmt = java.time.format.DateTimeFormatter
+          .ofPattern(tsFmt).withZone(java.time.ZoneOffset.UTC)
+        def f(x: Timestamp): String = fmt.format(x.toInstant)
+        if (open.isEmpty || st != lastState) {
+          val closed = open.toList.map { case (from, oid) =>
+            (user, oid, lastState, f(from), f(t), false)
+          }
+          ((st, Some((t, id))),
+            closed :+ ((user, id, st, f(t), openEnd, true)))
+        } else ((lastState, open), Nil)
+      },
+      retain = _._2.isDefined)
+      .toDF("user_id", "event_id", "state", "valid_from", "valid_to",
+        "is_current")
+  }
+
   /** x58 streaming: the ordered funnel maintained continuously — one
     * append row (user_id, step, step_name, ts) per step TRANSITION,
     * carrying exactly the chained min timestamp the batch
@@ -137,143 +238,6 @@ object EventStreams {
     * events only — a stream of exclusively non-step events never
     * finalizes buffered transitions (FunnelStreamSpec's sentinels
     * are step-typed for exactly this reason). */
-  /** x57 streaming: the retention triangle maintained continuously —
-    * one append row (user_id, cohort_week, week_offset) the FIRST
-    * time a user is active in a given week offset from their cohort
-    * (first-seen) week; a downstream
-    * `groupBy(cohort_week, week_offset).count()` is the live
-    * retention table, equal to batch x57's distinct-user counts
-    * because rows are already unique per (user, offset).
-    *
-    * Disorder threatens the COHORT here: a late-arriving earlier
-    * event re-bases first_seen, shifting every offset already
-    * emitted — a retraction no append stream can express. So, like
-    * [[funnelStream]], events buffer in per-user state until the
-    * watermark passes them and fold in (event-time, event_id) order:
-    * the cohort is assigned by the true earliest finalized event and
-    * never moves. State per user = cohort epoch-day + emitted
-    * offsets + the un-finalized buffer (lateness-horizon-bounded).
-    * Weeks are UTC date_trunc('week') Mondays, emitted yyyy-MM-dd —
-    * bit-matching the batch gate's labels. */
-  def retentionStream(events: DataFrame,
-                      lateness: String = "0 seconds"): DataFrame = {
-    val spark = events.sparkSession
-    import spark.implicits._
-    import java.sql.Timestamp
-    import java.time.{DayOfWeek, ZoneOffset}
-    import java.time.temporal.TemporalAdjusters
-    def weekDay(t: Timestamp): Long =
-      t.toInstant.atZone(ZoneOffset.UTC).toLocalDate
-        .`with`(TemporalAdjusters.previousOrSame(DayOfWeek.MONDAY))
-        .toEpochDay
-    val typed = events
-      .withWatermark("ts", lateness)
-      .select(col("user_id"), col("ts"), col("event_id"))
-      .as[(Long, Timestamp, Long)]
-    typed.groupByKey(_._1)
-      .flatMapGroupsWithState(OutputMode.Append,
-        GroupStateTimeout.EventTimeTimeout) {
-        (user: Long, in: Iterator[(Long, Timestamp, Long)],
-         state: GroupState[(Long, List[Long], List[(Timestamp, Long)])]) =>
-          val wm = state.getCurrentWatermarkMs()
-          // cohort epoch-day (−1 = unassigned), emitted offsets, buffer
-          var (cohort, seen, buf) = state.getOption.getOrElse(
-            (-1L, Nil: List[Long], Nil: List[(Timestamp, Long)]))
-          buf = buf ++ in.map(e => (e._2, e._3))
-          val (ripe, rest) = buf.partition(_._1.getTime < wm)
-          val out = List.newBuilder[(Long, String, Long)]
-          ripe.sortBy(e => (e._1.getTime, e._1.getNanos, e._2))
-            .foreach { case (t, _) =>
-              val wd = weekDay(t)
-              if (cohort < 0) cohort = wd
-              val off = (wd - cohort) / 7
-              if (!seen.contains(off)) {
-                seen = off :: seen
-                out += ((user,
-                  java.time.LocalDate.ofEpochDay(cohort).toString, off))
-              }
-            }
-          if (cohort < 0 && rest.isEmpty) state.remove()
-          else {
-            state.update((cohort, seen, rest))
-            if (rest.nonEmpty)
-              state.setTimeoutTimestamp(
-                math.max(rest.map(_._1.getTime).min, wm + 1))
-          }
-          out.result().iterator
-      }
-      .toDF("user_id", "cohort_week", "week_offset")
-  }
-
-  /** x59 streaming: the SCD2 dimension history maintained
-    * continuously. Append rows carry full interval records; an
-    * interval first appears OPEN (sentinel valid_to, is_current) and
-    * is re-emitted CLOSED when the next state change finalizes — the
-    * CDC-sink upsert pattern, so the live dimension is the LATEST row
-    * per (user_id, event_id) and equals batch x59 over the same
-    * events (Scd2StreamSpec pins it on the real corpus).
-    *
-    * Disorder: an out-of-order event can change WHICH transitions
-    * exist (a late earlier event splits or absorbs an interval), so —
-    * like [[funnelStream]]/[[retentionStream]] — events buffer until
-    * the watermark passes them and fold in (event-time, event_id)
-    * order: every emitted interval is final except for its single
-    * possible close re-emission. State per user = the open interval +
-    * the un-finalized buffer. */
-  def scd2Stream(events: DataFrame,
-                 lateness: String = "0 seconds"): DataFrame = {
-    val spark = events.sparkSession
-    import spark.implicits._
-    import java.sql.Timestamp
-    val tsFmt = graft.queries.Extensions.TsFmt
-    val openEnd = graft.queries.Extensions.OpenEnd
-    val typed = events
-      .withWatermark("ts", lateness)
-      .select(col("user_id"), col("ts"), col("event_id"),
-        col("event_type"))
-      .as[(Long, Timestamp, Long, String)]
-    typed.groupByKey(_._1)
-      .flatMapGroupsWithState(OutputMode.Append,
-        GroupStateTimeout.EventTimeTimeout) {
-        (user: Long, in: Iterator[(Long, Timestamp, Long, String)],
-         state: GroupState[(String, Option[(Timestamp, Long)],
-                            List[(Timestamp, Long, String)])]) =>
-          // built here: DateTimeFormatter is not serializable
-          val fmt = java.time.format.DateTimeFormatter
-            .ofPattern(tsFmt).withZone(java.time.ZoneOffset.UTC)
-          def f(t: Timestamp): String = fmt.format(t.toInstant)
-          val wm = state.getCurrentWatermarkMs()
-          // (open-interval state name, open (from, event_id), buffer)
-          var (lastState, open, buf) = state.getOption.getOrElse(
-            ("", None: Option[(Timestamp, Long)],
-              Nil: List[(Timestamp, Long, String)]))
-          buf = buf ++ in.map(e => (e._2, e._3, e._4))
-          val (ripe, rest) = buf.partition(_._1.getTime < wm)
-          val out = List.newBuilder[(Long, Long, String, String, String, Boolean)]
-          ripe.sortBy(e => (e._1.getTime, e._1.getNanos, e._2))
-            .foreach { case (t, id, st) =>
-              if (open.isEmpty || st != lastState) {
-                open.foreach { case (from, oid) =>
-                  out += ((user, oid, lastState, f(from), f(t), false))
-                }
-                out += ((user, id, st, f(t), openEnd, true))
-                lastState = st
-                open = Some((t, id))
-              }
-            }
-          if (open.isEmpty && rest.isEmpty) state.remove()
-          else {
-            state.update((lastState, open, rest))
-            if (rest.nonEmpty)
-              state.setTimeoutTimestamp(
-                math.max(rest.map(_._1.getTime).min, wm + 1))
-          }
-          out.result().iterator
-      }
-      .toDF("user_id", "event_id", "state", "valid_from", "valid_to",
-        "is_current")
-  }
-
   def funnelStream(events: DataFrame,
                    steps: Seq[String] = Seq("view", "click", "purchase"),
                    lateness: String = "0 seconds"): DataFrame = {
@@ -286,47 +250,22 @@ object EventStreams {
       .filter(col("event_type").isin(steps: _*))
       .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
       .as[(Long, Timestamp, Long, String)]
-    // sort key: exact event time to the nanosecond, then event_id
-    def key(e: (Timestamp, Long, String)): (Long, Int, Long) =
-      (e._1.getTime, e._1.getNanos, e._2)
-    typed.groupByKey(_._1)
-      .flatMapGroupsWithState(OutputMode.Append,
-        GroupStateTimeout.EventTimeTimeout) {
-        (user: Long, in: Iterator[(Long, Timestamp, Long, String)],
-         state: GroupState[(List[Timestamp], List[(Timestamp, Long, String)])]) =>
-          val wm = state.getCurrentWatermarkMs()
-          var (achieved, buf) = state.getOption.getOrElse(
-            (Nil: List[Timestamp], Nil: List[(Timestamp, Long, String)]))
-          buf = buf ++ in.map(e => (e._2, e._3, e._4))
-          // ripe = strictly before the watermark millisecond: a
-          // same-ms event with smaller sub-ms fraction could still
-          // arrive, so the boundary ms stays buffered one trigger
-          val (ripe, rest) = buf.partition(_._1.getTime < wm)
-          val out = List.newBuilder[(Long, Int, String, Timestamp)]
-          ripe.sortBy(key).foreach { case (t, _, tp) =>
-            val next = achieved.length
-            if (next < steps.length && tp == steps(next) &&
-                achieved.forall(prev => t.compareTo(prev) > 0)) {
-              achieved = t :: achieved
-              out += ((user, next + 1, steps(next), t))
-            }
-          }
-          // a user with NO progress and NO buffer is indistinguishable
-          // from a fresh one — drop the state. A user with progress
-          // keeps it FOREVER (forgetting a completed funnel would let
-          // a later event restart it and re-emit transitions); a
-          // completed user's buffer is useless — drop it.
-          val keepBuf =
-            if (achieved.length == steps.length) Nil else rest
-          if (achieved.isEmpty && keepBuf.isEmpty) state.remove()
-          else {
-            state.update((achieved, keepBuf))
-            if (keepBuf.nonEmpty)
-              state.setTimeoutTimestamp(
-                math.max(keepBuf.map(_._1.getTime).min, wm + 1))
-          }
-          out.result().iterator
-      }
+    // state = achieved step-time chain, newest first. A user with
+    // progress keeps state FOREVER (forgetting a completed funnel
+    // would let a later event restart it and re-emit transitions);
+    // a completed user's buffer is useless — bufferDone drops it.
+    BufferedFold.run[Long, (Long, Timestamp, Long, String),
+        List[Timestamp], (Long, Int, String, Timestamp)](
+      typed, _._1, _._2, _._3, Nil,
+      step = { case (achieved, (user, t, _, tp)) =>
+        val next = achieved.length
+        if (next < steps.length && tp == steps(next) &&
+            achieved.forall(prev => t.compareTo(prev) > 0))
+          (t :: achieved, List((user, next + 1, steps(next), t)))
+        else (achieved, Nil)
+      },
+      retain = _.nonEmpty,
+      bufferDone = _.length == steps.length)
       .toDF("user_id", "step", "step_name", "ts")
   }
 }
