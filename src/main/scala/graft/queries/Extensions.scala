@@ -3839,9 +3839,59 @@ object Extensions {
             JOIN sizes sb ON sb.source = p.src_b
             ORDER BY 1,2,3,4"""))
 
+  // ---------------------------------------------------------------- x62
+  // Two-hop reach: for every doc in the span-sharing graph, how many
+  // docs sit within ≤ 2 hops — the dedup BLAST RADIUS. x30 answers
+  // "which component" (unbounded transitive closure, iterative);
+  // x62 answers "how far does this doc's duplication influence
+  // spread" with a FIXED two-join plan — the quick template-family
+  // size estimate a curation pass runs before deciding whether the
+  // full component build is even needed.
+  //
+  // Scale shape: direction-doubled edge list self-joined once on the
+  // middle vertex (hop-2 paths), unioned with hop-1, distinct, one
+  // count agg — all equi-shuffles on vertex ids, (long, long) rows
+  // only. The wedge join is Θ(Σ deg²): hub-quadratic like any
+  // unoriented 2-path enumeration, which is exactly the signal — a
+  // doc with a huge 2-hop reach IS in a hub family — but at 100 TB
+  // a degree cap (drop vertices above deg D before the wedge, x54's
+  // capping argument) bounds the worst case; the gate runs uncapped
+  // on the bounded testdata graph.
+  private val x62 = GateQuery(
+    "x62_two_hop_reach",
+    (s, d) => {
+      val edges = spanEdges(Tables.documents(s, d), TriW).persist()
+      edges.count()
+      val dir = edges.select(col("a").as("src"), col("b").as("dst"))
+        .union(edges.select(col("b").as("src"), col("a").as("dst")))
+      val hop2 = dir.select(col("src"), col("dst").as("mid"))
+        .join(dir.select(col("src").as("mid"), col("dst").as("far")),
+          Seq("mid"))
+        .select(col("src"), col("far").as("dst"))
+      ordered(dir.union(hop2)
+        .filter(col("src") =!= col("dst"))
+        .distinct()
+        .groupBy(col("src").as("doc_id"))
+        .agg(count(lit(1)).as("n_reach")))
+    },
+    Some(s"""WITH ${duckSpanEdgesCte(TriW)},
+            dir AS MATERIALIZED (
+              SELECT a AS src, b AS dst FROM edges
+              UNION ALL SELECT b AS src, a AS dst FROM edges),
+            hop2 AS (
+              SELECT d1.src, d2.dst
+              FROM dir d1 JOIN dir d2 ON d1.dst = d2.src),
+            reach AS (
+              SELECT DISTINCT src, dst FROM (
+                SELECT src, dst FROM dir
+                UNION ALL SELECT src, dst FROM hop2)
+              WHERE src <> dst)
+            SELECT src AS doc_id, CAST(count(*) AS BIGINT) AS n_reach
+            FROM reach GROUP BY 1 ORDER BY 1,2"""))
+
   val all: Seq[GateQuery] = Seq(x01, x02, x03, x04, x05, x06, x07, x08, x09,
     x10, x11, x12, x13, x14, x15, x16, x17, x18, x19, x20, x21, x22, x23,
     x24, x25, x26, x27, x28, x29, x30, x31, x32, x33, x34, x35, x36, x37,
     x38, x39, x40, x41, x42, x43, x44, x45, x46, x47, x48, x49, x50, x51,
-    x52, x53, x54, x55, x56, x57, x58, x59, x60, x61)
+    x52, x53, x54, x55, x56, x57, x58, x59, x60, x61, x62)
 }
