@@ -3239,18 +3239,47 @@ object Extensions {
   // (TriangleSpec's hub fixture pins this).
   private val TriW = 4
 
+  /** Docs-per-span frequency cap for [[spanEdges]] (the standard
+    * frequent-shingle drop): a span shared by more than this many
+    * documents is a STOPWORD span ("in the of a") — it carries no
+    * duplication signal and would contribute df² join rows, the one
+    * quadratic that kills a span graph at 100 TB. Dropping it bounds
+    * every span's edge contribution at cap·(cap−1)/2. On the
+    * testdata corpora max df is 4 (sf0.01) / 6 (sf0.1), so the
+    * default cap changes nothing at gate scale (SpanCapSpec proves
+    * the bound on a skewed fixture; the DuckDB oracles replay the
+    * same cap). */
+  private[graft] val SpanDfCap = 64
+
   /** Undirected span-sharing edges: (a < b) doc-id pairs that share a
     * w-token window (fused native [[graft.functions.SpanHashes]]
     * build — document text never shuffles, only (doc_id, hash) rows).
-    * The dedup-graph substrate under x51 (triangles) and x56
-    * (PageRank); callers persist. */
-  private[graft] def spanEdges(docs: DataFrame, w: Int): DataFrame = {
+    * The dedup-graph substrate under x51 (triangles), x56 (PageRank)
+    * and x62 (two-hop reach); callers persist.
+    *
+    * Scale shape: ONE hash groupBy. Spans collapse to per-span doc
+    * lists; a span kept by the df cap has AT MOST `maxDf` docs, so —
+    * uniquely here, where the cap itself bounds row width — the list
+    * row is hub-safe by construction and pairs explode from it
+    * directly: Σ C(df,2) output rows with no join-back and no
+    * self-join shuffle (the previous shape paid three exchanges and
+    * df² pre-filter join rows per span). Singleton spans (the vast
+    * majority of a real corpus) die in the same filter: df=1 makes
+    * no edge. */
+  private[graft] def spanEdges(docs: DataFrame, w: Int,
+                               maxDf: Int = SpanDfCap): DataFrame = {
     val spans = docs.select(col("doc_id"),
       explode(graft.functions.SpanHashes.spanHashes(col("text"), w)).as("sh"))
-    spans.select(col("sh"), col("doc_id").as("a"))
-      .join(spans.select(col("sh"), col("doc_id").as("b")), Seq("sh"))
-      .filter(col("a") < col("b"))
-      .select(col("a"), col("b")).distinct()
+    spans.groupBy(col("sh"))
+      .agg(collect_set(col("doc_id")).as("ds"))
+      .filter(size(col("ds")).between(2, maxDf))
+      .select(explode(expr(
+        """flatten(transform(sequence(0, size(ds) - 2),
+          |  i -> transform(sequence(i + 1, size(ds) - 1),
+          |    j -> struct(least(ds[i], ds[j]) AS a,
+          |                greatest(ds[i], ds[j]) AS b))))""".stripMargin))
+        .as("p"))
+      .select(col("p.a"), col("p.b")).distinct()
   }
 
   /** DuckDB twin of [[spanEdges]]: `staged`/`spans`/`edges` CTE text
@@ -3259,8 +3288,10 @@ object Extensions {
     * closing joins, x56's per-iteration joins) reference these
     * repeatedly — without the hint the span self-join re-executes per
     * reference (x56's sf1 oracle: >300 s inlined, 12 s materialized,
-    * identical rows). */
-  private def duckSpanEdgesCte(w: Int): String =
+    * identical rows). Replays [[SpanDfCap]]: spans shared by more
+    * than `maxDf` docs make no edges, exactly the Spark side's
+    * frequent-shingle drop. */
+  private def duckSpanEdgesCte(w: Int, maxDf: Int = SpanDfCap): String =
     s"""staged AS MATERIALIZED (
               SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
             spans AS MATERIALIZED (
@@ -3268,9 +3299,14 @@ object Extensions {
                      md5(array_to_string(tk[i+1 : i+$w], ' ')) AS sh
               FROM staged,
                    unnest(range(0, GREATEST(len(tk) - ${w - 1}, 0))) AS u(i)),
+            kept AS MATERIALIZED (
+              SELECT sh FROM spans GROUP BY sh
+              HAVING count(*) BETWEEN 2 AND $maxDf),
             edges AS MATERIALIZED (
               SELECT DISTINCT a.doc_id AS a, b.doc_id AS b
-              FROM spans a JOIN spans b ON a.sh = b.sh AND a.doc_id < b.doc_id)"""
+              FROM spans a
+              JOIN kept k ON a.sh = k.sh
+              JOIN spans b ON a.sh = b.sh AND a.doc_id < b.doc_id)"""
 
   private val x51 = GateQuery(
     "x51_triangle_count",
@@ -3853,10 +3889,12 @@ object Extensions {
   // count agg — all equi-shuffles on vertex ids, (long, long) rows
   // only. The wedge join is Θ(Σ deg²): hub-quadratic like any
   // unoriented 2-path enumeration, which is exactly the signal — a
-  // doc with a huge 2-hop reach IS in a hub family — but at 100 TB
-  // a degree cap (drop vertices above deg D before the wedge, x54's
-  // capping argument) bounds the worst case; the gate runs uncapped
-  // on the bounded testdata graph.
+  // doc with a huge 2-hop reach IS in a hub family. The substrate's
+  // docs-per-span cap ([[SpanDfCap]]) already bounds per-span degree
+  // contribution at edge-construction time; a residual degree cap
+  // (drop vertices above deg D before the wedge, x54's capping
+  // argument) would bound multi-span hubs too — the gate runs with
+  // the substrate cap only, a no-op on the testdata graph.
   private val x62 = GateQuery(
     "x62_two_hop_reach",
     (s, d) => {
