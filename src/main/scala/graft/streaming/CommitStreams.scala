@@ -20,8 +20,10 @@ import graft.ops.Cols._
   * and bounded — watermarks expire window state, the CEP state holds
   * only pending 'added' timestamps inside the 1-day horizon, and the
   * running counters keep one long per key. Nothing buffers raw
-  * events except the windowed summary's per-committer pairs (Q7),
-  * which is bounded by committers-per-repo-day, not events.
+  * events: the windowed summary (Q7) pre-aggregates per committer in
+  * a first stateful level, so even its second level's state is one
+  * row per (repo, day, committer) — bounded by committers, not
+  * events.
   */
 object CommitStreams {
 
@@ -89,32 +91,48 @@ object CommitStreams {
       .agg(count(lit(1)).as("cnt"))
       .select(col("window.start").as("window_start"), col("commit_type"), col("cnt"))
 
-  /** Q7 (:172-239) streaming daily summaries. Streaming forbids
-    * chained aggregations and exact `countDistinct`, so the rollup is
-    * one windowed aggregation collecting (bounded) per-committer
-    * pairs, with distinct-count and tie-joined mode computed by array
-    * expressions at emission. */
+  /** Q7 (:172-239) streaming daily summaries as TWO chained stateful
+    * aggregations (Spark's multiple-stateful-operator support: the
+    * second level re-windows on the first level's `window` column),
+    * mirroring the batch two-level rollup
+    * ([[graft.queries.CommitQueries.q7]]):
+    *
+    *  - level 1 keys (window, repo, committer) and keeps ONE
+    *    (count, total) row per key — raw commits are absorbed into
+    *    map-side partials, never buffered;
+    *  - level 2 keys (window, repo); its `collect_list` sees one row
+    *    per COMMITTER, so state is bounded by committers-per-repo-day
+    *    — not events — and the exact distinct-committer count is a
+    *    plain row count (exact `countDistinct` stays unsupported in
+    *    streaming; pre-grouping sidesteps it).
+    *
+    * Both levels emit in append mode when the watermark passes the
+    * day's end; the tie-joined mode is an array expression over the
+    * bounded per-committer list (CommitStreamsSpec pins the
+    * georgios,jeroen tie against the batch gate). */
   def dailySummaries(commits: DataFrame): DataFrame = {
-    val committers = col("committers")
-    val counts = transform(array_distinct(committers),
-      c => struct(size(filter(committers, x => x === c)).as("cnt"), c.as("name")))
-    val mx = array_max(transform(counts, p => p.getField("cnt")))
-    commits.select(ts.as("ets"), repoFromUrl(col("url")).as("repo"),
+    val perCommitter = commits
+      .select(ts.as("ets"), repoFromUrl(col("url")).as("repo"),
         col("commit.committer.name").as("committer"),
         coalesce(col("stats.total"), lit(0)).as("total"))
       .withWatermark("ets", "0 seconds")
-      .groupBy(window(col("ets"), "1 day"), col("repo"))
-      .agg(count(lit(1)).as("amountOfCommits"),
-           collect_list(col("committer")).as("committers"),
-           sum(col("total")).as("totalChanges"))
-      .filter(col("amountOfCommits") > 20 &&
-              size(array_distinct(committers)) <= 2)
+      .groupBy(window(col("ets"), "1 day"), col("repo"), col("committer"))
+      .agg(count(lit(1)).as("cnt"), sum(col("total")).as("tot"))
+    val cc = col("cc")
+    val mx = array_max(transform(cc, p => p.getField("cnt")))
+    perCommitter
+      .groupBy(window(col("window"), "1 day"), col("repo"))
+      .agg(sum(col("cnt")).as("amountOfCommits"),
+           count(lit(1)).as("amountOfCommitters"),
+           sum(col("tot")).as("totalChanges"),
+           collect_list(struct(col("cnt"), col("committer").as("name"))).as("cc"))
+      .filter(col("amountOfCommits") > 20 && col("amountOfCommitters") <= 2)
       .select(col("repo"), dayKey(col("window.start")).as("date"),
         col("amountOfCommits"),
-        size(array_distinct(committers)).cast("long").as("amountOfCommitters"),
+        col("amountOfCommitters").cast("long"),
         col("totalChanges"),
         array_join(array_sort(transform(
-          filter(counts, p => p.getField("cnt") === mx),
+          filter(cc, p => p.getField("cnt") === mx),
           p => p.getField("name"))), ",").as("mostPopularCommitter"))
   }
 

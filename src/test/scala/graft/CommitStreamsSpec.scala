@@ -131,6 +131,39 @@ class CommitStreamsSpec extends AnyFunSuite {
     q.stop()
   }
 
+  test("streaming Q7 twin equals batch q7 on the tie fixture (chained stateful aggs)") {
+    // 22 commits on one (repo, day): georgios 11, jeroen 11 — passes
+    // the >20 / <=2-committers gate with a tie-joined mode. Same
+    // fixture shape as the batch gate's tie case.
+    val day = "2019-06-26"
+    val st = (n: Int) => Some(graft.schema.Protocol.Stats(n, 0, 0))
+    val commits = (1 to 11).flatMap { i =>
+      Seq(commit(s"g$i", t(f"${day}T${i + 1}%02d:00:00Z"), committer = "georgios",
+            repo = "tudelft/bdp", stats = st(2)),
+          commit(s"j$i", t(f"${day}T${i + 1}%02d:30:00Z"), committer = "jeroen",
+            repo = "tudelft/bdp", stats = st(3)))
+    }
+    val in = MemoryStream[Commit]
+    val (q, sink) = startQuery(CommitStreams.dailySummaries(in.toDF()),
+      OutputMode.Append)
+    in.addData(commits)
+    q.processAllAvailable()
+    // both stateful levels need the watermark to pass the day's end
+    // and propagate; trailing sentinel batches flush them
+    (1 to 3).foreach { k =>
+      in.addData(commit(s"s$k", t(f"2019-06-28T$k%02d:00:00Z")))
+      q.processAllAvailable()
+    }
+    val got = spark.table(sink)
+      .as[(String, String, Long, Long, Long, String)].collect().toSeq
+    val want = graft.queries.CommitQueries.q7(commits.toDS().toDF())
+      .as[(String, String, Long, Long, Long, String)].collect().toSeq
+    assert(want.nonEmpty && got == want,
+      s"streaming twin diverged: got=$got want=$want")
+    assert(got.head._6 == "georgios,jeroen")
+    q.stop()
+  }
+
   test("CEP state machine: match within a day, first-match consumption, no stale matches") {
     val in = MemoryStream[Commit]
     val (q, sink) = startQuery(
