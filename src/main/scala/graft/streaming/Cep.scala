@@ -52,12 +52,38 @@ object SkipStrategy {
   final case class SkipToLast(name: String) extends SkipStrategy
 }
 
-/** One pattern stage: a name (for match selection), its guard, its
-  * contiguity kind, and — for a one-or-more stage — an optional
-  * `until` stop condition that terminates the run. */
-final case class PatternStep[E](name: String, pred: E => Boolean,
-                                kind: StepKind = StepKind.Relaxed,
-                                until: Option[E => Boolean] = None)
+/** Read-only view of a partial match's already-accepted events — the
+  * argument FlinkCEP's `IterativeCondition.Context` hands a guard
+  * (`ctx.getEventsForPattern`), so a stage can be conditioned on the
+  * MATCHED PREFIX ("next price above the mean of the matched run").
+  * Backed by the partial's own event list: no extra state, no copy —
+  * a view allocated per guard evaluation. */
+final class MatchedPrefix[E] private[streaming] (
+    steps: Vector[PatternStep[E]], accRev: List[(Int, E)]) {
+
+  /** Events already matched to stage `name`, match order (oldest
+    * first) — Flink's `ctx.getEventsForPattern(name)`. A quantified
+    * stage's guard sees the run absorbed SO FAR under its own name. */
+  def eventsFor(name: String): Seq[E] = {
+    val idx = steps.zipWithIndex.collect {
+      case (st, i) if st.name == name => i }.toSet
+    accRev.reverse.collect { case (i, e) if idx(i) => e }
+  }
+
+  /** Every already-matched event across all stages, match order. */
+  def all: Seq[E] = accRev.reverse.map(_._2)
+
+  def isEmpty: Boolean = accRev.isEmpty
+}
+
+/** One pattern stage: a name (for match selection), its guard (over
+  * the event AND the matched prefix — plain `where` guards ignore
+  * the prefix), its contiguity kind, and — for a one-or-more stage —
+  * an optional `until` stop condition that terminates the run. */
+final case class PatternStep[E](
+    name: String, pred: (E, MatchedPrefix[E]) => Boolean,
+    kind: StepKind = StepKind.Relaxed,
+    until: Option[E => Boolean] = None)
 
 /** Flink-CEP-style sequential event pattern
   * (`Pattern.begin(...).where(...).followedBy(...).within(...)`,
@@ -90,11 +116,21 @@ final case class EventPattern[E] private (
   /** Conjoin a guard onto the most recent LOGICAL step (Flink
     * `.where`): after [[times]], every clone of the repeated stage
     * shares its name, and the guard applies to all of them. */
-  def where(p: E => Boolean): EventPattern[E] = {
+  def where(p: E => Boolean): EventPattern[E] =
+    whereIterative((e, _) => p(e))
+
+  /** Conjoin an ITERATIVE guard (FlinkCEP `IterativeCondition`): the
+    * guard also sees the partial's [[MatchedPrefix]] — the events
+    * every earlier stage (and a quantified current stage) has already
+    * accepted — so conditions like "next value above the mean of the
+    * matched run" are expressible. Applies to every clone of a
+    * [[times]]-expanded stage, like [[where]]. */
+  def whereIterative(p: (E, MatchedPrefix[E]) => Boolean): EventPattern[E] = {
     val nm = steps.last.name
     copy(steps = steps.map { st =>
       if (st.name != nm) st
-      else { val prev = st.pred; st.copy(pred = e => prev(e) && p(e)) }
+      else { val prev = st.pred
+             st.copy(pred = (e, ctx) => prev(e, ctx) && p(e, ctx)) }
     })
   }
 
@@ -104,11 +140,17 @@ final case class EventPattern[E] private (
     * `OrCondition(prev, p)` — so `.where(a).or(b).where(c)` reads
     * `(a || b) && c`. Applies to every clone of a [[times]]-expanded
     * stage, like [[where]]. */
-  def or(p: E => Boolean): EventPattern[E] = {
+  def or(p: E => Boolean): EventPattern[E] =
+    orIterative((e, _) => p(e))
+
+  /** Disjoin an iterative guard — [[or]] with [[MatchedPrefix]]
+    * access, FlinkCEP's `or(IterativeCondition)`. */
+  def orIterative(p: (E, MatchedPrefix[E]) => Boolean): EventPattern[E] = {
     val nm = steps.last.name
     copy(steps = steps.map { st =>
       if (st.name != nm) st
-      else { val prev = st.pred; st.copy(pred = e => prev(e) || p(e)) }
+      else { val prev = st.pred
+             st.copy(pred = (e, ctx) => prev(e, ctx) || p(e, ctx)) }
     })
   }
 
@@ -223,7 +265,7 @@ final case class EventPattern[E] private (
 
   private def append(name: String, kind: StepKind): EventPattern[E] = {
     require(!steps.exists(_.name == name), s"duplicate step name: $name")
-    copy(steps = steps :+ PatternStep[E](name, _ => true, kind))
+    copy(steps = steps :+ PatternStep[E](name, (_, _) => true, kind))
   }
 
   /** Append a relaxed-contiguity stage (Flink `.followedBy`). */
@@ -254,7 +296,7 @@ object EventPattern {
   /** Start a pattern with its first stage (Flink `Pattern.begin`).
     * No `within` means unbounded state, as in Flink. */
   def begin[E](name: String): EventPattern[E] =
-    EventPattern(Vector(PatternStep[E](name, _ => true)), Long.MaxValue)
+    EventPattern(Vector(PatternStep[E](name, (_, _) => true)), Long.MaxValue)
 }
 
 /** Generic CEP runtime: compiles an [[EventPattern]] to a keyed NFA
@@ -383,22 +425,24 @@ object Cep {
       val kept = List.newBuilder[Partial[E]]
       partials.foreach { case p @ (stage, t0, acc) =>
         val inWindow = t >= t0 && t <= deadline(withinMs, t0)
+        // iterative-condition context: the partial's matched prefix
+        val ctx = new MatchedPrefix(steps, acc)
         steps(stage).kind match {
           case StepKind.Relaxed =>
-            if (inWindow && steps(stage).pred(e)) consume(kept, t0, acc, stage, e)
+            if (inWindow && steps(stage).pred(e, ctx)) consume(kept, t0, acc, stage, e)
             else kept += p // relaxed contiguity: partial stays open
           case StepKind.Strict =>
             // the key's next event either matches or kills; an
             // out-of-window event can't match and kills too
-            if (inWindow && steps(stage).pred(e)) consume(kept, t0, acc, stage, e)
+            if (inWindow && steps(stage).pred(e, ctx)) consume(kept, t0, acc, stage, e)
             // else: drop p
           case StepKind.Negative =>
             // advance-first: satisfying the NEXT stage wins over the
             // forbidden guard when an event matches both
             val advances = stage + 1 < steps.length && inWindow &&
-              steps(stage + 1).pred(e)
+              steps(stage + 1).pred(e, ctx)
             if (advances) consume(kept, t0, acc, stage + 1, e)
-            else if (inWindow && steps(stage).pred(e)) {
+            else if (inWindow && steps(stage).pred(e, ctx)) {
               // forbidden event observed: kill (drop p)
             } else kept += p
           case StepKind.Repeated =>
@@ -415,15 +459,15 @@ object Cep {
             }
             // greedy: absorbing wins over advancing; the run ends on
             // an event that matches the NEXT stage but not this one
-            else if (inWindow && steps(stage).pred(e))
+            else if (inWindow && steps(stage).pred(e, ctx))
               kept += ((stage, t0, (stage, e) :: acc))
             else if (hasRun && stage + 1 < steps.length &&
-              inWindow && steps(stage + 1).pred(e))
+              inWindow && steps(stage + 1).pred(e, ctx))
               consume(kept, t0, acc, stage + 1, e)
             else kept += p // relaxed: skip the non-matching event
           case StepKind.Optional =>
             // greedy: taken if its guard matches first…
-            if (inWindow && steps(stage).pred(e)) consume(kept, t0, acc, stage, e)
+            if (inWindow && steps(stage).pred(e, ctx)) consume(kept, t0, acc, stage, e)
             else {
               // …skipped when a later stage's guard matches first:
               // scan past consecutive untaken optional stages (the
@@ -431,15 +475,15 @@ object Cep {
               // accepts the event
               var j = stage + 1
               while (j < steps.length && steps(j).kind == StepKind.Optional &&
-                !steps(j).pred(e)) j += 1
-              if (j < steps.length && inWindow && steps(j).pred(e))
+                !steps(j).pred(e, ctx)) j += 1
+              if (j < steps.length && inWindow && steps(j).pred(e, ctx))
                 consume(kept, t0, acc, j, e)
               else kept += p
             }
         }
       }
       partials = kept.result()
-      if (steps.head.pred(e)) { // an event may also open a new partial
+      if (steps.head.pred(e, new MatchedPrefix(steps, Nil))) { // an event may also open a new partial
         steps.head.kind match {
           case StepKind.Repeated =>
             // a head run OPENS on its first event and stays on stage 0

@@ -78,6 +78,36 @@ class CepPropertiesSpec extends AnyFunSuite {
     })
   }
 
+  test("iterative B guard (ts > matched A's ts + gap) equals the filtered brute force") {
+    // whereIterative conditions B on the PREFIX (its partial's matched
+    // A), so the brute force is the plain sweep with the same
+    // per-partial predicate applied at consumption time
+    val gap = 10L
+    val abIter = EventPattern.begin[Ev]("A").where(_.kind == "a")
+      .followedBy("B").where(_.kind == "b")
+      .whereIterative((e, ctx) => e.ts > ctx.eventsFor("A").head.ts + gap)
+      .within(java.time.Duration.ofMillis(W))
+    def brute(events: Seq[Ev]): Vector[(Long, Long)] = {
+      var open = List.empty[Long]
+      val out = Vector.newBuilder[(Long, Long)]
+      events.sortBy(_.ts).foreach {
+        case Ev("a", t) => open = t :: open
+        case Ev("b", t) =>
+          val (hit, keep) = open.partition(a =>
+            t >= a && t <= a + W && t > a + gap)
+          hit.foreach(a => out += ((a, t)))
+          open = keep
+        case _ => ()
+      }
+      out.result()
+    }
+    check("ab-iterative-vs-brute", Prop.forAll(genEvents) { evs =>
+      val got = run(abIter, Seq(evs))
+        .map(m => (m("A").head.ts, m("B").head.ts)).sorted
+      got == brute(evs).sorted
+    })
+  }
+
   test("micro-batch boundaries never change the matches (in-order feed)") {
     val genSplit = for {
       evs <- genEvents

@@ -678,4 +678,49 @@ class CepSpec extends AnyFunSuite {
       List[Alarm](Fatal(0, 503), Fatal(10, 503)), Long.MinValue)
     assert(none.isEmpty && open.isEmpty)
   }
+
+  test("whereIterative(): guard reads the matched prefix (value > 2x the base's)") {
+    // FlinkCEP IterativeCondition parity: the second stage's guard is
+    // conditioned on what the FIRST stage matched — inexpressible
+    // with per-event guards.
+    case class V(kind: String, lvl: Int, ts: Long)
+    val pat = EventPattern.begin[V]("base").where(_.kind == "base")
+      .followedBy("above")
+      .whereIterative((e, ctx) =>
+        e.kind == "v" && e.lvl > 2 * ctx.eventsFor("base").head.lvl)
+      .within(java.time.Duration.ofMillis(1000))
+    val events = List(
+      V("base", 10, 0),
+      V("v", 15, 10),  // not > 20: skipped, partial stays open
+      V("v", 25, 20),  // > 20: closes the base-10 partial
+      V("base", 1, 30),
+      V("v", 2, 40),   // not > 2: skipped
+      V("v", 3, 50))   // > 2: closes the base-1 partial
+    val (_, matches, _) = Cep.step(pat.steps, pat.withinMs,
+      (e: V) => e.ts, List.empty[Cep.Partial[V]], events, Long.MinValue)
+    val got = matches.map(m => (m("base").head.lvl, m("above").head.lvl)).toSet
+    assert(got == Set((10, 25), (1, 3)))
+  }
+
+  test("whereIterative() on a times(n) stage sees the run absorbed so far (strictly increasing)") {
+    // each clone's guard demands the new value exceed EVERY value the
+    // shared-name stage has matched — a strictly increasing length-3
+    // subsequence with relaxed contiguity
+    case class V(kind: String, lvl: Int, ts: Long)
+    val pat = EventPattern.begin[V]("inc").where(_.kind == "v")
+      .whereIterative((e, ctx) => ctx.eventsFor("inc").forall(_.lvl < e.lvl))
+      .times(3)
+      .within(java.time.Duration.ofMillis(1000))
+    val events = List(
+      V("v", 5, 0), V("v", 3, 10), V("v", 7, 20),
+      V("v", 6, 30), V("v", 9, 40))
+    val (_, matches, _) = Cep.step(pat.steps, pat.withinMs,
+      (e: V) => e.ts, List.empty[Cep.Partial[V]], events, Long.MinValue)
+    val got = matches.map(_("inc").map(_.lvl).toList).toSet
+    // increasing triples reachable under NFA advance-on-match
+    // semantics (a partial consumes a matching event; it does not
+    // fork a skip branch): 5-7-9 and 3-7-9 complete; 6 and trailing
+    // partials stay open
+    assert(got == Set(List(5, 7, 9), List(3, 7, 9)))
+  }
 }
