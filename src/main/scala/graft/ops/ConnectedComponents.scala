@@ -68,6 +68,20 @@ object ConnectedComponents {
     *              round. Identical fixpoint
     *              (CorpusPrepOpsSpec pins both against union-find);
     *              see the A/B note below for which wins where.
+    * @param checkEvery rounds between convergence COUNTS. The count
+    *              is the loop's only per-round action, and at local
+    *              scale its fixed job overhead dominates late rounds
+    *              (the data converged rounds ago); checking every k
+    *              rounds chains k rounds' plans into ONE job —
+    *              logical plans stay truncated (localCheckpoint
+    *              rewrites to a LogicalRDD immediately, materialized
+    *              or not), so the k-round plan grows only 2^k over
+    *              one round's, bounded for small k. Cost: up to k−1
+    *              extra (empty-frontier, cheap) rounds past the
+    *              fixpoint. Identical result for any k
+    *              (CorpusPrepOpsSpec pins k=1 vs default vs 3 against
+    *              union-find); CcAbProbe's check2 row measures the
+    *              win.
     * @param jumpAfter rounds before POINTER JUMPING kicks in. The
     *              jump (lbl ← lbl[lbl], a mins self-join) doubles
     *              propagation distance per round — the O(log
@@ -87,7 +101,8 @@ object ConnectedComponents {
     * @return (id, component) — component = min node id reachable */
   def label(nodes: DataFrame, edges: DataFrame,
             maxRounds: Int = 50, delta: Boolean = true,
-            jumpAfter: Int = 8): DataFrame = {
+            jumpAfter: Int = 8, checkEvery: Int = 2): DataFrame = {
+    require(checkEvery >= 1, s"checkEvery must be >= 1, got $checkEvery")
     // symmetrize once: propagation must flow both ways along a pair
     val sym = edges.select(col("src"), col("dst"))
       .union(edges.select(col("dst").as("src"), col("src").as("dst")))
@@ -134,11 +149,18 @@ object ConnectedComponents {
       // old=null in its first round — `=!=` would read that as
       // "unchanged" and could stop the loop before it propagates
       val changedRows = jumped.filter(!(col("lbl") <=> col("old")))
-      changed = changedRows.count() // the round's ONE action
       labels = jumped.select(col("id"), col("lbl"))
       front = if (delta) changedRows.select(col("id"), col("lbl"))
               else labels
       round += 1
+      // convergence count every `checkEvery` rounds (or at the round
+      // cap): the ONE action, materializing every lazy checkpoint
+      // chained since the last check. Skipped rounds leave `changed`
+      // at its stale positive value — at worst k−1 empty-frontier
+      // rounds run past the fixpoint, each a no-op join over zero
+      // changed labels.
+      if (round % checkEvery == 0 || round >= maxRounds)
+        changed = changedRows.count()
     }
     sym.unpersist()
     labels.select(col("id"), col("lbl").as("component"))

@@ -119,7 +119,11 @@ object CcAbProbe {
 
     val variants: Seq[(String, () => Long)] = Seq(
       "delta1" -> (() => graft.ops.ConnectedComponents
-        .label(nodes, edges, delta = true).count()),
+        .label(nodes, edges, delta = true, checkEvery = 1).count()),
+      "check2" -> (() => graft.ops.ConnectedComponents
+        .label(nodes, edges, delta = true, checkEvery = 2).count()),
+      "check3" -> (() => graft.ops.ConnectedComponents
+        .label(nodes, edges, delta = true, checkEvery = 3).count()),
       "nojump" -> (() => labelNoJump(nodes, edges).count()),
       "old2" -> (() => labelOld(nodes, edges).count()))
 

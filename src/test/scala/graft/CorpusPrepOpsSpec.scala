@@ -76,6 +76,14 @@ class CorpusPrepOpsSpec extends AnyFunSuite {
     val gotFull = ConnectedComponents.label(nodes, edges, delta = false)
       .as[(Long, Long)].collect().toMap
     assert(gotFull == expected, "delta=false diverged from union-find")
+    // convergence-check cadence is purely an ACTION schedule — the
+    // fixpoint is identical for every k (skipped rounds run empty
+    // frontiers past convergence, changing nothing)
+    Seq(1, 3).foreach { k =>
+      val gotK = ConnectedComponents.label(nodes, edges, checkEvery = k)
+        .as[(Long, Long)].collect().toMap
+      assert(gotK == expected, s"checkEvery=$k diverged from union-find")
+    }
   }
 
   test("cc: edge direction does not matter") {
