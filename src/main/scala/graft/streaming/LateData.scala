@@ -48,6 +48,91 @@ object LateData {
   /** State per bucket: max event-time milliseconds seen so far. */
   private type MaxTs = Long
 
+  /** One [[allowedLatenessAgg]] emission: the window's aggregate as
+    * of this fire, tagged with the fire kind — `"first"` (the
+    * watermark passed the window end; Flink's on-time firing) or
+    * `"refinement"` (late data inside the allowance re-fired the
+    * window) — and a per-window fire sequence number (0 = first). */
+  final case class WindowFire[K, A](key: K, windowStart: java.sql.Timestamp,
+                                    windowEnd: java.sql.Timestamp,
+                                    agg: A, kind: String, seq: Int)
+
+  /** Flink `allowedLateness(d)` as a FIRST-CLASS operator: a keyed
+    * tumbling event-time aggregation that fires once when the
+    * (allowance-shifted) watermark passes the window end, then
+    * RE-FIRES a tagged refinement for each micro-batch of late
+    * arrivals inside the allowance, and purges the window's state
+    * once the allowance is exhausted — the refinement-tagged form of
+    * the `withWatermark(delay + allowance)` + update-mode mapping
+    * documented above (LateDataSpec pins the update-row sequence that
+    * mapping produces; this operator makes the first-fire /
+    * refinement distinction a column instead of sink-side diffing).
+    *
+    * Contract: `ds` must carry `withWatermark(delay + allowance)` on
+    * the `tsFn` column — the widened watermark is what lets Spark
+    * hand this operator the late-but-in-allowance rows at all (rows
+    * at or behind the full watermark are dropped upstream, exactly
+    * the rows Flink drops after the allowance). Internally the
+    * operator adds the allowance back, so the FIRST fire happens when
+    * Flink's would: effective watermark (wm + allowance) ≥ window
+    * end. With `allowance = 0` it degenerates to plain append-mode
+    * windows (one "first" fire per window).
+    *
+    * Granularity divergence from Flink (inherent to micro-batching):
+    * Flink re-fires per late ELEMENT; this re-fires per micro-batch
+    * of late elements — same final aggregate, coarser refinement
+    * cadence.
+    *
+    * Scale: state is one (A, fires) pair per open (key, window) —
+    * windows live `allowance` past their end, so state is bounded by
+    * keys × windows-per-allowance, hash-distributed; the event-time
+    * timeout both drives data-free first fires and garbage-collects
+    * expired windows. */
+  def allowedLatenessAgg[E, K, A](
+      ds: Dataset[E], keyFn: E => K, tsFn: E => java.sql.Timestamp,
+      window: java.time.Duration, allowance: java.time.Duration,
+      zero: A, fold: (A, E) => A)(
+      implicit kEnc: Encoder[(K, Long)], sEnc: Encoder[(A, Int)],
+      oEnc: Encoder[WindowFire[K, A]]): Dataset[WindowFire[K, A]] = {
+    val wMs = window.toMillis
+    val aMs = allowance.toMillis
+    require(wMs > 0, s"window must be positive, got ${wMs}ms")
+    require(aMs >= 0, s"allowance must be >= 0, got ${aMs}ms")
+    ds.groupByKey(e =>
+        (keyFn(e), Math.floorDiv(tsFn(e).getTime, wMs) * wMs))
+      .flatMapGroupsWithState(OutputMode.Append,
+        GroupStateTimeout.EventTimeTimeout) {
+        (key: (K, Long), in: Iterator[E], state: GroupState[(A, Int)]) =>
+          val (k, start) = key
+          val end = start + wMs
+          val wm = state.getCurrentWatermarkMs()
+          val evs = in.toVector
+          var (agg, fires) = state.getOption.getOrElse((zero, 0))
+          evs.foreach { e => agg = fold(agg, e) }
+          val out = Vector.newBuilder[WindowFire[K, A]]
+          def fire(kind: String): Unit = {
+            out += WindowFire(k, new java.sql.Timestamp(start),
+              new java.sql.Timestamp(end), agg, kind, fires)
+            fires += 1
+          }
+          // Flink's on-time firing: the allowance-corrected watermark
+          // passes the window end. Later batches with data are late
+          // arrivals inside the allowance: one refinement per batch.
+          if (fires == 0 && wm + aMs >= end) fire("first")
+          else if (fires > 0 && evs.nonEmpty) fire("refinement")
+          if (wm >= end) state.remove() // allowance exhausted
+          else {
+            state.update((agg, fires))
+            // next boundary this window cares about: its first fire
+            // (end − allowance) or its purge (end); clamp above the
+            // current watermark as Spark requires
+            val boundary = if (fires == 0) end - aMs else end
+            state.setTimeoutTimestamp(math.max(boundary, wm + 1))
+          }
+          out.result().iterator
+      }
+  }
+
   /** Tag every event with whether it is LATE under a bounded-out-of-
     * orderness watermark of `delayMs`, tracked per `buckets`-way
     * shuffle group (Flink: per-split watermark + sideOutputLateData).

@@ -168,4 +168,88 @@ class LateDataSpec extends AnyFunSuite {
       s"row past the allowance must not refine the closed window: ${rows()}")
     q.stop()
   }
+
+  test("allowedLatenessAgg: first fire, tagged refinement within allowance, purge past it") {
+    // window 30m, allowance 20m, stream watermark = delay+allowance
+    // = 30m — the operator's contract. Pins the fire-kind sequence
+    // the raw update-mode mapping (test above) can only express by
+    // sink-side diffing.
+    val in = MemoryStream[Sensor]
+    val fires = graft.streaming.LateData.allowedLatenessAgg[Sensor, String, Long](
+      in.toDS().withWatermark("ets", "30 minutes"),
+      _.device, _.ets,
+      java.time.Duration.ofMinutes(30), java.time.Duration.ofMinutes(20),
+      0L, (n, _) => n + 1)
+    val q = fires.map(f => (f.key, f.windowStart, f.agg, f.kind, f.seq))
+      .toDF("key", "ws", "cnt", "kind", "seq")
+      .writeStream.format("memory").queryName("alat")
+      .outputMode(OutputMode.Append).start()
+    def w1 = t("2019-06-26T10:00:00Z")
+    def got() = spark.table("alat")
+      .as[(String, java.sql.Timestamp, Long, String, Int)].collect().toSeq
+    in.addData(
+      Sensor("d1", "a", t("2019-06-26T10:00:00Z")),
+      Sensor("d1", "b", t("2019-06-26T10:10:00Z")))
+    q.processAllAvailable() // wm -> 09:40: window open, nothing fires
+    assert(got().isEmpty)
+    in.addData(Sensor("d1", "adv", t("2019-06-26T10:45:00Z")))
+    q.processAllAvailable() // wm -> 10:15
+    in.addData(Sensor("d1", "adv2", t("2019-06-26T10:46:00Z")))
+    q.processAllAvailable() // timeout at wm 10:15: 10:15+20m >= 10:30 -> FIRST fire
+    assert(got().filter(_._2 == w1) ==
+      Seq(("d1", w1, 2L, "first", 0)), s"first fire: ${got()}")
+    // late but above the widened watermark (10:16): refinement
+    in.addData(Sensor("d1", "late_ok", t("2019-06-26T10:20:00Z")))
+    q.processAllAvailable()
+    assert(got().filter(_._2 == w1) ==
+      Seq(("d1", w1, 2L, "first", 0), ("d1", w1, 3L, "refinement", 1)),
+      s"refinement fire: ${got()}")
+    // advance past end + allowance: the window purges; a straggler is
+    // dropped upstream and can never re-fire it
+    in.addData(Sensor("d1", "adv3", t("2019-06-26T11:35:00Z")))
+    q.processAllAvailable()
+    in.addData(Sensor("d1", "too_late", t("2019-06-26T10:25:00Z")))
+    q.processAllAvailable()
+    (1 to 2).foreach { k => // flush remaining timeouts
+      in.addData(Sensor("d1", s"s$k", t(s"2019-06-26T12:0$k:00Z")))
+      q.processAllAvailable()
+    }
+    val w1Fires = got().filter(_._2 == w1)
+    assert(w1Fires.size == 2, s"no fire past the allowance: $w1Fires")
+    // batch/stream agreement on the final refinement: last fire per
+    // window equals the batch count of the rows that reached the
+    // operator (W1: a, b, late_ok = 3; W2 [10:30,11:00): adv, adv2 = 2)
+    val lastPerWindow = got().groupBy(_._2).map { case (ws, fs) =>
+      ws -> fs.maxBy(_._5)._3 }
+    assert(lastPerWindow(w1) == 3L)
+    assert(lastPerWindow(t("2019-06-26T10:30:00Z")) == 2L)
+    q.stop()
+  }
+
+  test("allowedLatenessAgg with zero allowance degenerates to one first fire per window") {
+    val in = MemoryStream[Sensor]
+    val fires = graft.streaming.LateData.allowedLatenessAgg[Sensor, String, Long](
+      in.toDS().withWatermark("ets", "0 seconds"),
+      _.device, _.ets,
+      java.time.Duration.ofMinutes(30), java.time.Duration.ZERO,
+      0L, (n, _) => n + 1)
+    val q = fires.map(f => (f.windowStart, f.agg, f.kind, f.seq))
+      .toDF("ws", "cnt", "kind", "seq")
+      .writeStream.format("memory").queryName("alat0")
+      .outputMode(OutputMode.Append).start()
+    in.addData(
+      Sensor("d1", "a", t("2019-06-26T10:00:00Z")),
+      Sensor("d1", "b", t("2019-06-26T10:10:00Z")))
+    q.processAllAvailable()
+    (1 to 3).foreach { k =>
+      in.addData(Sensor("d1", s"s$k", t(f"2019-06-26T11:0$k%d:00Z")))
+      q.processAllAvailable()
+    }
+    val got = spark.table("alat0")
+      .as[(java.sql.Timestamp, Long, String, Int)].collect().toSeq
+      .filter(_._1 == t("2019-06-26T10:00:00Z"))
+    assert(got == Seq((t("2019-06-26T10:00:00Z"), 2L, "first", 0)),
+      s"zero allowance = plain append windows: $got")
+    q.stop()
+  }
 }
