@@ -57,4 +57,63 @@ class RestartRecoverySpec extends AnyFunSuite {
       (1L, 3, "purchase", t("2024-01-01T10:10:00Z"))),
       s"restart lost or duplicated fold state: $got")
   }
+
+  /** Shared restart harness for the other BufferedFold twins. */
+  private def restartRun(op: org.apache.spark.sql.DataFrame =>
+                             org.apache.spark.sql.DataFrame,
+                         phase1: Seq[Ev], phase2: Seq[Seq[Ev]])
+      : org.apache.spark.sql.DataFrame = {
+    val root = java.nio.file.Files.createTempDirectory("graft-restart")
+    val inDir = s"$root/in"; val outDir = s"$root/out"; val cp = s"$root/cp"
+    def drop(evs: Seq[Ev]): Unit =
+      evs.toDF().coalesce(1).write.mode("append").parquet(inDir)
+    def runOnce(): Unit = {
+      val src = spark.readStream.schema(EventStreams.schema)
+        .option("maxFilesPerTrigger", 1).parquet(inDir)
+      val q = op(src).writeStream
+        .format("parquet").option("checkpointLocation", cp)
+        .option("path", outDir).outputMode("append").start()
+      try q.processAllAvailable() finally q.stop()
+    }
+    drop(phase1)
+    runOnce() // buffers everything, checkpoints, stops
+    phase2.foreach(drop)
+    runOnce() // must resume from the recovered buffer + watermark
+    spark.read.parquet(outDir)
+  }
+
+  test("retentionStream continues exactly across a checkpointed restart") {
+    // cohort-rebase disorder buffered at stop time: the later event
+    // arrives first; the restart must still assign the 2024-01-01
+    // cohort from the recovered buffer, once
+    val got = restartRun(df => EventStreams.retentionStream(df),
+      Seq(ev(1, "2024-01-10T12:00:00Z", 1, "click"),
+          ev(2, "2024-01-02T09:00:00Z", 1, "click")),
+      (0 to 3).map(i => Seq(ev(90 + i, s"2024-02-0${i + 1}T00:00:00Z", 9, "click"))))
+      .as[(Long, String, Long)].collect().filter(_._1 == 1L).toSeq
+    assert(got.size == got.distinct.size, s"duplicate cohort rows: $got")
+    assert(got.toSet == Set((1L, "2024-01-01", 0L), (1L, "2024-01-01", 1L)),
+      s"restart lost or duplicated retention state: $got")
+  }
+
+  test("scd2Stream continues exactly across a checkpointed restart") {
+    val rows = restartRun(df => EventStreams.scd2Stream(df),
+      Seq(ev(2, "2024-01-01T10:10:00Z", 1, "click"),
+          ev(1, "2024-01-01T10:00:00Z", 1, "view")),
+      (0 to 3).map(i => Seq(ev(90 + i, s"2024-01-0${i + 2}T00:00:00Z", 9, "view"))))
+      .as[(Long, Long, String, String, String, Boolean)].collect()
+      .filter(_._1 == 1L).toSeq
+    assert(rows.size == rows.distinct.size, s"duplicate interval rows: $rows")
+    // CDC-sink materialization per (user, event_id): the closed
+    // re-emission supersedes the open one (file read order is not an
+    // arrival order across restarts, so pick by content, not index)
+    val view = rows.groupBy(r => (r._1, r._2))
+      .map { case (_, v) => v.find(!_._6).getOrElse(v.head) }.toSet
+    assert(view == Set(
+      (1L, 1L, "view", "2024-01-01 10:00:00.000000",
+        "2024-01-01 10:10:00.000000", false),
+      (1L, 2L, "click", "2024-01-01 10:10:00.000000",
+        "9999-12-31 00:00:00.000000", true)),
+      s"restart lost or duplicated interval state: $rows")
+  }
 }

@@ -177,4 +177,37 @@ class RocksDbStateSpec extends AnyFunSuite {
       q.stop()
     } finally prev.fold(spark.conf.unset(key))(spark.conf.set(key, _))
   }
+
+  test("SCD2 interval state is identical under the RocksDB store") {
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key, Sessions.stateStoreProviders("rocksdb"))
+    try {
+      val in = MemoryStream[Ev]
+      val q = graft.streaming.EventStreams.scd2Stream(in.toDF())
+        .writeStream.format("memory").queryName("rocksScd")
+        .outputMode("append").start()
+      // the Scd2StreamSpec disorder fixture: click arrives before the
+      // earlier view in the same batch; sentinels drain the buffer
+      in.addData(Ev(2, tsOf("2024-01-01T10:10:00Z"), 1, "click", 1.0, "{}"),
+                 Ev(1, tsOf("2024-01-01T10:00:00Z"), 1, "view", 1.0, "{}"))
+      q.processAllAvailable()
+      Seq("2024-01-02", "2024-01-03", "2024-01-04").zipWithIndex.foreach {
+        case (d, i) =>
+          in.addData(Ev(90 + i, tsOf(s"${d}T00:00:00Z"), 9, "view", 1.0, "{}"))
+          q.processAllAvailable()
+      }
+      val rows = spark.table("rocksScd")
+        .as[(Long, Long, String, String, String, Boolean)].collect()
+        .filter(_._1 == 1L).toSeq
+      // CDC-sink materialization: latest emission per (user, event_id)
+      val view = rows.zipWithIndex.groupBy { case (r, _) => (r._1, r._2) }
+        .map { case (_, v) => v.maxBy(_._2)._1 }.toSet
+      assert(view == Set(
+        (1L, 1L, "view", "2024-01-01 10:00:00.000000",
+          "2024-01-01 10:10:00.000000", false),
+        (1L, 2L, "click", "2024-01-01 10:10:00.000000",
+          "9999-12-31 00:00:00.000000", true)), s"rows: $rows")
+      q.stop()
+    } finally prev.fold(spark.conf.unset(key))(spark.conf.set(key, _))
+  }
 }
