@@ -15,9 +15,11 @@ final case class MediaRecord(id: Long, mime: String, bytes: Array[Byte])
 final case class MediaMeta(id: Long, mime: String, nbytes: Long, contentMd5: String)
 
 /** Decoded-media features. `width`/`height`/`channels` come from the
-  * real image decode ([[Media.decodeImage]]); non-decodable payloads
-  * (audio/video — no pure-JVM codec here) carry (-1, -1, 0) and a
-  * byte-histogram fallback feature vector. */
+  * real image decode ([[Media.decodeImage]]); WAV/PCM audio decodes
+  * for real too ([[Media.decodeWav]]: (-1, -1, nChannels) with
+  * per-channel mean samples); payloads neither codec reads (video,
+  * exotic encodings) carry (-1, -1, 0) and a byte-histogram fallback
+  * feature vector. */
 final case class MediaFeatures(id: Long, width: Int, height: Int,
                                channels: Int, features: Array[Float])
 
@@ -28,15 +30,24 @@ final case class MediaFeatures(id: Long, width: Int, height: Int,
 final case class DecodedImage(width: Int, height: Int, channels: Int,
                               bandSums: Array[Long])
 
-/** Multimodal column plumbing with a REAL pure-JVM image codec.
+/** One decoded audio clip: format metadata plus the EXACT per-channel
+  * integer sample sums (PCM is lossless, so these are bit-reproducible
+  * on any JVM — same closed-form-oracle property as [[DecodedImage]]). */
+final case class DecodedAudio(channels: Int, sampleRate: Int, frames: Long,
+                              channelSums: Array[Long])
+
+/** Multimodal column plumbing with REAL pure-JVM image AND audio
+  * codecs.
   *
   * Image decode/encode/resize run on `javax.imageio` (PNG — lossless,
-  * headless, zero native deps). Audio/video payloads have no JVM
-  * codec in this environment, so they take a clearly-marked
-  * byte-level fallback; the Spark side — schemas, the metadata path
-  * staying columnar (no decode, no byte materialization), and decode
-  * running as a `mapPartitions` batch over executors — is the shape a
-  * JNI/FFmpeg decoder would plug into for those.
+  * headless, zero native deps); audio decode/encode runs on
+  * `javax.sound.sampled` (WAV 16-bit PCM — same properties). Video
+  * and exotic audio encodings have no JVM codec in this environment,
+  * so they take a clearly-marked byte-level fallback; the Spark
+  * side — schemas, the metadata path staying columnar (no decode, no
+  * byte materialization), and decode running as a `mapPartitions`
+  * batch over executors — is the shape a JNI/FFmpeg decoder would
+  * plug into for those.
   */
 object Media {
 
@@ -88,9 +99,80 @@ object Media {
     out.toByteArray
   }
 
+  /** REAL audio decode via javax.sound.sampled (WAV/PCM — lossless,
+    * headless, zero native deps, the second genuinely-decoded
+    * modality next to PNG): format metadata and exact per-channel
+    * sample sums, read frame by frame off the PCM stream. Handles
+    * 16-bit signed PCM (either endianness); None for payloads the
+    * JVM has no reader for, or non-16-bit encodings (those keep the
+    * [[byteHistogram]] fallback). */
+  def decodeWav(bytes: Array[Byte]): Option[DecodedAudio] =
+    try {
+      val in = javax.sound.sampled.AudioSystem
+        .getAudioInputStream(new ByteArrayInputStream(bytes))
+      try {
+        val f = in.getFormat
+        if (f.getEncoding != javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED ||
+            f.getSampleSizeInBits != 16) None
+        else {
+          val ch = f.getChannels
+          val frameBytes = f.getFrameSize
+          val sums = new Array[Long](ch)
+          var frames = 0L
+          val buf = new Array[Byte](frameBytes * 1024)
+          var n = in.read(buf)
+          while (n > 0) {
+            var off = 0
+            while (off + frameBytes <= n) {
+              var c = 0
+              while (c < ch) {
+                val i = off + 2 * c
+                val s =
+                  if (f.isBigEndian) ((buf(i) << 8) | (buf(i + 1) & 0xff)).toShort
+                  else ((buf(i + 1) << 8) | (buf(i) & 0xff)).toShort
+                sums(c) += s
+                c += 1
+              }
+              off += frameBytes
+              frames += 1
+            }
+            n = in.read(buf)
+          }
+          Some(DecodedAudio(ch, f.getSampleRate.toInt, frames, sums))
+        }
+      } finally in.close()
+    } catch {
+      case _: javax.sound.sampled.UnsupportedAudioFileException => None
+      case _: java.io.IOException => None
+    }
+
+  /** WAV-encode 16-bit signed PCM samples (interleaved when
+    * channels > 1). Lossless round-trip: [[decodeWav]] of the result
+    * reads back exactly these samples. */
+  def encodeWav(samples: Array[Short], sampleRate: Int,
+                channels: Int = 1): Array[Byte] = {
+    require(channels >= 1 && samples.length % channels == 0,
+      s"encodeWav: ${samples.length} samples not a multiple of $channels channels")
+    val fmt = new javax.sound.sampled.AudioFormat(
+      sampleRate.toFloat, 16, channels, true, false) // signed, little-endian
+    val raw = new Array[Byte](samples.length * 2)
+    var i = 0
+    while (i < samples.length) {
+      raw(2 * i) = (samples(i) & 0xff).toByte
+      raw(2 * i + 1) = ((samples(i) >> 8) & 0xff).toByte
+      i += 1
+    }
+    val ais = new javax.sound.sampled.AudioInputStream(
+      new ByteArrayInputStream(raw), fmt, samples.length / channels)
+    val out = new ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(ais,
+      javax.sound.sampled.AudioFileFormat.Type.WAVE, out)
+    out.toByteArray
+  }
+
   /** Byte-histogram fallback features for payloads with no JVM codec
-    * (audio/video): deterministic 8-dim rolling byte sums. NOT a
-    * decode — documented fallback only. */
+    * (video, exotic audio encodings): deterministic 8-dim rolling
+    * byte sums. NOT a decode — documented fallback only. */
   def byteHistogram(bytes: Array[Byte], dim: Int = 8): Array[Float] = {
     val acc = new Array[Long](dim)
     var i = 0
@@ -99,17 +181,19 @@ object Media {
     acc.map(_ / n)
   }
 
-  /** Decode + featurize, batched per partition. Images decode for
-    * real (per-band mean sample values as the feature vector, padded
-    * to 8 dims); non-decodable payloads take the byte-histogram
-    * fallback with (-1, -1, 0) dimensions. The iterator shape is the
-    * contract: codec init amortizes across the partition, and
-    * partition sizing (`maxPartitionBytes`) bounds decoder memory. */
+  /** Decode + featurize, batched per partition. Images and WAV/PCM
+    * audio decode for real (per-band / per-channel mean sample values
+    * as the feature vector, padded to 8 dims; audio rows carry
+    * (-1, -1, nChannels) dimensions); payloads neither codec reads
+    * take the byte-histogram fallback with (-1, -1, 0). The iterator
+    * shape is the contract: codec init amortizes across the
+    * partition, and partition sizing (`maxPartitionBytes`) bounds
+    * decoder memory. */
   def extractFeatures(ds: Dataset[MediaRecord]): Dataset[MediaFeatures] = {
     import ds.sparkSession.implicits._
     ds.mapPartitions { it =>
       // per-partition decoder init would go here for a JNI codec;
-      // ImageIO readers are instantiated per call and need none
+      // ImageIO/AudioSystem readers are instantiated per call
       it.map { r =>
         decodeImage(r.bytes) match {
           case Some(d) =>
@@ -117,8 +201,14 @@ object Media {
             val means = d.bandSums.map(_ / n)
             MediaFeatures(r.id, d.width, d.height, d.channels,
               means.padTo(8, 0.0f))
-          case None =>
-            MediaFeatures(r.id, -1, -1, 0, byteHistogram(r.bytes))
+          case None => decodeWav(r.bytes) match {
+            case Some(a) =>
+              val n = math.max(a.frames, 1L).toFloat
+              MediaFeatures(r.id, -1, -1, a.channels,
+                a.channelSums.map(_ / n).padTo(8, 0.0f))
+            case None =>
+              MediaFeatures(r.id, -1, -1, 0, byteHistogram(r.bytes))
+          }
         }
       }
     }

@@ -3939,6 +3939,45 @@ object Extensions {
             JOIN sizes sb ON sb.source = p.src_b
             ORDER BY 1,2,3,4,5,6"""))
 
+  // ---------------------------------------------------------------- x64
+  // REAL audio decode in the gate (the x37 pattern for the second
+  // modality): every document gets a deterministic synthetic 16-bit
+  // PCM mono WAV keyed by doc_id, encoded AND decoded with the actual
+  // javax.sound.sampled codec (graft.multimodal.Media). PCM is
+  // lossless, so the decoded frame count and exact integer sample sum
+  // have a closed form the DuckDB oracle recomputes directly — a fake
+  // or lossy decode cannot hash-match. Scale shape: pure per-row
+  // mapPartitions work after a narrow repartition (codec never sees a
+  // shuffle), identical to x37's.
+  private val x64 = GateQuery(
+    "x64_audio_decode",
+    (s, d) => {
+      import s.implicits._
+      val decoded = Tables.documents(s, d).select(col("doc_id")).as[Long]
+        .repartition(32)
+        .map { id =>
+          val n = 64 + (id % 33).toInt
+          val samples = Array.tabulate(n)(i =>
+            (((id * 7 + i.toLong * 13) % 65536) - 32768).toShort)
+          val wav = graft.multimodal.Media.encodeWav(samples, 8000)
+          val dec = graft.multimodal.Media.decodeWav(wav).get
+          (id, dec.channels.toLong, dec.sampleRate.toLong, dec.frames,
+            dec.channelSums(0))
+        }
+        .toDF("doc_id", "channels", "sample_rate", "n_frames", "sample_sum")
+      ordered(decoded)
+    },
+    Some("""WITH dims AS (
+              SELECT doc_id, 64 + doc_id % 33 AS n FROM documents)
+            SELECT d.doc_id, CAST(1 AS BIGINT) AS channels,
+                   CAST(8000 AS BIGINT) AS sample_rate,
+                   CAST(d.n AS BIGINT) AS n_frames,
+                   CAST(sum((d.doc_id * 7 + u.i * 13) % 65536 - 32768)
+                     AS BIGINT) AS sample_sum
+            FROM dims d, unnest(range(d.n)) AS u(i)
+            GROUP BY 1, 2, 3, 4
+            ORDER BY 1,2,3,4,5"""))
+
   // ---------------------------------------------------------------- x62
   // Two-hop reach: for every doc in the span-sharing graph, how many
   // docs sit within ≤ 2 hops — the dedup BLAST RADIUS. x30 answers
@@ -3995,5 +4034,5 @@ object Extensions {
     x10, x11, x12, x13, x14, x15, x16, x17, x18, x19, x20, x21, x22, x23,
     x24, x25, x26, x27, x28, x29, x30, x31, x32, x33, x34, x35, x36, x37,
     x38, x39, x40, x41, x42, x43, x44, x45, x46, x47, x48, x49, x50, x51,
-    x52, x53, x54, x55, x56, x57, x58, x59, x60, x61, x62, x63)
+    x52, x53, x54, x55, x56, x57, x58, x59, x60, x61, x62, x63, x64)
 }

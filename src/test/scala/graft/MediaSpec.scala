@@ -115,4 +115,41 @@ class MediaSpec extends AnyFunSuite {
     // stride sampling keeps the first byte
     assert(out(1).bytes(0) == records(1).bytes(0))
   }
+
+  test("WAV encode -> decode round-trips exact sample sums (PCM lossless)") {
+    // mono: alternating ramp incl. negative samples
+    val mono = Array.tabulate(300)(i => ((i * 37) % 65536 - 32768).toShort)
+    val d = Media.decodeWav(Media.encodeWav(mono, 8000)).get
+    assert(d.channels == 1 && d.sampleRate == 8000 && d.frames == 300L)
+    assert(d.channelSums(0) == mono.map(_.toLong).sum)
+    // stereo: interleaved L/R with distinct per-channel sums
+    val stereo = Array.tabulate(200)(i =>
+      (if (i % 2 == 0) i * 3 else -i).toShort)
+    val s = Media.decodeWav(Media.encodeWav(stereo, 44100, channels = 2)).get
+    assert(s.channels == 2 && s.sampleRate == 44100 && s.frames == 100L)
+    assert(s.channelSums(0) == stereo.zipWithIndex.collect {
+      case (v, i) if i % 2 == 0 => v.toLong }.sum)
+    assert(s.channelSums(1) == stereo.zipWithIndex.collect {
+      case (v, i) if i % 2 == 1 => v.toLong }.sum)
+    // non-audio bytes decode to None
+    assert(Media.decodeWav(Array.tabulate(64)(_.toByte)).isEmpty)
+    assert(Media.decodeWav(gradientPng).isEmpty)
+  }
+
+  test("feature extraction decodes WAV audio: per-channel means, (-1,-1,ch) dims") {
+    val samples = Array.tabulate(100)(i => (i * 100).toShort) // mean 4950
+    val recs = Seq(
+      MediaRecord(1L, "audio/wav", Media.encodeWav(samples, 8000)),
+      MediaRecord(2L, "video/fake", Array.tabulate(32)(_.toByte)))
+    val got = Media.extractFeatures(recs.toDS()).collect()
+      .map(f => f.id -> f).toMap
+    val a = got(1L)
+    assert(a.width == -1 && a.height == -1 && a.channels == 1)
+    assert(math.abs(a.features(0) - 4950.0f) < 1e-3)
+    // the non-decodable payload keeps the byte-histogram fallback
+    val v = got(2L)
+    assert(v.width == -1 && v.height == -1 && v.channels == 0)
+    assert(v.features.toSeq ==
+      Media.byteHistogram(Array.tabulate(32)(_.toByte)).toSeq)
+  }
 }
