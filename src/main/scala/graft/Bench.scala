@@ -10,6 +10,27 @@ object Bench {
       .config("spark.ui.enabled", "false"))
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // Pre-touch every table, untimed: read each parquet file's bytes
+    // (OS page cache) and its footer (schema). A cold first sweep
+    // otherwise charges the whole corpus's disk I/O to whichever
+    // queries run first — one poisoned pass of min-of-2 was enough to
+    // inflate the round-7 driver artifact's x19 by 3.5x. Scan-only:
+    // no query work is warmed, just the storage layer under all of
+    // them equally.
+    try {
+      val dir = java.nio.file.Paths.get(sfDir)
+      java.nio.file.Files.list(dir).forEach { p =>
+        if (p.toString.endsWith(".parquet")) {
+          if (java.nio.file.Files.isDirectory(p))
+            java.nio.file.Files.list(p).forEach { f =>
+              if (f.toString.endsWith(".parquet"))
+                java.nio.file.Files.readAllBytes(f)
+            }
+          else java.nio.file.Files.readAllBytes(p)
+          spark.read.parquet(p.toString).schema // footer parse
+        }
+      }
+    } catch { case _: Throwable => () }
     // Warm the session before timing: JIT, codegen compiler, shuffle
     // and broadcast machinery otherwise land entirely in whichever
     // query happens to run first (~8s of non-query cost observed).

@@ -130,13 +130,31 @@ object SpanHashes {
     GraftBridge.registerFunction(spark, "span_hashes", builder)
 
   private[graft] def builder: Seq[Expression] => Expression = {
-    import org.apache.spark.sql.catalyst.expressions.Literal
+    // any FOLDABLE integral expression works as a width/winnow arg:
+    // SQL integer literals arrive as IntegerType, but 8L is a BIGINT
+    // literal and 4+4 a foldable Add — all legitimate constant calls
+    def intArg(e: Expression, what: String): Int = {
+      import org.apache.spark.sql.types.{ByteType, IntegerType, LongType, ShortType}
+      if (!e.foldable) throw new IllegalArgumentException(
+        s"span_hashes: $what must be a constant, got non-foldable ${e.sql}")
+      e.eval() match {
+        case i: Int => i
+        case l: Long if l.isValidInt => l.toInt
+        case s: Short => s.toInt
+        case b: Byte => b.toInt
+        case v => throw new IllegalArgumentException(
+          s"span_hashes: $what must be an integer constant, got $v" +
+            s" (${e.dataType.simpleString}; expected one of " +
+            Seq(ByteType, ShortType, IntegerType, LongType)
+              .map(_.simpleString).mkString("/") + ")")
+      }
+    }
     {
-      case Seq(text, Literal(w: Int, _)) => SpanHashes(text, w, 1)
-      case Seq(text, Literal(w: Int, _), Literal(k: Int, _)) =>
-        SpanHashes(text, w, k)
+      case Seq(text, w) => SpanHashes(text, intArg(w, "width"), 1)
+      case Seq(text, w, k) =>
+        SpanHashes(text, intArg(w, "width"), intArg(k, "winnow"))
       case exprs => throw new IllegalArgumentException(
-        s"span_hashes(text, w-int-literal[, winnow-int-literal]) — got ${exprs.length} args")
+        s"span_hashes(text, width[, winnow]) takes 2 or 3 args — got ${exprs.length}")
     }
   }
 }

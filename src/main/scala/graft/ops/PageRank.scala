@@ -43,7 +43,17 @@ object PageRank {
   /** @param edges two columns `a`, `b` — undirected (a < b) pairs;
     *   vertices = edge endpoints (isolated vertices, having no rank
     *   flow, are the caller's concern).
-    * @return (id, pr) — fixed-point rank after `iters` rounds. */
+    * @return (id, pr) — fixed-point rank after `iters` rounds.
+    *
+    * Cache lifetime: the degree-annotated edge table is persisted
+    * here (it feeds every round) but the CALLER owns its release —
+    * the returned ranks are a lazy plan that reads the cached blocks
+    * on the caller's action, so unpersisting before that action would
+    * recompute the edge build once per round. In a long-lived session
+    * call `spark.catalog.clearCache()` (or unpersist by plan) after
+    * consuming the result; the gate runner does exactly that between
+    * queries. Same contract as the spanEdges substrate the x56 gate
+    * feeds in. */
   def run(edges: DataFrame, iters: Int = DefaultIters,
           scale: Long = DefaultScale): DataFrame = {
     require(iters >= 1, s"pagerank: iters must be >= 1, got $iters")

@@ -115,17 +115,23 @@ object EventStreams {
     * the cohort is assigned by the true earliest finalized event and
     * never moves. State per user = cohort epoch-day + emitted
     * offsets + the un-finalized buffer (lateness-horizon-bounded).
-    * Weeks are UTC date_trunc('week') Mondays, emitted yyyy-MM-dd —
-    * bit-matching the batch gate's labels. */
+    * Weeks are date_trunc('week') Mondays in the SESSION time zone
+    * (spark.sql.session.timeZone, read at plan time — exactly the
+    * zone the batch x57 gate truncates in, so labels bit-match for
+    * any session zone, not just the UTC one Sessions.tune sets),
+    * emitted yyyy-MM-dd. */
   def retentionStream(events: DataFrame,
                       lateness: String = "0 seconds"): DataFrame = {
     val spark = events.sparkSession
     import spark.implicits._
     import java.sql.Timestamp
-    import java.time.{DayOfWeek, ZoneOffset}
+    import java.time.DayOfWeek
     import java.time.temporal.TemporalAdjusters
+    val zone = java.time.ZoneId.of(
+      spark.conf.get("spark.sql.session.timeZone",
+        java.util.TimeZone.getDefault.getID))
     def weekDay(t: Timestamp): Long =
-      t.toInstant.atZone(ZoneOffset.UTC).toLocalDate
+      t.toInstant.atZone(zone).toLocalDate
         .`with`(TemporalAdjusters.previousOrSame(DayOfWeek.MONDAY))
         .toEpochDay
     val typed = events
@@ -169,7 +175,6 @@ object EventStreams {
     val spark = events.sparkSession
     import spark.implicits._
     import java.sql.Timestamp
-    val tsFmt = graft.queries.Extensions.TsFmt
     val openEnd = graft.queries.Extensions.OpenEnd
     val typed = events
       .withWatermark("ts", lateness)
@@ -177,17 +182,15 @@ object EventStreams {
         col("event_type"))
       .as[(Long, Timestamp, Long, String)]
     // state = (open-interval state name, open (from, event_id)).
-    // The per-event formatter cost is fine: fmt construction happens
-    // inside step via a lazy holder (DateTimeFormatter itself is not
-    // serializable, so it cannot be captured).
+    // DateTimeFormatter is not Serializable, so it cannot ride the
+    // closure; TsFormatter's executor-side lazy val constructs it
+    // once per JVM instead of once per event.
     BufferedFold.run[Long, (Long, Timestamp, Long, String),
         (String, Option[(Timestamp, Long)]),
         (Long, Long, String, String, String, Boolean)](
       typed, _._1, _._2, _._3, ("", None),
       step = { case ((lastState, open), (user, t, id, st)) =>
-        val fmt = java.time.format.DateTimeFormatter
-          .ofPattern(tsFmt).withZone(java.time.ZoneOffset.UTC)
-        def f(x: Timestamp): String = fmt.format(x.toInstant)
+        def f(x: Timestamp): String = TsFormatter.fmt.format(x.toInstant)
         if (open.isEmpty || st != lastState) {
           val closed = open.toList.map { case (from, oid) =>
             (user, oid, lastState, f(from), f(t), false)
@@ -268,4 +271,15 @@ object EventStreams {
       bufferDone = _.length == steps.length)
       .toDF("user_id", "step", "step_name", "ts")
   }
+}
+
+/** Executor-side lazy holder for the microsecond timestamp formatter:
+  * DateTimeFormatter is thread-safe but NOT Serializable, so it can't
+  * ride a closure — this constructs it once per JVM instead of once
+  * per folded event. */
+private[streaming] object TsFormatter {
+  lazy val fmt: java.time.format.DateTimeFormatter =
+    java.time.format.DateTimeFormatter
+      .ofPattern(graft.queries.Extensions.TsFmt)
+      .withZone(java.time.ZoneOffset.UTC)
 }

@@ -81,4 +81,26 @@ class SpanHashesSpec extends AnyFunSuite {
       .select(col("doc_id"), SpanHashes.spanHashes(col("text"), 8, 3).as("sh"))
     assert(viaSql.exceptAll(viaCol).isEmpty && viaCol.exceptAll(viaSql).isEmpty)
   }
+
+  test("SQL args accept any foldable integral constant (8L, 4+4), reject others clearly") {
+    SpanHashes.register(spark)
+    Tables.documents(spark, "/root/testdata/sf0.001")
+      .createOrReplaceTempView("sh_docs2")
+    val base = spark.sql(
+      "SELECT doc_id, span_hashes(text, 8) AS sh FROM sh_docs2")
+    // BIGINT literal and a foldable arithmetic expression both resolve
+    val viaLong = spark.sql(
+      "SELECT doc_id, span_hashes(text, 8L) AS sh FROM sh_docs2")
+    val viaFold = spark.sql(
+      "SELECT doc_id, span_hashes(text, 4 + 4) AS sh FROM sh_docs2")
+    assert(viaLong.exceptAll(base).isEmpty && base.exceptAll(viaLong).isEmpty)
+    assert(viaFold.exceptAll(base).isEmpty && base.exceptAll(viaFold).isEmpty)
+    // a non-constant width fails at analysis with a message that says
+    // WHY (not an arg-count complaint)
+    val err = intercept[Exception](spark.sql(
+      "SELECT span_hashes(text, doc_id) FROM sh_docs2").collect())
+    def msgs(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+    assert(msgs(err).exists(_.contains("must be a constant")), s"got: $err")
+  }
 }
