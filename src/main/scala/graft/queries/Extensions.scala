@@ -3978,6 +3978,53 @@ object Extensions {
             GROUP BY 1, 2, 3, 4
             ORDER BY 1,2,3,4,5"""))
 
+  // ---------------------------------------------------------------- x65
+  // Unicode NFC normalization (native graft.functions.NfcNormalize):
+  // the canonical-composition ingest pass — composed "café" and
+  // decomposed "cafe"+U+0301 must hash identically or every
+  // downstream dedup (x01/x14/x45) treats one document as two. The
+  // testdata corpus is ASCII (where NFC is the identity and the
+  // expression's zero-copy fast path applies), so each doc is
+  // prefixed with a deterministic decomposed/composed variant keyed
+  // by doc_id — the gate then hash-checks md5(NFC(text)) and the
+  // code-point shrink against DuckDB's nfc_normalize (same UAX #15),
+  // a wrong or partial normalization cannot match. Scale shape: pure
+  // per-row generated code in the scan projection; ASCII rows return
+  // the input buffer by reference.
+  private val x65 = GateQuery(
+    "x65_normalize",
+    (s, d) => {
+      val variants = array(
+        lit("cafe\u0301"),           // decomposed -> 4-cp composed
+        lit("A\u030Angstro\u0308m"), // decomposed -> 8-cp composed
+        lit("d\u00e9j\u00e0 vu"),    // already NFC (7 cp)
+        lit("n\u0303 tilde"),         // decomposed -> 7-cp composed
+        lit("plain"))                 // ASCII fast path
+      val raw = concat(
+        element_at(variants, (col("doc_id") % 5 + 1).cast("int")),
+        lit(" "), col("text"))
+      val norm = graft.functions.NfcNormalize.nfcNormalize(raw)
+      ordered(Tables.documents(s, d)
+        .select(col("doc_id"),
+          md5(norm).as("norm_md5"),
+          length(raw).cast("long").as("n_before"),
+          length(norm).cast("long").as("n_after")))
+    },
+    Some("""WITH v AS (
+              SELECT doc_id,
+                     CASE CAST(doc_id % 5 AS INT)
+                       WHEN 0 THEN 'cafe' || chr(769)
+                       WHEN 1 THEN 'A' || chr(778) || 'ngstro' || chr(776) || 'm'
+                       WHEN 2 THEN 'd' || chr(233) || 'j' || chr(224) || ' vu'
+                       WHEN 3 THEN 'n' || chr(771) || ' tilde'
+                       ELSE 'plain'
+                     END || ' ' || text AS raw
+              FROM documents)
+            SELECT doc_id, md5(nfc_normalize(raw)) AS norm_md5,
+                   CAST(length(raw) AS BIGINT) AS n_before,
+                   CAST(length(nfc_normalize(raw)) AS BIGINT) AS n_after
+            FROM v ORDER BY 1,2,3,4"""))
+
   // ---------------------------------------------------------------- x62
   // Two-hop reach: for every doc in the span-sharing graph, how many
   // docs sit within ≤ 2 hops — the dedup BLAST RADIUS. x30 answers
@@ -4034,5 +4081,5 @@ object Extensions {
     x10, x11, x12, x13, x14, x15, x16, x17, x18, x19, x20, x21, x22, x23,
     x24, x25, x26, x27, x28, x29, x30, x31, x32, x33, x34, x35, x36, x37,
     x38, x39, x40, x41, x42, x43, x44, x45, x46, x47, x48, x49, x50, x51,
-    x52, x53, x54, x55, x56, x57, x58, x59, x60, x61, x62, x63, x64)
+    x52, x53, x54, x55, x56, x57, x58, x59, x60, x61, x62, x63, x64, x65)
 }
