@@ -83,7 +83,7 @@ final class MatchedPrefix[E] private[streaming] (
 final case class PatternStep[E](
     name: String, pred: (E, MatchedPrefix[E]) => Boolean,
     kind: StepKind = StepKind.Relaxed,
-    until: Option[E => Boolean] = None)
+    until: Option[(E, MatchedPrefix[E]) => Boolean] = None)
 
 /** Flink-CEP-style sequential event pattern
   * (`Pattern.begin(...).where(...).followedBy(...).within(...)`,
@@ -218,7 +218,14 @@ final case class EventPattern[E] private (
     * kills the partial (one-or-more needs at least one). An event
     * matching both the loop guard and `p` stops — the stop condition
     * wins, as in FlinkCEP. */
-  def until(p: E => Boolean): EventPattern[E] = {
+  def until(p: E => Boolean): EventPattern[E] =
+    untilIterative((e, _) => p(e))
+
+  /** Iterative stop condition — [[until]] with [[MatchedPrefix]]
+    * access (FlinkCEP's `until(IterativeCondition)`): the stop can
+    * read the run absorbed so far, e.g. "stop once the sum of the
+    * matched run exceeds a budget". */
+  def untilIterative(p: (E, MatchedPrefix[E]) => Boolean): EventPattern[E] = {
     require(steps.last.kind == StepKind.Repeated,
       "until() applies to a oneOrMore stage")
     copy(steps = steps.init :+ steps.last.copy(until = Some(p)))
@@ -450,7 +457,7 @@ object Cep {
             // FlinkCEP): a non-empty run ends — terminal emits NOW,
             // non-terminal awaits the next stage; an empty run dies
             val hasRun = acc.exists(_._1 == stage)
-            val stopped = steps(stage).until.exists(u => inWindow && u(e))
+            val stopped = steps(stage).until.exists(u => inWindow && u(e, ctx))
             if (stopped) {
               if (hasRun) {
                 if (stage + 1 == steps.length) staged ::= ((t0, acc))

@@ -702,6 +702,27 @@ class CepSpec extends AnyFunSuite {
     assert(got == Set((10, 25), (1, 3)))
   }
 
+  test("untilIterative(): the stop condition reads the absorbed run (budgeted one-or-more)") {
+    // stop the loop once the matched run's sum reaches 10 — the stop
+    // event is NOT absorbed, and a terminal stopped run emits NOW
+    case class V(kind: String, lvl: Int, ts: Long)
+    val pat = EventPattern.begin[V]("start").where(_.kind == "s")
+      .followedBy("run").where(_.kind == "v").oneOrMore
+      .untilIterative((e, ctx) =>
+        e.kind == "v" && ctx.eventsFor("run").map(_.lvl).sum >= 10)
+      .within(java.time.Duration.ofMillis(1000))
+    val events = List(
+      V("s", 0, 0),
+      V("v", 4, 10),   // run sum 0 < 10: absorbed
+      V("v", 5, 20),   // run sum 4: absorbed
+      V("v", 3, 30),   // run sum 9: absorbed
+      V("v", 2, 40),   // run sum 12 >= 10: STOP, not absorbed
+      V("v", 9, 50))   // after the stop: a fresh partial would need a new 's'
+    val (_, matches, _) = Cep.step(pat.steps, pat.withinMs,
+      (e: V) => e.ts, List.empty[Cep.Partial[V]], events, Long.MinValue)
+    assert(matches.map(_("run").map(_.lvl).toList) == Vector(List(4, 5, 3)))
+  }
+
   test("whereIterative() on a times(n) stage sees the run absorbed so far (strictly increasing)") {
     // each clone's guard demands the new value exceed EVERY value the
     // shared-name stage has matched — a strictly increasing length-3

@@ -1,6 +1,7 @@
 package graft
 
 import graft.ops.SketchOverlap
+import org.apache.spark.sql.functions.{col, hll_sketch_estimate}
 import org.scalatest.funsuite.AnyFunSuite
 
 /** HLL inclusion-exclusion overlap (ops.SketchOverlap): exact in the
@@ -39,6 +40,35 @@ class SketchOverlapSpec extends AnyFunSuite {
       .select("key_a", "key_b", "est_inter", "est_jaccard")
       .as[(String, String, Long, Double)].collect().toSeq
     assert(got == Seq(("A", "B", 50L, 50.0 / 150)))
+  }
+
+  test("streaming twin: per-key sketches maintained in update mode equal the batch path") {
+    // HLL sketches are MERGEABLE state, so the same keySketches
+    // aggregation runs unbounded on a stream: each micro-batch folds
+    // into per-key sketch state, update mode re-emits the key's
+    // current sketch. The final emission must estimate exactly what
+    // the batch sketch over the full data does — mergeability is the
+    // whole open-domain scale story, so the twin pins it.
+    implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val rows = toks.as[(String, String)].collect().toSeq
+    val in = MemoryStream[(String, String)]
+    val q = SketchOverlap.keySketches(in.toDF().toDF("src", "tok"), "src", "tok")
+      .select(col("key"), hll_sketch_estimate(col("sk")).as("n"))
+      .writeStream.format("memory").queryName("skstream")
+      .outputMode("update").start()
+    val (b1, b2) = rows.splitAt(rows.size / 2)
+    in.addData(b1); q.processAllAvailable()
+    in.addData(b2); q.processAllAvailable()
+    // last emission per key = the live sketch state
+    val emissions = spark.table("skstream").as[(String, Long)].collect().toSeq
+    val live = emissions.zipWithIndex.groupBy(_._1._1)
+      .map { case (k, v) => k -> v.maxBy(_._2)._1._2 }
+    val batch = SketchOverlap.keySketches(toks, "src", "tok")
+      .select(col("key"), hll_sketch_estimate(col("sk")).as("n"))
+      .as[(String, Long)].collect().toMap
+    assert(live == batch, s"live=$live batch=$batch")
+    q.stop()
   }
 
   test("duplicate tokens do not inflate the distinct estimate") {
