@@ -3978,6 +3978,45 @@ object Extensions {
             GROUP BY 1, 2, 3, 4
             ORDER BY 1,2,3,4,5"""))
 
+  // ---------------------------------------------------------------- x66
+  // ANN recall audit: per-query recall@k of the IVF path (x07)
+  // against the exact brute-force top-k (x06) — the acceptance gate a
+  // pipeline runs before trusting an approximate index (x13's
+  // scaladoc names this as the sampled-oracle role of the exact
+  // path). Both inputs are fully DETERMINISTIC (fixed-point cosine,
+  // (cos desc, vec_id) tie-breaks), so recall is an exact integer
+  // ratio here — no error-bound slack, the hash must match. Scale
+  // shape: the exact side runs on a SAMPLE of queries by construction
+  // (vec_id < NumQueries — a recall audit never brute-forces the full
+  // corpus), so the join is query-cardinality; recall = one qid-keyed
+  // left join + count agg over two k-row-per-query tables.
+  private val x66 = GateQuery(
+    "x66_recall_audit",
+    (s, d) => {
+      val exact = x06.fn(s, d).select(col("qid"), col("vec_id"))
+      val approx = x07.fn(s, d)
+        .select(col("qid"), col("vec_id"), lit(1L).as("hit"))
+      ordered(exact
+        .join(approx, Seq("qid", "vec_id"), "left_outer")
+        .groupBy(col("qid"))
+        .agg(count(lit(1)).as("k"),
+             sum(coalesce(col("hit"), lit(0L))).as("hits"))
+        .select(col("qid"), col("k"), col("hits"),
+          (col("hits").cast("double") / col("k")).as("recall")))
+    },
+    for (bs <- x06.oracle; is <- x07.oracle) yield
+      s"""WITH brute AS ($bs),
+            ivf AS ($is)
+          SELECT b.qid, CAST(count(*) AS BIGINT) AS k,
+                 CAST(sum(CASE WHEN i.vec_id IS NULL THEN 0 ELSE 1 END)
+                   AS BIGINT) AS hits,
+                 CAST(sum(CASE WHEN i.vec_id IS NULL THEN 0 ELSE 1 END)
+                   AS DOUBLE) / count(*) AS recall
+          FROM brute b
+          LEFT JOIN ivf i ON i.qid = b.qid AND i.vec_id = b.vec_id
+          GROUP BY 1
+          ORDER BY 1,2,3,4""")
+
   // ---------------------------------------------------------------- x65
   // Unicode NFC normalization (native graft.functions.NfcNormalize):
   // the canonical-composition ingest pass — composed "café" and
@@ -4081,5 +4120,5 @@ object Extensions {
     x10, x11, x12, x13, x14, x15, x16, x17, x18, x19, x20, x21, x22, x23,
     x24, x25, x26, x27, x28, x29, x30, x31, x32, x33, x34, x35, x36, x37,
     x38, x39, x40, x41, x42, x43, x44, x45, x46, x47, x48, x49, x50, x51,
-    x52, x53, x54, x55, x56, x57, x58, x59, x60, x61, x62, x63, x64, x65)
+    x52, x53, x54, x55, x56, x57, x58, x59, x60, x61, x62, x63, x64, x65, x66)
 }
