@@ -103,9 +103,17 @@ object ConnectedComponents {
             maxRounds: Int = 50, delta: Boolean = true,
             jumpAfter: Int = 8, checkEvery: Int = 2): DataFrame = {
     require(checkEvery >= 1, s"checkEvery must be >= 1, got $checkEvery")
-    // symmetrize once: propagation must flow both ways along a pair
+    // symmetrize once: propagation must flow both ways along a pair.
+    // Persisted PRE-PARTITIONED on the join key: every round joins
+    // sym on src, and a cached unpartitioned table would re-shuffle
+    // the FULL edge list once per round — the dominant per-round cost
+    // on real graphs (the frontier shrinks, the edge list doesn't).
+    // With HashPartitioning(src) cached, EnsureRequirements skips the
+    // edge-side exchange every round; only the (shrinking) frontier
+    // shuffles.
     val sym = edges.select(col("src"), col("dst"))
       .union(edges.select(col("dst").as("src"), col("src").as("dst")))
+      .repartition(col("src"))
       .persist()
     sym.count()
 

@@ -62,7 +62,13 @@ object PageRank {
     val dir = edges.select(col("a").as("src"), col("b").as("dst"))
       .union(edges.select(col("b").as("src"), col("a").as("dst")))
     val deg = dir.groupBy(col("src")).agg(count(lit(1)).as("dg"))
+    // persisted PRE-PARTITIONED on src: all `iters` rounds join
+    // contrib on src, and a cached unpartitioned table would
+    // re-shuffle the full degree-annotated edge list once per round —
+    // with HashPartitioning(src) cached, only the (vertex-sized) rank
+    // table moves each round
     val contrib = dir.join(deg, Seq("src"))
+      .repartition(col("src"))
       .persist() // reused every round
     contrib.count()
     // every vertex has in-degree >= 1 (undirected doubling), so the
