@@ -3333,6 +3333,11 @@ object Extensions {
             col("b")).otherwise(col("a")).as("dst"),
           when(struct(col("da"), col("a")) < struct(col("db"), col("b")),
             col("db")).otherwise(col("da")).as("ddst"))
+        // cached pre-partitioned on src: the wedge self-join keys
+        // BOTH sides on src, so neither side re-shuffles (the same
+        // cached-partitioning move as ConnectedComponents/PageRank);
+        // only the closing join's (v, w) re-key pays an exchange
+        .repartition(col("src"))
         .persist() // both wedge sides + the closing join consume it
       dir.count()
       // wedge at the pivot: two out-edges of src, canonically ordered
