@@ -1124,7 +1124,13 @@ object Extensions {
   private val x19 = GateQuery(
     "x19_dedup_keep",
     (s, d) => {
-      val masks = docMasks(s, d).persist()
+      // cached pre-partitioned on sig: HashPartitioning(sig)
+      // satisfies both downstream consumers — the (sig, mask) groupBy
+      // (partitioning on a key subset clusters the full key) and the
+      // class-membership join on sig — so neither re-shuffles the
+      // corpus-sized mask table, and the sigs table inherits the
+      // partitioning for its join side too
+      val masks = docMasks(s, d).repartition(col("sig")).persist()
       masks.count()
       val sigs = masks.groupBy(col("sig"), col("mask"))
         .agg(min(col("doc_id")).as("rep"), count(lit(1)).as("cnt"))
