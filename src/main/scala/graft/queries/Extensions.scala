@@ -3989,6 +3989,50 @@ object Extensions {
             GROUP BY 1, 2, 3, 4
             ORDER BY 1,2,3,4,5"""))
 
+  // ---------------------------------------------------------------- x67
+  // Label-propagation communities (ops.LabelPropagation) over the
+  // span-sharing graph — the graph quartet's fourth diagnostic: x30
+  // reachability, x51 density, x56 centrality, x67 COMMUNITIES (dense
+  // template families, split even when a chance collision bridges
+  // them into one component). Deterministic synchronous LPA: new
+  // label = most frequent neighbor label, ties to the smallest — an
+  // integer recurrence with a total order, replayed exactly by the
+  // oracle's unrolled per-round CTEs (the x56 pattern: count CTE +
+  // row_number argmax per round).
+  private val LpaIters = graft.ops.LabelPropagation.DefaultIters
+
+  private val x67 = GateQuery(
+    "x67_label_prop",
+    (s, d) => {
+      val edges = spanEdges(Tables.documents(s, d), TriW).persist()
+      edges.count()
+      ordered(graft.ops.LabelPropagation.run(edges, LpaIters)
+        .select(col("id").as("doc_id"), col("community")))
+    },
+    Some {
+      val iterCtes = (1 to LpaIters).map { t =>
+        s"""c$t AS (
+              SELECT d.dst AS v, r.lbl, count(*) AS c
+              FROM dir d JOIN r${t - 1} r ON d.src = r.v
+              GROUP BY 1, 2),
+            r$t AS (
+              SELECT v, lbl FROM (
+                SELECT v, lbl,
+                       row_number() OVER (
+                         PARTITION BY v ORDER BY c DESC, lbl) AS rn
+                FROM c$t)
+              WHERE rn = 1)"""
+      }.mkString(",\n            ")
+      s"""WITH ${duckSpanEdgesCte(TriW)},
+            dir AS MATERIALIZED (
+                    SELECT a AS src, b AS dst FROM edges
+                    UNION ALL SELECT b AS src, a AS dst FROM edges),
+            r0 AS (SELECT DISTINCT src AS v, src AS lbl FROM dir),
+            $iterCtes
+          SELECT v AS doc_id, lbl AS community FROM r$LpaIters
+          ORDER BY 1,2"""
+    })
+
   // ---------------------------------------------------------------- x66
   // ANN recall audit: per-query recall@k of the IVF path (x07)
   // against the exact brute-force top-k (x06) — the acceptance gate a
@@ -4131,5 +4175,5 @@ object Extensions {
     x10, x11, x12, x13, x14, x15, x16, x17, x18, x19, x20, x21, x22, x23,
     x24, x25, x26, x27, x28, x29, x30, x31, x32, x33, x34, x35, x36, x37,
     x38, x39, x40, x41, x42, x43, x44, x45, x46, x47, x48, x49, x50, x51,
-    x52, x53, x54, x55, x56, x57, x58, x59, x60, x61, x62, x63, x64, x65, x66)
+    x52, x53, x54, x55, x56, x57, x58, x59, x60, x61, x62, x63, x64, x65, x66, x67)
 }
