@@ -4033,6 +4033,98 @@ object Extensions {
           ORDER BY 1,2"""
     })
 
+  // ---------------------------------------------------------------- x68
+  // Bigram-LM surprisal scoring — the CCNet/Gopher "perplexity
+  // filter" step: train add-V-smoothed bigram conditional counts on
+  // the corpus itself, score every document by its mean per-bigram
+  // surprisal, flag outliers. Real perplexity is a geometric mean
+  // (transcendental log + order-dependent float sums — unhashable
+  // across engines), so the score is INTEGER WHOLE-BIT surprisal:
+  //   bits(w1 w2) = floor(log2((c(w1·)+V) / (c(w1,w2)+1)))
+  // computed as bitlength((c_w1+V)*2^20 div (c_bg+1)) - 21 — pure
+  // integer arithmetic (the x56 fixed-point trick), order-free
+  // integer sums per doc, ONE final IEEE division for the mean
+  // (bit-specified on both engines). Scale shape: one explode pass,
+  // a per-(doc,bigram) tf pre-aggregation that caps every later join
+  // at distinct-bigrams-per-doc rows (a 100 TB stopword bigram joins
+  // once per containing DOC, not once per occurrence); the two count
+  // tables are vocabulary-sized, joined hash-to-hash (no corpus
+  // broadcast); V is a 1-row broadcast. The tf table is persisted
+  // REPARTITIONED ON bg (the round-8 cached-partitioning move), so
+  // the c_bg rollup and the bg-keyed join both reuse the cached
+  // HashPartitioning with no further exchange.
+  private val LmScale = 1048576L // 2^20 fractional bits kept pre-floor
+  private val LmMaxBits = 4.5 // ~p99 of the corpus mean (measured sf0.01)
+  private val x68 = GateQuery(
+    "x68_lm_surprisal",
+    (s, d) => {
+      val tk = Tables.documents(s, d)
+        .select(col("doc_id"), split(col("text"), " ").as("tk"))
+      val pos = tk.select(col("doc_id"),
+        explode(zip_with(
+          slice(col("tk"), lit(1), size(col("tk")) - 1),
+          slice(col("tk"), lit(2), size(col("tk")) - 1),
+          (a, b) => concat(a, lit(" "), b))).as("bg"))
+      val docBg = pos.groupBy(col("doc_id"), col("bg"))
+        .agg(count(lit(1)).as("tf"))
+        .repartition(col("bg"))
+        .persist()
+      docBg.count() // three consumers below; materialize once
+      val cBg = docBg.groupBy(col("bg")).agg(sum(col("tf")).as("c_bg"))
+      val cW1 = docBg
+        .select(split(col("bg"), " ").getItem(0).as("w1"), col("tf"))
+        .groupBy(col("w1")).agg(sum(col("tf")).as("c_w1"))
+      val vCtx = cW1.agg(count(lit(1)).as("v_ctx"))
+      val scored = docBg
+        .withColumn("w1", split(col("bg"), " ").getItem(0))
+        .join(cBg, "bg")
+        .join(cW1, "w1")
+        .crossJoin(broadcast(vCtx))
+        .withColumn("bits",
+          (length(conv(expr(s"(c_w1 + v_ctx) * $LmScale div (c_bg + 1)"),
+            10, 2)) - lit(21)).cast("long"))
+      ordered(scored.groupBy(col("doc_id"))
+        .agg(sum(col("tf")).as("n_bg"),
+          sum(col("tf") * col("bits")).as("bits_sum"))
+        .select(col("doc_id"), col("n_bg"), col("bits_sum"),
+          (col("bits_sum").cast("double") / col("n_bg")).as("avg_bits"),
+          (col("bits_sum").cast("double") / col("n_bg") > LmMaxBits)
+            .as("flagged")))
+    },
+    Some(s"""WITH tk AS (
+              SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+            bgl AS (
+              SELECT doc_id,
+                     unnest([tk[i] || ' ' || tk[i+1]
+                             FOR i IN range(1, len(tk))]) AS bg
+              FROM tk),
+            db AS MATERIALIZED (
+              SELECT doc_id, bg, count(*) AS tf FROM bgl GROUP BY 1, 2),
+            cb AS (
+              SELECT bg, CAST(sum(tf) AS BIGINT) AS c_bg FROM db GROUP BY 1),
+            cw AS (
+              SELECT string_split(bg, ' ')[1] AS w1,
+                     CAST(sum(tf) AS BIGINT) AS c_w1
+              FROM db GROUP BY 1),
+            v AS (SELECT count(*) AS v_ctx FROM cw),
+            sc AS (
+              SELECT d.doc_id, d.tf,
+                     CAST(length(format('{:b}',
+                       ((c.c_w1 + v.v_ctx) * $LmScale) // (b.c_bg + 1)))
+                       - 21 AS BIGINT) AS bits
+              FROM db d
+              JOIN cb b ON b.bg = d.bg
+              JOIN cw c ON c.w1 = string_split(d.bg, ' ')[1]
+              CROSS JOIN v)
+            SELECT doc_id,
+                   CAST(sum(tf) AS BIGINT) AS n_bg,
+                   CAST(sum(tf * bits) AS BIGINT) AS bits_sum,
+                   CAST(sum(tf * bits) AS DOUBLE) / CAST(sum(tf) AS BIGINT)
+                     AS avg_bits,
+                   (CAST(sum(tf * bits) AS DOUBLE) / CAST(sum(tf) AS BIGINT))
+                     > $LmMaxBits AS flagged
+            FROM sc GROUP BY 1 ORDER BY 1,2,3,4,5"""))
+
   // ---------------------------------------------------------------- x66
   // ANN recall audit: per-query recall@k of the IVF path (x07)
   // against the exact brute-force top-k (x06) — the acceptance gate a
@@ -4175,5 +4267,6 @@ object Extensions {
     x10, x11, x12, x13, x14, x15, x16, x17, x18, x19, x20, x21, x22, x23,
     x24, x25, x26, x27, x28, x29, x30, x31, x32, x33, x34, x35, x36, x37,
     x38, x39, x40, x41, x42, x43, x44, x45, x46, x47, x48, x49, x50, x51,
-    x52, x53, x54, x55, x56, x57, x58, x59, x60, x61, x62, x63, x64, x65, x66, x67)
+    x52, x53, x54, x55, x56, x57, x58, x59, x60, x61, x62, x63, x64, x65, x66,
+    x67, x68)
 }

@@ -44,6 +44,24 @@ class AnalyticsPlanSpec extends AnyFunSuite {
       !plan.contains("BroadcastNestedLoopJoin"), plan)
   }
 
+  test("x68 LM surprisal: cached bg-partitioning is reused, scan is pruned") {
+    val plan = planOf("x68_lm_surprisal")
+    // the tf table is persisted REPARTITION_BY_COL(bg); the c_bg
+    // rollup and the bg-keyed join must ride that cached partitioning
+    // — any ENSURE_REQUIREMENTS re-exchange on bg means the cache
+    // lost its partitioning and every consumer re-shuffles the corpus
+    assert(!"Exchange hashpartitioning\\(bg[^\\n]*ENSURE_REQUIREMENTS".r
+      .findFirstIn(plan).isDefined,
+      s"bg re-exchanged despite cached partitioning:\n$plan")
+    assert(plan.contains("REPARTITION_BY_COL"), plan)
+    // column pruning: the corpus scan reads only (doc_id, text)
+    assert(plan.contains("ReadSchema: struct<doc_id:bigint,text:string>"),
+      plan)
+    // no all-pairs shape anywhere: the only nested-loop join is the
+    // 1-row v_ctx scalar broadcast
+    assert(!plan.contains("CartesianProduct"), plan)
+  }
+
   test("x57 retention: no window sort; aggregates carry partial (map-side) phases") {
     val plan = planOf("x57_retention_cohorts")
     assert(!plan.contains("Window"), plan)
