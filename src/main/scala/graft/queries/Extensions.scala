@@ -1996,6 +1996,43 @@ object Extensions {
   // ids. At t=0.9 on this corpus: 2072 result pairs.
   private val PfJaccard = 0.9
 
+  /** Signature-collapsed distinct token sets: one row per distinct
+    * token SET, rep = min doc_id — dedup before any pair work, so
+    * identical sets never generate pairs. Persisted (df/order/verify
+    * sides all consume it). Shared by x35 and x69. */
+  private def tokenSetReps(s: SparkSession, d: String): DataFrame = {
+    val reps = Tables.documents(s, d)
+      .groupBy(tokenSetSig(col("text")).as("sig"))
+      .agg(min(col("doc_id")).as("rep"))
+      .join(Tables.documents(s, d), col("rep") === col("doc_id"))
+      .select(col("rep"), tokenSet(col("text")).as("toks"))
+      .persist()
+    reps.count()
+    reps
+  }
+
+  /** Rare-first ordered-set table for prefix filtering: each rep's
+    * tokens sorted by one GLOBAL (df, token) order, with set size `n`
+    * and prefix length `plen` = n − ceil(t·n) + 1. Deliberately NO
+    * broadcast hint on the df table: it is VOCABULARY-sized
+    * (unbounded on real crawl data), and both join sides are
+    * exchanged on `tok`, so the shuffle join co-partitions naturally;
+    * size-gated AQE still broadcasts when it genuinely fits. Shared
+    * by x35 (Jaccard) and x69 (containment — same α = ceil(t·n)
+    * overlap bound, so the same prefix length is lossless for both). */
+  private def orderedSetTable(reps: DataFrame, thr: Double): DataFrame = {
+    val toksE = reps.select(col("rep"), explode(col("toks")).as("tok"))
+    val dfTab = toksE.groupBy(col("tok")).agg(count(lit(1)).as("df"))
+    toksE.join(dfTab, "tok")
+      .groupBy(col("rep"))
+      .agg(transform(
+        array_sort(collect_list(struct(col("df"), col("tok")))),
+        e => e.getField("tok")).as("otoks"))
+      .withColumn("n", size(col("otoks")).cast("long"))
+      .withColumn("plen",
+        (col("n") - ceil(col("n") * lit(thr)) + 1).cast("int"))
+  }
+
   /** x35's candidate stage: prefix-token equi-join + length filter +
     * (optionally) the PPJoin POSITION filter. Ordered-set table in,
     * `(rep_a, rep_b)` candidate pairs out.
@@ -2076,33 +2113,8 @@ object Extensions {
   private val x35 = GateQuery(
     "x35_setjoin_prefix",
     (s, d) => {
-      val reps = Tables.documents(s, d)
-        .groupBy(tokenSetSig(col("text")).as("sig"))
-        .agg(min(col("doc_id")).as("rep"))
-        .join(Tables.documents(s, d), col("rep") === col("doc_id"))
-        .select(col("rep"), tokenSet(col("text")).as("toks"))
-        .persist()
-      reps.count() // df + ordering + verify sides consume it
-      val dfTab = reps.select(col("rep"), explode(col("toks")).as("tok"))
-        .groupBy(col("tok")).agg(count(lit(1)).as("df"))
-      // global rare-first order: sort each set by (df, tok) and keep
-      // the prefix. Deliberately NO broadcast hint on the df table:
-      // it is VOCABULARY-sized (all distinct tokens — unbounded on
-      // real crawl data, the x04-round-2 forced-broadcast OOM shape),
-      // and both join sides are exchanged on `tok` (the df
-      // aggregation reads the same exploded table), so the shuffle
-      // join co-partitions naturally; size-gated AQE still picks
-      // broadcast when the vocabulary genuinely fits
-      val otab = reps.select(col("rep"), explode(col("toks")).as("tok"))
-        .join(dfTab, "tok")
-        .groupBy(col("rep"))
-        .agg(transform(
-          array_sort(collect_list(struct(col("df"), col("tok")))),
-          e => e.getField("tok")).as("otoks"))
-        .withColumn("n", size(col("otoks")).cast("long"))
-        .withColumn("plen",
-          (col("n") - ceil(col("n") * lit(PfJaccard)) + 1).cast("int"))
-        .persist()
+      val reps = tokenSetReps(s, d)
+      val otab = orderedSetTable(reps, PfJaccard).persist()
       otab.count() // both candidate sides consume it
       val cand = ssjoinCandidates2(otab)
       val ta = reps.select(col("rep").as("rep_a"), col("toks").as("toks_a"))
@@ -4125,6 +4137,105 @@ object Extensions {
                      > $LmMaxBits AS flagged
             FROM sc GROUP BY 1 ORDER BY 1,2,3,4,5"""))
 
+  // ---------------------------------------------------------------- x69
+  // CONTAINMENT decontamination (bipartite, benchmark → corpus):
+  // corpus docs holding >= t of a benchmark doc's token SET —
+  // C(A→B) = |A∩B|/|A| with A the benchmark side. The ASYMMETRIC
+  // contamination shape both n-gram overlap (x24) and bipartite
+  // near-dup (x42) structurally miss: a benchmark question quoted
+  // inside a much LARGER training doc has high containment but tiny
+  // Jaccard (the container's size dominates the union), so a
+  // symmetric threshold never fires. The full containment SELF-join
+  // is deliberately not offered as an operator: on template-heavy
+  // corpora its truth is pair-quadratic inside families (measured
+  // ~27M qualifying pairs at sf1 on this corpus) — the pipeline-real
+  // form is benchmark-bounded, exactly x42's contract.
+  //
+  // Prefix lemma, containment form: C(A→B) >= t needs |A∩B| >= α =
+  // ceil(t·|A|), so at most |A| − α of A's tokens miss B — A must
+  // share a token with B within its first |A| − α + 1 tokens in the
+  // global CORPUS-df rare-first order. The match can sit ANYWHERE in
+  // B, so candidates join A-prefix tokens against B's full token
+  // list — lossless; benchmark tokens absent from the corpus get
+  // df 0 and sort first, which is also lossless (a prefix of
+  // corpus-absent tokens proves |A ∩ corpus vocab| < α — no B can
+  // qualify). Scale shape: the benchmark prefix table is tiny and
+  // BROADCASTS (the x42 move — the corpus streams map-side, nothing
+  // shuffles with corpus cardinality); candidate volume is
+  // Σ_prefix-token df, bounded because prefixes hold each set's
+  // RAREST corpus tokens; the exact verify touches candidates only.
+  private val CtThreshold = 0.9
+  private val x69 = GateQuery(
+    "x69_decontam_containment",
+    (s, d) => {
+      val docs = Tables.documents(s, d)
+      val bench = docs.filter(col("doc_id") % BenchMod === 0)
+        .select(col("doc_id").as("bench_id"), tokenSet(col("text")).as("toks_a"))
+        .persist()
+      bench.count() // ordering + verify consume it
+      val corp = docs.filter(col("doc_id") % BenchMod =!= 0)
+        .groupBy(tokenSetSig(col("text")).as("sig"))
+        .agg(min(col("doc_id")).as("rep"))
+        .join(docs, col("rep") === col("doc_id"))
+        .select(col("rep"), tokenSet(col("text")).as("toks_b"))
+        .persist()
+      corp.count() // df + candidate + verify consume it
+      val corpTok = corp.select(col("rep"),
+        size(col("toks_b")).cast("long").as("n_b"),
+        explode(col("toks_b")).as("tok"))
+      val dfTab = corpTok.groupBy(col("tok")).agg(count(lit(1)).as("df"))
+      val benchOrd = bench
+        .select(col("bench_id"), explode(col("toks_a")).as("tok"))
+        .join(dfTab, Seq("tok"), "left_outer")
+        .na.fill(0L, Seq("df"))
+        .groupBy(col("bench_id"))
+        .agg(transform(
+          array_sort(collect_list(struct(col("df"), col("tok")))),
+          e => e.getField("tok")).as("otoks"))
+        .withColumn("n_a", size(col("otoks")).cast("long"))
+        .withColumn("plen",
+          (col("n_a") - ceil(col("n_a") * lit(CtThreshold)) + 1).cast("int"))
+      val pref = benchOrd.select(col("bench_id"), col("n_a"),
+        explode(expr("slice(otoks, 1, plen)")).as("tok"))
+      // epsilon inside ceil: a float product landing a hair above an
+      // integer must not EXCLUDE an admissible pair (over-admission
+      // is harmless, the verify is exact)
+      val cand = corpTok.join(broadcast(pref), Seq("tok"))
+        .filter(col("n_b") >= ceil(col("n_a") * lit(CtThreshold) - lit(1e-9)))
+        .select(col("bench_id"), col("rep")).distinct()
+      ordered(cand
+        .join(broadcast(bench), "bench_id").join(corp, "rep")
+        .withColumn("n_a", size(col("toks_a")).cast("long"))
+        .withColumn("inter",
+          size(array_intersect(col("toks_a"), col("toks_b"))).cast("long"))
+        .withColumn("cont", col("inter").cast("double") / col("n_a"))
+        .filter(col("cont") >= CtThreshold)
+        .select(col("bench_id"), col("rep").as("rep_b"), col("n_a"),
+          col("inter"), col("cont")))
+    },
+    // the pruning is LOSSLESS, so the oracle is the plain bipartite
+    // all-pairs statement of the semantics — no construction replay
+    Some(s"""WITH bench AS (
+              SELECT doc_id AS bench_id,
+                     list_sort(list_distinct(string_split(text, ' '))) AS toks_a
+              FROM documents WHERE doc_id % $BenchMod = 0),
+            sigs AS (
+              SELECT min(doc_id) AS rep
+              FROM documents WHERE doc_id % $BenchMod <> 0
+              GROUP BY md5(array_to_string(list_sort(list_distinct(string_split(text, ' '))), ' '))),
+            corp AS (
+              SELECT s.rep, list_sort(list_distinct(string_split(d.text, ' '))) AS toks_b
+              FROM sigs s JOIN documents d ON d.doc_id = s.rep)
+            SELECT b.bench_id, c.rep AS rep_b,
+              CAST(len(b.toks_a) AS BIGINT) AS n_a,
+              CAST(len(list_intersect(b.toks_a, c.toks_b)) AS BIGINT) AS inter,
+              CAST(len(list_intersect(b.toks_a, c.toks_b)) AS DOUBLE) /
+                len(b.toks_a) AS cont
+            FROM bench b CROSS JOIN corp c
+            WHERE CAST(len(list_intersect(b.toks_a, c.toks_b)) AS DOUBLE) /
+                len(b.toks_a) >= $CtThreshold
+            ORDER BY 1,2,3,4,5"""))
+
   // ---------------------------------------------------------------- x66
   // ANN recall audit: per-query recall@k of the IVF path (x07)
   // against the exact brute-force top-k (x06) — the acceptance gate a
@@ -4268,5 +4379,5 @@ object Extensions {
     x24, x25, x26, x27, x28, x29, x30, x31, x32, x33, x34, x35, x36, x37,
     x38, x39, x40, x41, x42, x43, x44, x45, x46, x47, x48, x49, x50, x51,
     x52, x53, x54, x55, x56, x57, x58, x59, x60, x61, x62, x63, x64, x65, x66,
-    x67, x68)
+    x67, x68, x69)
 }
