@@ -4236,6 +4236,56 @@ object Extensions {
                 len(b.toks_a) >= $CtThreshold
             ORDER BY 1,2,3,4,5"""))
 
+  // ---------------------------------------------------------------- x70
+  // First-occurrence novelty score: the fraction of a doc's distinct
+  // bigrams whose GLOBAL first appearance (min doc_id — the corpus's
+  // deterministic arrival order, x27's reproducibility stance) is
+  // this doc. The marginal-contribution signal of data curation:
+  // near-zero novelty means every shingle was already contributed by
+  // earlier docs (the doc is template/boilerplate recombination —
+  // droppable even when no single x14-style near-dup partner exists);
+  // x26 measures repetition WITHIN a doc, x70 measures redundancy
+  // AGAINST the corpus prefix. Scale shape: one shingling pass
+  // (native TokenBigrams), one bigram-keyed min-agg, then one
+  // doc-keyed count over the FIRST-OCCURRENCE table (vocabulary-
+  // sized) — the novel count per doc needs no join back to the
+  // corpus-sized explode: a doc's novel bigrams are exactly the rows
+  // it owns in the min table. No corpus-sized broadcast, no window.
+  private val x70 = GateQuery(
+    "x70_novelty",
+    (s, d) => {
+      val base = Tables.documents(s, d)
+        .select(col("doc_id"), bigramsExpr.as("bgs"))
+        .select(col("doc_id"), size(col("bgs")).cast("long").as("n_bg"),
+          explode(col("bgs")).as("bg"))
+        .persist()
+      base.count() // first-occurrence agg + per-doc sizes consume it
+      val novel = base.groupBy(col("bg")).agg(min(col("doc_id")).as("doc_id"))
+        .groupBy(col("doc_id")).agg(count(lit(1)).as("novel"))
+      val dtab = base.groupBy(col("doc_id")).agg(max(col("n_bg")).as("n_bg"))
+      ordered(dtab.join(novel, Seq("doc_id"), "left_outer")
+        .na.fill(0L, Seq("novel"))
+        .select(col("doc_id"), col("n_bg"), col("novel"),
+          (col("novel").cast("double") / col("n_bg")).as("novelty"),
+          (col("novel") === 0L).as("flagged")))
+    },
+    Some(s"""WITH tk AS (
+              SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+            b AS MATERIALIZED (
+              SELECT doc_id,
+                     CAST(len($duckBigrams) AS BIGINT) AS n_bg,
+                     unnest($duckBigrams) AS bg
+              FROM tk),
+            f AS (SELECT bg, min(doc_id) AS doc_id FROM b GROUP BY 1),
+            nc AS (SELECT doc_id, count(*) AS novel FROM f GROUP BY 1),
+            dt AS (SELECT doc_id, max(n_bg) AS n_bg FROM b GROUP BY 1)
+            SELECT dt.doc_id, dt.n_bg,
+                   CAST(COALESCE(nc.novel, 0) AS BIGINT) AS novel,
+                   CAST(COALESCE(nc.novel, 0) AS DOUBLE) / dt.n_bg AS novelty,
+                   COALESCE(nc.novel, 0) = 0 AS flagged
+            FROM dt LEFT JOIN nc ON nc.doc_id = dt.doc_id
+            ORDER BY 1,2,3,4,5"""))
+
   // ---------------------------------------------------------------- x66
   // ANN recall audit: per-query recall@k of the IVF path (x07)
   // against the exact brute-force top-k (x06) — the acceptance gate a
@@ -4379,5 +4429,5 @@ object Extensions {
     x24, x25, x26, x27, x28, x29, x30, x31, x32, x33, x34, x35, x36, x37,
     x38, x39, x40, x41, x42, x43, x44, x45, x46, x47, x48, x49, x50, x51,
     x52, x53, x54, x55, x56, x57, x58, x59, x60, x61, x62, x63, x64, x65, x66,
-    x67, x68, x69)
+    x67, x68, x69, x70)
 }
