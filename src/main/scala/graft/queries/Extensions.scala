@@ -4286,6 +4286,76 @@ object Extensions {
             FROM dt LEFT JOIN nc ON nc.doc_id = dt.doc_id
             ORDER BY 1,2,3,4,5"""))
 
+  // ---------------------------------------------------------------- x71
+  // k-core peeling over the span graph — the fifth member of the
+  // dedup-graph diagnostic suite (x30 reachability, x51 density, x56
+  // centrality, x67 communities): the k-core is the maximal subgraph
+  // where every doc keeps >= k span-sharing neighbors, the standard
+  // "dense nucleus" extractor — a template family's core survives
+  // peeling while chance-collision fringe docs (degree-1/2
+  // attachments that inflate x62's reach) fall away. Deterministic
+  // SYNCHRONOUS peeling, fixed rounds (the x56/x67 stance): round r
+  // keeps vertices with >= k neighbors inside the round-(r-1)
+  // survivor-induced subgraph — an integer recurrence the oracle
+  // unrolls exactly. Scale shape: the directed edge list is persisted
+  // PRE-PARTITIONED on src (the round-8 cached-partitioning move) and
+  // never re-shuffles; per round ONE survivor-filtered degree count
+  // (two vertex-sized semi-join filters + a src-keyed agg); the alive
+  // table is vertex-sized and lineage-truncated per round via lazy
+  // localCheckpoint (the ConnectedComponents pattern — plan stays
+  // linear, blocks materialize once inside the single final job).
+  private val KcoreK = 3
+  private val KcoreRounds = 4
+  private val x71 = GateQuery(
+    "x71_kcore",
+    (s, d) => {
+      val edges = spanEdges(Tables.documents(s, d), TriW)
+      val dir = edges.select(col("a").as("src"), col("b").as("dst"))
+        .union(edges.select(col("b").as("src"), col("a").as("dst")))
+        .repartition(col("src"))
+        .persist()
+      dir.count()
+      var alive = dir.select(col("src").as("v")).distinct()
+        .localCheckpoint(false)
+      for (_ <- 1 to KcoreRounds) {
+        alive = dir
+          .join(alive.withColumnRenamed("v", "src"), Seq("src"))
+          .join(alive.withColumnRenamed("v", "dst"), Seq("dst"))
+          .groupBy(col("src")).agg(count(lit(1)).as("deg"))
+          .filter(col("deg") >= KcoreK)
+          .select(col("src").as("v"))
+          .localCheckpoint(false)
+      }
+      // degree inside the final survivor-induced subgraph (may dip
+      // below k for vertices that lost neighbors in the last round —
+      // fixed-round semantics, exactly what the oracle replays)
+      ordered(dir
+        .join(alive.withColumnRenamed("v", "src"), Seq("src"))
+        .join(alive.withColumnRenamed("v", "dst"), Seq("dst"))
+        .groupBy(col("src")).agg(count(lit(1)).as("deg"))
+        .select(col("src").as("doc_id"), col("deg")))
+    },
+    Some {
+      val rounds = (1 to KcoreRounds).map { r =>
+        s"""a$r AS MATERIALIZED (
+              SELECT d.src AS v FROM dir d
+              JOIN a${r - 1} x ON d.src = x.v
+              JOIN a${r - 1} y ON d.dst = y.v
+              GROUP BY 1 HAVING count(*) >= $KcoreK)"""
+      }.mkString(",\n            ")
+      s"""WITH ${duckSpanEdgesCte(TriW)},
+            dir AS MATERIALIZED (
+                    SELECT a AS src, b AS dst FROM edges
+                    UNION ALL SELECT b AS src, a AS dst FROM edges),
+            a0 AS MATERIALIZED (SELECT DISTINCT src AS v FROM dir),
+            $rounds
+          SELECT d.src AS doc_id, CAST(count(*) AS BIGINT) AS deg
+          FROM dir d
+          JOIN a$KcoreRounds x ON d.src = x.v
+          JOIN a$KcoreRounds y ON d.dst = y.v
+          GROUP BY 1 ORDER BY 1,2"""
+    })
+
   // ---------------------------------------------------------------- x66
   // ANN recall audit: per-query recall@k of the IVF path (x07)
   // against the exact brute-force top-k (x06) — the acceptance gate a
@@ -4429,5 +4499,5 @@ object Extensions {
     x24, x25, x26, x27, x28, x29, x30, x31, x32, x33, x34, x35, x36, x37,
     x38, x39, x40, x41, x42, x43, x44, x45, x46, x47, x48, x49, x50, x51,
     x52, x53, x54, x55, x56, x57, x58, x59, x60, x61, x62, x63, x64, x65, x66,
-    x67, x68, x69, x70)
+    x67, x68, x69, x70, x71)
 }
