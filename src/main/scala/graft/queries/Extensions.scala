@@ -4356,6 +4356,72 @@ object Extensions {
           GROUP BY 1 ORDER BY 1,2"""
     })
 
+  // ---------------------------------------------------------------- x72
+  // Per-source signature terms — the domain-profiling report read
+  // before weighting a training mix (x28) or capping a domain (x54):
+  // for every source, the top-K terms by an integer distinctiveness
+  // score tf·(n_sources − sdf + 1) (term frequency weighted by
+  // cross-source rarity — the TF-IDF ranking signal without the
+  // transcendental log, which is unhashable across engines). Exact
+  // per-GROUP top-k at scale: a naive row_number over (source) sorts
+  // each source's whole vocabulary in one partition, so the selection
+  // runs TWO-LEVEL — a salted window (source, hash(term) % B) whose
+  // partitions are vocab/B-bounded takes per-bucket top-K, then the
+  // per-source window ranks only B·K survivors (constant-sized) —
+  // lossless (per-bucket top-K is a superset of the global top-K
+  // members in that bucket; the tie-break (score desc, term) is a
+  // total order, so both engines pick identical rows). The oracle
+  // states the direct one-window semantics; the salt is construction,
+  // not meaning.
+  private val SigTopK = 10
+  private val SigSaltBuckets = 16
+  private val x72 = GateQuery(
+    "x72_source_signature",
+    (s, d) => {
+      val tf = Tables.documents(s, d)
+        .select(col("source"), explode(split(col("text"), " ")).as("term"))
+        .groupBy(col("source"), col("term")).agg(count(lit(1)).as("tf"))
+        .persist()
+      tf.count() // sdf + n_src + score join consume it
+      val sdf = tf.groupBy(col("term")).agg(count(lit(1)).as("sdf"))
+      val nSrc = tf.agg(countDistinct(col("source")).as("n_src"))
+      val scored = tf.join(sdf, "term")
+        .crossJoin(broadcast(nSrc))
+        .withColumn("score", col("tf") * (col("n_src") - col("sdf") + 1))
+        .withColumn("salt", pmod(hash(col("term")), lit(SigSaltBuckets)))
+      val wBucket = Window.partitionBy(col("source"), col("salt"))
+        .orderBy(col("score").desc, col("term"))
+      val wSource = Window.partitionBy(col("source"))
+        .orderBy(col("score").desc, col("term"))
+      ordered(scored
+        .withColumn("rn", row_number().over(wBucket))
+        .filter(col("rn") <= SigTopK)
+        .withColumn("rank", row_number().over(wSource))
+        .filter(col("rank") <= SigTopK)
+        .select(col("source"), col("term"), col("tf"),
+          col("sdf"), col("score"), col("rank").cast("long").as("rank")))
+    },
+    Some(s"""WITH t AS (
+              SELECT source, unnest(string_split(text, ' ')) AS term
+              FROM documents),
+            tfc AS MATERIALIZED (
+              SELECT source, term, count(*) AS tf FROM t GROUP BY 1, 2),
+            sd AS (SELECT term, count(*) AS sdf FROM tfc GROUP BY 1),
+            ns AS (SELECT count(DISTINCT source) AS n_src FROM tfc),
+            sc AS (
+              SELECT f.source, f.term,
+                     CAST(f.tf AS BIGINT) AS tf,
+                     CAST(s.sdf AS BIGINT) AS sdf,
+                     CAST(f.tf * (ns.n_src - s.sdf + 1) AS BIGINT) AS score
+              FROM tfc f JOIN sd s USING (term) CROSS JOIN ns),
+            r AS (
+              SELECT *, row_number() OVER (
+                PARTITION BY source ORDER BY score DESC, term) AS rank
+              FROM sc)
+            SELECT source, term, tf, sdf, score, CAST(rank AS BIGINT) AS rank
+            FROM r WHERE rank <= $SigTopK
+            ORDER BY 1,2,3,4,5,6"""))
+
   // ---------------------------------------------------------------- x66
   // ANN recall audit: per-query recall@k of the IVF path (x07)
   // against the exact brute-force top-k (x06) — the acceptance gate a
@@ -4499,5 +4565,5 @@ object Extensions {
     x24, x25, x26, x27, x28, x29, x30, x31, x32, x33, x34, x35, x36, x37,
     x38, x39, x40, x41, x42, x43, x44, x45, x46, x47, x48, x49, x50, x51,
     x52, x53, x54, x55, x56, x57, x58, x59, x60, x61, x62, x63, x64, x65, x66,
-    x67, x68, x69, x70, x71)
+    x67, x68, x69, x70, x71, x72)
 }
