@@ -4422,6 +4422,83 @@ object Extensions {
             FROM r WHERE rank <= $SigTopK
             ORDER BY 1,2,3,4,5,6"""))
 
+  // ---------------------------------------------------------------- x73
+  // LSH estimator calibration — x66's audit role for the MinHash
+  // dedup family: over x04's OWN candidate pairs, the joint histogram
+  // of (minhash component agreement 0..16, exact token-set Jaccard
+  // in 1/20 buckets). A healthy family concentrates mass on the
+  // diagonal (E[matches]/16 = true Jaccard); a broken affine family,
+  // band-slicing bug, or hash collision pathology shows up as
+  // off-diagonal mass — the acceptance check a pipeline runs before
+  // trusting LSH-filtered dedup, just as x66 gates the IVF index.
+  // Everything is hash-exact: matches is an integer count, the
+  // bucket is the integer (inter·20) div union — no float sums.
+  // Scale shape: reuses x04's signature collapse, native per-row
+  // minhash, and band join; the calibration join touches CANDIDATE
+  // ids only (semi-joined, then broadcast — the x04 verify pattern);
+  // output is a constant-sized 17×21 histogram.
+  private val x73 = GateQuery(
+    "x73_lsh_calibration",
+    (s, d) => {
+      val sigs = sigTable(s, d).persist()
+      sigs.count()
+      val docArrs = Tables.documents(s, d)
+        .repartition(col("doc_id"))
+        .select(col("doc_id"), tokenSet(col("text")).as("arr"))
+      val repTab = sigs.join(docArrs, col("rep") === col("doc_id"))
+        .select(col("rep"), col("arr"),
+          graft.functions.MinHashArr.minhashArr(col("arr"), "t:").as("mhs"))
+        .filter(col("mhs").isNotNull)
+        .persist()
+      repTab.count() // band table + both calibration sides consume it
+      val banded = bandsOf(repTab.select(col("rep"), col("mhs"))).persist()
+      banded.count()
+      val cand = lshCandidates(banded).persist()
+      cand.count()
+      val candIds = cand.select(col("rep_a").as("rep"))
+        .union(cand.select(col("rep_b").as("rep"))).distinct()
+      val candTab = repTab.join(candIds, "rep")
+      val ta = broadcast(candTab.select(col("rep").as("rep_a"),
+        col("arr").as("arr_a"), col("mhs").as("mhs_a")))
+      val tb = broadcast(candTab.select(col("rep").as("rep_b"),
+        col("arr").as("arr_b"), col("mhs").as("mhs_b")))
+      val inter = size(array_intersect(col("arr_a"), col("arr_b")))
+      val uni = size(col("arr_a")) + size(col("arr_b")) - inter
+      ordered(cand.join(ta, "rep_a").join(tb, "rep_b")
+        .withColumn("matches",
+          size(filter(zip_with(col("mhs_a"), col("mhs_b"),
+            (x, y) => x === y), v => v)).cast("long"))
+        .withColumn("inter", inter.cast("long"))
+        .withColumn("uni", uni.cast("long"))
+        .withColumn("jac_bucket", expr("(inter * 20) div uni"))
+        .groupBy(col("matches"), col("jac_bucket"))
+        .agg(count(lit(1)).as("cnt"))
+        .select(col("matches"), col("jac_bucket"), col("cnt")))
+    },
+    Some {
+      val matchSum = (0 until NumMinhash)
+        .map(i => s"CASE WHEN a.mh$i = b.mh$i THEN 1 ELSE 0 END")
+        .mkString(" + ")
+      s"""WITH $duckMasksCte, $duckMinhashCtes,
+            rsets AS (
+              SELECT s.rep, list_distinct(string_split(doc.text, ' ')) AS arr
+              FROM sigs s JOIN documents doc ON doc.doc_id = s.rep),
+            pairs AS (
+              SELECT ($matchSum) AS matches,
+                (len(list_intersect(ra.arr, rb.arr)) * 20) //
+                  (len(ra.arr) + len(rb.arr)
+                    - len(list_intersect(ra.arr, rb.arr))) AS jac_bucket
+              FROM cand c
+              JOIN mh a ON a.rep = c.rep_a
+              JOIN mh b ON b.rep = c.rep_b
+              JOIN rsets ra ON ra.rep = c.rep_a
+              JOIN rsets rb ON rb.rep = c.rep_b)
+          SELECT CAST(matches AS BIGINT) AS matches,
+                 CAST(jac_bucket AS BIGINT) AS jac_bucket,
+                 CAST(count(*) AS BIGINT) AS cnt
+          FROM pairs GROUP BY 1, 2 ORDER BY 1,2,3"""
+    })
+
   // ---------------------------------------------------------------- x66
   // ANN recall audit: per-query recall@k of the IVF path (x07)
   // against the exact brute-force top-k (x06) — the acceptance gate a
@@ -4565,5 +4642,5 @@ object Extensions {
     x24, x25, x26, x27, x28, x29, x30, x31, x32, x33, x34, x35, x36, x37,
     x38, x39, x40, x41, x42, x43, x44, x45, x46, x47, x48, x49, x50, x51,
     x52, x53, x54, x55, x56, x57, x58, x59, x60, x61, x62, x63, x64, x65, x66,
-    x67, x68, x69, x70, x71, x72)
+    x67, x68, x69, x70, x71, x72, x73)
 }
