@@ -253,4 +253,38 @@ object DocStreams {
           out.result().iterator
       }.toDF("doc_id", "source", "quality_score", "event")
   }
+
+  /** Streaming twin of x70 first-occurrence novelty: per arriving
+    * doc, how many of its distinct bigrams are globally NEW among
+    * in-horizon arrivals. Two CHAINED stateful stages (the Spark-4
+    * multi-stateful append pipeline, same family as the Q7 twin's
+    * chained windowed aggs): (1) explode distinct bigrams and keep
+    * each bigram's FIRST arrival via dropDuplicatesWithinWatermark —
+    * state is one row per in-horizon distinct bigram
+    * (vocabulary-bounded and watermark-evicted, exactly the state a
+    * novelty pass must keep under any execution model); (2) a
+    * watermark-windowed per-doc count of the surviving rows. Emits
+    * (window, doc_id, n_bg, novel) when the window closes, for docs
+    * with novel >= 1 — a doc whose every shingle was already seen
+    * produces no surviving rows, so the batch gate's novel=0 class
+    * is absent by construction in append mode (DocStreamsSpec pins
+    * the agreement on the novel>0 set). Semantic note vs batch x70:
+    * batch's first occurrence is min doc_id, the stream's is first
+    * ARRIVAL — identical when docs arrive in doc_id order across
+    * micro-batch boundaries; WITHIN one micro-batch the surviving
+    * doc of a tied bigram is unspecified (the dedup shuffle does not
+    * preserve input order), so feed increments when strict
+    * first-arrival attribution matters.
+    * Column contract: input has (doc_id, text, ts). */
+  def noveltyStream(docs: DataFrame, horizon: String,
+                    win: String = "1 hour"): DataFrame =
+    docs
+      .select(col("doc_id"), col("ts"), Extensions.bigramsExpr.as("bgs"))
+      .select(col("doc_id"), col("ts"),
+        size(col("bgs")).cast("long").as("n_bg"),
+        explode(col("bgs")).as("bg"))
+      .withWatermark("ts", horizon)
+      .dropDuplicatesWithinWatermark("bg")
+      .groupBy(window(col("ts"), win), col("doc_id"), col("n_bg"))
+      .agg(count(lit(1)).as("novel"))
 }

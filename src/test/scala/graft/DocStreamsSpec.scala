@@ -361,4 +361,66 @@ class DocStreamsSpec extends AnyFunSuite {
     }
     q.stop()
   }
+
+  // --------------------------------------------- novelty stream (x70 twin)
+  private def ts(min: Int) = new java.sql.Timestamp(min * 60000L)
+
+  test("novelty stream: first arrival owns a bigram; fully-redundant docs emit nothing") {
+    val in = MemoryStream[SDoc]
+    val q = DocStreams.noveltyStream(in.toDF(), "2 hours", "1 hour")
+      .writeStream.format("memory").queryName("nv")
+      .outputMode("append").start()
+    // separate micro-batches pin arrival order per bigram
+    in.addData(SDoc(1, "a b c", ts(1))); q.processAllAvailable()
+    in.addData(SDoc(2, "a b d", ts(2))); q.processAllAvailable()
+    in.addData(SDoc(3, "a b", ts(3))); q.processAllAvailable()
+    // sentinel far past the window + horizon closes [0, 60)
+    in.addData(SDoc(99, "zz zz2", ts(10000))); q.processAllAvailable()
+    val got = spark.table("nv")
+      .select("doc_id", "n_bg", "novel").as[(Long, Long, Long)]
+      .collect().filter(_._1 < 99).sortBy(_._1)
+    // doc1 owns "a b","b c"; doc2 owns "b d" (1 of its 2); doc3 owns
+    // nothing -> absent in append mode
+    assert(got.toSeq == Seq((1L, 2L, 2L), (2L, 2L, 1L)), got.toSeq)
+    q.stop()
+  }
+
+  test("novelty stream agrees with batch first-occurrence on a real-corpus slice, one doc per micro-batch") {
+    // one doc per micro-batch: WITHIN a micro-batch the dedup's
+    // surviving doc of a tied bigram is unspecified (shuffle order),
+    // so strict first-arrival-equals-min-doc_id only holds across
+    // batch boundaries — the operator's documented contract
+    val dir = "/root/testdata/sf0.001"
+    val slice = Tables.documents(spark, dir)
+      .select($"doc_id", $"text").as[(Long, String)].collect()
+      .sortBy(_._1).take(120)
+      .map { case (id, tx) => SDoc(id, tx, ts(id.toInt + 1)) }
+    val in = MemoryStream[SDoc]
+    // horizon longer than the whole feed: no state expires mid-run
+    val q = DocStreams.noveltyStream(in.toDF(), "1000 minutes", "1 hour")
+      .writeStream.format("memory").queryName("nvc")
+      .outputMode("append").start()
+    slice.foreach { d => in.addData(d); q.processAllAvailable() }
+    in.addData(SDoc(9999, "zz zz2", ts(50000))); q.processAllAvailable()
+    val stream = spark.table("nvc")
+      .select("doc_id", "n_bg", "novel").as[(Long, Long, Long)]
+      .collect().filter(_._1 != 9999L)
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    // batch reference on the same slice: first occurrence = min doc_id
+    val df = slice.toSeq.toDF()
+    val base = df.select($"doc_id",
+      size(Extensions.bigramsExpr).cast("long").as("n_bg"),
+      explode(Extensions.bigramsExpr).as("bg"))
+    val owners = base.groupBy($"bg").agg(min($"doc_id").as("doc_id"))
+      .groupBy($"doc_id").agg(count(lit(1)).as("novel"))
+    val batch = base.select($"doc_id", $"n_bg").distinct()
+      .join(owners, Seq("doc_id"))
+      .as[(Long, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(stream == batch,
+      s"stream-only: ${(stream.keySet -- batch.keySet).toSeq.sorted.take(5)}; " +
+        s"batch-only: ${(batch.keySet -- stream.keySet).toSeq.sorted.take(5)}; " +
+        s"diff: ${batch.collect { case (k, v) if stream.get(k).exists(_ != v) => (k, v, stream(k)) }.take(5)}")
+    q.stop()
+  }
 }
