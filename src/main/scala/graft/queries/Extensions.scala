@@ -4435,8 +4435,13 @@ object Extensions {
   // bucket is the integer (inter·20) div union — no float sums.
   // Scale shape: reuses x04's signature collapse, native per-row
   // minhash, and band join; the calibration join touches CANDIDATE
-  // ids only (semi-joined, then broadcast — the x04 verify pattern);
-  // output is a constant-sized 17×21 histogram.
+  // ids only (semi-joined, then broadcast — the x04 verify pattern),
+  // and samples a deterministic 1-in-4 of candidate pairs by md5
+  // bucket (the x66 stance: an audit runs on a sample — the exact
+  // token-array intersect is ~20× a mask verify per pair, and the
+  // histogram's shape needs mass, not every pair); output is a
+  // constant-sized 17×21 histogram.
+  private val CalSampleMod = 4
   private val x73 = GateQuery(
     "x73_lsh_calibration",
     (s, d) => {
@@ -4453,7 +4458,10 @@ object Extensions {
       repTab.count() // band table + both calibration sides consume it
       val banded = bandsOf(repTab.select(col("rep"), col("mhs"))).persist()
       banded.count()
-      val cand = lshCandidates(banded).persist()
+      val cand = lshCandidates(banded)
+        .filter(hex32(md5(concat_ws(":", col("rep_a"), col("rep_b"))))
+          % CalSampleMod === 0)
+        .persist()
       cand.count()
       val candIds = cand.select(col("rep_a").as("rep"))
         .union(cand.select(col("rep_b").as("rep"))).distinct()
@@ -4483,12 +4491,15 @@ object Extensions {
             rsets AS (
               SELECT s.rep, list_distinct(string_split(doc.text, ' ')) AS arr
               FROM sigs s JOIN documents doc ON doc.doc_id = s.rep),
+            sampled AS (
+              SELECT rep_a, rep_b FROM cand
+              WHERE ${duckHex32("md5(rep_a || ':' || rep_b)")} % $CalSampleMod = 0),
             pairs AS (
               SELECT ($matchSum) AS matches,
                 (len(list_intersect(ra.arr, rb.arr)) * 20) //
                   (len(ra.arr) + len(rb.arr)
                     - len(list_intersect(ra.arr, rb.arr))) AS jac_bucket
-              FROM cand c
+              FROM sampled c
               JOIN mh a ON a.rep = c.rep_a
               JOIN mh b ON b.rep = c.rep_b
               JOIN rsets ra ON ra.rep = c.rep_a
