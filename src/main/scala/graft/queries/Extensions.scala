@@ -4165,53 +4165,65 @@ object Extensions {
   // Σ_prefix-token df, bounded because prefixes hold each set's
   // RAREST corpus tokens; the exact verify touches candidates only.
   private val CtThreshold = 0.9
+  /** x69's engine, parameterized for lemma-soundness fixtures:
+    * `bench` rows (bench_id, toks_a), `corp` rows (rep, toks_b) —
+    * ordered containment pairs with C(A→B) >= thr out. Lossless by
+    * the containment-form prefix lemma (see the x69 comment);
+    * X69ContainmentSpec fuzzes it against brute force across
+    * thresholds, including the corpus-absent-token and exact-boundary
+    * cases. Persists both inputs (each feeds several join sides). */
+  private[graft] def containmentJoin(bench: DataFrame, corp: DataFrame,
+                                     thr: Double): DataFrame = {
+    val b = bench.persist()
+    b.count() // ordering + verify consume it
+    val c = corp.persist()
+    c.count() // df + candidate + verify consume it
+    val corpTok = c.select(col("rep"),
+      size(col("toks_b")).cast("long").as("n_b"),
+      explode(col("toks_b")).as("tok"))
+    val dfTab = corpTok.groupBy(col("tok")).agg(count(lit(1)).as("df"))
+    val benchOrd = b
+      .select(col("bench_id"), explode(col("toks_a")).as("tok"))
+      .join(dfTab, Seq("tok"), "left_outer")
+      .na.fill(0L, Seq("df"))
+      .groupBy(col("bench_id"))
+      .agg(transform(
+        array_sort(collect_list(struct(col("df"), col("tok")))),
+        e => e.getField("tok")).as("otoks"))
+      .withColumn("n_a", size(col("otoks")).cast("long"))
+      .withColumn("plen",
+        (col("n_a") - ceil(col("n_a") * lit(thr)) + 1).cast("int"))
+    val pref = benchOrd.select(col("bench_id"), col("n_a"),
+      explode(expr("slice(otoks, 1, plen)")).as("tok"))
+    // epsilon inside ceil: a float product landing a hair above an
+    // integer must not EXCLUDE an admissible pair (over-admission
+    // is harmless, the verify is exact)
+    val cand = corpTok.join(broadcast(pref), Seq("tok"))
+      .filter(col("n_b") >= ceil(col("n_a") * lit(thr) - lit(1e-9)))
+      .select(col("bench_id"), col("rep")).distinct()
+    ordered(cand
+      .join(broadcast(b), "bench_id").join(c, "rep")
+      .withColumn("n_a", size(col("toks_a")).cast("long"))
+      .withColumn("inter",
+        size(array_intersect(col("toks_a"), col("toks_b"))).cast("long"))
+      .withColumn("cont", col("inter").cast("double") / col("n_a"))
+      .filter(col("cont") >= thr)
+      .select(col("bench_id"), col("rep").as("rep_b"), col("n_a"),
+        col("inter"), col("cont")))
+  }
+
   private val x69 = GateQuery(
     "x69_decontam_containment",
     (s, d) => {
       val docs = Tables.documents(s, d)
       val bench = docs.filter(col("doc_id") % BenchMod === 0)
         .select(col("doc_id").as("bench_id"), tokenSet(col("text")).as("toks_a"))
-        .persist()
-      bench.count() // ordering + verify consume it
       val corp = docs.filter(col("doc_id") % BenchMod =!= 0)
         .groupBy(tokenSetSig(col("text")).as("sig"))
         .agg(min(col("doc_id")).as("rep"))
         .join(docs, col("rep") === col("doc_id"))
         .select(col("rep"), tokenSet(col("text")).as("toks_b"))
-        .persist()
-      corp.count() // df + candidate + verify consume it
-      val corpTok = corp.select(col("rep"),
-        size(col("toks_b")).cast("long").as("n_b"),
-        explode(col("toks_b")).as("tok"))
-      val dfTab = corpTok.groupBy(col("tok")).agg(count(lit(1)).as("df"))
-      val benchOrd = bench
-        .select(col("bench_id"), explode(col("toks_a")).as("tok"))
-        .join(dfTab, Seq("tok"), "left_outer")
-        .na.fill(0L, Seq("df"))
-        .groupBy(col("bench_id"))
-        .agg(transform(
-          array_sort(collect_list(struct(col("df"), col("tok")))),
-          e => e.getField("tok")).as("otoks"))
-        .withColumn("n_a", size(col("otoks")).cast("long"))
-        .withColumn("plen",
-          (col("n_a") - ceil(col("n_a") * lit(CtThreshold)) + 1).cast("int"))
-      val pref = benchOrd.select(col("bench_id"), col("n_a"),
-        explode(expr("slice(otoks, 1, plen)")).as("tok"))
-      // epsilon inside ceil: a float product landing a hair above an
-      // integer must not EXCLUDE an admissible pair (over-admission
-      // is harmless, the verify is exact)
-      val cand = corpTok.join(broadcast(pref), Seq("tok"))
-        .filter(col("n_b") >= ceil(col("n_a") * lit(CtThreshold) - lit(1e-9)))
-        .select(col("bench_id"), col("rep")).distinct()
-      ordered(cand
-        .join(broadcast(bench), "bench_id").join(corp, "rep")
-        .withColumn("n_a", size(col("toks_a")).cast("long"))
-        .withColumn("inter",
-          size(array_intersect(col("toks_a"), col("toks_b"))).cast("long"))
-        .withColumn("cont", col("inter").cast("double") / col("n_a"))
-        .filter(col("cont") >= CtThreshold)
-        .select(col("bench_id"), col("rep").as("rep_b"), col("n_a"),
-          col("inter"), col("cont")))
+      containmentJoin(bench, corp, CtThreshold)
     },
     // the pruning is LOSSLESS, so the oracle is the plain bipartite
     // all-pairs statement of the semantics — no construction replay
