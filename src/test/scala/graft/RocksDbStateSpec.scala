@@ -210,4 +210,27 @@ class RocksDbStateSpec extends AnyFunSuite {
       q.stop()
     } finally prev.fold(spark.conf.unset(key))(spark.conf.set(key, _))
   }
+
+  test("novelty stream (chained dedup -> windowed agg) is identical under the RocksDB store") {
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key, Sessions.stateStoreProviders("rocksdb"))
+    try {
+      def ts(min: Int) = new java.sql.Timestamp(min * 60000L)
+      val in = MemoryStream[SDoc]
+      val q = graft.streaming.DocStreams.noveltyStream(in.toDF(), "2 hours", "1 hour")
+        .writeStream.format("memory").queryName("rocksNv")
+        .outputMode("append").start()
+      in.addData(SDoc(1, "a b c", ts(1))); q.processAllAvailable()
+      in.addData(SDoc(2, "a b d", ts(2))); q.processAllAvailable()
+      in.addData(SDoc(3, "a b", ts(3))); q.processAllAvailable()
+      in.addData(SDoc(99, "zz zz2", ts(10000))); q.processAllAvailable()
+      val got = spark.table("rocksNv")
+        .select("doc_id", "n_bg", "novel").as[(Long, Long, Long)]
+        .collect().filter(_._1 < 99).sortBy(_._1)
+      // the DocStreamsSpec fixture verbatim: both stateful stages
+      // (dedup state + window state) ride the RocksDB provider
+      assert(got.toSeq == Seq((1L, 2L, 2L), (2L, 2L, 1L)), got.toSeq)
+      q.stop()
+    } finally prev.fold(spark.conf.unset(key))(spark.conf.set(key, _))
+  }
 }
