@@ -4320,33 +4320,13 @@ object Extensions {
   private val KcoreRounds = 4
   private val x71 = GateQuery(
     "x71_kcore",
-    (s, d) => {
-      val edges = spanEdges(Tables.documents(s, d), TriW)
-      val dir = edges.select(col("a").as("src"), col("b").as("dst"))
-        .union(edges.select(col("b").as("src"), col("a").as("dst")))
-        .repartition(col("src"))
-        .persist()
-      dir.count()
-      var alive = dir.select(col("src").as("v")).distinct()
-        .localCheckpoint(false)
-      for (_ <- 1 to KcoreRounds) {
-        alive = dir
-          .join(alive.withColumnRenamed("v", "src"), Seq("src"))
-          .join(alive.withColumnRenamed("v", "dst"), Seq("dst"))
-          .groupBy(col("src")).agg(count(lit(1)).as("deg"))
-          .filter(col("deg") >= KcoreK)
-          .select(col("src").as("v"))
-          .localCheckpoint(false)
-      }
-      // degree inside the final survivor-induced subgraph (may dip
-      // below k for vertices that lost neighbors in the last round —
-      // fixed-round semantics, exactly what the oracle replays)
-      ordered(dir
-        .join(alive.withColumnRenamed("v", "src"), Seq("src"))
-        .join(alive.withColumnRenamed("v", "dst"), Seq("dst"))
-        .groupBy(col("src")).agg(count(lit(1)).as("deg"))
-        .select(col("src").as("doc_id"), col("deg")))
-    },
+    (s, d) =>
+      // fixed-round semantics: a vertex that lost neighbors in the
+      // LAST round may report deg < k — exactly what the oracle's
+      // unrolled CTEs replay (see graft.ops.KCore)
+      ordered(graft.ops.KCore
+        .run(spanEdges(Tables.documents(s, d), TriW), KcoreK, KcoreRounds)
+        .select(col("id").as("doc_id"), col("deg"))),
     Some {
       val rounds = (1 to KcoreRounds).map { r =>
         s"""a$r AS MATERIALIZED (
