@@ -4067,10 +4067,12 @@ object Extensions {
   // HashPartitioning with no further exchange.
   private val LmScale = 1048576L // 2^20 fractional bits kept pre-floor
   private val LmMaxBits = 4.5 // ~p99 of the corpus mean (measured sf0.01)
-  private val x68 = GateQuery(
-    "x68_lm_surprisal",
-    (s, d) => {
-      val tk = Tables.documents(s, d)
+
+  /** x68's engine, parameterized for fixtures: (doc_id, text) rows in,
+    * (doc_id, n_bg, bits_sum, avg_bits, flagged) out. X68LmSpec pins
+    * the whole-bit arithmetic on a hand-computed corpus. */
+  private[graft] def lmSurprisal(docs: DataFrame): DataFrame = {
+      val tk = docs
         .select(col("doc_id"), split(col("text"), " ").as("tk"))
       val pos = tk.select(col("doc_id"),
         explode(zip_with(
@@ -4102,7 +4104,11 @@ object Extensions {
           (col("bits_sum").cast("double") / col("n_bg")).as("avg_bits"),
           (col("bits_sum").cast("double") / col("n_bg") > LmMaxBits)
             .as("flagged")))
-    },
+  }
+
+  private val x68 = GateQuery(
+    "x68_lm_surprisal",
+    (s, d) => lmSurprisal(Tables.documents(s, d)),
     Some(s"""WITH tk AS (
               SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
             bgl AS (
