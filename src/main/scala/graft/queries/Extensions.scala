@@ -4373,11 +4373,14 @@ object Extensions {
   // not meaning.
   private val SigTopK = 10
   private val SigSaltBuckets = 16
-  private val x72 = GateQuery(
-    "x72_source_signature",
-    (s, d) => {
-      val tf = Tables.documents(s, d)
-        .select(col("source"), explode(split(col("text"), " ")).as("term"))
+
+  /** x72's engine, parameterized for fixtures: (source, term) token
+    * occurrence rows in, exact per-source top-k signature terms out.
+    * X72TopKSpec pins the salted two-level selection's losslessness
+    * against the direct one-window rank on tie-heavy data. */
+  private[graft] def sourceSignatures(occ: DataFrame, k: Int,
+                                      buckets: Int): DataFrame = {
+      val tf = occ
         .groupBy(col("source"), col("term")).agg(count(lit(1)).as("tf"))
         .persist()
       tf.count() // sdf + n_src + score join consume it
@@ -4386,19 +4389,26 @@ object Extensions {
       val scored = tf.join(sdf, "term")
         .crossJoin(broadcast(nSrc))
         .withColumn("score", col("tf") * (col("n_src") - col("sdf") + 1))
-        .withColumn("salt", pmod(hash(col("term")), lit(SigSaltBuckets)))
+        .withColumn("salt", pmod(hash(col("term")), lit(buckets)))
       val wBucket = Window.partitionBy(col("source"), col("salt"))
         .orderBy(col("score").desc, col("term"))
       val wSource = Window.partitionBy(col("source"))
         .orderBy(col("score").desc, col("term"))
       ordered(scored
         .withColumn("rn", row_number().over(wBucket))
-        .filter(col("rn") <= SigTopK)
+        .filter(col("rn") <= k)
         .withColumn("rank", row_number().over(wSource))
-        .filter(col("rank") <= SigTopK)
+        .filter(col("rank") <= k)
         .select(col("source"), col("term"), col("tf"),
           col("sdf"), col("score"), col("rank").cast("long").as("rank")))
-    },
+  }
+
+  private val x72 = GateQuery(
+    "x72_source_signature",
+    (s, d) => sourceSignatures(
+      Tables.documents(s, d)
+        .select(col("source"), explode(split(col("text"), " ")).as("term")),
+      SigTopK, SigSaltBuckets),
     Some(s"""WITH t AS (
               SELECT source, unnest(string_split(text, ' ')) AS term
               FROM documents),
