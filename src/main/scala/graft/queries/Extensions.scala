@@ -4269,10 +4269,12 @@ object Extensions {
   // sized) — the novel count per doc needs no join back to the
   // corpus-sized explode: a doc's novel bigrams are exactly the rows
   // it owns in the min table. No corpus-sized broadcast, no window.
-  private val x70 = GateQuery(
-    "x70_novelty",
-    (s, d) => {
-      val base = Tables.documents(s, d)
+  /** x70's engine, parameterized for fixtures: (doc_id, text) rows
+    * in, per-doc first-occurrence novelty out. Shared as the batch
+    * reference by the noveltyStream agreement spec (X70 twin) and
+    * pinned by hand in X70NoveltySpec. */
+  private[graft] def noveltyScores(docs: DataFrame): DataFrame = {
+      val base = docs
         .select(col("doc_id"), bigramsExpr.as("bgs"))
         .select(col("doc_id"), size(col("bgs")).cast("long").as("n_bg"),
           explode(col("bgs")).as("bg"))
@@ -4286,7 +4288,11 @@ object Extensions {
         .select(col("doc_id"), col("n_bg"), col("novel"),
           (col("novel").cast("double") / col("n_bg")).as("novelty"),
           (col("novel") === 0L).as("flagged")))
-    },
+  }
+
+  private val x70 = GateQuery(
+    "x70_novelty",
+    (s, d) => noveltyScores(Tables.documents(s, d)),
     Some(s"""WITH tk AS (
               SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
             b AS MATERIALIZED (

@@ -406,16 +406,11 @@ class DocStreamsSpec extends AnyFunSuite {
       .select("doc_id", "n_bg", "novel").as[(Long, Long, Long)]
       .collect().filter(_._1 != 9999L)
       .map(r => r._1 -> ((r._2, r._3))).toMap
-    // batch reference on the same slice: first occurrence = min doc_id
-    val df = slice.toSeq.toDF()
-    val base = df.select($"doc_id",
-      size(Extensions.bigramsExpr).cast("long").as("n_bg"),
-      explode(Extensions.bigramsExpr).as("bg"))
-    val owners = base.groupBy($"bg").agg(min($"doc_id").as("doc_id"))
-      .groupBy($"doc_id").agg(count(lit(1)).as("novel"))
-    val batch = base.select($"doc_id", $"n_bg").distinct()
-      .join(owners, Seq("doc_id"))
-      .as[(Long, Long, Long)].collect()
+    // batch reference on the same slice: the x70 operator itself
+    // (first occurrence = min doc_id), restricted to novel > 0
+    val batch = Extensions.noveltyScores(slice.toSeq.toDF())
+      .filter($"novel" > 0)
+      .select("doc_id", "n_bg", "novel").as[(Long, Long, Long)].collect()
       .map(r => r._1 -> ((r._2, r._3))).toMap
     assert(stream == batch,
       s"stream-only: ${(stream.keySet -- batch.keySet).toSeq.sorted.take(5)}; " +
