@@ -4524,6 +4524,62 @@ object Extensions {
           FROM pairs GROUP BY 1, 2 ORDER BY 1,2,3"""
     })
 
+  // ---------------------------------------------------------------- x74
+  // PQ distortion audit — the third member of the approximation-audit
+  // trio (x66 recall for the IVF index, x73 calibration for the
+  // MinHash family, x74 DISTANCE DISTORTION for the PQ codes): for
+  // every pair x44's ADC scan actually returned, the asymmetric-
+  // distance estimate vs the EXACT quantized L2² to the true vector,
+  // as the integer ratio floor(100·adist/(edist+1)) — the
+  // reconstruction-error report read before trusting 128×-compressed
+  // codes for ranking. All-integer arithmetic end to end (both
+  // distances are exact BIGINT sums), so the hash must match. Scale
+  // shape: the audited pair set is queries×k BY CONSTRUCTION (an
+  // audit reads the index's own answers, x66's stance), so the exact
+  // side costs |pairs| dot products — the tiny pair table broadcasts
+  // against the corpus vectors; nothing shuffles with corpus
+  // cardinality.
+  private val x74 = GateQuery(
+    "x74_pq_distortion",
+    (s, d) => {
+      val quant = transform(col("embedding"),
+        x => floor(x * lit(1000)).cast("long"))
+      val v = Tables.embeddings(s, d)
+        .select(col("vec_id"), quant.as("qv"))
+        .persist() // pq pipeline + both exact sides consume it
+      v.count()
+      val pq = pqTopK(v).select(col("qid"), col("vec_id"), col("adist"))
+      val qv = v.filter(col("vec_id") < NumQueries)
+        .select(col("vec_id").as("qid"), col("qv").as("qv_q"))
+      val cv = v.select(col("vec_id"), col("qv").as("qv_c"))
+      val edist = aggregate(
+        zip_with(col("qv_q"), col("qv_c"), (x, y) => (x - y) * (x - y)),
+        lit(0L), (acc, e) => acc + e)
+      ordered(broadcast(pq.join(broadcast(qv), "qid"))
+        .join(cv, "vec_id")
+        .withColumn("edist", edist)
+        .withColumn("ratio_pct", expr("(adist * 100) div (edist + 1)"))
+        .select(col("qid"), col("vec_id"), col("adist"), col("edist"),
+          col("ratio_pct")))
+    },
+    for (s44 <- x44.oracle) yield
+      s"""WITH pq AS ($s44),
+            v AS (
+              SELECT vec_id, list_transform(embedding,
+                x -> CAST(FLOOR(x * 1000) AS BIGINT)) AS qv
+              FROM embeddings),
+            pairs AS (
+              SELECT p.qid, p.vec_id, p.adist,
+                CAST(list_dot_product(q.qv, q.qv)
+                  - 2*list_dot_product(q.qv, c.qv)
+                  + list_dot_product(c.qv, c.qv) AS BIGINT) AS edist
+              FROM pq p
+              JOIN v q ON q.vec_id = p.qid
+              JOIN v c ON c.vec_id = p.vec_id)
+          SELECT qid, vec_id, adist, edist,
+                 (adist * 100) // (edist + 1) AS ratio_pct
+          FROM pairs ORDER BY 1,2,3,4,5""")
+
   // ---------------------------------------------------------------- x66
   // ANN recall audit: per-query recall@k of the IVF path (x07)
   // against the exact brute-force top-k (x06) — the acceptance gate a
@@ -4667,5 +4723,5 @@ object Extensions {
     x24, x25, x26, x27, x28, x29, x30, x31, x32, x33, x34, x35, x36, x37,
     x38, x39, x40, x41, x42, x43, x44, x45, x46, x47, x48, x49, x50, x51,
     x52, x53, x54, x55, x56, x57, x58, x59, x60, x61, x62, x63, x64, x65, x66,
-    x67, x68, x69, x70, x71, x72, x73)
+    x67, x68, x69, x70, x71, x72, x73, x74)
 }
