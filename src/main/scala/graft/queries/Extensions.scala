@@ -4317,17 +4317,10 @@ object Extensions {
   // where every doc keeps >= k span-sharing neighbors, the standard
   // "dense nucleus" extractor — a template family's core survives
   // peeling while chance-collision fringe docs (degree-1/2
-  // attachments that inflate x62's reach) fall away. Deterministic
-  // SYNCHRONOUS peeling, fixed rounds (the x56/x67 stance): round r
-  // keeps vertices with >= k neighbors inside the round-(r-1)
-  // survivor-induced subgraph — an integer recurrence the oracle
-  // unrolls exactly. Scale shape: the directed edge list is persisted
-  // PRE-PARTITIONED on src (the round-8 cached-partitioning move) and
-  // never re-shuffles; per round ONE survivor-filtered degree count
-  // (two vertex-sized semi-join filters + a src-keyed agg); the alive
-  // table is vertex-sized and lineage-truncated per round via lazy
-  // localCheckpoint (the ConnectedComponents pattern — plan stays
-  // linear, blocks materialize once inside the single final job).
+  // attachments that inflate x62's reach) fall away. Engine, scale
+  // shape, and the fixed-round determinism stance live in
+  // [[graft.ops.KCore]]; the oracle unrolls the integer recurrence
+  // as per-round MATERIALIZED CTEs (the x56 pattern).
   private val KcoreK = 3
   private val KcoreRounds = 4
   private val x71 = GateQuery(
