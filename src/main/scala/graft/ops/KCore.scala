@@ -40,11 +40,7 @@ object KCore {
   def run(edges: DataFrame, k: Int, rounds: Int): DataFrame = {
     require(k >= 1, s"kcore: k must be >= 1, got $k")
     require(rounds >= 1, s"kcore: rounds must be >= 1, got $rounds")
-    val dir = edges.select(col("a").as("src"), col("b").as("dst"))
-      .union(edges.select(col("b").as("src"), col("a").as("dst")))
-      .repartition(col("src"))
-      .persist()
-    dir.count()
+    val dir = GraphEdges.directedCached(edges)
     var alive = dir.select(col("src").as("v")).distinct()
       .localCheckpoint(false)
     for (_ <- 1 to rounds) {

@@ -44,11 +44,7 @@ object LabelPropagation {
     * caller owns its release (same contract as [[PageRank.run]]). */
   def run(edges: DataFrame, iters: Int = DefaultIters): DataFrame = {
     require(iters >= 1, s"lpa: iters must be >= 1, got $iters")
-    val dir = edges.select(col("a").as("src"), col("b").as("dst"))
-      .union(edges.select(col("b").as("src"), col("a").as("dst")))
-      .repartition(col("src"))
-      .persist()
-    dir.count()
+    val dir = GraphEdges.directedCached(edges)
     var labels = dir.select(col("src").as("v")).distinct()
       .select(col("v"), col("v").as("lbl"))
     for (_ <- 1 to iters) {

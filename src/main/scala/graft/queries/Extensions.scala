@@ -1996,15 +1996,16 @@ object Extensions {
   // ids. At t=0.9 on this corpus: 2072 result pairs.
   private val PfJaccard = 0.9
 
-  /** Signature-collapsed distinct token sets: one row per distinct
-    * token SET, rep = min doc_id — dedup before any pair work, so
-    * identical sets never generate pairs. Persisted (df/order/verify
-    * sides all consume it). Shared by x35 and x69. */
-  private def tokenSetReps(s: SparkSession, d: String): DataFrame = {
-    val reps = Tables.documents(s, d)
+  /** Signature-collapsed distinct token sets of `docs` (doc_id,
+    * text): one row per distinct token SET, rep = min doc_id — dedup
+    * before any pair work, so identical sets never generate pairs.
+    * Persisted (df/order/verify sides all consume it). Shared by x35
+    * (whole corpus) and x69 (the non-benchmark slice). */
+  private def tokenSetReps(docs: DataFrame): DataFrame = {
+    val reps = docs
       .groupBy(tokenSetSig(col("text")).as("sig"))
       .agg(min(col("doc_id")).as("rep"))
-      .join(Tables.documents(s, d), col("rep") === col("doc_id"))
+      .join(docs, col("rep") === col("doc_id"))
       .select(col("rep"), tokenSet(col("text")).as("toks"))
       .persist()
     reps.count()
@@ -2013,7 +2014,10 @@ object Extensions {
 
   /** Rare-first ordered-set table for prefix filtering: each rep's
     * tokens sorted by one GLOBAL (df, token) order, with set size `n`
-    * and prefix length `plen` = n − ceil(t·n) + 1. Deliberately NO
+    * and prefix length `plen` = n − ceil(t·n) + 1 (ceil applied with
+    * the 1e-9 epsilon: a float product landing a hair above an exact
+    * integer must not SHORTEN the prefix — losslessness over any
+    * threshold). Deliberately NO
     * broadcast hint on the df table: it is VOCABULARY-sized
     * (unbounded on real crawl data), and both join sides are
     * exchanged on `tok`, so the shuffle join co-partitions naturally;
@@ -2030,7 +2034,7 @@ object Extensions {
         e => e.getField("tok")).as("otoks"))
       .withColumn("n", size(col("otoks")).cast("long"))
       .withColumn("plen",
-        (col("n") - ceil(col("n") * lit(thr)) + 1).cast("int"))
+        (col("n") - ceil(col("n") * lit(thr) - lit(1e-9)) + 1).cast("int"))
   }
 
   /** x35's candidate stage: prefix-token equi-join + length filter +
@@ -2113,7 +2117,7 @@ object Extensions {
   private val x35 = GateQuery(
     "x35_setjoin_prefix",
     (s, d) => {
-      val reps = tokenSetReps(s, d)
+      val reps = tokenSetReps(Tables.documents(s, d))
       val otab = orderedSetTable(reps, PfJaccard).persist()
       otab.count() // both candidate sides consume it
       val cand = ssjoinCandidates2(otab)
@@ -4198,7 +4202,7 @@ object Extensions {
         e => e.getField("tok")).as("otoks"))
       .withColumn("n_a", size(col("otoks")).cast("long"))
       .withColumn("plen",
-        (col("n_a") - ceil(col("n_a") * lit(thr)) + 1).cast("int"))
+        (col("n_a") - ceil(col("n_a") * lit(thr) - lit(1e-9)) + 1).cast("int"))
     val pref = benchOrd.select(col("bench_id"), col("n_a"),
       explode(expr("slice(otoks, 1, plen)")).as("tok"))
     // epsilon inside ceil: a float product landing a hair above an
@@ -4224,11 +4228,8 @@ object Extensions {
       val docs = Tables.documents(s, d)
       val bench = docs.filter(col("doc_id") % BenchMod === 0)
         .select(col("doc_id").as("bench_id"), tokenSet(col("text")).as("toks_a"))
-      val corp = docs.filter(col("doc_id") % BenchMod =!= 0)
-        .groupBy(tokenSetSig(col("text")).as("sig"))
-        .agg(min(col("doc_id")).as("rep"))
-        .join(docs, col("rep") === col("doc_id"))
-        .select(col("rep"), tokenSet(col("text")).as("toks_b"))
+      val corp = tokenSetReps(docs.filter(col("doc_id") % BenchMod =!= 0))
+        .select(col("rep"), col("toks").as("toks_b"))
       containmentJoin(bench, corp, CtThreshold)
     },
     // the pruning is LOSSLESS, so the oracle is the plain bipartite
@@ -4325,13 +4326,18 @@ object Extensions {
   private val KcoreRounds = 4
   private val x71 = GateQuery(
     "x71_kcore",
-    (s, d) =>
+    (s, d) => {
+      // persist+count first: KCore's direction-doubling union reads
+      // the edge list twice, and the span self-join must not build
+      // twice inside the one materializing job (the x67 pattern)
+      val edges = spanEdges(Tables.documents(s, d), TriW).persist()
+      edges.count()
       // fixed-round semantics: a vertex that lost neighbors in the
       // LAST round may report deg < k — exactly what the oracle's
       // unrolled CTEs replay (see graft.ops.KCore)
-      ordered(graft.ops.KCore
-        .run(spanEdges(Tables.documents(s, d), TriW), KcoreK, KcoreRounds)
-        .select(col("id").as("doc_id"), col("deg"))),
+      ordered(graft.ops.KCore.run(edges, KcoreK, KcoreRounds)
+        .select(col("id").as("doc_id"), col("deg")))
+    },
     Some {
       val rounds = (1 to KcoreRounds).map { r =>
         s"""a$r AS MATERIALIZED (

@@ -38,7 +38,7 @@ class X69ContainmentSpec extends AnyFunSuite {
   test("fuzz: prefix filter is lossless on collision-heavy small vocabularies, all thresholds") {
     val rnd = new scala.util.Random(42)
     val vocab = (0 until 8).map(i => s"w$i")
-    for (round <- 0 until 5; thr <- Seq(0.5, 0.8, 0.9, 1.0)) {
+    for (round <- 0 until 5; thr <- Seq(0.5, 0.55, 0.8, 0.9, 1.0)) {
       val corp = (0L until 40L).map { i =>
         i -> rnd.shuffle(vocab).take(1 + rnd.nextInt(6)).toSeq
       }
@@ -67,6 +67,18 @@ class X69ContainmentSpec extends AnyFunSuite {
     }
     assert(run(bench, corp, 0.8) contains ((10L, 1L)))
     assert(!run(bench, corp, 0.9).exists(_._1 == 11L))
+  }
+
+  test("float-ceil epsilon: a threshold whose n*t product floats above an exact integer keeps the full prefix") {
+    // 100 * 0.55 evaluates to 55.00000000000001; an epsilon-less
+    // ceil gives 56, shortening the prefix to 45 tokens — and A's 45
+    // corpus-absent tokens fill exactly that prefix, so the single
+    // qualifying pair (C = 55/100 = 0.55) would silently vanish
+    assert(100 * 0.55 > 55.0, "fixture relies on this float artifact")
+    val bTok = (1 to 55).map(i => f"s$i%02d")
+    val aTok = (1 to 45).map(i => f"u$i%02d") ++ bTok
+    val got = run(Seq(5L -> aTok), Seq(7L -> bTok), 0.55)
+    assert(got == Set((5L, 7L)), got)
   }
 
   test("exact boundary: C precisely at the threshold is included") {
