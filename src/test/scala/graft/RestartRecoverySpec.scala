@@ -116,4 +116,40 @@ class RestartRecoverySpec extends AnyFunSuite {
         "9999-12-31 00:00:00.000000", true)),
       s"restart lost or duplicated interval state: $rows")
   }
+
+  test("noveltyStream continues exactly across a checkpointed restart (both state stores)") {
+    // the chained pipeline checkpoints TWO stateful operators — the
+    // per-bigram dedup store and the window store; a restart must
+    // recover both: post-restart docs may not re-own PRE-restart
+    // bigrams, and no window fires twice
+    def ts(min: Int) = new Timestamp(min * 60000L)
+    val root = java.nio.file.Files.createTempDirectory("graft-restart-nv")
+    val inDir = s"$root/in"; val outDir = s"$root/out"; val cp = s"$root/cp"
+    def drop(d: SDoc): Unit =
+      Seq(d).toDF().coalesce(1).write.mode("append").parquet(inDir)
+    def runOnce(): Unit = {
+      val src = spark.readStream
+        .schema(org.apache.spark.sql.Encoders.product[SDoc].schema)
+        .option("maxFilesPerTrigger", 1).parquet(inDir)
+      val q = graft.streaming.DocStreams
+        .noveltyStream(src, "1000 minutes", "1 hour").writeStream
+        .format("parquet").option("checkpointLocation", cp)
+        .option("path", outDir).outputMode("append").start()
+      try q.processAllAvailable() finally q.stop()
+    }
+    drop(SDoc(1, "a b c", ts(1))) // owns "a b", "b c"
+    drop(SDoc(2, "a b d", ts(2))) // owns "b d"
+    runOnce()                     // STOP with both stores checkpointed
+    drop(SDoc(3, "a b", ts(3)))   // nothing novel — only if the dedup
+                                  // store recovered "a b"
+    drop(SDoc(4, "b d e", ts(4))) // "b d" pre-restart, "d e" new -> 1
+    drop(SDoc(99, "zz zz2", ts(50000))) // closes the [0, 60) window
+    runOnce()
+    val got = spark.read.parquet(outDir)
+      .select("doc_id", "n_bg", "novel").as[(Long, Long, Long)]
+      .collect().filter(_._1 < 99).toSeq
+    assert(got.size == got.distinct.size, s"window fired twice: $got")
+    assert(got.toSet == Set((1L, 2L, 2L), (2L, 2L, 1L), (4L, 2L, 1L)),
+      s"restart lost or re-owned dedup state: $got")
+  }
 }
