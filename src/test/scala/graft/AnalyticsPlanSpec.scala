@@ -62,6 +62,15 @@ class AnalyticsPlanSpec extends AnyFunSuite {
     assert(!plan.contains("CartesianProduct"), plan)
   }
 
+  test("x74 PQ distortion: the exact side broadcasts; no corpus-cardinality shuffle join") {
+    val plan = planOf("x74_pq_distortion")
+    // the queries-x-k pair table and the query vectors broadcast; the
+    // corpus vector table must never sort-merge against them
+    assert(plan.contains("BroadcastHashJoin"), plan)
+    assert(!plan.contains("SortMergeJoin"), s"corpus-shuffling join:\n$plan")
+    assert(!plan.contains("CartesianProduct"), plan)
+  }
+
   test("x57 retention: no window sort; aggregates carry partial (map-side) phases") {
     val plan = planOf("x57_retention_cohorts")
     assert(!plan.contains("Window"), plan)
