@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
-import graft.functions.{FreqCandidatesAgg, LongCosine, MinHashAgg, MinHashArr, NfcNormalize, PqAdc, PqEncode, QuantizedCosine, SimHashAgg, SimHashArr, SpanHashes, SrpBands, TokenBigrams, TokenMask, TokenSetSig}
+import graft.functions.{FreqCandidatesAgg, LongCosine, MinHashAgg, MinHashArr, NfcNormalize, PqAdc, PqEncode, QuantizedCosine, SimHashAgg, SimHashArr, SpanHashes, SrpBands, TokenBigrams, TokenMask, TokenSetSig, ZValue}
 
 /** SparkSessionExtensions entry point: makes graft's native
   * expressions available in any session via configuration —
@@ -62,6 +62,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       exprs => TokenSetSig(exprs.head))
     inject(ext, "simhash_arr", classOf[SimHashArr],
       exprs => SimHashArr(exprs.head))
+    // z_value(x, y) — 62-bit Morton interleave for Z-order layout
+    inject(ext, "z_value", classOf[ZValue],
+      exprs => ZValue(exprs(0), exprs(1)))
     // minhash_arr(arr, 'prefix') — the hash-family prefix must be a
     // string literal (it is burned into the expression instance)
     inject(ext, "minhash_arr", classOf[MinHashArr], {

@@ -4717,10 +4717,260 @@ object Extensions {
             SELECT src AS doc_id, CAST(count(*) AS BIGINT) AS n_reach
             FROM reach GROUP BY 1 ORDER BY 1,2"""))
 
+  // ---------------------------------------------------------------- x75
+  // Blocked entity resolution (record linkage): link "dirty" records
+  // (each document's 40-char snippet with one deterministically-
+  // positioned character deleted) back to the canonical registry by
+  // edit distance <= 2 — the fuzzy-match step every ingestion
+  // pipeline runs when joining externally-sourced records without a
+  // shared key. All-pairs levenshtein is pair-quadratic, so the
+  // operator is BLOCKED: each record emits two 14-char blocking keys
+  // (prefix and suffix — a single edit can break one of them but
+  // never both when it falls inside the [5,36] window, which the
+  // fixture's deletion positions satisfy), candidates are the union
+  // of the two equi-joins, and the
+  // exact levenshtein verify touches candidates only. Blocking keys
+  // carry a frequency cap (df > cap on either side drops the key —
+  // the x61/spanEdges bounded contract) so a degenerate shared prefix
+  // can never create a quadratic block at 100 TB; the oracle replays
+  // the same cap. Scale shape: two hash joins on high-cardinality
+  // 14-char keys + one verify pass — nothing is ever all-pairs, and
+  // candidate volume is Σ_key |A_key|·|B_key| <= cap² · #keys.
+  private val ErBlockLen = 14
+  private val ErCap = 64L
+  private val ErMaxDist = 2
+
+  /** x75's engine, parameterized for fixtures: `a` rows (a_id, a_rec)
+    * = canonical registry, `b` rows (b_id, b_rec) = dirty records —
+    * (b_id, a_id, dist) matches with dist <= maxDist out, candidates
+    * restricted to pairs sharing a prefix- or suffix-`blockLen` block
+    * whose size on BOTH sides is <= cap. X75LinkageSpec pins the
+    * block-survival guarantee for single interior deletions and the
+    * cap behavior on a degenerate shared-prefix fixture. */
+  private[graft] def blockedLinkage(a: DataFrame, b: DataFrame,
+      blockLen: Int, cap: Long, maxDist: Int): DataFrame = {
+    def blocks(df: DataFrame, idC: String, recC: String): DataFrame =
+      df.select(col(idC).as("id"), col(recC).as("rec"))
+        .select(col("id"), col("rec"), explode(array(
+          concat(lit("p:"), substring(col("rec"), 1, blockLen)),
+          concat(lit("s:"), expr(s"right(rec, $blockLen)")))).as("bk"))
+    val ab = blocks(a, "a_id", "a_rec")
+    val bb = blocks(b, "b_id", "b_rec")
+    val okA = ab.groupBy(col("bk")).agg(count(lit(1)).as("ca"))
+      .filter(col("ca") <= cap).select(col("bk"))
+    val okB = bb.groupBy(col("bk")).agg(count(lit(1)).as("cb"))
+      .filter(col("cb") <= cap).select(col("bk"))
+    // keys admissible on BOTH sides; joining the B side through it
+    // restricts the A-side equi-join to the same key set
+    val okKeys = okA.join(okB, "bk")
+    val cand = bb.join(okKeys, "bk")
+      .select(col("bk"), col("id").as("b_id"), col("rec").as("b_rec"))
+      .join(ab.select(col("bk"), col("id").as("a_id"),
+        col("rec").as("a_rec")), "bk")
+      .select(col("b_id"), col("a_id"), col("b_rec"), col("a_rec"))
+      .distinct() // a pair may meet in both the prefix and suffix block
+    ordered(cand
+      .withColumn("dist", levenshtein(col("b_rec"), col("a_rec")).cast("long"))
+      .filter(col("dist") <= maxDist)
+      .select(col("b_id"), col("a_id"), col("dist")))
+  }
+
+  private val x75 = GateQuery(
+    "x75_entity_resolution",
+    (s, d) => {
+      val docs = Tables.documents(s, d)
+      val canon = docs.select(col("doc_id").as("a_id"),
+        substring(col("text"), 1, 40).as("a_rec"))
+      // dirty copy: delete the char at 1-indexed position
+      // (doc_id % 32) + 5 ∈ [5, 36] of the 40-char snippet
+      val dirty = docs.select(col("doc_id").as("b_id"),
+        expr("concat(substring(substring(text, 1, 40), 1, " +
+          "cast(doc_id % 32 as int) + 4), " +
+          "substring(substring(text, 1, 40), cast(doc_id % 32 as int) + 6))")
+          .as("b_rec"))
+      blockedLinkage(canon, dirty, ErBlockLen, ErCap, ErMaxDist)
+    },
+    Some(s"""WITH canon AS (
+              SELECT doc_id AS a_id, substr(text, 1, 40) AS a_rec
+              FROM documents),
+            dirty AS (
+              SELECT doc_id AS b_id,
+                     substr(substr(text, 1, 40), 1,
+                            CAST(doc_id % 32 AS INT) + 4)
+                     || substr(substr(text, 1, 40),
+                               CAST(doc_id % 32 AS INT) + 6) AS b_rec
+              FROM documents),
+            ab AS MATERIALIZED (
+              SELECT a_id AS id, a_rec AS rec,
+                     'p:' || substr(a_rec, 1, $ErBlockLen) AS bk FROM canon
+              UNION ALL
+              SELECT a_id, a_rec, 's:' || right(a_rec, $ErBlockLen)
+              FROM canon),
+            bb AS MATERIALIZED (
+              SELECT b_id AS id, b_rec AS rec,
+                     'p:' || substr(b_rec, 1, $ErBlockLen) AS bk FROM dirty
+              UNION ALL
+              SELECT b_id, b_rec, 's:' || right(b_rec, $ErBlockLen)
+              FROM dirty),
+            oka AS (SELECT bk FROM ab GROUP BY 1 HAVING count(*) <= $ErCap),
+            okb AS (SELECT bk FROM bb GROUP BY 1 HAVING count(*) <= $ErCap),
+            ok AS (SELECT oka.bk FROM oka JOIN okb ON okb.bk = oka.bk),
+            cand AS (
+              SELECT DISTINCT b.id AS b_id, a.id AS a_id,
+                              b.rec AS b_rec, a.rec AS a_rec
+              FROM bb b JOIN ok k ON k.bk = b.bk JOIN ab a ON a.bk = b.bk)
+          SELECT b_id, a_id,
+                 CAST(levenshtein(b_rec, a_rec) AS BIGINT) AS dist
+          FROM cand WHERE levenshtein(b_rec, a_rec) <= $ErMaxDist
+          ORDER BY 1,2,3"""))
+
+  // ---------------------------------------------------------------- x76
+  // Z-order layout audit: Morton-interleave (o_custkey, order-day)
+  // into one 62-bit key via the native codegen'd [[ZValue]]
+  // expression, range-bucket rows by fixed integer arithmetic on the
+  // key, and report per-bucket min/max of BOTH dimensions — the
+  // locality report a table-maintenance job (OPTIMIZE ZORDER) emits
+  // to prove that per-file statistics will prune scans on EITHER
+  // column. The real writer is `repartitionByRange(z)` + per-file
+  // min/max; the gate's bucket = z div (max_z div 64 + 1) is the
+  // deterministic, sort-free stand-in (two scalar aggs broadcast
+  // back — no global sort, no window): bucket assignment is a pure
+  // projection, so the whole plan is scan → project → two tiny aggs →
+  // broadcast → hash agg, and would run identically on 10^12 rows.
+  // Both dimensions are offset to their observed minimum before
+  // interleaving (the writer's range-normalization pre-step): the
+  // order-day column lives in a narrow absolute band (~9200-10600)
+  // whose constant high bits would otherwise collapse every row into
+  // a handful of top-level Z cells.
+  private val ZBuckets = 64L
+  private val x76 = GateQuery(
+    "x76_zorder_layout",
+    (s, d) => {
+      val o = Tables.orders(s, d).select(
+        col("o_custkey").as("x"),
+        datediff(to_date(col("o_orderdate")), lit("1970-01-01"))
+          .cast("long").as("y"))
+      val mins = o.agg(min(col("x")).as("xmin"), min(col("y")).as("ymin"))
+      val z = o.crossJoin(broadcast(mins))
+        .withColumn("z", graft.functions.ZValue.zValue(
+          col("x") - col("xmin"), col("y") - col("ymin")))
+      val zmax = z.agg(max(col("z")).as("zmax"))
+      ordered(z.crossJoin(broadcast(zmax))
+        .withColumn("bucket", expr(s"z div (zmax div $ZBuckets + 1)"))
+        .groupBy(col("bucket"))
+        .agg(count(lit(1)).as("n"),
+          min(col("x")).as("min_cust"), max(col("x")).as("max_cust"),
+          min(col("y")).as("min_day"), max(col("y")).as("max_day"),
+          min(col("z")).as("min_z"), max(col("z")).as("max_z")))
+    },
+    Some(s"""WITH o AS (
+              SELECT o_custkey AS x,
+                     CAST(datediff('day', DATE '1970-01-01',
+                       CAST(o_orderdate AS DATE)) AS BIGINT) AS y
+              FROM orders),
+            mn AS (SELECT min(x) AS xmin, min(y) AS ymin FROM o),
+            z AS MATERIALIZED (
+              SELECT x, y,
+                     CAST(list_sum([
+                       ((((x - mn.xmin) >> i) & 1) << (2 * i))
+                       + ((((y - mn.ymin) >> i) & 1) << (2 * i + 1))
+                       FOR i IN range(0, 31)]) AS BIGINT) AS z
+              FROM o, mn),
+            m AS (SELECT max(z) AS zmax FROM z)
+          SELECT z // (m.zmax // $ZBuckets + 1) AS bucket,
+                 CAST(count(*) AS BIGINT) AS n,
+                 min(x) AS min_cust, max(x) AS max_cust,
+                 min(y) AS min_day, max(y) AS max_day,
+                 min(z) AS min_z, max(z) AS max_z
+          FROM z, m GROUP BY 1 ORDER BY 1,2,3,4,5,6,7,8"""))
+
+  // ---------------------------------------------------------------- x77
+  // PPMI co-occurrence (collocation mining): forward skip-gram pairs
+  // at distance 1 and 2, scored by INTEGER WHOLE-BIT pointwise mutual
+  // information — pmi_bits = floor-ish log2(N·c(a,b) / (c(a·)·c(·b)))
+  // computed as bitlength(N·c_ab·2^20 div (c_a·c_b)) − 21, x68's
+  // fixed-point trick (pure integer arithmetic, hash-exact on both
+  // engines; a sub-2^-20 ratio yields the defined floor −20). This is
+  // the phrase-detection / PPMI-matrix step of an embedding pipeline
+  // (word2vec-phrases), distinct from x68's per-DOCUMENT surprisal:
+  // the output is the vocabulary×vocabulary association table, not a
+  // doc score. Scale shape: one explode pass, a (w1,w2) hash agg that
+  // caps everything downstream at distinct-pair-type rows (vocab²,
+  // not corpus-sized), two marginal rollups of that table joined back
+  // hash-to-hash, the 1-row N broadcast — corpus text shuffles once.
+  private val PmiScale = 1048576L // 2^20 fractional bits kept pre-floor
+  private val PmiMinCount = 20L
+
+  /** x77's engine, parameterized for fixtures: (doc_id, text) rows in,
+    * (w1, w2, c_ab, pmi_bits) out for pair types with c_ab >= minCount.
+    * X77PmiSpec pins the whole-bit arithmetic on a hand-computed
+    * corpus, including the negative-PMI and div-to-zero floors. */
+  private[graft] def ppmiPairs(docs: DataFrame, minCount: Long): DataFrame = {
+    val tk = docs.select(split(col("text"), " ").as("tk"))
+    // forward pairs at offset k as "w1 w2" strings (x68's bg shape);
+    // slice length clamps at 0 so sub-(k+1)-token rows emit nothing
+    def pairsAt(k: Int): Column = zip_with(
+      slice(col("tk"), lit(1), greatest(size(col("tk")) - k, lit(0))),
+      slice(col("tk"), lit(1 + k), greatest(size(col("tk")) - k, lit(0))),
+      (a, b) => concat(a, lit(" "), b))
+    val pairs = tk
+      .select(explode(concat(pairsAt(1), pairsAt(2))).as("p"))
+    val cAb = pairs.groupBy(col("p")).agg(count(lit(1)).as("c_ab"))
+      .persist() // marginals ×2, N, and the scored join all consume it
+    cAb.count()
+    val cA = cAb.select(split(col("p"), " ").getItem(0).as("w1"), col("c_ab"))
+      .groupBy(col("w1")).agg(sum(col("c_ab")).as("c_a"))
+    val cB = cAb.select(split(col("p"), " ").getItem(1).as("w2"), col("c_ab"))
+      .groupBy(col("w2")).agg(sum(col("c_ab")).as("c_b"))
+    val n = cAb.agg(sum(col("c_ab")).as("n_pairs"))
+    ordered(cAb.filter(col("c_ab") >= minCount)
+      .withColumn("w1", split(col("p"), " ").getItem(0))
+      .withColumn("w2", split(col("p"), " ").getItem(1))
+      .join(cA, "w1").join(cB, "w2")
+      .crossJoin(broadcast(n))
+      .withColumn("pmi_bits",
+        (length(conv(expr(s"n_pairs * c_ab * $PmiScale div (c_a * c_b)"),
+          10, 2)) - lit(21)).cast("long"))
+      .select(col("w1"), col("w2"), col("c_ab"), col("pmi_bits")))
+  }
+
+  private val x77 = GateQuery(
+    "x77_ppmi_pairs",
+    (s, d) => ppmiPairs(Tables.documents(s, d), PmiMinCount),
+    Some(s"""WITH tk AS (
+              SELECT string_split(text, ' ') AS tk FROM documents),
+            pr AS (
+              SELECT unnest([tk[i] || ' ' || tk[i+1]
+                             FOR i IN range(1, len(tk))]) AS p FROM tk
+              UNION ALL
+              SELECT unnest([tk[i] || ' ' || tk[i+2]
+                             FOR i IN range(1, len(tk) - 1)]) AS p FROM tk),
+            cab AS MATERIALIZED (
+              SELECT p, count(*) AS c_ab FROM pr GROUP BY 1),
+            ca AS (
+              SELECT string_split(p, ' ')[1] AS w1,
+                     CAST(sum(c_ab) AS BIGINT) AS c_a FROM cab GROUP BY 1),
+            cb AS (
+              SELECT string_split(p, ' ')[2] AS w2,
+                     CAST(sum(c_ab) AS BIGINT) AS c_b FROM cab GROUP BY 1),
+            n AS (SELECT CAST(sum(c_ab) AS BIGINT) AS n_pairs FROM cab)
+          SELECT string_split(p, ' ')[1] AS w1,
+                 string_split(p, ' ')[2] AS w2,
+                 CAST(c_ab AS BIGINT) AS c_ab,
+                 CAST(length(format('{:b}',
+                   (n.n_pairs * c_ab * $PmiScale) // (ca.c_a * cb.c_b)))
+                   - 21 AS BIGINT) AS pmi_bits
+          FROM cab
+          JOIN ca ON ca.w1 = string_split(p, ' ')[1]
+          JOIN cb ON cb.w2 = string_split(p, ' ')[2]
+          CROSS JOIN n
+          WHERE c_ab >= $PmiMinCount
+          ORDER BY 1,2,3,4"""))
+
   val all: Seq[GateQuery] = Seq(x01, x02, x03, x04, x05, x06, x07, x08, x09,
     x10, x11, x12, x13, x14, x15, x16, x17, x18, x19, x20, x21, x22, x23,
     x24, x25, x26, x27, x28, x29, x30, x31, x32, x33, x34, x35, x36, x37,
     x38, x39, x40, x41, x42, x43, x44, x45, x46, x47, x48, x49, x50, x51,
     x52, x53, x54, x55, x56, x57, x58, x59, x60, x61, x62, x63, x64, x65, x66,
-    x67, x68, x69, x70, x71, x72, x73, x74)
+    x67, x68, x69, x70, x71, x72, x73, x74, x75, x76, x77)
 }

@@ -71,6 +71,26 @@ class AnalyticsPlanSpec extends AnyFunSuite {
     assert(!plan.contains("CartesianProduct"), plan)
   }
 
+  test("x75 linkage: candidates come from equi-joins only — no all-pairs shape") {
+    val plan = planOf("x75_entity_resolution").split("== Initial Plan ==")(0)
+    // blocking must never degenerate into a cross product, and there is
+    // no 1-row broadcast in this gate to excuse a nested-loop join
+    assert(!plan.contains("CartesianProduct"), plan)
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
+  }
+
+  test("x76 z-order: bucket assignment is sort-free (no global sort, no window)") {
+    val plan = planOf("x76_zorder_layout").split("== Initial Plan ==")(0)
+    assert(!plan.contains("Window"), plan)
+    assert(!plan.contains("SortMergeJoin"), plan)
+    assert(!plan.contains("CartesianProduct"), plan)
+    // the two scalar aggs ride broadcasts; the only Sort is ordered()'s
+    // final output sort of ~64 bucket rows
+    val finalSorts = plan.split("\n").count(l => l.trim.startsWith("+- Sort")
+      || l.trim.startsWith("Sort") || l.trim.startsWith(":- Sort"))
+    assert(finalSorts <= 1, s"extra sorts leaked:\n$plan")
+  }
+
   test("x57 retention: no window sort; aggregates carry partial (map-side) phases") {
     val plan = planOf("x57_retention_cohorts")
     assert(!plan.contains("Window"), plan)

@@ -86,6 +86,9 @@ class GraftExtensionsSpec extends AnyFunSuite {
                          2, 1, 1) AS d""")
         .collect().head.getLong(0)
       assert(adc == 2L, "(1-0)^2 + (9-8)^2")
+      // round-8: z_value resolves through the extension
+      val zv = s2.sql("SELECT z_value(5L, 3L) AS z").collect().head.getLong(0)
+      assert(zv == 27L, "interleave(101, 011) = 011011")
     } finally {
       SparkSession.setActiveSession(shared)
       SparkSession.setDefaultSession(shared)
