@@ -287,4 +287,47 @@ object DocStreams {
       .dropDuplicatesWithinWatermark("bg")
       .groupBy(window(col("ts"), win), col("doc_id"), col("n_bg"))
       .agg(count(lit(1)).as("novel"))
+
+  /** Streaming twin of batch x75 blocked entity resolution: dirty
+    * records arrive as a stream and link against a STATIC canonical
+    * registry — the CDC-enrichment shape (new records fuzzy-joined to
+    * a reference table on ingest). Stateless like [[decontamFlags]]:
+    * the registry's blocked form (key → record) broadcasts, the
+    * stream side is a projection + stream-static equi-join + exact
+    * levenshtein verify, so it runs in append mode with no state
+    * store and restarts from any offset. A pair sharing BOTH the
+    * prefix and suffix block would emit twice from a naive join;
+    * instead of a dedupe state store, every joined row carries both
+    * key arrays and survives only at the FIRST agreeing key position
+    * (the [[fuzzyDecontamStream]] trick) — exactly one row per
+    * qualifying pair, zero state. The batch frequency cap is applied
+    * to the REGISTRY side only (computable offline); an online cap on
+    * the dirty side would need a per-key counter state store, so the
+    * twin matches batch [[graft.queries.Extensions.blockedLinkage]]
+    * exactly whenever the stream side's block sizes stay <= cap
+    * (true of the gate corpus; DocStreamsSpec pins the equality).
+    * Column contract: dirty has (b_id, b_rec), registry (a_id, a_rec). */
+  def linkageStream(dirty: DataFrame, registry: DataFrame,
+      blockLen: Int = 14, cap: Long = 64L, maxDist: Int = 2): DataFrame = {
+    def keysOf(recName: String) = array(
+      concat(lit("p:"), substring(col(recName), 1, blockLen)),
+      concat(lit("s:"), expr(s"right($recName, $blockLen)")))
+    val regBlocks = registry
+      .select(col("a_id"), col("a_rec"), keysOf("a_rec").as("akeys"))
+      .select(col("a_id"), col("a_rec"), col("akeys"),
+        explode(col("akeys")).as("bk"))
+    val okKeys = regBlocks.groupBy(col("bk")).agg(count(lit(1)).as("c"))
+      .filter(col("c") <= cap).select(col("bk"))
+    val regCapped = regBlocks.join(okKeys, "bk")
+    dirty
+      .select(col("b_id"), col("b_rec"), keysOf("b_rec").as("bkeys"))
+      .select(col("b_id"), col("b_rec"), col("bkeys"),
+        posexplode(col("bkeys")).as(Seq("pos", "bk")))
+      .join(broadcast(regCapped), "bk")
+      .filter(col("pos") ===
+        expr("array_position(zip_with(bkeys, akeys, (x, y) -> x = y), true) - 1"))
+      .withColumn("dist", levenshtein(col("b_rec"), col("a_rec")).cast("long"))
+      .filter(col("dist") <= maxDist)
+      .select(col("b_id"), col("a_id"), col("dist"))
+  }
 }

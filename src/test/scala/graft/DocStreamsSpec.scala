@@ -8,6 +8,7 @@ import graft.streaming.DocStreams
 
 case class Doc(doc_id: Long, text: String, lang: String)
 case class Rec(doc_id: Long, rec: String)
+case class LinkRec(b_id: Long, b_rec: String)
 case class CapDoc(doc_id: Long, text: String, lang: String,
                   source: String, n_chars: Long)
 
@@ -417,5 +418,61 @@ class DocStreamsSpec extends AnyFunSuite {
         s"batch-only: ${(batch.keySet -- stream.keySet).toSeq.sorted.take(5)}; " +
         s"diff: ${batch.collect { case (k, v) if stream.get(k).exists(_ != v) => (k, v, stream(k)) }.take(5)}")
     q.stop()
+  }
+
+  test("linkage stream matches batch x75 on the real corpus, across batches") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val canon = docs.select(col("doc_id").as("a_id"),
+      substring(col("text"), 1, 40).as("a_rec"))
+    val dirty = docs.selectExpr("doc_id AS b_id",
+      "concat(substring(substring(text, 1, 40), 1, " +
+        "cast(doc_id % 32 as int) + 4), " +
+        "substring(substring(text, 1, 40), cast(doc_id % 32 as int) + 6))" +
+        " AS b_rec")
+    val expected = Extensions.blockedLinkage(canon, dirty, 14, 64L, 2)
+      .as[(Long, Long, Long)].collect().toSet
+    val rows = dirty.as[(Long, String)].collect()
+      .map { case (i, r) => LinkRec(i, r) }
+
+    val in = MemoryStream[LinkRec]
+    val q = DocStreams.linkageStream(in.toDF(), canon)
+      .writeStream.format("memory").queryName("lnk")
+      .outputMode("append").start()
+    in.addData(rows.take(250).toIndexedSeq: _*)
+    q.processAllAvailable()
+    in.addData(rows.drop(250).toIndexedSeq: _*)
+    q.processAllAvailable()
+    val got = spark.table("lnk").as[(Long, Long, Long)].collect()
+    assert(got.toSet == expected,
+      s"stream-only: ${(got.toSet -- expected).take(5)}; " +
+        s"batch-only: ${(expected -- got.toSet).take(5)}")
+    // exactly-once despite prefix+suffix double collisions
+    assert(got.length == got.distinct.length)
+    q.stop()
+  }
+
+  test("linkage stream emits a both-keys pair exactly once; registry cap holds") {
+    val base = "abcdefghijklmnopqrstuvwxyz0123456789ABCD"
+    val canon = Seq(1L -> base).toDF("a_id", "a_rec")
+    val in = MemoryStream[LinkRec]
+    val q = DocStreams.linkageStream(in.toDF(), canon)
+      .writeStream.format("memory").queryName("lnk1")
+      .outputMode("append").start()
+    in.addData(LinkRec(10, base)) // identical rec: collides on BOTH keys
+    q.processAllAvailable()
+    val got = spark.table("lnk1").as[(Long, Long, Long)].collect().toSeq
+    assert(got == Seq((10L, 1L, 0L)), got)
+    q.stop()
+
+    // a 70-member degenerate registry block exceeds cap=64 -> no links
+    val degen = (0L until 70L).map(i => i -> ("P" * 40)).toDF("a_id", "a_rec")
+    val in2 = MemoryStream[LinkRec]
+    val q2 = DocStreams.linkageStream(in2.toDF(), degen)
+      .writeStream.format("memory").queryName("lnk2")
+      .outputMode("append").start()
+    in2.addData(LinkRec(100, "P" * 39 + "Q"))
+    q2.processAllAvailable()
+    assert(spark.table("lnk2").isEmpty)
+    q2.stop()
   }
 }
