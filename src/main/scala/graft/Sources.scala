@@ -53,28 +53,47 @@ object Sources {
   def readOrc(spark: SparkSession, schema: StructType, path: String): DataFrame =
     spark.read.schema(schema).orc(path)
 
+  /** Bits per dimension on the common Z grid. Both columns are
+    * scaled to [0, 2^16) before interleaving; 16 bits resolves 65536
+    * distinct cells per dimension — far more than any realistic file
+    * count — while keeping the scaling product `range * 65535` inside
+    * a long for column ranges up to 2^46. */
+  val ZGridBits = 16
+  private val ZGridMax = (1L << ZGridBits) - 1 // 65535
+
   /** Z-order-clustered parquet writer — the OPTIMIZE ZORDER layout
-    * move behind gate x76's audit: Morton-interleave two
-    * range-normalized integer columns ([[graft.functions.ZValue]]),
+    * move behind gate x76's audit: scale BOTH columns to a common
+    * [[ZGridBits]]-bit grid (`(v − min)·(2^b − 1) div max(max − min,
+    * 1)` — the standard OPTIMIZE ZORDER normalization), Morton-
+    * interleave the grid coordinates ([[graft.functions.ZValue]]),
     * range-partition rows into `numFiles` contiguous z-runs, sort
-    * within each, write one file per partition. Each output file's
-    * (colX, colY) footprint is then a tight box, so per-file min/max
+    * within each, write one file per partition. Equal bit widths are
+    * what make the interleave fair: offsetting to the min alone
+    * leaves the wider dimension owning the key's high bits, so every
+    * z-range split cuts only that dimension and the narrower column
+    * never clusters. With the grid scaling, each output file's
+    * (colX, colY) footprint is a tight box, so per-file min/max
     * stats prune scans on EITHER column (ZOrderWriteSpec measures the
-    * shrink on both dims against the global range). Scale shape:
-    * `repartitionByRange` SAMPLES the z distribution
-    * (RangePartitioner) rather than globally sorting — one shuffle,
-    * per-partition sorts only, the identical mechanism at 10^12 rows;
-    * the two scalar mins broadcast. */
+    * shrink on both dims; ZOrderPruneSpec counts skipped files from
+    * real parquet footers). Scale shape: one tiny 4-scalar agg
+    * broadcast back, then `repartitionByRange` SAMPLES the z
+    * distribution (RangePartitioner) rather than globally sorting —
+    * one shuffle, per-partition sorts only, the identical mechanism
+    * at 10^12 rows. */
   def zorderWrite(df: DataFrame, colX: String, colY: String,
       path: String, numFiles: Int): Unit = {
     import org.apache.spark.sql.functions._
-    val mins = df.agg(min(col(colX)).cast("long").as("__xmin"),
-      min(col(colY)).cast("long").as("__ymin"))
-    df.crossJoin(broadcast(mins))
+    val bounds = df.agg(
+      min(col(colX)).cast("long").as("__xmin"),
+      max(col(colX)).cast("long").as("__xmax"),
+      min(col(colY)).cast("long").as("__ymin"),
+      max(col(colY)).cast("long").as("__ymax"))
+    def grid(c: String, lo: String, hi: String) = expr(
+      s"((cast($c as bigint) - $lo) * $ZGridMax) div greatest($hi - $lo, 1)")
+    df.crossJoin(broadcast(bounds))
       .withColumn("__z", graft.functions.ZValue.zValue(
-        col(colX).cast("long") - col("__xmin"),
-        col(colY).cast("long") - col("__ymin")))
-      .drop("__xmin", "__ymin")
+        grid(colX, "__xmin", "__xmax"), grid(colY, "__ymin", "__ymax")))
+      .drop("__xmin", "__xmax", "__ymin", "__ymax")
       .repartitionByRange(numFiles, col("__z"))
       .sortWithinPartitions("__z")
       .drop("__z")

@@ -3323,7 +3323,7 @@ object Extensions {
                    unnest(range(0, GREATEST(len(tk) - ${w - 1}, 0))) AS u(i)),
             kept AS MATERIALIZED (
               SELECT sh FROM spans GROUP BY sh
-              HAVING count(*) BETWEEN 2 AND $maxDf),
+              HAVING count(DISTINCT doc_id) BETWEEN 2 AND $maxDf),
             edges AS MATERIALIZED (
               SELECT DISTINCT a.doc_id AS a, b.doc_id AS b
               FROM spans a
@@ -4837,11 +4837,16 @@ object Extensions {
   // back — no global sort, no window): bucket assignment is a pure
   // projection, so the whole plan is scan → project → two tiny aggs →
   // broadcast → hash agg, and would run identically on 10^12 rows.
-  // Both dimensions are offset to their observed minimum before
-  // interleaving (the writer's range-normalization pre-step): the
-  // order-day column lives in a narrow absolute band (~9200-10600)
-  // whose constant high bits would otherwise collapse every row into
-  // a handful of top-level Z cells.
+  // Both dimensions are scaled to a common 16-bit grid before
+  // interleaving — `(v − min)·(2^16 − 1) div max(max − min, 1)`, the
+  // standard OPTIMIZE ZORDER normalization ([[Sources.ZGridBits]]).
+  // Offsetting to the min alone is NOT enough: on this data custkey
+  // spans ~8 bits and order-day ~12, so an un-normalized interleave
+  // hands the key's high bits to the day column exclusively and every
+  // z-range split cuts only days — the narrow column never clusters
+  // (round-8's measured flaw: per-bucket x-width 0.90 of global vs y
+  // 0.09). Equal widths make the interleave alternate fairly, boxing
+  // BOTH dimensions per bucket.
   private val ZBuckets = 64L
   private val x76 = GateQuery(
     "x76_zorder_layout",
@@ -4850,10 +4855,12 @@ object Extensions {
         col("o_custkey").as("x"),
         datediff(to_date(col("o_orderdate")), lit("1970-01-01"))
           .cast("long").as("y"))
-      val mins = o.agg(min(col("x")).as("xmin"), min(col("y")).as("ymin"))
-      val z = o.crossJoin(broadcast(mins))
-        .withColumn("z", graft.functions.ZValue.zValue(
-          col("x") - col("xmin"), col("y") - col("ymin")))
+      val bounds = o.agg(min(col("x")).as("xmin"), max(col("x")).as("xmax"),
+        min(col("y")).as("ymin"), max(col("y")).as("ymax"))
+      def grid(c: String) = expr(
+        s"(($c - ${c}min) * 65535) div greatest(${c}max - ${c}min, 1)")
+      val z = o.crossJoin(broadcast(bounds))
+        .withColumn("z", graft.functions.ZValue.zValue(grid("x"), grid("y")))
       val zmax = z.agg(max(col("z")).as("zmax"))
       ordered(z.crossJoin(broadcast(zmax))
         .withColumn("bucket", expr(s"z div (zmax div $ZBuckets + 1)"))
@@ -4868,14 +4875,22 @@ object Extensions {
                      CAST(datediff('day', DATE '1970-01-01',
                        CAST(o_orderdate AS DATE)) AS BIGINT) AS y
               FROM orders),
-            mn AS (SELECT min(x) AS xmin, min(y) AS ymin FROM o),
+            mn AS (SELECT min(x) AS xmin, max(x) AS xmax,
+                          min(y) AS ymin, max(y) AS ymax FROM o),
+            g AS (
+              SELECT x, y,
+                     ((x - mn.xmin) * 65535)
+                       // GREATEST(mn.xmax - mn.xmin, 1) AS gx,
+                     ((y - mn.ymin) * 65535)
+                       // GREATEST(mn.ymax - mn.ymin, 1) AS gy
+              FROM o, mn),
             z AS MATERIALIZED (
               SELECT x, y,
                      CAST(list_sum([
-                       ((((x - mn.xmin) >> i) & 1) << (2 * i))
-                       + ((((y - mn.ymin) >> i) & 1) << (2 * i + 1))
-                       FOR i IN range(0, 31)]) AS BIGINT) AS z
-              FROM o, mn),
+                       (((gx >> i) & 1) << (2 * i))
+                       + (((gy >> i) & 1) << (2 * i + 1))
+                       FOR i IN range(0, 16)]) AS BIGINT) AS z
+              FROM g),
             m AS (SELECT max(z) AS zmax FROM z)
           SELECT z // (m.zmax // $ZBuckets + 1) AS bucket,
                  CAST(count(*) AS BIGINT) AS n,
