@@ -4057,8 +4057,9 @@ object Extensions {
   // (transcendental log + order-dependent float sums — unhashable
   // across engines), so the score is INTEGER WHOLE-BIT surprisal:
   //   bits(w1 w2) = floor(log2((c(w1·)+V) / (c(w1,w2)+1)))
-  // computed as bitlength((c_w1+V)*2^20 div (c_bg+1)) - 21 — pure
-  // integer arithmetic (the x56 fixed-point trick), order-free
+  // computed by [[wholeBitLog2Sql]] — decimal(38,0) operands, a
+  // direction-split quotient bounded under 2^63, so pure integer
+  // arithmetic with headroom for counts up to 2^63−1 — order-free
   // integer sums per doc, ONE final IEEE division for the mean
   // (bit-specified on both engines). Scale shape: one explode pass,
   // a per-(doc,bigram) tf pre-aggregation that caps every later join
@@ -4069,7 +4070,41 @@ object Extensions {
   // REPARTITIONED ON bg (the round-8 cached-partitioning move), so
   // the c_bg rollup and the bg-keyed join both reuse the cached
   // HashPartitioning with no further exchange.
-  private val LmScale = 1048576L // 2^20 fractional bits kept pre-floor
+  /** Exact whole-bit log ratio: floor(log2(num/den)) clamped at −20,
+    * as SQL text over two non-negative integer-valued expressions
+    * (both >= 1). Shared scorer of x68 (surprisal) and x77 (PMI).
+    *
+    * Overflow-proof by construction: callers pass DECIMAL(38,0)
+    * expressions — a long×long product always fits (2^126 < 10^38) —
+    * and the quotient is taken in whichever direction makes it >= 1,
+    * so it is bounded by the ratio itself; both gates' ratios are
+    * bounded by the corpus total N < 2^63 (num/den = N·c_ab/(c_a·c_b)
+    * <= N/c_ab and den/num <= (c_a/N)·(c_b/c_ab)·N <= N), so the
+    * `div`-to-long never wraps even at counts of 2^63−1
+    * (X77OverflowSpec drives that boundary). Provably equal to the
+    * round-8 fixed-point form bitlen(num·2^20 div den) − 21 wherever
+    * that one's scaled product stayed inside a long: for num >= den,
+    * bitlen(num div den) − 1 = floor(log2(num/den)) (flooring cannot
+    * cross an integral power of two); for num < den, the −20-clamped
+    * −bitlen((den−1) div num) = −ceil(log2(den/num)) via
+    * ceil(log2(x)) = bitlen(ceil(x)−1). */
+  private[graft] def wholeBitLog2Sql(num: String, den: String): String =
+    s"""cast(if(($num) >= ($den),
+       length(conv(($num) div ($den), 10, 2)) - 1,
+       greatest(-20, -length(conv((($den) - 1) div ($num), 10, 2))))
+       as bigint)"""
+
+  /** DuckDB twin of [[wholeBitLog2Sql]]: HUGEINT expressions in, the
+    * same direction-split bitlength out (format('{:b}') is the
+    * BIGINT-only binary formatter, reached only after the
+    * quotient-fits-long argument above). */
+  private def duckWholeBitLog2(num: String, den: String): String =
+    s"""CAST(CASE WHEN ($num) >= ($den)
+       THEN length(format('{:b}', CAST(($num) // ($den) AS BIGINT))) - 1
+       ELSE greatest(-20, -length(format('{:b}',
+         CAST((($den) - 1) // ($num) AS BIGINT))))
+       END AS BIGINT)"""
+
   private val LmMaxBits = 4.5 // ~p99 of the corpus mean (measured sf0.01)
 
   /** x68's engine, parameterized for fixtures: (doc_id, text) rows in,
@@ -4098,9 +4133,9 @@ object Extensions {
         .join(cBg, "bg")
         .join(cW1, "w1")
         .crossJoin(broadcast(vCtx))
-        .withColumn("bits",
-          (length(conv(expr(s"(c_w1 + v_ctx) * $LmScale div (c_bg + 1)"),
-            10, 2)) - lit(21)).cast("long"))
+        .withColumn("bits", expr(wholeBitLog2Sql(
+          "cast(c_w1 as decimal(38,0)) + v_ctx",
+          "cast(c_bg as decimal(38,0)) + 1")))
       ordered(scored.groupBy(col("doc_id"))
         .agg(sum(col("tf")).as("n_bg"),
           sum(col("tf") * col("bits")).as("bits_sum"))
@@ -4131,9 +4166,8 @@ object Extensions {
             v AS (SELECT count(*) AS v_ctx FROM cw),
             sc AS (
               SELECT d.doc_id, d.tf,
-                     CAST(length(format('{:b}',
-                       ((c.c_w1 + v.v_ctx) * $LmScale) // (b.c_bg + 1)))
-                       - 21 AS BIGINT) AS bits
+                     ${duckWholeBitLog2("CAST(c.c_w1 AS HUGEINT) + v.v_ctx",
+                       "CAST(b.c_bg AS HUGEINT) + 1")} AS bits
               FROM db d
               JOIN cb b ON b.bg = d.bg
               JOIN cw c ON c.w1 = string_split(d.bg, ' ')[1]
@@ -4902,10 +4936,10 @@ object Extensions {
   // ---------------------------------------------------------------- x77
   // PPMI co-occurrence (collocation mining): forward skip-gram pairs
   // at distance 1 and 2, scored by INTEGER WHOLE-BIT pointwise mutual
-  // information — pmi_bits = floor-ish log2(N·c(a,b) / (c(a·)·c(·b)))
-  // computed as bitlength(N·c_ab·2^20 div (c_a·c_b)) − 21, x68's
-  // fixed-point trick (pure integer arithmetic, hash-exact on both
-  // engines; a sub-2^-20 ratio yields the defined floor −20). This is
+  // information — pmi_bits = floor(log2(N·c(a,b) / (c(a·)·c(·b))))
+  // clamped at −20, computed by [[wholeBitLog2Sql]] (pure integer
+  // arithmetic, hash-exact on both engines, no wraparound at any
+  // long-valued counts; a sub-2^-20 ratio yields the −20 floor). This is
   // the phrase-detection / PPMI-matrix step of an embedding pipeline
   // (word2vec-phrases), distinct from x68's per-DOCUMENT surprisal:
   // the output is the vocabulary×vocabulary association table, not a
@@ -4913,7 +4947,6 @@ object Extensions {
   // caps everything downstream at distinct-pair-type rows (vocab²,
   // not corpus-sized), two marginal rollups of that table joined back
   // hash-to-hash, the 1-row N broadcast — corpus text shuffles once.
-  private val PmiScale = 1048576L // 2^20 fractional bits kept pre-floor
   private val PmiMinCount = 20L
 
   /** x77's engine, parameterized for fixtures: (doc_id, text) rows in,
@@ -4943,9 +4976,9 @@ object Extensions {
       .withColumn("w2", split(col("p"), " ").getItem(1))
       .join(cA, "w1").join(cB, "w2")
       .crossJoin(broadcast(n))
-      .withColumn("pmi_bits",
-        (length(conv(expr(s"n_pairs * c_ab * $PmiScale div (c_a * c_b)"),
-          10, 2)) - lit(21)).cast("long"))
+      .withColumn("pmi_bits", expr(wholeBitLog2Sql(
+        "cast(n_pairs as decimal(38,0)) * c_ab",
+        "cast(c_a as decimal(38,0)) * c_b")))
       .select(col("w1"), col("w2"), col("c_ab"), col("pmi_bits")))
   }
 
@@ -4972,9 +5005,8 @@ object Extensions {
           SELECT string_split(p, ' ')[1] AS w1,
                  string_split(p, ' ')[2] AS w2,
                  CAST(c_ab AS BIGINT) AS c_ab,
-                 CAST(length(format('{:b}',
-                   (n.n_pairs * c_ab * $PmiScale) // (ca.c_a * cb.c_b)))
-                   - 21 AS BIGINT) AS pmi_bits
+                 ${duckWholeBitLog2("CAST(n.n_pairs AS HUGEINT) * c_ab",
+                   "CAST(ca.c_a AS HUGEINT) * cb.c_b")} AS pmi_bits
           FROM cab
           JOIN ca ON ca.w1 = string_split(p, ' ')[1]
           JOIN cb ON cb.w2 = string_split(p, ' ')[2]
