@@ -300,12 +300,18 @@ object DocStreams {
     * instead of a dedupe state store, every joined row carries both
     * key arrays and survives only at the FIRST agreeing key position
     * (the [[fuzzyDecontamStream]] trick) — exactly one row per
-    * qualifying pair, zero state. The batch frequency cap is applied
-    * to the REGISTRY side only (computable offline); an online cap on
-    * the dirty side would need a per-key counter state store, so the
-    * twin matches batch [[graft.queries.Extensions.blockedLinkage]]
-    * exactly whenever the stream side's block sizes stay <= cap
-    * (true of the gate corpus; DocStreamsSpec pins the equality).
+    * qualifying pair, zero state. The dedupe position is computed
+    * over ADMISSIBLE keys only: the registry's key array has capped
+    * positions nulled out before broadcasting, so a pair whose
+    * earlier agreeing key was frequency-capped still emits — once —
+    * through its surviving later key (with the raw arrays, the filter
+    * demanded the capped position and silently dropped the match).
+    * The batch frequency cap is applied to the REGISTRY side only
+    * (computable offline); an online cap on the dirty side would need
+    * a per-key counter state store, so the twin matches batch
+    * [[graft.queries.Extensions.blockedLinkage]] exactly whenever the
+    * stream side's block sizes stay <= cap (true of the gate corpus;
+    * DocStreamsSpec pins the equality and the capped-prefix case).
     * Column contract: dirty has (b_id, b_rec), registry (a_id, a_rec). */
   def linkageStream(dirty: DataFrame, registry: DataFrame,
       blockLen: Int = 14, cap: Long = 64L, maxDist: Int = 2): DataFrame = {
@@ -314,18 +320,29 @@ object DocStreams {
       concat(lit("s:"), expr(s"right($recName, $blockLen)")))
     val regBlocks = registry
       .select(col("a_id"), col("a_rec"), keysOf("a_rec").as("akeys"))
-      .select(col("a_id"), col("a_rec"), col("akeys"),
-        explode(col("akeys")).as("bk"))
+      .select(col("a_id"), col("a_rec"),
+        posexplode(col("akeys")).as(Seq("apos", "bk")))
     val okKeys = regBlocks.groupBy(col("bk")).agg(count(lit(1)).as("c"))
-      .filter(col("c") <= cap).select(col("bk"))
-    val regCapped = regBlocks.join(okKeys, "bk")
+      .filter(col("c") <= cap).select(col("bk"), lit(true).as("adm"))
+    // static pre-step (plain batch plan): rebuild each registry row's
+    // key array with capped positions nulled, then explode only the
+    // admissible keys for the join
+    val regAdm = regBlocks
+      .join(okKeys, Seq("bk"), "left")
+      .groupBy(col("a_id"), col("a_rec"))
+      .agg(array_sort(collect_list(struct(col("apos"),
+        when(col("adm"), col("bk")).as("k")))).as("sk"))
+      .withColumn("adm_keys", expr("transform(sk, s -> s.k)"))
+      .select(col("a_id"), col("a_rec"), col("adm_keys"),
+        explode(col("adm_keys")).as("bk"))
+      .filter(col("bk").isNotNull)
     dirty
       .select(col("b_id"), col("b_rec"), keysOf("b_rec").as("bkeys"))
       .select(col("b_id"), col("b_rec"), col("bkeys"),
         posexplode(col("bkeys")).as(Seq("pos", "bk")))
-      .join(broadcast(regCapped), "bk")
-      .filter(col("pos") ===
-        expr("array_position(zip_with(bkeys, akeys, (x, y) -> x = y), true) - 1"))
+      .join(broadcast(regAdm), "bk")
+      .filter(col("pos") === expr(
+        "array_position(zip_with(bkeys, adm_keys, (x, y) -> x = y), true) - 1"))
       .withColumn("dist", levenshtein(col("b_rec"), col("a_rec")).cast("long"))
       .filter(col("dist") <= maxDist)
       .select(col("b_id"), col("a_id"), col("dist"))

@@ -475,4 +475,32 @@ class DocStreamsSpec extends AnyFunSuite {
     assert(spark.table("lnk2").isEmpty)
     q2.stop()
   }
+
+  test("linkage stream survives a capped prefix when the suffix is admissible") {
+    // 70 registry records share the prefix block (capped at 64) but
+    // carry distinct suffixes; the dirty record equals record #5, so
+    // the pair agrees on BOTH keys. The first-agreeing-position dedupe
+    // must be computed over ADMISSIBLE keys only: the capped prefix
+    // row is absent from the broadcast side, so the only join row is
+    // the suffix (pos=1) one — demanding the raw first agreement
+    // (pos=0, the round-8 bug) dropped the match that batch
+    // blockedLinkage emits via the surviving suffix key.
+    val reg = (0L until 70L)
+      .map(i => i -> ("Q" * 20 + f"suffix-is-unique-$i%03d"))
+      .toDF("a_id", "a_rec")
+    val target = "Q" * 20 + "suffix-is-unique-005"
+    val batch = Extensions.blockedLinkage(
+      reg, Seq(100L -> target).toDF("b_id", "b_rec"), 14, 64L, 2)
+      .as[(Long, Long, Long)].collect().toSeq
+    assert(batch == Seq((100L, 5L, 0L)), s"batch premise: $batch")
+    val in = MemoryStream[LinkRec]
+    val q = DocStreams.linkageStream(in.toDF(), reg)
+      .writeStream.format("memory").queryName("lnk3")
+      .outputMode("append").start()
+    in.addData(LinkRec(100, target))
+    q.processAllAvailable()
+    val got = spark.table("lnk3").as[(Long, Long, Long)].collect().toSeq
+    assert(got == batch, s"stream $got != batch $batch")
+    q.stop()
+  }
 }
