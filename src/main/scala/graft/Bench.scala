@@ -18,19 +18,27 @@ object Bench {
     // no query work is warmed, just the storage layer under all of
     // them equally.
     try {
+      import scala.util.Using
+      import scala.jdk.CollectionConverters._
+      // stream bytes through a fixed buffer (page-cache touch only —
+      // a large SF must not be pulled into driver heap), and close
+      // every directory stream (Files.list leaks an fd otherwise)
+      def touch(f: java.nio.file.Path): Unit =
+        Using.resource(java.nio.file.Files.newInputStream(f)) { in =>
+          val buf = new Array[Byte](1 << 20)
+          while (in.read(buf) >= 0) ()
+        }
       val dir = java.nio.file.Paths.get(sfDir)
-      java.nio.file.Files.list(dir).forEach { p =>
-        if (p.toString.endsWith(".parquet")) {
+      Using.resource(java.nio.file.Files.list(dir))(_.iterator.asScala.toList)
+        .filter(_.toString.endsWith(".parquet")).foreach { p =>
           if (java.nio.file.Files.isDirectory(p))
-            java.nio.file.Files.list(p).forEach { f =>
-              if (f.toString.endsWith(".parquet"))
-                java.nio.file.Files.readAllBytes(f)
-            }
-          else java.nio.file.Files.readAllBytes(p)
+            Using.resource(java.nio.file.Files.list(p))(
+              _.iterator.asScala.toList)
+              .filter(_.toString.endsWith(".parquet")).foreach(touch)
+          else touch(p)
           spark.read.parquet(p.toString).schema // footer parse
         }
-      }
-    } catch { case _: Throwable => () }
+    } catch { case scala.util.control.NonFatal(_) => () }
     // Warm the session before timing: JIT, codegen compiler, shuffle
     // and broadcast machinery otherwise land entirely in whichever
     // query happens to run first (~8s of non-query cost observed).

@@ -3279,22 +3279,31 @@ object Extensions {
     * The dedup-graph substrate under x51 (triangles), x56 (PageRank)
     * and x62 (two-hop reach); callers persist.
     *
-    * Scale shape: ONE hash groupBy. Spans collapse to per-span doc
-    * lists; a span kept by the df cap has AT MOST `maxDf` docs, so —
-    * uniquely here, where the cap itself bounds row width — the list
-    * row is hub-safe by construction and pairs explode from it
-    * directly: Σ C(df,2) output rows with no join-back and no
-    * self-join shuffle (the previous shape paid three exchanges and
-    * df² pre-filter join rows per span). Singleton spans (the vast
-    * majority of a real corpus) die in the same filter: df=1 makes
-    * no edge. */
+    * Scale shape: the span table is shuffled ONCE onto sh
+    * (`repartition` + persist; the df pre-count, the semi-join, and
+    * the doc-list agg all reuse the cached HashPartitioning with no
+    * further exchange). The df cap is enforced BEFORE any doc list
+    * exists: a constant-buffer count agg picks the spans with df in
+    * [2, maxDf], the span table semi-joins to that key set, and only
+    * then does collect_set run — so its buffer is bounded by maxDf
+    * rows by construction and a 100 TB stopword span never
+    * materializes its doc list anywhere (the round-8 shape collected
+    * the full list first and capped after, an unbounded row on hubs).
+    * A kept span has at most maxDf docs, so pairs explode from the
+    * list directly: Σ C(df,2) output rows, no self-join. Singleton
+    * spans (the vast majority of a real corpus) die in the df
+    * pre-count: df=1 makes no edge. */
   private[graft] def spanEdges(docs: DataFrame, w: Int,
                                maxDf: Int = SpanDfCap): DataFrame = {
     val spans = docs.select(col("doc_id"),
       explode(graft.functions.SpanHashes.spanHashes(col("text"), w)).as("sh"))
-    spans.groupBy(col("sh"))
+      .repartition(col("sh")).persist()
+    spans.count() // three aligned consumers below; materialize once
+    val kept = spans.groupBy(col("sh")).agg(count(lit(1)).as("df"))
+      .filter(col("df").between(2, maxDf)).select(col("sh"))
+    spans.join(kept, Seq("sh"), "left_semi")
+      .groupBy(col("sh"))
       .agg(collect_set(col("doc_id")).as("ds"))
-      .filter(size(col("ds")).between(2, maxDf))
       .select(explode(expr(
         """flatten(transform(sequence(0, size(ds) - 2),
           |  i -> transform(sequence(i + 1, size(ds) - 1),
