@@ -79,11 +79,24 @@ final class MatchedPrefix[E] private[streaming] (
 /** One pattern stage: a name (for match selection), its guard (over
   * the event AND the matched prefix — plain `where` guards ignore
   * the prefix), its contiguity kind, and — for a one-or-more stage —
-  * an optional `until` stop condition that terminates the run. */
+  * an optional `until` stop condition that terminates the run.
+  *
+  * Modifier flags (FlinkCEP quantifier modifiers):
+  *  - `any`: non-deterministic relaxed stage (`followedByAny`, and
+  *    the per-clone form of `times(n).allowCombinations()`): a
+  *    matching event advances a COPY of the partial while the
+  *    original stays open for later alternatives;
+  *  - `consecutive`: strict contiguity INSIDE a one-or-more run — a
+  *    non-matching event freezes the run instead of being skipped;
+  *  - `combinations`: non-deterministic one-or-more — every matching
+  *    event forks absorb/skip, enumerating every subsequence. */
 final case class PatternStep[E](
     name: String, pred: (E, MatchedPrefix[E]) => Boolean,
     kind: StepKind = StepKind.Relaxed,
-    until: Option[(E, MatchedPrefix[E]) => Boolean] = None)
+    until: Option[(E, MatchedPrefix[E]) => Boolean] = None,
+    any: Boolean = false,
+    consecutive: Boolean = false,
+    combinations: Boolean = false)
 
 /** Flink-CEP-style sequential event pattern
   * (`Pattern.begin(...).where(...).followedBy(...).within(...)`,
@@ -270,6 +283,81 @@ final case class EventPattern[E] private (
     copy(steps = steps.init :+ steps.last.copy(kind = kind))
   }
 
+  /** Repeat the most recent stage `n` OR MORE times (Flink
+    * `.timesOrMore(n)`): compiled as `n − 1` required clones plus a
+    * terminal one-or-more clone, all sharing the stage name — so the
+    * run carries at least n events and the match exposes all of them
+    * under the one name. `timesOrMore(1)` is exactly [[oneOrMore]];
+    * the same terminal contract applies (a terminal n-or-more needs
+    * `within()` or `until()`). */
+  def timesOrMore(n: Int): EventPattern[E] = {
+    require(n >= 1, "timesOrMore(n) needs n >= 1")
+    val last = steps.last
+    require(last.kind == StepKind.Relaxed,
+      "timesOrMore() applies to a relaxed (begin/followedBy) stage only")
+    copy(steps = steps.init ++ Vector.fill(n - 1)(last) :+
+      last.copy(kind = StepKind.Repeated))
+  }
+
+  /** The trailing run of stages sharing the last stage's name — the
+    * clones of one logical quantified stage. */
+  private def lastGroup: (Vector[PatternStep[E]], Vector[PatternStep[E]]) = {
+    val nm = steps.last.name
+    val i = steps.lastIndexWhere(_.name != nm) + 1
+    (steps.take(i), steps.drop(i))
+  }
+
+  /** Impose STRICT contiguity between the repetitions of the most
+    * recent quantified stage (Flink `times(n).consecutive()` /
+    * `oneOrMore().consecutive()` / `timesOrMore(n).consecutive()`):
+    * the repetition's matching events must be adjacent in the key's
+    * event-time order — a non-matching event between them kills (for
+    * exact counts) or freezes (for a one-or-more run) the repetition.
+    * The gap BEFORE the first repetition element keeps the stage's
+    * own relaxed contiguity, as in FlinkCEP. Not supported on a
+    * `times(from, to)` range (strict optionals are unexpressible in
+    * this NFA). */
+  def consecutive: EventPattern[E] = {
+    val (pre, grp) = lastGroup
+    require(grp.forall(_.kind != StepKind.Optional),
+      "consecutive() is not supported on a times(from, to) range stage")
+    require(grp.forall(!_.combinations),
+      "consecutive() and allowCombinations() are mutually exclusive")
+    require(grp.last.kind == StepKind.Repeated || grp.length > 1,
+      "consecutive() applies to a times(n)/timesOrMore/oneOrMore stage")
+    val rewritten = grp.zipWithIndex.map { case (st, i) =>
+      if (st.kind == StepKind.Repeated) st.copy(consecutive = true)
+      else if (i == 0) st // first element is found with relaxed contiguity
+      else st.copy(kind = StepKind.Strict)
+    }
+    copy(steps = pre ++ rewritten)
+  }
+
+  /** Relax the most recent quantified stage to NON-DETERMINISTIC
+    * contiguity (Flink `times(n).allowCombinations()` /
+    * `oneOrMore().allowCombinations()`): the repetition matches every
+    * SUBSEQUENCE of qualifying events, not just the greedy run —
+    * `b+ allowCombinations` on b1 b2 b3 yields {b1}, {b1 b2},
+    * {b1 b3}, {b1 b2 b3}, … Match multiplicity is exponential in the
+    * run length (exactly as in FlinkCEP) — bound the window with
+    * `within()` and treat this as an explicit opt-in. */
+  def allowCombinations: EventPattern[E] = {
+    val (pre, grp) = lastGroup
+    require(grp.forall(st =>
+      st.kind == StepKind.Relaxed || st.kind == StepKind.Repeated),
+      "allowCombinations() applies to a times(n)/timesOrMore/oneOrMore " +
+        "quantifier on relaxed stages")
+    require(grp.forall(!_.consecutive),
+      "consecutive() and allowCombinations() are mutually exclusive")
+    require(grp.last.kind == StepKind.Repeated || grp.length > 1,
+      "allowCombinations() needs a quantified stage (times/oneOrMore)")
+    val rewritten = grp.map { st =>
+      if (st.kind == StepKind.Repeated) st.copy(combinations = true)
+      else st.copy(any = true)
+    }
+    copy(steps = pre ++ rewritten)
+  }
+
   private def append(name: String, kind: StepKind): EventPattern[E] = {
     require(!steps.exists(_.name == name), s"duplicate step name: $name")
     copy(steps = steps :+ PatternStep[E](name, (_, _) => true, kind))
@@ -278,6 +366,17 @@ final case class EventPattern[E] private (
   /** Append a relaxed-contiguity stage (Flink `.followedBy`). */
   def followedBy(name: String): EventPattern[E] =
     append(name, StepKind.Relaxed)
+
+  /** Append a relaxed NON-DETERMINISTIC stage (Flink
+    * `.followedByAny`): EVERY qualifying event matches the stage in
+    * its own alternative partial, not just the first one — `a
+    * followedByAny b` on a1 b1 b2 yields {a1 b1} AND {a1 b2}. The
+    * deterministic [[followedBy]] would yield {a1 b1} only. */
+  def followedByAny(name: String): EventPattern[E] = {
+    require(!steps.exists(_.name == name), s"duplicate step name: $name")
+    copy(steps = steps :+ PatternStep[E](name, (_, _) => true,
+      StepKind.Relaxed, any = true))
+  }
 
   /** Append a strict-contiguity stage (Flink `.next`): the key's
     * immediately-next event must match or the partial is killed. */
@@ -436,7 +535,13 @@ object Cep {
         val ctx = new MatchedPrefix(steps, acc)
         steps(stage).kind match {
           case StepKind.Relaxed =>
-            if (inWindow && steps(stage).pred(e, ctx)) consume(kept, t0, acc, stage, e)
+            if (inWindow && steps(stage).pred(e, ctx)) {
+              consume(kept, t0, acc, stage, e)
+              // non-deterministic (`followedByAny` / the clone form of
+              // allowCombinations): the original stays open so every
+              // later qualifying event is an alternative too
+              if (steps(stage).any) kept += p
+            }
             else kept += p // relaxed contiguity: partial stays open
           case StepKind.Strict =>
             // the key's next event either matches or kills; an
@@ -456,21 +561,45 @@ object Cep {
             // stop condition first (until beats the loop guard, as in
             // FlinkCEP): a non-empty run ends — terminal emits NOW,
             // non-terminal awaits the next stage; an empty run dies
+            val st = steps(stage)
             val hasRun = acc.exists(_._1 == stage)
-            val stopped = steps(stage).until.exists(u => inWindow && u(e, ctx))
+            val stopped = st.until.exists(u => inWindow && u(e, ctx))
+            val matchesLoop = inWindow && st.pred(e, ctx)
+            val matchesNext = stage + 1 < steps.length && inWindow &&
+              steps(stage + 1).pred(e, ctx)
             if (stopped) {
               if (hasRun) {
                 if (stage + 1 == steps.length) staged ::= ((t0, acc))
                 else kept += ((stage + 1, t0, acc))
               } // else: drop p (one-or-more never got its one)
             }
+            else if (st.combinations) {
+              // non-deterministic (`allowCombinations`): fork every
+              // applicable option — absorb, advance, and skip all
+              // coexist, enumerating the run's subsequences
+              if (matchesLoop) kept += ((stage, t0, (stage, e) :: acc))
+              if (hasRun && matchesNext) consume(kept, t0, acc, stage + 1, e)
+              kept += p // skip fork: absorb later events instead
+            }
             // greedy: absorbing wins over advancing; the run ends on
             // an event that matches the NEXT stage but not this one
-            else if (inWindow && steps(stage).pred(e, ctx))
+            else if (matchesLoop)
               kept += ((stage, t0, (stage, e) :: acc))
-            else if (hasRun && stage + 1 < steps.length &&
-              inWindow && steps(stage + 1).pred(e, ctx))
+            else if (hasRun && matchesNext)
               consume(kept, t0, acc, stage + 1, e)
+            else if (st.consecutive) {
+              if (hasRun) {
+                // `consecutive()`: a non-matching event FREEZES the
+                // run — terminal emits now (the maximal consecutive
+                // run is known), non-terminal awaits the next stage
+                if (stage + 1 == steps.length) staged ::= ((t0, acc))
+                else kept += ((stage + 1, t0, acc))
+              } else if (stage > 0 && steps(stage - 1).name == st.name) {
+                // strict gap INSIDE a timesOrMore repetition group:
+                // the previous clone's event was a repetition element,
+                // so a non-matching event here kills the partial
+              } else kept += p // relaxed gap before the first element
+            }
             else kept += p // relaxed: skip the non-matching event
           case StepKind.Optional =>
             // greedy: taken if its guard matches first…

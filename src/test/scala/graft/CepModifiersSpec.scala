@@ -1,0 +1,264 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalacheck.{Gen, Prop, Test => SCTest}
+import graft.streaming.{Cep, EventPattern}
+import scala.math.Ordering.Implicits.seqOrdering
+
+/** FlinkCEP quantifier modifiers — `followedByAny`, `timesOrMore(n)`,
+  * `consecutive()`, `allowCombinations()` — hand-pinned cases plus
+  * brute-force fuzz against independent reference models. All fuzz
+  * generators use DISTINCT timestamps: equal-timestamp tie-breaking is
+  * engine-defined (documented on [[Cep.step]]) and not what these
+  * properties are about. */
+class CepModifiersSpec extends AnyFunSuite {
+
+  private case class Ev(kind: String, ts: Long)
+
+  private def check(name: String, p: Prop, n: Int = 200): Unit = {
+    val res = SCTest.check(SCTest.Parameters.default
+      .withMinSuccessfulTests(n).withWorkers(1), p)
+    assert(res.passed, s"$name: $res")
+  }
+
+  private val W = 100L
+
+  /** Distinct-timestamp event lists over a small alphabet. */
+  private val genEvents: Gen[List[Ev]] = for {
+    n <- Gen.choose(0, 14)
+    ts <- Gen.pick(n, 0L until 300L)
+    kinds <- Gen.listOfN(n, Gen.oneOf("a", "b", "c", "noise"))
+  } yield ts.sorted.zip(kinds).map { case (t, k) => Ev(k, t) }.toList
+
+  /** One batch through the pure NFA; `flush` closes every window. */
+  private def run(pattern: EventPattern[Ev], evs: Seq[Ev],
+      flush: Boolean = false): Vector[Map[String, Seq[Ev]]] = {
+    val (p1, m1, _) = Cep.step(pattern.steps, pattern.withinMs,
+      (e: Ev) => e.ts, Nil, evs, Long.MinValue)
+    if (!flush) m1
+    else {
+      val (_, m2, _) = Cep.step(pattern.steps, pattern.withinMs,
+        (e: Ev) => e.ts, p1, Nil, Long.MaxValue / 4)
+      m1 ++ m2
+    }
+  }
+
+  private def ev(k: String, t: Long) = Ev(k, t)
+
+  // ------------------------------------------------------ followedByAny
+
+  test("followedByAny matches every qualifying B, followedBy only the first") {
+    val evs = Seq(ev("a", 1), ev("b", 5), ev("b", 9), ev("b", 200))
+    val any = EventPattern.begin[Ev]("A").where(_.kind == "a")
+      .followedByAny("B").where(_.kind == "b")
+      .within(java.time.Duration.ofMillis(W))
+    val got = run(any, evs).map(m => (m("A").head.ts, m("B").head.ts))
+    assert(got.sorted == Vector((1L, 5L), (1L, 9L))) // 200 out of window
+    val det = EventPattern.begin[Ev]("A").where(_.kind == "a")
+      .followedBy("B").where(_.kind == "b")
+      .within(java.time.Duration.ofMillis(W))
+    assert(run(det, evs).map(m => (m("A").head.ts, m("B").head.ts))
+      == Vector((1L, 5L)))
+  }
+
+  test("followedByAny fuzz: emits exactly the in-window (a, b) pairs") {
+    val pat = EventPattern.begin[Ev]("A").where(_.kind == "a")
+      .followedByAny("B").where(_.kind == "b")
+      .within(java.time.Duration.ofMillis(W))
+    check("any-vs-brute", Prop.forAll(genEvents) { evs =>
+      val got = run(pat, evs)
+        .map(m => (m("A").head.ts, m("B").head.ts)).sorted
+      val want = (for {
+        a <- evs if a.kind == "a"
+        b <- evs if b.kind == "b" && b.ts >= a.ts && b.ts <= a.ts + W
+      } yield (a.ts, b.ts)).sorted
+      got == want
+    })
+  }
+
+  // ------------------------------------------------------- timesOrMore
+
+  test("timesOrMore(2) needs two B's and then absorbs the rest greedily") {
+    val pat = EventPattern.begin[Ev]("A").where(_.kind == "a")
+      .followedBy("B").where(_.kind == "b").timesOrMore(2)
+      .within(java.time.Duration.ofMillis(W))
+    // one b only -> no match
+    assert(run(pat, Seq(ev("a", 1), ev("b", 5)), flush = true).isEmpty)
+    // three b's -> one maximal match with all three
+    val got = run(pat,
+      Seq(ev("a", 1), ev("b", 5), ev("noise", 6), ev("b", 9), ev("b", 12)),
+      flush = true)
+    assert(got.map(m => (m("A").head.ts, m("B").map(_.ts))) ==
+      Vector((1L, Seq(5L, 9L, 12L))))
+  }
+
+  test("timesOrMore(1) behaves exactly like oneOrMore") {
+    val viaTom = EventPattern.begin[Ev]("A").where(_.kind == "a")
+      .followedBy("B").where(_.kind == "b").timesOrMore(1)
+      .within(java.time.Duration.ofMillis(W))
+    val viaOom = EventPattern.begin[Ev]("A").where(_.kind == "a")
+      .followedBy("B").where(_.kind == "b").oneOrMore
+      .within(java.time.Duration.ofMillis(W))
+    check("tom1-eq-oom", Prop.forAll(genEvents) { evs =>
+      val key = (v: Vector[Map[String, Seq[Ev]]]) =>
+        v.map(m => (m("A").head.ts, m("B").map(_.ts))).sorted
+      key(run(viaTom, evs, flush = true)) ==
+        key(run(viaOom, evs, flush = true))
+    })
+  }
+
+  test("timesOrMore(2) fuzz: per A, the full in-window b run iff it has >= 2") {
+    val pat = EventPattern.begin[Ev]("A").where(_.kind == "a")
+      .followedBy("B").where(_.kind == "b").timesOrMore(2)
+      .within(java.time.Duration.ofMillis(W))
+    check("tom-vs-brute", Prop.forAll(genEvents) { evs =>
+      val got = run(pat, evs, flush = true)
+        .map(m => (m("A").head.ts, m("B").map(_.ts))).sorted
+      val want = (for {
+        a <- evs if a.kind == "a"
+        bs = evs.filter(e => e.kind == "b" && e.ts >= a.ts && e.ts <= a.ts + W)
+          .map(_.ts).sorted
+        if bs.size >= 2
+      } yield (a.ts, bs)).sorted
+      got == want
+    })
+  }
+
+  // ------------------------------------------------------- consecutive
+
+  test("times(3).consecutive demands adjacent repetitions") {
+    val pat = EventPattern.begin[Ev]("A").where(_.kind == "a")
+      .followedBy("B").where(_.kind == "b").times(3).consecutive
+      .followedBy("C").where(_.kind == "c")
+      .within(java.time.Duration.ofMillis(W))
+    // adjacent b b b -> match (gap before the FIRST b stays relaxed)
+    val hit = run(pat, Seq(ev("a", 1), ev("noise", 2), ev("b", 3),
+      ev("b", 4), ev("b", 5), ev("c", 9)))
+    assert(hit.map(m => m("B").map(_.ts)) == Vector(Seq(3L, 4L, 5L)))
+    // noise inside the run kills it
+    val miss = run(pat, Seq(ev("a", 1), ev("b", 3), ev("noise", 4),
+      ev("b", 5), ev("b", 6), ev("c", 9)))
+    assert(miss.isEmpty)
+  }
+
+  test("oneOrMore.consecutive freezes the run at the first gap") {
+    val pat = EventPattern.begin[Ev]("A").where(_.kind == "a")
+      .followedBy("B").where(_.kind == "b").oneOrMore.consecutive
+      .followedBy("C").where(_.kind == "c")
+      .within(java.time.Duration.ofMillis(W))
+    // b's after the noise gap are NOT part of the run; c still matches
+    val got = run(pat, Seq(ev("a", 1), ev("b", 3), ev("b", 4),
+      ev("noise", 5), ev("b", 6), ev("c", 9)))
+    assert(got.map(m => (m("B").map(_.ts), m("C").head.ts)) ==
+      Vector((Seq(3L, 4L), 9L)))
+    // the plain (relaxed) oneOrMore would absorb the post-gap b too
+    val relaxed = EventPattern.begin[Ev]("A").where(_.kind == "a")
+      .followedBy("B").where(_.kind == "b").oneOrMore
+      .followedBy("C").where(_.kind == "c")
+      .within(java.time.Duration.ofMillis(W))
+    assert(run(relaxed, Seq(ev("a", 1), ev("b", 3), ev("b", 4),
+      ev("noise", 5), ev("b", 6), ev("c", 9)))
+      .map(m => m("B").map(_.ts)) == Vector(Seq(3L, 4L, 6L)))
+  }
+
+  test("timesOrMore(2).consecutive: the whole repetition group is adjacent") {
+    val pat = EventPattern.begin[Ev]("A").where(_.kind == "a")
+      .followedBy("B").where(_.kind == "b").timesOrMore(2).consecutive
+      .within(java.time.Duration.ofMillis(W))
+    // b noise b: gap between FIRST and SECOND repetition element kills
+    assert(run(pat, Seq(ev("a", 1), ev("b", 3), ev("noise", 4),
+      ev("b", 5), ev("b", 6)), flush = true).isEmpty)
+    // b b noise b: run is the adjacent prefix
+    val got = run(pat, Seq(ev("a", 1), ev("b", 3), ev("b", 4),
+      ev("noise", 5), ev("b", 6)), flush = true)
+    assert(got.map(m => m("B").map(_.ts)) == Vector(Seq(3L, 4L)))
+  }
+
+  test("oneOrMore.consecutive fuzz vs a maximal-adjacent-run reference") {
+    val pat = EventPattern.begin[Ev]("A").where(_.kind == "a")
+      .followedBy("B").where(_.kind == "b").oneOrMore.consecutive
+      .followedBy("C").where(_.kind == "c")
+      .within(java.time.Duration.ofMillis(W))
+    def brute(evs: Seq[Ev]): Seq[(Long, Seq[Long], Long)] = {
+      val sorted = evs.sortBy(_.ts)
+      for {
+        (a, ai) <- sorted.zipWithIndex if a.kind == "a"
+        inWin = (e: Ev) => e.ts <= a.ts + W
+        // first b after a (relaxed gap), then the adjacent b run
+        bi = sorted.indexWhere(e => e.kind == "b" && inWin(e), ai + 1)
+        if bi >= 0
+        run = sorted.drop(bi).takeWhile(e => e.kind == "b" && inWin(e))
+        // first in-window c at or after the event that broke the run
+        c <- sorted.drop(bi + run.length)
+          .find(e => e.kind == "c" && inWin(e))
+      } yield (a.ts, run.map(_.ts), c.ts)
+    }
+    check("consecutive-vs-brute", Prop.forAll(genEvents) { evs =>
+      val got = run(pat, evs)
+        .map(m => (m("A").head.ts, m("B").map(_.ts), m("C").head.ts)).sorted
+      got == brute(evs).sorted
+    })
+  }
+
+  // ------------------------------------------------- allowCombinations
+
+  test("oneOrMore.allowCombinations enumerates every nonempty subsequence") {
+    val pat = EventPattern.begin[Ev]("A").where(_.kind == "a")
+      .followedBy("B").where(_.kind == "b").oneOrMore.allowCombinations
+      .within(java.time.Duration.ofMillis(W))
+    val got = run(pat, Seq(ev("a", 1), ev("b", 3), ev("noise", 4),
+      ev("b", 5), ev("b", 7)), flush = true)
+      .map(m => m("B").map(_.ts)).sortBy(v => (v.length, v.mkString(",")))
+    assert(got == Vector(Seq(3L), Seq(5L), Seq(7L), Seq(3L, 5L),
+      Seq(3L, 7L), Seq(5L, 7L), Seq(3L, 5L, 7L))
+      .sortBy(v => (v.length, v.mkString(","))))
+  }
+
+  test("times(2).allowCombinations picks every ordered pair, not the first two") {
+    val pat = EventPattern.begin[Ev]("A").where(_.kind == "a")
+      .followedBy("B").where(_.kind == "b").times(2).allowCombinations
+      .within(java.time.Duration.ofMillis(W))
+    val got = run(pat, Seq(ev("a", 1), ev("b", 3), ev("b", 5), ev("b", 7)))
+      .map(m => m("B").map(_.ts)).sorted
+    assert(got == Vector(Seq(3L, 5L), Seq(3L, 7L), Seq(5L, 7L)).sorted)
+    // plain times(2) takes the greedy first two only
+    val greedy = EventPattern.begin[Ev]("A").where(_.kind == "a")
+      .followedBy("B").where(_.kind == "b").times(2)
+      .within(java.time.Duration.ofMillis(W))
+    assert(run(greedy, Seq(ev("a", 1), ev("b", 3), ev("b", 5), ev("b", 7)))
+      .map(m => m("B").map(_.ts)) == Vector(Seq(3L, 5L)))
+  }
+
+  test("allowCombinations fuzz: subsequence enumeration per A") {
+    val pat = EventPattern.begin[Ev]("A").where(_.kind == "a")
+      .followedBy("B").where(_.kind == "b").oneOrMore.allowCombinations
+      .within(java.time.Duration.ofMillis(W))
+    val gen = genEvents.map(_.take(9)) // 2^n match count: keep n small
+    check("combinations-vs-brute", Prop.forAll(gen) { evs =>
+      val got = run(pat, evs, flush = true)
+        .map(m => (m("A").head.ts, m("B").map(_.ts))).sorted
+      val want = (for {
+        a <- evs if a.kind == "a"
+        bs = evs.filter(e => e.kind == "b" && e.ts >= a.ts && e.ts <= a.ts + W)
+          .map(_.ts).sorted
+        sub <- bs.toSet.subsets.toSeq if sub.nonEmpty
+      } yield (a.ts, sub.toSeq.sorted)).sorted
+      got == want
+    })
+  }
+
+  // ---------------------------------------------------------- guards
+
+  test("modifier misuse is rejected at build time") {
+    val base = EventPattern.begin[Ev]("A").where(_.kind == "a")
+      .followedBy("B").where(_.kind == "b")
+    intercept[IllegalArgumentException](base.consecutive)
+    intercept[IllegalArgumentException](base.allowCombinations)
+    intercept[IllegalArgumentException](base.times(1, 3).consecutive)
+    intercept[IllegalArgumentException](
+      base.oneOrMore.consecutive.allowCombinations)
+    intercept[IllegalArgumentException](
+      base.oneOrMore.allowCombinations.consecutive)
+    intercept[IllegalArgumentException](base.timesOrMore(0))
+  }
+}
