@@ -5023,10 +5023,118 @@ object Extensions {
           WHERE c_ab >= $PmiMinCount
           ORDER BY 1,2,3,4"""))
 
+  // ---------------------------------------------------------------- x78
+  // Blocking-recall audit for x75's entity resolution — the x66/x73/
+  // x74 stance applied to the last unaudited approximation: blocking
+  // is a candidate-pruning trade, so MEASURE what it loses. A probe
+  // corpus is built where the prefix/suffix block-survival guarantee
+  // is deliberately violated for a third of the records (one deletion
+  // inside the prefix block, and for doc_id % 3 == 0 a second
+  // deletion inside the suffix block — dist 2, BOTH keys broken), a
+  // deterministic md5-bucket 1-in-4 sample of probes is drawn, and
+  // recall is n_blocked/n_true per edit distance in integer basis
+  // points. Ground truth is brute-force levenshtein of the SAMPLED
+  // probes against the full registry: the sample is fixed-size, so
+  // the truth pass is broadcast-nested-loop — one linear scan of the
+  // registry with a small constant, the same shape x66 uses for IVF
+  // recall. Expected shape on this fixture: dist<=1 recall 10000 bp
+  // (single interior deletion provably preserves a key — the
+  // X75LinkageSpec lemma), dist-2 recall well below (both keys
+  // broken), which is exactly the trade the audit exists to expose.
+  private val ErSampleMod = 4
+  private val x78 = GateQuery(
+    "x78_blocking_recall",
+    (s, d) => {
+      val docs = Tables.documents(s, d)
+      val canon = docs.select(col("doc_id").as("a_id"),
+        substring(col("text"), 1, 40).as("a_rec"))
+      val s40 = "substring(text, 1, 40)"
+      val p1 = "(cast(doc_id % 12 as int) + 2)" // breaks the prefix block
+      val s39 = s"concat(substring($s40, 1, $p1 - 1), " +
+        s"substring($s40, $p1 + 1, 40))"
+      val p2 = "(cast(doc_id % 8 as int) + 30)" // breaks the suffix block
+      val probe = docs.select(col("doc_id").as("b_id"),
+        expr(s"if(doc_id % 3 = 0, concat(substring($s39, 1, $p2 - 1), " +
+          s"substring($s39, $p2 + 1, 40)), $s39)").as("b_rec"))
+      val samp = probe
+        .filter(hex32(md5(col("b_id").cast("string"))) % ErSampleMod === 0)
+      val truth = canon.crossJoin(broadcast(samp))
+        .withColumn("dist",
+          levenshtein(col("b_rec"), col("a_rec")).cast("long"))
+        .filter(col("dist") <= ErMaxDist)
+      val blocked = blockedLinkage(canon, samp, ErBlockLen, ErCap, ErMaxDist)
+      val td = truth.groupBy(col("dist")).agg(count(lit(1)).as("n_true"))
+      val bd = blocked.groupBy(col("dist")).agg(count(lit(1)).as("n_blocked"))
+      ordered(td.join(bd, Seq("dist"), "left")
+        .withColumn("n_blocked", coalesce(col("n_blocked"), lit(0L)))
+        .withColumn("recall_bp", expr("(n_blocked * 10000) div n_true"))
+        .select(col("dist"), col("n_true"), col("n_blocked"),
+          col("recall_bp")))
+    },
+    Some(s"""WITH canon AS (
+              SELECT doc_id AS a_id, substr(text, 1, 40) AS a_rec
+              FROM documents),
+            p0 AS (
+              SELECT doc_id, substr(text, 1, 40) AS s40,
+                     CAST(doc_id % 12 AS INT) + 2 AS p1,
+                     CAST(doc_id % 8 AS INT) + 30 AS p2
+              FROM documents),
+            p1c AS (
+              SELECT doc_id, p2,
+                     substr(s40, 1, p1 - 1) || substr(s40, p1 + 1, 40) AS s39
+              FROM p0),
+            probe AS (
+              SELECT doc_id AS b_id,
+                     CASE WHEN doc_id % 3 = 0
+                       THEN substr(s39, 1, p2 - 1) || substr(s39, p2 + 1, 40)
+                       ELSE s39 END AS b_rec
+              FROM p1c),
+            samp AS MATERIALIZED (
+              SELECT b_id, b_rec FROM probe
+              WHERE ${duckHex32("md5(CAST(b_id AS VARCHAR))")}
+                % $ErSampleMod = 0),
+            truth AS (
+              SELECT s.b_id, c.a_id,
+                     CAST(levenshtein(s.b_rec, c.a_rec) AS BIGINT) AS dist
+              FROM samp s, canon c
+              WHERE levenshtein(s.b_rec, c.a_rec) <= $ErMaxDist),
+            ab AS MATERIALIZED (
+              SELECT a_id AS id, a_rec AS rec,
+                     'p:' || substr(a_rec, 1, $ErBlockLen) AS bk FROM canon
+              UNION ALL
+              SELECT a_id, a_rec, 's:' || right(a_rec, $ErBlockLen)
+              FROM canon),
+            bb AS MATERIALIZED (
+              SELECT b_id AS id, b_rec AS rec,
+                     'p:' || substr(b_rec, 1, $ErBlockLen) AS bk FROM samp
+              UNION ALL
+              SELECT b_id, b_rec, 's:' || right(b_rec, $ErBlockLen)
+              FROM samp),
+            oka AS (SELECT bk FROM ab GROUP BY 1 HAVING count(*) <= $ErCap),
+            okb AS (SELECT bk FROM bb GROUP BY 1 HAVING count(*) <= $ErCap),
+            ok AS (SELECT oka.bk FROM oka JOIN okb ON okb.bk = oka.bk),
+            cand AS (
+              SELECT DISTINCT b.id AS b_id, a.id AS a_id,
+                              b.rec AS b_rec, a.rec AS a_rec
+              FROM bb b JOIN ok k ON k.bk = b.bk JOIN ab a ON a.bk = b.bk),
+            blocked AS (
+              SELECT b_id, a_id,
+                     CAST(levenshtein(b_rec, a_rec) AS BIGINT) AS dist
+              FROM cand WHERE levenshtein(b_rec, a_rec) <= $ErMaxDist),
+            td AS (SELECT dist, count(*) AS n_true FROM truth GROUP BY 1),
+            bd AS (SELECT dist, count(*) AS n_blocked FROM blocked GROUP BY 1)
+          SELECT td.dist,
+                 CAST(td.n_true AS BIGINT) AS n_true,
+                 CAST(COALESCE(bd.n_blocked, 0) AS BIGINT) AS n_blocked,
+                 (CAST(COALESCE(bd.n_blocked, 0) AS BIGINT) * 10000)
+                   // td.n_true AS recall_bp
+          FROM td LEFT JOIN bd ON bd.dist = td.dist
+          ORDER BY 1,2,3,4"""))
+
   val all: Seq[GateQuery] = Seq(x01, x02, x03, x04, x05, x06, x07, x08, x09,
     x10, x11, x12, x13, x14, x15, x16, x17, x18, x19, x20, x21, x22, x23,
     x24, x25, x26, x27, x28, x29, x30, x31, x32, x33, x34, x35, x36, x37,
     x38, x39, x40, x41, x42, x43, x44, x45, x46, x47, x48, x49, x50, x51,
     x52, x53, x54, x55, x56, x57, x58, x59, x60, x61, x62, x63, x64, x65, x66,
-    x67, x68, x69, x70, x71, x72, x73, x74, x75, x76, x77)
+    x67, x68, x69, x70, x71, x72, x73, x74, x75, x76, x77, x78)
 }
