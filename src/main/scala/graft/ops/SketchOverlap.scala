@@ -57,6 +57,41 @@ object SketchOverlap {
           .cast("double") / col("n_u")).as("est_jaccard"))
   }
 
+  /** Candidate key pairs for [[overlapPairs]] from RARE-token
+    * co-occurrence — the cheap open-domain generator the scaladoc
+    * promises: two keys become a candidate when they share at least
+    * `minShared` tokens whose key-df lies in [2, maxDf]. The df cap
+    * is the span-graph discipline: a stopword token shared by every
+    * host carries no overlap signal and would contribute df² pairs —
+    * dropping it bounds every token's pair contribution at
+    * C(maxDf, 2), so candidate volume is Σ C(df, 2) over rare tokens,
+    * never key-quadratic. Shape: the (key, token) table shuffles once
+    * onto token (persist + reuse across the df pre-count, semi-join,
+    * and pair agg — the spanEdges plan), pairs explode from capped
+    * per-token key lists, one hash agg counts shared tokens.
+    * @return (key_a, key_b) with key_a < key_b. */
+  def cooccurrenceCandidates(df: DataFrame, keyCol: String, tokCol: String,
+      maxDf: Int = 64, minShared: Int = 2): DataFrame = {
+    val kt = df.select(col(keyCol).as("key"), col(tokCol).as("tok"))
+      .distinct()
+      .repartition(col("tok")).persist()
+    kt.count()
+    val kept = kt.groupBy(col("tok")).agg(count(lit(1)).as("df"))
+      .filter(col("df").between(2, maxDf)).select(col("tok"))
+    kt.join(kept, Seq("tok"), "left_semi")
+      .groupBy(col("tok")).agg(collect_set(col("key")).as("ks"))
+      .select(explode(expr(
+        """flatten(transform(sequence(0, size(ks) - 2),
+          |  i -> transform(sequence(i + 1, size(ks) - 1),
+          |    j -> struct(least(ks[i], ks[j]) AS key_a,
+          |                greatest(ks[i], ks[j]) AS key_b))))""".stripMargin))
+        .as("p"))
+      .select(col("p.key_a"), col("p.key_b"))
+      .groupBy(col("key_a"), col("key_b"))
+      .agg(count(lit(1)).as("shared"))
+      .filter(col("shared") >= minShared)
+  }
+
   /** All-pairs overlap matrix over the sketch table — quadratic in
     * KEYS (documented contract: rollup-sized key sets), constant in
     * corpus size. */

@@ -5131,10 +5131,112 @@ object Extensions {
           FROM td LEFT JOIN bd ON bd.dist = td.dist
           ORDER BY 1,2,3,4"""))
 
+  // ---------------------------------------------------------------- x79
+  // Open-domain overlap, END TO END: x63 pinned the HLL estimator but
+  // took the all-pairs matrix over a rollup-sized key set; the open-
+  // domain contract (unbounded key universe) needs a CANDIDATE
+  // GENERATOR in front of SketchOverlap.overlapPairs, and this gate
+  // ships one — rare-token co-occurrence ([[graft.ops.SketchOverlap
+  // .cooccurrenceCandidates]]): keys sharing >= 2 tokens of key-df in
+  // [2, cap] pair up, everything else never meets. Keys are
+  // deliberately sub-source ("source/doc_id%5", ~100 of them) so the
+  // key set is bigger than any rollup and the generator is doing real
+  // pruning work against the C(keys,2) matrix. The estimator error is
+  // pinned per candidate pair against the exact intersection (the x63
+  // booleans — oracle emits TRUE, so one out-of-bound estimate
+  // hash-fails the gate). Scale shape: the (key, token) table
+  // shuffles once; candidates are Σ C(df<=cap, 2); sketches are one
+  // KB row per key; the exact pin joins token lists for CANDIDATE
+  // keys only (audit-sized, like x66/x73/x78).
+  private val OvTokDfCap = 8
+  private val OvMinShared = 2
+  private val OvSpanW = 4 // 4-token spans: rare enough to carry signal
+  private val x79 = GateQuery(
+    "x79_overlap_candidates",
+    (s, d) => {
+      val toks = Tables.documents(s, d).select(
+        concat(col("source"), lit("/"),
+          (col("doc_id") % 5).cast("string")).as("key"),
+        split(col("text"), " ").as("tk"))
+        .select(col("key"), explode(expr(
+          s"""if(size(tk) < $OvSpanW, array(),
+             |array_distinct(transform(sequence(0, size(tk) - $OvSpanW),
+             |  i -> array_join(slice(tk, i + 1, $OvSpanW), ' '))))"""
+            .stripMargin)).as("tok"))
+      val kt = toks.distinct().persist()
+      kt.count() // generator, sketches, sizes, and the exact pin share it
+      val cand = graft.ops.SketchOverlap.cooccurrenceCandidates(
+        kt, "key", "tok", OvTokDfCap, OvMinShared).persist()
+      cand.count()
+      val est = graft.ops.SketchOverlap.overlapPairs(
+        graft.ops.SketchOverlap.keySketches(kt, "key", "tok"),
+        cand.select(col("key_a"), col("key_b")))
+      val sizes = kt.groupBy(col("key")).agg(count(lit(1)).as("n"))
+      val candKeys = cand.select(col("key_a").as("key"))
+        .union(cand.select(col("key_b").as("key"))).distinct()
+      val ktc = kt.join(candKeys, Seq("key"), "left_semi")
+      val exact = ktc.as("a")
+        .join(ktc.as("b"), col("a.tok") === col("b.tok") &&
+          col("a.key") < col("b.key"))
+        .groupBy(col("a.key").as("key_a"), col("b.key").as("key_b"))
+        .agg(count(lit(1)).as("inter"))
+        .join(cand, Seq("key_a", "key_b"), "left_semi")
+        .join(sizes.select(col("key").as("key_a"), col("n").as("na")),
+          Seq("key_a"))
+        .join(sizes.select(col("key").as("key_b"), col("n").as("nb")),
+          Seq("key_b"))
+      // inclusion-exclusion absolute error scales with the UNION (a
+      // few sketch RSEs of it), so the bound is union-relative — not
+      // intersection-relative, which would be untenably tight for the
+      // small intersections this generator surfaces
+      ordered(cand.join(exact, Seq("key_a", "key_b"))
+        .join(est, Seq("key_a", "key_b"))
+        .select(col("key_a"), col("key_b"), col("shared"), col("inter"),
+          (abs(col("est_inter") - col("inter")) <=
+            greatest(expr("inter div 10"),
+              expr("(na + nb - inter) div 20 + 50"))).as("inter_ok"),
+          (abs(col("est_jaccard") - col("inter").cast("double") /
+            (col("na") + col("nb") - col("inter"))) <= 0.08).as("jac_ok")))
+    },
+    Some(s"""WITH staged AS (
+              SELECT source || '/' || CAST(doc_id % 5 AS VARCHAR) AS key,
+                     string_split(text, ' ') AS tk
+              FROM documents),
+            st AS MATERIALIZED (
+              SELECT DISTINCT key, tok
+              FROM (SELECT key,
+                      unnest([array_to_string(tk[i+1 : i+$OvSpanW], ' ')
+                        FOR i IN range(0,
+                          GREATEST(len(tk) - ${OvSpanW - 1}, 0))]) AS tok
+                    FROM staged)),
+            kept AS (
+              SELECT tok FROM st GROUP BY 1
+              HAVING count(DISTINCT key) BETWEEN 2 AND $OvTokDfCap),
+            shared0 AS (
+              SELECT DISTINCT a.key AS key_a, b.key AS key_b, a.tok
+              FROM st a
+              JOIN kept k ON k.tok = a.tok
+              JOIN st b ON b.tok = a.tok AND a.key < b.key),
+            cand AS MATERIALIZED (
+              SELECT key_a, key_b, CAST(count(*) AS BIGINT) AS shared
+              FROM shared0 GROUP BY 1, 2
+              HAVING count(*) >= $OvMinShared),
+            sizes AS (SELECT key, count(*) AS n FROM st GROUP BY 1),
+            inter AS (
+              SELECT a.key AS key_a, b.key AS key_b,
+                     CAST(count(*) AS BIGINT) AS inter
+              FROM st a JOIN st b ON a.tok = b.tok AND a.key < b.key
+              GROUP BY 1, 2)
+          SELECT c.key_a, c.key_b, c.shared, i.inter,
+                 TRUE AS inter_ok, TRUE AS jac_ok
+          FROM cand c
+          JOIN inter i ON i.key_a = c.key_a AND i.key_b = c.key_b
+          ORDER BY 1,2,3,4,5,6"""))
+
   val all: Seq[GateQuery] = Seq(x01, x02, x03, x04, x05, x06, x07, x08, x09,
     x10, x11, x12, x13, x14, x15, x16, x17, x18, x19, x20, x21, x22, x23,
     x24, x25, x26, x27, x28, x29, x30, x31, x32, x33, x34, x35, x36, x37,
     x38, x39, x40, x41, x42, x43, x44, x45, x46, x47, x48, x49, x50, x51,
     x52, x53, x54, x55, x56, x57, x58, x59, x60, x61, x62, x63, x64, x65, x66,
-    x67, x68, x69, x70, x71, x72, x73, x74, x75, x76, x77, x78)
+    x67, x68, x69, x70, x71, x72, x73, x74, x75, x76, x77, x78, x79)
 }
