@@ -4958,21 +4958,38 @@ object Extensions {
   // hash-to-hash, the 1-row N broadcast — corpus text shuffles once.
   private val PmiMinCount = 20L
 
-  /** x77's engine, parameterized for fixtures: (doc_id, text) rows in,
-    * (w1, w2, c_ab, pmi_bits) out for pair types with c_ab >= minCount.
-    * X77PmiSpec pins the whole-bit arithmetic on a hand-computed
-    * corpus, including the negative-PMI and div-to-zero floors. */
-  private[graft] def ppmiPairs(docs: DataFrame, minCount: Long): DataFrame = {
-    val tk = docs.select(split(col("text"), " ").as("tk"))
-    // forward pairs at offset k as "w1 w2" strings (x68's bg shape);
-    // slice length clamps at 0 so sub-(k+1)-token rows emit nothing
+  /** Forward skip-gram pairs (offsets 1 and 2) of a token-array
+    * column `tk`, as "w1 w2" strings (x68's bg shape) — the pair
+    * substrate shared by batch x77 and its streaming twin
+    * ([[graft.streaming.DocStreams.ppmiPairCountStream]]). Slice
+    * length clamps at 0 so sub-(k+1)-token rows emit nothing. */
+  private[graft] def skipGramPairs: Column = {
     def pairsAt(k: Int): Column = zip_with(
       slice(col("tk"), lit(1), greatest(size(col("tk")) - k, lit(0))),
       slice(col("tk"), lit(1 + k), greatest(size(col("tk")) - k, lit(0))),
       (a, b) => concat(a, lit(" "), b))
-    val pairs = tk
-      .select(explode(concat(pairsAt(1), pairsAt(2))).as("p"))
-    val cAb = pairs.groupBy(col("p")).agg(count(lit(1)).as("c_ab"))
+    concat(pairsAt(1), pairsAt(2))
+  }
+
+  /** x77's engine, parameterized for fixtures: (doc_id, text) rows in,
+    * (w1, w2, c_ab, pmi_bits) out for pair types with c_ab >= minCount.
+    * X77PmiSpec pins the whole-bit arithmetic on a hand-computed
+    * corpus, including the negative-PMI and div-to-zero floors. */
+  private[graft] def ppmiPairs(docs: DataFrame, minCount: Long): DataFrame =
+    pmiFromPairCounts(
+      docs.select(split(col("text"), " ").as("tk"))
+        .select(explode(skipGramPairs).as("p"))
+        .groupBy(col("p")).agg(count(lit(1)).as("c_ab")),
+      minCount)
+
+  /** The scoring half of x77 over an already-aggregated (p, c_ab)
+    * pair-count table — separated so a STREAMING pair-count state
+    * snapshot scores identically to the batch path (PMI is marginal-
+    * global: marginals and N are rollups of this table, so scoring is
+    * a batch/snapshot step by nature). */
+  private[graft] def pmiFromPairCounts(cAb0: DataFrame,
+      minCount: Long): DataFrame = {
+    val cAb = cAb0
       .persist() // marginals ×2, N, and the scored join all consume it
     cAb.count()
     val cA = cAb.select(split(col("p"), " ").getItem(0).as("w1"), col("c_ab"))

@@ -91,6 +91,21 @@ object DocStreams {
     docs.select(explode(split(col("text"), " ")).as("tok"))
       .groupBy(col("tok")).agg(count(lit(1)).as("cnt"))
 
+  /** Streaming twin of x77's PPMI pair-count substrate: forward
+    * skip-gram (offset 1 and 2) pair counts as a streaming
+    * aggregation. State = one count per distinct pair TYPE —
+    * vocab²-bounded like [[vocabCounts]], independent of stream
+    * length — so the state store holds the collocation table itself,
+    * not the corpus. PMI scoring is marginal-global (marginals and N
+    * are rollups of this very table), so it stays a snapshot step:
+    * apply `Extensions.pmiFromPairCounts` to the complete-mode
+    * snapshot — DocStreamsSpec proves that composition equals batch
+    * `ppmiPairs` on the real corpus across arbitrary batch splits. */
+  def ppmiPairCountStream(docs: DataFrame): DataFrame =
+    docs.select(split(col("text"), " ").as("tk"))
+      .select(explode(graft.queries.Extensions.skipGramPairs).as("p"))
+      .groupBy(col("p")).agg(count(lit(1)).as("c_ab"))
+
   /** Streaming heavy-hitter CANDIDATES — x46's bounded-memory pass
     * as a streaming aggregation: ONE Misra-Gries summary row
     * ([[graft.functions.FreqCandidatesAgg]]) carried across batches

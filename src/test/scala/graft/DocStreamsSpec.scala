@@ -110,6 +110,32 @@ class DocStreamsSpec extends AnyFunSuite {
     q.stop()
   }
 
+  test("streaming PPMI pair counts + snapshot scoring equal batch x77 on the real corpus") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val minCount = 5L // sf0.001 counts are ~10x under the gate corpus
+    val expected = Extensions.ppmiPairs(docs, minCount)
+      .as[(String, String, Long, Long)].collect().toSet
+    assert(expected.nonEmpty, "premise: batch PPMI non-empty at sf0.001")
+    val rows = docs.select("doc_id", "text", "lang")
+      .as[(Long, String, String)].collect()
+      .map { case (i, t, l) => Doc(i, t, l) }
+    val in = MemoryStream[Doc]
+    val q = DocStreams.ppmiPairCountStream(in.toDF())
+      .writeStream.format("memory").queryName("ppc")
+      .outputMode("complete").start()
+    in.addData(rows.take(200).toIndexedSeq: _*)
+    q.processAllAvailable()
+    in.addData(rows.drop(200).toIndexedSeq: _*)
+    q.processAllAvailable()
+    // score the state snapshot with the shared batch scorer
+    val got = Extensions.pmiFromPairCounts(spark.table("ppc"), minCount)
+      .as[(String, String, Long, Long)].collect().toSet
+    assert(got == expected,
+      s"stream-only: ${(got -- expected).take(5)}; " +
+        s"batch-only: ${(expected -- got).take(5)}")
+    q.stop()
+  }
+
   test("streaming token encoder agrees with the batch encodeTokens for a frozen vocab") {
     val docs = Seq(
       Doc(1, "a b oovword a", "en"),
