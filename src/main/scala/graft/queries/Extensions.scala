@@ -4876,10 +4876,11 @@ object Extensions {
   // to prove that per-file statistics will prune scans on EITHER
   // column. The real writer is `repartitionByRange(z)` + per-file
   // min/max; the gate's bucket = z div (max_z div 64 + 1) is the
-  // deterministic, sort-free stand-in (two scalar aggs broadcast
-  // back — no global sort, no window): bucket assignment is a pure
-  // projection, so the whole plan is scan → project → two tiny aggs →
-  // broadcast → hash agg, and would run identically on 10^12 rows.
+  // deterministic, sort-free stand-in (a 4-scalar bounds agg plus the
+  // 1-row zmax agg, both broadcast back — no global sort, no window):
+  // bucket assignment is a pure projection, so the whole plan is
+  // scan → project → two tiny aggs → broadcast → hash agg, and would
+  // run identically on 10^12 rows.
   // Both dimensions are scaled to a common 16-bit grid before
   // interleaving — `(v − min)·(2^16 − 1) div max(max − min, 1)`, the
   // standard OPTIMIZE ZORDER normalization ([[Sources.ZGridBits]]).
