@@ -5049,17 +5049,21 @@ object Extensions {
   // is deliberately violated for a third of the records (one deletion
   // inside the prefix block, and for doc_id % 3 == 0 a second
   // deletion inside the suffix block — dist 2, BOTH keys broken), a
-  // deterministic md5-bucket 1-in-4 sample of probes is drawn, and
-  // recall is n_blocked/n_true per edit distance in integer basis
-  // points. Ground truth is brute-force levenshtein of the SAMPLED
-  // probes against the full registry: the sample is fixed-size, so
-  // the truth pass is broadcast-nested-loop — one linear scan of the
-  // registry with a small constant, the same shape x66 uses for IVF
-  // recall. Expected shape on this fixture: dist<=1 recall 10000 bp
+  // deterministic FIXED-SIZE probe set is drawn (the 128 lowest
+  // probes in (md5, id) order — an ABSOLUTE count, not a rate: a
+  // rate-drawn audit scales with the corpus and turns the truth pass
+  // quadratic — measured 81 s at sf0.1 with 1-in-4), and recall is
+  // n_blocked/n_true per edit distance in integer basis points.
+  // Ground truth is brute-force levenshtein of the 128 probes
+  // against the full registry: broadcast-nested-loop, one linear
+  // scan of the registry with a constant 128× factor, the same shape
+  // x66 uses for IVF recall; the probe pick is a TakeOrdered (no
+  // global sort materializes). Expected shape on this fixture:
+  // dist<=1 recall 10000 bp
   // (single interior deletion provably preserves a key — the
   // X75LinkageSpec lemma), dist-2 recall well below (both keys
   // broken), which is exactly the trade the audit exists to expose.
-  private val ErSampleMod = 4
+  private val ErProbeCount = 128
   private val x78 = GateQuery(
     "x78_blocking_recall",
     (s, d) => {
@@ -5075,7 +5079,8 @@ object Extensions {
         expr(s"if(doc_id % 3 = 0, concat(substring($s39, 1, $p2 - 1), " +
           s"substring($s39, $p2 + 1, 40)), $s39)").as("b_rec"))
       val samp = probe
-        .filter(hex32(md5(col("b_id").cast("string"))) % ErSampleMod === 0)
+        .orderBy(md5(col("b_id").cast("string")), col("b_id"))
+        .limit(ErProbeCount)
       val truth = canon.crossJoin(broadcast(samp))
         .withColumn("dist",
           levenshtein(col("b_rec"), col("a_rec")).cast("long"))
@@ -5109,8 +5114,8 @@ object Extensions {
               FROM p1c),
             samp AS MATERIALIZED (
               SELECT b_id, b_rec FROM probe
-              WHERE ${duckHex32("md5(CAST(b_id AS VARCHAR))")}
-                % $ErSampleMod = 0),
+              ORDER BY md5(CAST(b_id AS VARCHAR)), b_id
+              LIMIT $ErProbeCount),
             truth AS (
               SELECT s.b_id, c.a_id,
                      CAST(levenshtein(s.b_rec, c.a_rec) AS BIGINT) AS dist

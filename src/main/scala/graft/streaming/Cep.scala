@@ -383,6 +383,63 @@ final case class EventPattern[E] private (
   def next(name: String): EventPattern[E] =
     append(name, StepKind.Strict)
 
+  private def groupSteps(sub: EventPattern[E]): Vector[PatternStep[E]] = {
+    require(sub.withinMs == Long.MaxValue,
+      "a group sub-pattern cannot carry its own within() — the outer " +
+        "pattern's window bounds the whole match")
+    require(sub.skip == SkipStrategy.NoSkip,
+      "a group sub-pattern cannot carry a skip strategy")
+    require(sub.steps.nonEmpty && sub.steps.head.kind == StepKind.Relaxed,
+      "a group sub-pattern must start with a plain begin stage")
+    sub.steps
+  }
+
+  /** Append a GROUP sub-pattern with relaxed contiguity (Flink
+    * `followedBy(Pattern)`, the GroupPattern nesting): the
+    * sub-pattern's stage sequence is inlined — matching proceeds
+    * through its stages exactly as if they were declared on the outer
+    * pattern, and the match exposes each inner stage under its own
+    * name. The sub-pattern must be window-free and skip-free (the
+    * outer pattern owns both); its stage names must not collide with
+    * the outer ones. */
+  def followedBy(sub: EventPattern[E]): EventPattern[E] = {
+    val gs = groupSteps(sub)
+    gs.map(_.name).distinct.foreach { nm =>
+      require(!steps.exists(_.name == nm), s"duplicate step name: $nm") }
+    copy(steps = steps ++ gs)
+  }
+
+  /** Append a group sub-pattern with STRICT contiguity into its first
+    * stage (Flink `next(Pattern)`): the sub-pattern's first event must
+    * be the key's immediately-next event. */
+  def next(sub: EventPattern[E]): EventPattern[E] = {
+    val gs = groupSteps(sub)
+    gs.map(_.name).distinct.foreach { nm =>
+      require(!steps.exists(_.name == nm), s"duplicate step name: $nm") }
+    copy(steps = steps ++
+      (gs.head.copy(kind = StepKind.Strict) +: gs.tail))
+  }
+
+  /** Append a group sub-pattern repeated exactly `n` times (Flink
+    * `followedBy(Pattern).times(n)`): the whole inner sequence must
+    * complete n times in order, with relaxed contiguity between
+    * repetitions. Compiled by expansion — the n copies share the
+    * inner stage names, so the match merges every repetition's events
+    * under those names, exactly FlinkCEP's GroupPattern exposure.
+    * Only exact counts are supported on groups: a range or one-or-
+    * more group would need optional/looping SEQUENCES, which this
+    * NFA's per-stage forward scan cannot express soundly. */
+  def followedByTimes(sub: EventPattern[E], n: Int): EventPattern[E] = {
+    require(n >= 1, "followedByTimes(sub, n) needs n >= 1")
+    val gs = groupSteps(sub)
+    gs.map(_.name).distinct.foreach { nm =>
+      require(!steps.exists(_.name == nm), s"duplicate step name: $nm") }
+    require(gs.forall(st => st.kind == StepKind.Relaxed ||
+      st.kind == StepKind.Strict),
+      "a repeated group may contain plain followedBy/next stages only")
+    copy(steps = steps ++ Vector.fill(n)(gs).flatten)
+  }
+
   /** Append an absence stage (Flink `.notFollowedBy`): an event
     * matching the guard kills the partial. Non-terminal: satisfied
     * when the FOLLOWING stage matches. Terminal: requires `within`;
@@ -403,6 +460,18 @@ object EventPattern {
     * No `within` means unbounded state, as in Flink. */
   def begin[E](name: String): EventPattern[E] =
     EventPattern(Vector(PatternStep[E](name, (_, _) => true)), Long.MaxValue)
+
+  /** Start a pattern from a GROUP sub-pattern (Flink
+    * `Pattern.begin(Pattern)`): the sub-pattern's stages become the
+    * outer pattern's prefix — declare guards inside the sub-pattern,
+    * then chain `followedBy`/`within`/... on the result. */
+  def begin[E](sub: EventPattern[E]): EventPattern[E] = {
+    require(sub.withinMs == Long.MaxValue,
+      "a group sub-pattern cannot carry its own within()")
+    require(sub.skip == SkipStrategy.NoSkip,
+      "a group sub-pattern cannot carry a skip strategy")
+    sub
+  }
 }
 
 /** Generic CEP runtime: compiles an [[EventPattern]] to a keyed NFA

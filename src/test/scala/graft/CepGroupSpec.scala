@@ -1,0 +1,126 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalacheck.{Gen, Prop, Test => SCTest}
+import graft.streaming.{Cep, EventPattern}
+import scala.math.Ordering.Implicits.seqOrdering
+
+/** FlinkCEP GROUP patterns (`Pattern.begin(sub)` / `followedBy(sub)` /
+  * `next(sub)` / repeated groups): the sub-pattern's stages inline
+  * into the outer pattern, repetitions merge events under the inner
+  * stage names. Hand cases plus a fuzz against the greedy in-order
+  * scan the deterministic NFA is defined to perform. */
+class CepGroupSpec extends AnyFunSuite {
+
+  private case class Ev(kind: String, ts: Long)
+
+  private def check(name: String, p: Prop, n: Int = 200): Unit = {
+    val res = SCTest.check(SCTest.Parameters.default
+      .withMinSuccessfulTests(n).withWorkers(1), p)
+    assert(res.passed, s"$name: $res")
+  }
+
+  private val W = 100L
+  private val genEvents: Gen[List[Ev]] = for {
+    n <- Gen.choose(0, 14)
+    ts <- Gen.pick(n, 0L until 300L)
+    kinds <- Gen.listOfN(n, Gen.oneOf("a", "b", "c", "noise"))
+  } yield ts.sorted.zip(kinds).map { case (t, k) => Ev(k, t) }.toList
+
+  private def run(pattern: EventPattern[Ev],
+      evs: Seq[Ev]): Vector[Map[String, Seq[Ev]]] = {
+    val (_, m, _) = Cep.step(pattern.steps, pattern.withinMs,
+      (e: Ev) => e.ts, Nil, evs, Long.MinValue)
+    m
+  }
+
+  private def ev(k: String, t: Long) = Ev(k, t)
+
+  private def bc = EventPattern.begin[Ev]("B").where(_.kind == "b")
+    .followedBy("C").where(_.kind == "c")
+
+  test("followedBy(group) inlines the sub-pattern's stages") {
+    val pat = EventPattern.begin[Ev]("A").where(_.kind == "a")
+      .followedBy(bc)
+      .within(java.time.Duration.ofMillis(W))
+    val got = run(pat, Seq(ev("a", 1), ev("noise", 2), ev("b", 3),
+      ev("noise", 4), ev("c", 5)))
+    assert(got.map(m =>
+      (m("A").head.ts, m("B").head.ts, m("C").head.ts)) ==
+      Vector((1L, 3L, 5L)))
+  }
+
+  test("next(group) demands the group start immediately") {
+    val pat = EventPattern.begin[Ev]("A").where(_.kind == "a")
+      .next(bc)
+      .within(java.time.Duration.ofMillis(W))
+    // noise between a and b kills (strict into the group head)
+    assert(run(pat, Seq(ev("a", 1), ev("noise", 2), ev("b", 3),
+      ev("c", 5))).isEmpty)
+    assert(run(pat, Seq(ev("a", 1), ev("b", 2), ev("noise", 3),
+      ev("c", 5))).map(m => m("C").head.ts) == Vector(5L))
+  }
+
+  test("repeated group merges every repetition under the inner names") {
+    val pat = EventPattern.begin[Ev]("A").where(_.kind == "a")
+      .followedByTimes(bc, 2)
+      .within(java.time.Duration.ofMillis(W))
+    val got = run(pat, Seq(ev("a", 1), ev("b", 2), ev("c", 3),
+      ev("noise", 4), ev("b", 5), ev("c", 6)))
+    assert(got.map(m => (m("B").map(_.ts), m("C").map(_.ts))) ==
+      Vector((Seq(2L, 5L), Seq(3L, 6L))))
+    // only one full (b, c) repetition -> no match
+    assert(run(pat, Seq(ev("a", 1), ev("b", 2), ev("c", 3),
+      ev("b", 5))).isEmpty)
+  }
+
+  test("begin(group) starts the pattern from the sub-pattern") {
+    val pat = EventPattern.begin(bc)
+      .followedBy("D").where(_.kind == "a")
+      .within(java.time.Duration.ofMillis(W))
+    val got = run(pat, Seq(ev("b", 1), ev("c", 2), ev("a", 3)))
+    assert(got.map(m =>
+      (m("B").head.ts, m("C").head.ts, m("D").head.ts)) ==
+      Vector((1L, 2L, 3L)))
+  }
+
+  test("group misuse is rejected at build time") {
+    val outer = EventPattern.begin[Ev]("A").where(_.kind == "a")
+    intercept[IllegalArgumentException](
+      outer.followedBy(bc.within(java.time.Duration.ofMillis(5))))
+    intercept[IllegalArgumentException](
+      outer.followedBy(EventPattern.begin[Ev]("A"))) // name collision
+    intercept[IllegalArgumentException](
+      outer.followedByTimes(EventPattern.begin[Ev]("B").oneOrMore
+        .until(_ => true), 2)) // quantified stage inside a repeated group
+  }
+
+  test("fuzz: repeated-group matches equal the greedy in-order scan") {
+    val pat = EventPattern.begin[Ev]("A").where(_.kind == "a")
+      .followedByTimes(bc, 2)
+      .within(java.time.Duration.ofMillis(W))
+    // deterministic reference: from each `a`, greedily take the next
+    // b, c, b, c (in-window, relaxed gaps) — the defined semantics of
+    // a chain of plain relaxed stages
+    def brute(evs: Seq[Ev]): Seq[(Long, Seq[Long], Seq[Long])] = {
+      val sorted = evs.sortBy(_.ts)
+      sorted.zipWithIndex.filter(_._1.kind == "a").flatMap { case (a, ai) =>
+        def walk(kinds: List[String], from: Int,
+            acc: List[Long]): Option[List[Long]] = kinds match {
+          case Nil => Some(acc.reverse)
+          case k :: rest =>
+            val j = sorted.indexWhere(e =>
+              e.kind == k && e.ts <= a.ts + W, from + 1)
+            if (j < 0) None else walk(rest, j, sorted(j).ts :: acc)
+        }
+        walk(List("b", "c", "b", "c"), ai, Nil).map(ts =>
+          (a.ts, Seq(ts(0), ts(2)), Seq(ts(1), ts(3))))
+      }
+    }
+    check("group-vs-greedy", Prop.forAll(genEvents) { evs =>
+      val got = run(pat, evs).map(m =>
+        (m("A").head.ts, m("B").map(_.ts), m("C").map(_.ts))).sorted
+      got == brute(evs).sorted
+    })
+  }
+}
