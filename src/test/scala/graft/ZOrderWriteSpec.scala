@@ -51,4 +51,27 @@ class ZOrderWriteSpec extends AnyFunSuite {
       (global.getLong(0).toDouble * global.getLong(1))
     assert(areaFrac <= 0.4, s"mean box area = $areaFrac of the plane")
   }
+
+  test("constant column degenerates to a single-column sort, losslessly") {
+    // max == min on one dimension: the grid formula's greatest(range, 1)
+    // guard maps every value to cell 0 and the layout becomes a plain
+    // sort on the other column — no div-by-zero, no row loss
+    import spark.implicits._
+    val df = (1L to 1000L).map(i => (i, 7L, i % 97)).toDF("id", "k", "v")
+    val out = "/tmp/zorder_const_spec"
+    Sources.zorderWrite(df, "k", "v", out, 4)
+    val back = spark.read.parquet(out)
+    assert(back.count() == 1000)
+    assert(back.except(df).isEmpty && df.except(back).isEmpty)
+    // v (the live dimension) is still boxed per file
+    val files = new java.io.File(out).listFiles()
+      .filter(_.getName.endsWith(".parquet")).map(_.getPath)
+    val widths = files.map { f =>
+      val r = spark.read.parquet(f)
+        .agg((max(col("v")) - min(col("v"))).as("w")).collect().head
+      r.getLong(0).toDouble
+    }
+    assert(widths.sum / widths.length / 96.0 <= 0.5,
+      "live dimension not clustered when the other is constant")
+  }
 }
