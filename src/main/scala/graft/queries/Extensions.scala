@@ -5261,10 +5261,309 @@ object Extensions {
           JOIN inter i ON i.key_a = c.key_a AND i.key_b = c.key_b
           ORDER BY 1,2,3,4,5,6"""))
 
+  // ---------------------------------------------------------------- x80
+  // IVF-PQ (IVFADC): the composition x07 (coarse cells) and x44 (PQ
+  // codes) are the halves of — the standard layout for billion-scale
+  // ANN (Jégou et al., "Product Quantization for Nearest Neighbor
+  // Search"; reference surface: nearest-neighbor retrieval over the
+  // embeddings table). A coarse quantizer assigns every vector to one
+  // of `IvfPqCells` cells; the RESIDUAL (vector − its centroid) is
+  // PQ-encoded against a shared residual codebook; a query probes its
+  // `IvfPqProbe` nearest cells and scans ONLY those cells' 2-byte
+  // codes, with asymmetric distance computed against the query's
+  // per-cell residual. Deterministic end to end (seed centroids = the
+  // first IvfPqCells vectors, residual codebook = the first PqK
+  // vectors' residuals — real systems train both offline on a sample,
+  // the ENGINE's job is assign + encode + probe + ADC scan; exact
+  // long L2² everywhere; ties break to the smallest cid / code /
+  // vec_id), so the oracle replays the construction bit-for-bit.
+  //
+  // Scale shape: both models collapse to ONE broadcast row each;
+  // assignment, residual and encode are per-row projections (the
+  // corpus NEVER shuffles to build the index — the coarse argmin IS
+  // PqEncode with m=1). The scan side touches only the probed cells:
+  // in a real deployment `cid` is the storage partition key so the
+  // probe join is partition pruning (x07's IVF storage argument);
+  // here it is an equi-join of the broadcast probe table (queries ×
+  // IvfPqProbe rows) against the codes. Residual entries are ≤ ±2000,
+  // so a per-sub L2² is ≤ 16·4000² ≈ 2.6e8 and the ADC sum fits a
+  // long with 9 orders of headroom.
+  private val IvfPqCells = 8
+  private val IvfPqProbe = 2
+  private val IvfPqDim = PqM * PqSub // 64
+
+  /** Exact L2² between two equal-length long arrays. */
+  private def l2sqCol(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)),
+      lit(0L), (acc, t) => acc + t)
+
+  /** Coarse-quantizer model from the first IvfPqCells vectors of
+    * (vec_id, qv): ONE row — sorted array<struct<cid,cv>> plus the
+    * flat cell·dim layout PqEncode indexes (cid values are 0..7, so
+    * code index == cid). */
+  private[graft] def ivfPqCentModel(v: DataFrame): DataFrame =
+    v.filter(col("vec_id") < IvfPqCells)
+      .select(struct(col("vec_id").cast("int").as("cid"),
+        col("qv").as("cv")).as("e"))
+      .agg(sort_array(collect_list(col("e"))).as("cmodel"))
+      .withColumn("cflat", flatten(transform(col("cmodel"), e => e("cv"))))
+
+  /** Per-row cell assignment (coarse argmin-L2² = PqEncode with m=1)
+    * and residual against a frozen one-row [[ivfPqCentModel]] — zero
+    * shuffles, streaming-legal (stateless projection over a broadcast
+    * model row). */
+  private[graft] def ivfPqAssign(v: DataFrame, cents: DataFrame): DataFrame =
+    v.crossJoin(broadcast(cents))
+      .withColumn("cid", graft.functions.PqEncode.pqEncode(
+        col("qv"), col("cflat"), 1, IvfPqCells, IvfPqDim).getItem(0))
+      .withColumn("resid", zip_with(col("qv"),
+        slice(col("cflat"), col("cid") * IvfPqDim + 1, lit(IvfPqDim)),
+        (a, b) => a - b))
+
+  /** Shared residual PQ codebook (Faiss's default: one PQ over
+    * residuals, not per-cell codebooks) from the first PqK rows of an
+    * [[ivfPqAssign]] output: ONE row (rmodel, rflat). */
+  private[graft] def ivfPqCodebook(assigned: DataFrame): DataFrame =
+    assigned.filter(col("vec_id") < PqK)
+      .select(col("vec_id").cast("int").as("code"), col("resid"))
+      .withColumn("sub", explode(sequence(lit(0), lit(PqM - 1))))
+      .select(struct(col("sub"), col("code"),
+        slice(col("resid"), col("sub") * PqSub + 1, lit(PqSub)).as("cv"))
+        .as("e"))
+      .agg(sort_array(collect_list(col("e"))).as("rmodel"))
+      .withColumn("rflat", flatten(transform(col("rmodel"), e => e("cv"))))
+
+  /** PQ-encode assigned rows against a frozen one-row codebook:
+    * (vec_id, cid, codes, rflat) — the stored index row (2-byte codes
+    * at PqM=4, PqK=16). Stateless per-row native encode. */
+  private[graft] def ivfPqEncodeDf(assigned: DataFrame,
+                                   rcb: DataFrame): DataFrame =
+    assigned.crossJoin(broadcast(rcb))
+      .withColumn("codes", graft.functions.PqEncode.pqEncode(
+        col("resid"), col("rflat"), PqM, PqK, PqSub))
+      .select(col("vec_id"), col("cid"), col("codes"), col("rflat"))
+
+  private val x80 = GateQuery(
+    "x80_knn_ivfpq",
+    (s, d) => {
+      val quant = transform(col("embedding"),
+        x => floor(x * lit(1000)).cast("long"))
+      val v = Tables.embeddings(s, d)
+        .select(col("vec_id"), quant.as("qv"))
+        .persist() // centroids, codebook, corpus and queries all consume it
+      v.count() // eager: consumers race on a cold cache (see x14)
+      val cents = ivfPqCentModel(v)
+      val assigned = ivfPqAssign(v, cents)
+      val rcb = ivfPqCodebook(assigned)
+      val enc = ivfPqEncodeDf(assigned, rcb)
+      // query probes: IvfPqProbe nearest cells, one residual query per
+      // probed cell (queries × cells rows — window over a tiny table)
+      val probes = v.filter(col("vec_id") < NumQueries)
+        .select(col("vec_id").as("qid"), col("qv").as("qq"))
+        .crossJoin(broadcast(cents))
+        .select(col("qid"), col("qq"), explode(col("cmodel")).as("ce"))
+        .withColumn("l2", l2sqCol(col("qq"), col("ce")("cv")))
+      val wp = Window.partitionBy(col("qid"))
+        .orderBy(col("l2"), col("ce")("cid"))
+      val probed = probes.withColumn("prn", row_number().over(wp))
+        .filter(col("prn") <= IvfPqProbe)
+        .select(col("qid"), col("ce")("cid").as("cid"),
+          zip_with(col("qq"), col("ce")("cv"), (a, b) => a - b).as("qr"))
+      // ADC scan over the probed cells only
+      val scored = broadcast(probed).join(enc, Seq("cid"))
+        .filter(col("qid") =!= col("vec_id"))
+        .withColumn("adist", graft.functions.PqAdc.pqAdc(
+          col("qr"), col("codes"), col("rflat"), PqM, PqK, PqSub))
+      val w = Window.partitionBy(col("qid"))
+        .orderBy(col("adist"), col("vec_id"))
+      ordered(scored.withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= TopK)
+        .select(col("qid"), col("vec_id"), col("rn"), col("adist")))
+    },
+    Some(s"""WITH v AS (
+              SELECT vec_id, list_transform(embedding,
+                x -> CAST(FLOOR(x * 1000) AS BIGINT)) AS qv
+              FROM embeddings),
+            cents AS (
+              SELECT CAST(vec_id AS INT) AS cid, qv AS cv
+              FROM v WHERE vec_id < $IvfPqCells),
+            asg0 AS (
+              SELECT v.vec_id, v.qv, c.cid, c.cv,
+                CAST(list_dot_product(v.qv, v.qv)
+                  - 2*list_dot_product(v.qv, c.cv)
+                  + list_dot_product(c.cv, c.cv) AS BIGINT) AS d
+              FROM v CROSS JOIN cents c),
+            assigned AS MATERIALIZED (
+              SELECT vec_id, cid,
+                list_transform(range($IvfPqDim), i -> qv[i+1] - cv[i+1]) AS rv
+              FROM (SELECT *, row_number() OVER (PARTITION BY vec_id
+                      ORDER BY d, cid) AS rn
+                    FROM asg0) WHERE rn = 1),
+            subs AS (SELECT unnest(range($PqM)) AS sub),
+            rcb AS (
+              SELECT s.sub, CAST(r.vec_id AS INT) AS code,
+                     list_slice(r.rv, s.sub*$PqSub + 1, s.sub*$PqSub + $PqSub) AS cv
+              FROM assigned r CROSS JOIN subs s WHERE r.vec_id < $PqK),
+            rdist AS (
+              SELECT r.vec_id, b.sub, b.code,
+                CAST(list_dot_product(list_slice(r.rv, b.sub*$PqSub+1, b.sub*$PqSub+$PqSub),
+                                      list_slice(r.rv, b.sub*$PqSub+1, b.sub*$PqSub+$PqSub))
+                  - 2*list_dot_product(list_slice(r.rv, b.sub*$PqSub+1, b.sub*$PqSub+$PqSub), b.cv)
+                  + list_dot_product(b.cv, b.cv) AS BIGINT) AS d
+              FROM assigned r CROSS JOIN rcb b),
+            enc AS (
+              SELECT e.vec_id, a.cid, e.sub, e.code
+              FROM (SELECT vec_id, sub, code FROM (
+                      SELECT vec_id, sub, code,
+                        row_number() OVER (PARTITION BY vec_id, sub
+                          ORDER BY d, code) AS rn
+                      FROM rdist) WHERE rn = 1) e
+              JOIN assigned a ON a.vec_id = e.vec_id),
+            pl2 AS (
+              SELECT q.vec_id AS qid, q.qv AS qq, c.cid, c.cv,
+                CAST(list_dot_product(q.qv, q.qv)
+                  - 2*list_dot_product(q.qv, c.cv)
+                  + list_dot_product(c.cv, c.cv) AS BIGINT) AS d
+              FROM v q CROSS JOIN cents c WHERE q.vec_id < $NumQueries),
+            probes AS (
+              SELECT qid, cid,
+                list_transform(range($IvfPqDim), i -> qq[i+1] - cv[i+1]) AS qr
+              FROM (SELECT *, row_number() OVER (PARTITION BY qid
+                      ORDER BY d, cid) AS prn
+                    FROM pl2) WHERE prn <= $IvfPqProbe),
+            scored AS (
+              SELECT p.qid, e.vec_id,
+                CAST(SUM(CAST(
+                  list_dot_product(list_slice(p.qr, b.sub*$PqSub+1, b.sub*$PqSub+$PqSub),
+                                   list_slice(p.qr, b.sub*$PqSub+1, b.sub*$PqSub+$PqSub))
+                  - 2*list_dot_product(list_slice(p.qr, b.sub*$PqSub+1, b.sub*$PqSub+$PqSub), b.cv)
+                  + list_dot_product(b.cv, b.cv) AS BIGINT)) AS BIGINT) AS adist
+              FROM probes p
+              JOIN enc e ON e.cid = p.cid AND e.vec_id <> p.qid
+              JOIN rcb b ON b.sub = e.sub AND b.code = e.code
+              GROUP BY 1, 2)
+            SELECT qid, vec_id, rn, adist FROM (
+              SELECT qid, vec_id, adist,
+                row_number() OVER (PARTITION BY qid ORDER BY adist, vec_id) AS rn
+              FROM scored) WHERE rn <= $TopK
+            ORDER BY 1,2,3,4"""))
+
+  // ---------------------------------------------------------------- x81
+  // DSIR-style importance weighting (Xie et al., "Data Selection for
+  // Language Models via Importance Resampling", NeurIPS 2023): score
+  // every document by how much its hashed-unigram profile looks like
+  // a TARGET slice relative to the raw corpus. Features are hashed
+  // n-gram bucket counts (here unigrams into DsirB buckets — the
+  // paper's hashed n-gram estimator); the per-bucket importance
+  // weight is the add-1-smoothed log-ratio log2(p_b / q_b) between
+  // the target (lang='en') and raw bucket distributions, in WHOLE
+  // BITS via the shared integer scorer (decimal(38,0)/HUGEINT
+  // products — exact at any corpus size, the x77 pattern); a doc's
+  // score is the sum of its token instances' bucket weights (= the
+  // log importance weight of the doc under the bag-of-buckets
+  // model). Downstream selection is a top-k / weighted sample over
+  // `dsir_bits` (x13/x60 shapes) — the gate emits the scores.
+  //
+  // Scale shape: two corpus scans, ZERO corpus shuffles. Scan 1
+  // aggregates token buckets to ≤ DsirB keys (map-side partial agg —
+  // the shuffle is B rows); the weight table (B rows) collapses to
+  // ONE broadcast array row; scan 2 scores each doc in a single
+  // per-row HOF (bucket = md5-derived, weight = element_at into the
+  // broadcast array). No vocabulary table, no per-doc feature
+  // explosion reaches a shuffle.
+  private val DsirB = 256
+
+  /** x81's engine, parameterized for fixtures: (doc_id, text, lang)
+    * rows in, (doc_id, is_target, n_tok, dsir_bits) out; target slice
+    * = lang == 'en'. X81DsirSpec pins it to a driver-side BigInt
+    * reference over the real corpus. */
+  private[graft] def dsirWeights(s: SparkSession, docs: DataFrame): DataFrame =
+    ordered(dsirScore(docs, dsirWeightModel(s, docs))
+      .select(col("doc_id"),
+        when(col("lang") === "en", 1).otherwise(0).cast("int").as("is_target"),
+        col("n_tok"), col("dsir_bits")))
+
+  /** Train the bucket-weight model: ONE row holding `wa`, the DsirB
+    * whole-bit log-ratio weights in bucket order. */
+  private[graft] def dsirWeightModel(s: SparkSession,
+                                     docs: DataFrame): DataFrame = {
+      val tokB = docs.select(col("lang"),
+        explode(split(col("text"), " ")).as("t"))
+        .select(col("lang"), pmod(hex32(md5(col("t"))), lit(DsirB)).as("b"))
+      val cnt = tokB.groupBy(col("b")).agg(
+        count(lit(1)).as("qc"),
+        sum(when(col("lang") === "en", 1L).otherwise(0L)).as("pc"))
+      val tot = cnt.agg(sum(col("qc")).as("qtok"), sum(col("pc")).as("ptok"))
+      s.range(0, DsirB.toLong).select(col("id").as("b"))
+        .join(cnt, Seq("b"), "left_outer")
+        .crossJoin(tot)
+        .withColumn("pc1", coalesce(col("pc"), lit(0L)) + 1)
+        .withColumn("qc1", coalesce(col("qc"), lit(0L)) + 1)
+        .withColumn("w", expr(wholeBitLog2Sql(
+          s"cast(pc1 as decimal(38,0)) * (qtok + $DsirB)",
+          s"cast(qc1 as decimal(38,0)) * (ptok + $DsirB)")))
+        .select(struct(col("b"), col("w")).as("e"))
+        .agg(sort_array(collect_list(col("e"))).as("ws"))
+        .withColumn("wa", transform(col("ws"), e => e("w")))
+        .select(col("wa"))
+  }
+
+  /** Score (doc_id, text, …) rows against a frozen one-row
+    * [[dsirWeightModel]]: one per-row HOF, zero shuffles,
+    * streaming-legal — the production DSIR shape (weights trained
+    * offline, stream scored at ingest). Keeps the input's other
+    * columns. */
+  private[graft] def dsirScore(docs: DataFrame, model: DataFrame): DataFrame = {
+      val score = aggregate(
+        transform(split(col("text"), " "),
+          t => element_at(col("wa"),
+            (pmod(hex32(md5(t)), lit(DsirB)) + 1).cast("int"))),
+        lit(0L), (acc, x) => acc + x)
+      docs.crossJoin(broadcast(model))
+        .withColumn("n_tok", size(split(col("text"), " ")).cast("long"))
+        .withColumn("dsir_bits", score)
+        .drop("wa")
+  }
+
+  private val x81 = GateQuery(
+    "x81_dsir_weights",
+    (s, d) => dsirWeights(s, Tables.documents(s, d)),
+    Some(s"""WITH tok AS (
+              SELECT doc_id, lang, unnest(string_split(text, ' ')) AS t
+              FROM documents),
+            tok2 AS (SELECT doc_id, lang, md5(t) AS m FROM tok),
+            tb AS MATERIALIZED (
+              SELECT doc_id, lang, (${duckHex32("m")} % $DsirB) AS b
+              FROM tok2),
+            cnt AS (
+              SELECT b, count(*) AS qc,
+                     sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS pc
+              FROM tb GROUP BY 1),
+            tot AS (
+              SELECT CAST(sum(qc) AS BIGINT) AS qtok,
+                     CAST(sum(pc) AS BIGINT) AS ptok FROM cnt),
+            spine AS (SELECT unnest(range($DsirB)) AS b),
+            w AS (
+              SELECT s.b,
+                ${duckWholeBitLog2(
+                  s"CAST(COALESCE(c.pc, 0) + 1 AS HUGEINT) * (t.qtok + $DsirB)",
+                  s"CAST(COALESCE(c.qc, 0) + 1 AS HUGEINT) * (t.ptok + $DsirB)")} AS w
+              FROM spine s LEFT JOIN cnt c ON c.b = s.b CROSS JOIN tot t),
+            doc AS (
+              SELECT tb.doc_id, count(*) AS n_tok,
+                     CAST(sum(w.w) AS BIGINT) AS dsir_bits
+              FROM tb JOIN w ON w.b = tb.b GROUP BY 1)
+            SELECT d.doc_id,
+                   CAST(CASE WHEN d.lang = 'en' THEN 1 ELSE 0 END AS INT) AS is_target,
+                   CAST(x.n_tok AS BIGINT) AS n_tok, x.dsir_bits
+            FROM documents d JOIN doc x ON x.doc_id = d.doc_id
+            ORDER BY 1,2,3,4"""))
+
   val all: Seq[GateQuery] = Seq(x01, x02, x03, x04, x05, x06, x07, x08, x09,
     x10, x11, x12, x13, x14, x15, x16, x17, x18, x19, x20, x21, x22, x23,
     x24, x25, x26, x27, x28, x29, x30, x31, x32, x33, x34, x35, x36, x37,
     x38, x39, x40, x41, x42, x43, x44, x45, x46, x47, x48, x49, x50, x51,
     x52, x53, x54, x55, x56, x57, x58, x59, x60, x61, x62, x63, x64, x65, x66,
-    x67, x68, x69, x70, x71, x72, x73, x74, x75, x76, x77, x78, x79)
+    x67, x68, x69, x70, x71, x72, x73, x74, x75, x76, x77, x78, x79, x80,
+    x81)
 }

@@ -16,6 +16,12 @@ object StepKind {
     * the partial; the stage is satisfied by the NEXT stage's match
     * (or, if terminal, by the window closing unviolated). */
   case object Negative extends StepKind
+  /** Strict absence (`notNext`): the key's IMMEDIATELY-next event
+    * must not match the guard — if it does (or the window has
+    * already passed), the partial dies; any other event resolves the
+    * constraint and is at once offered to the following stage under
+    * that stage's own contiguity. Consumes no event itself. */
+  case object NegativeStrict extends StepKind
   /** One-or-more (`oneOrMore` on a relaxed stage): the stage absorbs
     * every guard-matching event GREEDILY (absorb wins over advancing
     * when an event matches both this and the next stage's guard);
@@ -445,9 +451,25 @@ final case class EventPattern[E] private (
     * when the FOLLOWING stage matches. Terminal: requires `within`;
     * the match emits when the window closes unviolated. */
   def notFollowedBy(name: String): EventPattern[E] = {
-    require(steps.last.kind != StepKind.Negative,
-      "consecutive notFollowedBy stages are not supported")
+    require(steps.last.kind != StepKind.Negative &&
+      steps.last.kind != StepKind.NegativeStrict,
+      "consecutive absence stages are not supported")
     append(name, StepKind.Negative)
+  }
+
+  /** Append a strict-absence stage (Flink `.notNext`): the event
+    * IMMEDIATELY following the previous stage's match must NOT match
+    * the guard — if it does, the partial dies. The checking event is
+    * then itself considered for the following stage (so
+    * `a.notNext(b).next(c)` demands the event right after `a` match
+    * `c` and not `b`; `a.notNext(b).followedBy(c)` forbids only the
+    * one immediate event, later events need not avoid `b`). Cannot
+    * start or end a pattern (as in FlinkCEP). */
+  def notNext(name: String): EventPattern[E] = {
+    require(steps.last.kind != StepKind.Negative &&
+      steps.last.kind != StepKind.NegativeStrict,
+      "consecutive absence stages are not supported")
+    append(name, StepKind.NegativeStrict)
   }
 
   /** Bound the whole match window (Flink `.within`). */
@@ -626,6 +648,24 @@ object Cep {
             else if (inWindow && steps(stage).pred(e, ctx)) {
               // forbidden event observed: kill (drop p)
             } else kept += p
+          case StepKind.NegativeStrict =>
+            // notNext: the key's IMMEDIATELY-next event decides — a
+            // forbidden (or out-of-window) event kills the partial;
+            // anything else resolves the constraint for good and is
+            // itself offered to the following stage (builder
+            // guarantees one exists and is Relaxed or Strict)
+            if (!inWindow || steps(stage).pred(e, ctx)) {
+              // kill (drop p)
+            } else {
+              val nxt = stage + 1
+              if (steps(nxt).pred(e, ctx)) {
+                consume(kept, t0, acc, nxt, e)
+                if (steps(nxt).any) kept += ((nxt, t0, acc))
+              }
+              else if (steps(nxt).kind == StepKind.Relaxed)
+                kept += ((nxt, t0, acc))
+              // else Strict: the immediate event had to match — kill
+            }
           case StepKind.Repeated =>
             // stop condition first (until beats the loop guard, as in
             // FlinkCEP): a non-empty run ends — terminal emits NOW,
@@ -782,12 +822,15 @@ object Cep {
       oEnc: Encoder[O]): Dataset[O] = {
     val steps = pattern.steps
     require(steps.nonEmpty, "pattern needs at least one step")
-    require(steps.head.kind != StepKind.Negative,
-      "a pattern cannot START with notFollowedBy")
+    require(steps.head.kind != StepKind.Negative &&
+      steps.head.kind != StepKind.NegativeStrict,
+      "a pattern cannot START with notFollowedBy/notNext")
     require(steps.last.kind != StepKind.Negative ||
       pattern.withinMs != Long.MaxValue,
       "a terminal notFollowedBy requires within() — its match is " +
         "emitted when the window closes unviolated")
+    require(steps.last.kind != StepKind.NegativeStrict,
+      "a pattern cannot END with notNext (as in FlinkCEP)")
     require(steps.head.kind != StepKind.Optional,
       "a pattern cannot START with an optional stage")
     require(steps.last.kind != StepKind.Optional ||
@@ -803,6 +846,7 @@ object Cep {
         "condition fires")
     steps.sliding(2).foreach {
       case Vector(a, b) if a.kind == StepKind.Negative ||
+        a.kind == StepKind.NegativeStrict ||
         a.kind == StepKind.Repeated =>
         require(b.kind == StepKind.Relaxed || b.kind == StepKind.Strict,
           s"stage '${b.name}' after '${a.name}' (${a.kind}) must be a " +

@@ -149,6 +149,32 @@ object DocStreams {
     Extensions.nearestCentroid(vecs, cents)
       .select(col("vec_id"), col("pred"), col("cos"))
 
+  /** Index-maintenance face of x80's IVF-PQ: assign each arriving
+    * vector to its coarse cell and PQ-encode its residual against
+    * FROZEN models (one-row centroid + codebook tables trained
+    * offline — `Extensions.ivfPqCentModel`/`ivfPqCodebook`). Two
+    * stateless broadcast projections, append mode, no state store;
+    * the output (vec_id, cid, codes) is the stored index row, so at
+    * scale this writer feeds the cid-partitioned storage the batch
+    * ADC scan prunes on. Bit-identical to the batch encode for the
+    * same models (DocStreamsSpec). Column contract: input has
+    * (vec_id, qv: array<long>). */
+  def ivfPqEncodeStream(vecs: DataFrame, cents: DataFrame,
+                        rcb: DataFrame): DataFrame =
+    Extensions.ivfPqEncodeDf(Extensions.ivfPqAssign(vecs, cents), rcb)
+      .select(col("vec_id"), col("cid"), col("codes"))
+
+  /** Ingest face of x81's DSIR importance weighting: score each
+    * arriving doc against a FROZEN one-row bucket-weight model
+    * (`Extensions.dsirWeightModel`, trained offline on a static
+    * corpus + target slice) — one per-row HOF over a broadcast
+    * 256-long array, append mode, no state. Bit-identical to the
+    * batch scorer for the same model (DocStreamsSpec). Column
+    * contract: input has (doc_id, text). */
+  def dsirScoreStream(docs: DataFrame, model: DataFrame): DataFrame =
+    Extensions.dsirScore(docs, model)
+      .select(col("doc_id"), col("n_tok"), col("dsir_bits"))
+
   /** Chunk a doc stream into overlapping token windows (the x34
     * arithmetic: fixed window/stride, last chunk short, content md5
     * per chunk) — one stateless generator per row, append mode; an

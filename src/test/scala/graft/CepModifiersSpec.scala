@@ -247,6 +247,92 @@ class CepModifiersSpec extends AnyFunSuite {
     })
   }
 
+  // --------------------------------------------------------- notNext
+
+  test("notNext forbids only the IMMEDIATE event; notFollowedBy the whole gap") {
+    // a, noise, b, c: the event right after a is noise (not b) — the
+    // notNext constraint resolves, the later b is irrelevant, c matches
+    val evs = Seq(ev("a", 1), ev("noise", 2), ev("b", 3), ev("c", 4))
+    val nn = EventPattern.begin[Ev]("A").where(_.kind == "a")
+      .notNext("N").where(_.kind == "b")
+      .followedBy("C").where(_.kind == "c")
+      .within(java.time.Duration.ofMillis(W))
+    assert(run(nn, evs).map(m => (m("A").head.ts, m("C").head.ts))
+      == Vector((1L, 4L)))
+    val nf = EventPattern.begin[Ev]("A").where(_.kind == "a")
+      .notFollowedBy("N").where(_.kind == "b")
+      .followedBy("C").where(_.kind == "c")
+      .within(java.time.Duration.ofMillis(W))
+    assert(run(nf, evs).isEmpty) // absence over the whole gap: b kills
+  }
+
+  test("notNext kills on an immediate forbidden event") {
+    val evs = Seq(ev("a", 1), ev("b", 2), ev("c", 3))
+    val nn = EventPattern.begin[Ev]("A").where(_.kind == "a")
+      .notNext("N").where(_.kind == "b")
+      .followedBy("C").where(_.kind == "c")
+      .within(java.time.Duration.ofMillis(W))
+    assert(run(nn, evs).isEmpty)
+  }
+
+  test("notNext: the checking event itself can satisfy the next stage") {
+    val evs = Seq(ev("a", 1), ev("c", 2))
+    val nn = EventPattern.begin[Ev]("A").where(_.kind == "a")
+      .notNext("N").where(_.kind == "b")
+      .followedBy("C").where(_.kind == "c")
+      .within(java.time.Duration.ofMillis(W))
+    assert(run(nn, evs).map(m => (m("A").head.ts, m("C").head.ts))
+      == Vector((1L, 2L)))
+  }
+
+  test("notNext then next: the immediate event must match C and not B") {
+    val nn = EventPattern.begin[Ev]("A").where(_.kind == "a")
+      .notNext("N").where(_.kind == "b")
+      .next("C").where(_.kind == "c")
+      .within(java.time.Duration.ofMillis(W))
+    assert(run(nn, Seq(ev("a", 1), ev("c", 2)))
+      .map(m => (m("A").head.ts, m("C").head.ts)) == Vector((1L, 2L)))
+    assert(run(nn, Seq(ev("a", 1), ev("noise", 2), ev("c", 3))).isEmpty)
+    assert(run(nn, Seq(ev("a", 1), ev("b", 2), ev("c", 3))).isEmpty)
+  }
+
+  test("notNext is kill-first when the forbidden and next guards overlap") {
+    // FlinkCEP's notNext compiles to a NOT-condition on the proceed
+    // edge: an event matching both B and C fails the NOT — no match
+    val nn = EventPattern.begin[Ev]("A").where(_.kind == "a")
+      .notNext("N").where(_.kind == "c")
+      .followedBy("C").where(_.kind == "c")
+      .within(java.time.Duration.ofMillis(W))
+    assert(run(nn, Seq(ev("a", 1), ev("c", 2))).isEmpty)
+  }
+
+  test("notNext fuzz: brute-force parity and batching invariance") {
+    val pat = EventPattern.begin[Ev]("A").where(_.kind == "a")
+      .notNext("N").where(_.kind == "b")
+      .followedBy("C").where(_.kind == "c")
+      .within(java.time.Duration.ofMillis(W))
+    check("notnext-vs-brute", Prop.forAll(genEvents) { evs =>
+      val got = run(pat, evs)
+        .map(m => (m("A").head.ts, m("C").head.ts)).sorted
+      val want = (for {
+        (a, i) <- evs.zipWithIndex if a.kind == "a"
+        e1 <- evs.drop(i + 1).headOption.toSeq
+        if e1.ts <= a.ts + W && e1.kind != "b"
+        c <- evs.drop(i + 1).find(x => x.kind == "c" && x.ts <= a.ts + W).toSeq
+      } yield (a.ts, c.ts)).sorted
+      got == want
+    })
+    check("notnext-batching", Prop.forAll(genEvents,
+        Gen.choose(0, 14)) { (evs, k) =>
+      val (l, r) = evs.splitAt(math.min(k, evs.length))
+      val (p1, m1, _) = Cep.step(pat.steps, pat.withinMs,
+        (e: Ev) => e.ts, Nil, l, Long.MinValue)
+      val (_, m2, _) = Cep.step(pat.steps, pat.withinMs,
+        (e: Ev) => e.ts, p1, r, Long.MinValue)
+      (m1 ++ m2) == run(pat, evs)
+    })
+  }
+
   // ---------------------------------------------------------- guards
 
   test("modifier misuse is rejected at build time") {
@@ -260,5 +346,9 @@ class CepModifiersSpec extends AnyFunSuite {
     intercept[IllegalArgumentException](
       base.oneOrMore.allowCombinations.consecutive)
     intercept[IllegalArgumentException](base.timesOrMore(0))
+    intercept[IllegalArgumentException](
+      base.notFollowedBy("N").notNext("M"))
+    intercept[IllegalArgumentException](
+      base.notNext("N").notFollowedBy("M"))
   }
 }

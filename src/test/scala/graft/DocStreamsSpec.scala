@@ -529,4 +529,72 @@ class DocStreamsSpec extends AnyFunSuite {
     assert(got == batch, s"stream $got != batch $batch")
     q.stop()
   }
+
+  test("streaming IVF-PQ encoder agrees with the batch x80 index build") {
+    // frozen models trained on a static corpus of 40 deterministic
+    // 64-dim vectors; the stream must assign + encode every arriving
+    // vector exactly as the batch build does (same argmin tie-breaks)
+    val dim = 64
+    val vecs = (0 until 40).map { id =>
+      (id.toLong, Seq.tabulate(dim)(i => ((id * 31 + i * 7) % 997 - 498).toLong))
+    }.toDF("vec_id", "qv")
+    val cents = Extensions.ivfPqCentModel(vecs).persist()
+    val rcb = Extensions.ivfPqCodebook(
+      Extensions.ivfPqAssign(vecs, cents)).persist()
+    val batch = Extensions.ivfPqEncodeDf(
+        Extensions.ivfPqAssign(vecs, cents), rcb)
+      .select("vec_id", "cid", "codes")
+      .as[(Long, Int, Seq[Int])].collect().sortBy(_._1)
+
+    val in = MemoryStream[(Long, Seq[Long])]
+    val q = DocStreams.ivfPqEncodeStream(
+        in.toDF().toDF("vec_id", "qv"), cents, rcb)
+      .writeStream.format("memory").queryName("ivfpq")
+      .outputMode("append").start()
+    in.addData((0 until 20).map(i =>
+      (i.toLong, Seq.tabulate(dim)(j => ((i * 31 + j * 7) % 997 - 498).toLong))))
+    q.processAllAvailable()
+    in.addData((20 until 40).map(i =>
+      (i.toLong, Seq.tabulate(dim)(j => ((i * 31 + j * 7) % 997 - 498).toLong))))
+    q.processAllAvailable()
+    val streamed = spark.table("ivfpq")
+      .as[(Long, Int, Seq[Int])].collect().sortBy(_._1)
+    assert(streamed.sameElements(batch))
+    q.stop()
+  }
+
+  test("streaming DSIR scorer agrees with the batch x81 scorer") {
+    // weights trained offline on a static corpus (target = lang 'en');
+    // a stream of NEW docs is scored statelessly and must match the
+    // batch scorer bit for bit on the same frozen model
+    val staticDocs = Seq(
+      Doc(1, "alpha beta gamma alpha beta", "en"),
+      Doc(2, "alpha beta delta epsilon zeta", "en"),
+      Doc(3, "rot baum haus rot baum", "de"),
+      Doc(4, "rot haus zaun tor hof", "de")).toDF()
+    val model = Extensions.dsirWeightModel(spark, staticDocs).persist()
+    val arriving = Seq(
+      Doc(10, "alpha beta gamma", "zz"),
+      Doc(11, "rot baum haus", "zz"),
+      Doc(12, "alpha rot never seen", "zz"))
+    val batch = Extensions.dsirScore(arriving.toDF(), model)
+      .select("doc_id", "n_tok", "dsir_bits")
+      .as[(Long, Long, Long)].collect().sortBy(_._1)
+    // the target-profile doc must outscore the offtarget-profile one
+    val byId = batch.map(r => r._1 -> r._3).toMap
+    assert(byId(10L) > byId(11L))
+
+    val in = MemoryStream[Doc]
+    val q = DocStreams.dsirScoreStream(in.toDF(), model)
+      .writeStream.format("memory").queryName("dsir")
+      .outputMode("append").start()
+    in.addData(arriving.take(2): _*)
+    q.processAllAvailable()
+    in.addData(arriving.drop(2): _*)
+    q.processAllAvailable()
+    val streamed = spark.table("dsir")
+      .as[(Long, Long, Long)].collect().sortBy(_._1)
+    assert(streamed.sameElements(batch))
+    q.stop()
+  }
 }
