@@ -5559,11 +5559,67 @@ object Extensions {
             FROM documents d JOIN doc x ON x.doc_id = d.doc_id
             ORDER BY 1,2,3,4"""))
 
+  // ---------------------------------------------------------------- x82
+  // Small-file compaction planning — the table-maintenance move next
+  // to x76's Z-ordering (Delta/Iceberg OPTIMIZE bin-packing): given
+  // file metadata (id, bytes), assign files to target-sized output
+  // bins. True first-fit-decreasing is inherently sequential; the
+  // parallel-friendly standard is SORTED-FILL: order by (bytes desc,
+  // id), running byte offset, bin = start-offset div target — each
+  // bin's content is contiguous in the sorted order, total size ~
+  // target (a file straddling a boundary overflows its bin by < its
+  // own size; no bin merges two sort-distant files).
+  //
+  // Scale shape: this is a METADATA-scale op — one row per FILE, not
+  // per record (100 TB at 128 MB files ≈ 800k rows), so the single
+  // global running-sum window is the documented contract (the same
+  // rollup-sized argument as overlapMatrix); were the file count
+  // itself huge, the two-level salted shape of x54 applies per
+  // prefix. The gate models files as the documents table's
+  // (doc_id, n_chars).
+  private val CompactTarget = 4096L
+
+  /** Sorted-fill compaction plan over (file_id, bytes) rows:
+    * (file_id, bytes, bin, bin_files, bin_bytes). */
+  private[graft] def compactionPlan(files: DataFrame,
+                                    target: Long = CompactTarget): DataFrame = {
+    val w = Window.orderBy(col("bytes").desc, col("file_id"))
+    val binned = files
+      .withColumn("cum", sum(col("bytes")).over(w))
+      .withColumn("bin", expr(s"(cum - bytes) div $target"))
+      .drop("cum")
+    val stats = binned.groupBy(col("bin")).agg(
+      count(lit(1)).as("bin_files"), sum(col("bytes")).as("bin_bytes"))
+    binned.join(stats, Seq("bin"))
+      .select(col("file_id"), col("bytes"), col("bin"),
+        col("bin_files"), col("bin_bytes"))
+  }
+
+  private val x82 = GateQuery(
+    "x82_compaction_plan",
+    (s, d) => ordered(compactionPlan(
+      Tables.documents(s, d)
+        .select(col("doc_id").as("file_id"), col("n_chars").as("bytes")))),
+    Some(s"""WITH f AS (
+              SELECT doc_id AS file_id, n_chars AS bytes FROM documents),
+            b AS (
+              SELECT file_id, bytes,
+                CAST((sum(bytes) OVER (ORDER BY bytes DESC, file_id)
+                  - bytes) // $CompactTarget AS BIGINT) AS bin
+              FROM f),
+            s AS (
+              SELECT bin, count(*) AS bin_files,
+                     CAST(sum(bytes) AS BIGINT) AS bin_bytes
+              FROM b GROUP BY 1)
+            SELECT b.file_id, b.bytes, b.bin, s.bin_files, s.bin_bytes
+            FROM b JOIN s USING (bin)
+            ORDER BY 1,2,3,4,5"""))
+
   val all: Seq[GateQuery] = Seq(x01, x02, x03, x04, x05, x06, x07, x08, x09,
     x10, x11, x12, x13, x14, x15, x16, x17, x18, x19, x20, x21, x22, x23,
     x24, x25, x26, x27, x28, x29, x30, x31, x32, x33, x34, x35, x36, x37,
     x38, x39, x40, x41, x42, x43, x44, x45, x46, x47, x48, x49, x50, x51,
     x52, x53, x54, x55, x56, x57, x58, x59, x60, x61, x62, x63, x64, x65, x66,
     x67, x68, x69, x70, x71, x72, x73, x74, x75, x76, x77, x78, x79, x80,
-    x81)
+    x81, x82)
 }

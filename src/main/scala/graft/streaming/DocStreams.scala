@@ -175,6 +175,49 @@ object DocStreams {
     Extensions.dsirScore(docs, model)
       .select(col("doc_id"), col("n_tok"), col("dsir_bits"))
 
+  /** Streaming face of x46's heavy hitters: an UNBOUNDED token
+    * stream tracked in bounded memory. Tokens route to `buckets`
+    * state groups (md5, so a hot token always lands in one group);
+    * each group holds ONE Misra-Gries summary of at most `k`
+    * counters — increment if present, insert if room, else
+    * decrement-all-and-drop-zeros — updated across batches and
+    * re-emitted per trigger (update mode). State per group is ≤ k
+    * (token, count) pairs REGARDLESS of stream length: total memory
+    * buckets·k entries. The MG guarantee carries over: any token
+    * whose true count in its bucket exceeds N_bucket/(k+1) is
+    * guaranteed present, with N_bucket/(k+1) ≥ true − emitted ≥ 0
+    * (counts are lower bounds). Batch x46 then RECOUNTS candidates
+    * exactly; a streaming recount is a second stateless pass over
+    * the broadcast candidate set (x24's shape). Column contract:
+    * input has a string column `tok`; output (bucket, tok, est). */
+  def heavyHitterStream(toks: DataFrame, buckets: Int = 16,
+                        k: Int = 8): DataFrame = {
+    val spark = toks.sparkSession
+    import spark.implicits._
+    toks.select(col("tok").cast("string")).as[String]
+      .groupByKey { t =>
+        val h = java.security.MessageDigest.getInstance("MD5")
+          .digest(t.getBytes("UTF-8"))
+        math.floorMod(((h(0) & 0xff) << 8) | (h(1) & 0xff), buckets)
+      }
+      .flatMapGroupsWithState[Map[String, Long], (Int, String, Long)](
+        OutputMode.Update, GroupStateTimeout.NoTimeout) {
+        (bucket: Int, it: Iterator[String],
+         state: GroupState[Map[String, Long]]) =>
+          var mg = state.getOption.getOrElse(Map.empty[String, Long])
+          it.foreach { t =>
+            if (mg.contains(t)) mg = mg.updated(t, mg(t) + 1L)
+            else if (mg.size < k) mg = mg.updated(t, 1L)
+            else mg = mg.iterator
+              .map { case (w, c) => w -> (c - 1L) }
+              .filter(_._2 > 0L).toMap
+          }
+          state.update(mg)
+          mg.iterator.map { case (w, c) => (bucket, w, c) }
+      }
+      .toDF("bucket", "tok", "est")
+  }
+
   /** Chunk a doc stream into overlapping token windows (the x34
     * arithmetic: fixed window/stride, last chunk short, content md5
     * per chunk) — one stateless generator per row, append mode; an

@@ -597,4 +597,47 @@ class DocStreamsSpec extends AnyFunSuite {
     assert(streamed.sameElements(batch))
     q.stop()
   }
+
+  test("heavy-hitter stream: exact while under k, state carries across batches") {
+    // k large enough that nothing evicts: Misra-Gries degenerates to
+    // exact counting, so the post-batch-2 emission must show the
+    // EXACT cross-batch totals — pinning that state persists
+    val in = MemoryStream[String]
+    val q = DocStreams.heavyHitterStream(in.toDF().toDF("tok"),
+        buckets = 4, k = 8)
+      .writeStream.format("memory").queryName("hh1")
+      .outputMode("update").start()
+    in.addData("a", "a", "a", "b")
+    q.processAllAvailable()
+    in.addData("a", "a", "b", "c")
+    q.processAllAvailable()
+    val rows = spark.table("hh1").as[(Int, String, Long)].collect()
+    // counts only grow here, so the max per token is the final state
+    val fin = rows.groupBy(_._2).map { case (t, xs) => t -> xs.map(_._3).max }
+    assert(fin == Map("a" -> 5L, "b" -> 2L, "c" -> 1L))
+    q.stop()
+  }
+
+  test("heavy-hitter stream: eviction keeps the MG guarantee") {
+    // one bucket, k=2, 9 tokens: true counts a=5, b=2, c=1, d=1.
+    // N/(k+1) = 3: 'a' MUST survive with 5-3 <= est <= 5; no token
+    // may report more than its true count
+    val in = MemoryStream[String]
+    val q = DocStreams.heavyHitterStream(in.toDF().toDF("tok"),
+        buckets = 1, k = 2)
+      .writeStream.format("memory").queryName("hh2")
+      .outputMode("update").start()
+    in.addData("a", "a", "b", "a", "c", "a", "b", "d", "a")
+    q.processAllAvailable()
+    val fin = spark.table("hh2").as[(Int, String, Long)].collect()
+      .map(r => r._2 -> r._3).toMap
+    val truth = Map("a" -> 5L, "b" -> 2L, "c" -> 1L, "d" -> 1L)
+    assert(fin.contains("a") && fin("a") >= 2L)
+    fin.foreach { case (t, est) =>
+      assert(est <= truth(t), s"$t overcounted: $est > ${truth(t)}")
+      assert(truth(t) - est <= 3L, s"$t undershoots the MG bound")
+    }
+    assert(fin.size <= 2) // bounded state: at most k counters
+    q.stop()
+  }
 }
