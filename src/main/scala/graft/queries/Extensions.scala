@@ -5182,15 +5182,15 @@ object Extensions {
   private val x79 = GateQuery(
     "x79_overlap_candidates",
     (s, d) => {
+      // spans as 32-hex hashes via the native fused SpanHashes pass
+      // (one per-row loop; the HOF formulation it replaced — slice +
+      // array_join per element — was x45's measured bottleneck, and
+      // fixed-width hash keys shuffle cheaper than span text)
       val toks = Tables.documents(s, d).select(
         concat(col("source"), lit("/"),
           (col("doc_id") % 5).cast("string")).as("key"),
-        split(col("text"), " ").as("tk"))
-        .select(col("key"), explode(expr(
-          s"""if(size(tk) < $OvSpanW, array(),
-             |array_distinct(transform(sequence(0, size(tk) - $OvSpanW),
-             |  i -> array_join(slice(tk, i + 1, $OvSpanW), ' '))))"""
-            .stripMargin)).as("tok"))
+        explode(graft.functions.SpanHashes.spanHashes(
+          col("text"), OvSpanW, 1)).as("tok"))
       val kt = toks.distinct().persist()
       kt.count() // generator, sketches, sizes, and the exact pin share it
       val cand = graft.ops.SketchOverlap.cooccurrenceCandidates(
@@ -5233,7 +5233,7 @@ object Extensions {
             st AS MATERIALIZED (
               SELECT DISTINCT key, tok
               FROM (SELECT key,
-                      unnest([array_to_string(tk[i+1 : i+$OvSpanW], ' ')
+                      unnest([md5(array_to_string(tk[i+1 : i+$OvSpanW], ' '))
                         FOR i IN range(0,
                           GREATEST(len(tk) - ${OvSpanW - 1}, 0))]) AS tok
                     FROM staged)),
