@@ -5343,15 +5343,10 @@ object Extensions {
         col("resid"), col("rflat"), PqM, PqK, PqSub))
       .select(col("vec_id"), col("cid"), col("codes"), col("rflat"))
 
-  private val x80 = GateQuery(
-    "x80_knn_ivfpq",
-    (s, d) => {
-      val quant = transform(col("embedding"),
-        x => floor(x * lit(1000)).cast("long"))
-      val v = Tables.embeddings(s, d)
-        .select(col("vec_id"), quant.as("qv"))
-        .persist() // centroids, codebook, corpus and queries all consume it
-      v.count() // eager: consumers race on a cold cache (see x14)
+  /** The full IVFADC serving path over persisted (vec_id, qv) rows:
+    * build both models, encode, probe, ADC-rank — (qid, vec_id, rn,
+    * adist), top TopK per query. */
+  private[graft] def ivfPqTopK(v: DataFrame): DataFrame = {
       val cents = ivfPqCentModel(v)
       val assigned = ivfPqAssign(v, cents)
       val rcb = ivfPqCodebook(assigned)
@@ -5376,9 +5371,21 @@ object Extensions {
           col("qr"), col("codes"), col("rflat"), PqM, PqK, PqSub))
       val w = Window.partitionBy(col("qid"))
         .orderBy(col("adist"), col("vec_id"))
-      ordered(scored.withColumn("rn", row_number().over(w))
+      scored.withColumn("rn", row_number().over(w))
         .filter(col("rn") <= TopK)
-        .select(col("qid"), col("vec_id"), col("rn"), col("adist")))
+        .select(col("qid"), col("vec_id"), col("rn"), col("adist"))
+  }
+
+  private val x80 = GateQuery(
+    "x80_knn_ivfpq",
+    (s, d) => {
+      val quant = transform(col("embedding"),
+        x => floor(x * lit(1000)).cast("long"))
+      val v = Tables.embeddings(s, d)
+        .select(col("vec_id"), quant.as("qv"))
+        .persist() // centroids, codebook, corpus and queries all consume it
+      v.count() // eager: consumers race on a cold cache (see x14)
+      ordered(ivfPqTopK(v))
     },
     Some(s"""WITH v AS (
               SELECT vec_id, list_transform(embedding,
@@ -5615,11 +5622,89 @@ object Extensions {
             FROM b JOIN s USING (bin)
             ORDER BY 1,2,3,4,5"""))
 
+  // ---------------------------------------------------------------- x83
+  // IVF-PQ recall audit — the audit family applied to x80's COMPOSED
+  // index: x66 measures what the coarse partitioning loses, x74 what
+  // the PQ codes distort; this measures what the full IVFADC path
+  // (probe pruning + residual quantization TOGETHER) returns against
+  // the exact integer-L2² top-K, per query in integer basis points.
+  // Composition can lose more than its parts (a true neighbor in an
+  // unprobed cell AND rank displaced by ADC error), which is why
+  // serving systems publish recall@k for the composed index, not per
+  // stage. Scale shape: the truth pass is the audit trade — a
+  // broadcast of the (sampled) query set against one corpus scan
+  // (x06's shape); everything else reads x80's own answers
+  // (queries×K rows). All-integer, so the oracle hash must match.
+  //
+  // Expected numbers on THIS corpus: the synthetic embeddings are
+  // near-uniform (no cluster structure), so a true neighbor lands in
+  // a probed cell with probability ≈ nprobe/cells = 2/8, and the
+  // measured recall@5 sits around 20-40% — the audit demonstrating
+  // exactly why nprobe is a tuned knob: on unclustered data the
+  // coarse quantizer prunes blindly. On clustered real embeddings
+  // the same construction recalls far higher at the same nprobe
+  // (x66 shows the single-stage analogue).
+  private val x83 = GateQuery(
+    "x83_ivfpq_recall",
+    (s, d) => {
+      val quant = transform(col("embedding"),
+        x => floor(x * lit(1000)).cast("long"))
+      val v = Tables.embeddings(s, d)
+        .select(col("vec_id"), quant.as("qv"))
+        .persist() // index build, queries and truth scan all consume it
+      v.count() // eager: consumers race on a cold cache (see x14)
+      val q = v.filter(col("vec_id") < NumQueries)
+        .select(col("vec_id").as("qid"), col("qv").as("qq"))
+      val wt = Window.partitionBy(col("qid"))
+        .orderBy(col("l2"), col("vec_id"))
+      val truthK = v.crossJoin(broadcast(q))
+        .filter(col("qid") =!= col("vec_id"))
+        .withColumn("l2", l2sqCol(col("qq"), col("qv")))
+        .withColumn("rn", row_number().over(wt))
+        .filter(col("rn") <= TopK)
+        .select(col("qid"), col("vec_id"))
+      val hits = ivfPqTopK(v).select(col("qid"), col("vec_id"))
+        .join(truthK, Seq("qid", "vec_id"), "left_semi")
+        .groupBy(col("qid")).agg(count(lit(1)).as("hits"))
+      ordered(q.select(col("qid"))
+        .join(hits, Seq("qid"), "left_outer")
+        .select(col("qid"), coalesce(col("hits"), lit(0L)).as("hits"))
+        .withColumn("recall_bp", expr(s"hits * 10000 div $TopK")))
+    },
+    for (s80 <- x80.oracle) yield
+      s"""WITH approx AS ($s80),
+            v AS (
+              SELECT vec_id, list_transform(embedding,
+                x -> CAST(FLOOR(x * 1000) AS BIGINT)) AS qv
+              FROM embeddings),
+            truth AS (
+              SELECT qid, vec_id FROM (
+                SELECT q.vec_id AS qid, c.vec_id,
+                  row_number() OVER (PARTITION BY q.vec_id ORDER BY
+                    CAST(list_dot_product(q.qv, q.qv)
+                      - 2*list_dot_product(q.qv, c.qv)
+                      + list_dot_product(c.qv, c.qv) AS BIGINT),
+                    c.vec_id) AS rn
+                FROM v q CROSS JOIN v c
+                WHERE q.vec_id < $NumQueries AND c.vec_id <> q.vec_id)
+              WHERE rn <= $TopK),
+            hits AS (
+              SELECT a.qid, CAST(count(*) AS BIGINT) AS hits
+              FROM approx a
+              JOIN truth t ON t.qid = a.qid AND t.vec_id = a.vec_id
+              GROUP BY 1)
+          SELECT q.vec_id AS qid,
+                 CAST(COALESCE(h.hits, 0) AS BIGINT) AS hits,
+                 CAST(COALESCE(h.hits, 0) * 10000 // $TopK AS BIGINT) AS recall_bp
+          FROM v q LEFT JOIN hits h ON h.qid = q.vec_id
+          WHERE q.vec_id < $NumQueries
+          ORDER BY 1,2,3""")
+
   val all: Seq[GateQuery] = Seq(x01, x02, x03, x04, x05, x06, x07, x08, x09,
     x10, x11, x12, x13, x14, x15, x16, x17, x18, x19, x20, x21, x22, x23,
     x24, x25, x26, x27, x28, x29, x30, x31, x32, x33, x34, x35, x36, x37,
     x38, x39, x40, x41, x42, x43, x44, x45, x46, x47, x48, x49, x50, x51,
     x52, x53, x54, x55, x56, x57, x58, x59, x60, x61, x62, x63, x64, x65, x66,
     x67, x68, x69, x70, x71, x72, x73, x74, x75, x76, x77, x78, x79, x80,
-    x81, x82)
+    x81, x82, x83)
 }

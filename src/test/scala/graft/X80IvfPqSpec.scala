@@ -102,5 +102,26 @@ class X80IvfPqSpec extends AnyFunSuite {
       .toSeq.sortBy(identity)
 
     assert(got == expected)
+
+    // x83 recall audit against the same reference: exact-L2² truth
+    // top-K per query, hits = |approx ∩ truth|, integer basis points
+    val truth = (0L until NumQueries.toLong).map { qid =>
+      val qq = byId(qid)
+      qid -> raw.iterator.filter(_._1 != qid)
+        .map { case (id, v) => (l2sq(qq, v), id) }
+        .toSeq.sorted.take(TopK).map(_._2).toSet
+    }.toMap
+    val approxIds = expected.groupBy(_._1)
+      .map { case (q, xs) => q -> xs.map(_._2).toSet }
+    val wantRecall = (0L until NumQueries.toLong).map { qid =>
+      val h = approxIds.getOrElse(qid, Set.empty).count(truth(qid))
+      (qid, h.toLong, h.toLong * 10000L / TopK)
+    }.toSeq
+    val gotRecall = SparkEntry.queries("x83_ivfpq_recall")(
+        spark, "/root/testdata/sf0.001")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .toSeq.sortBy(_._1)
+    assert(gotRecall == wantRecall)
   }
 }
