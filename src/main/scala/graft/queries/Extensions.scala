@@ -5700,11 +5700,59 @@ object Extensions {
           WHERE q.vec_id < $NumQueries
           ORDER BY 1,2,3""")
 
+  // ---------------------------------------------------------------- x84
+  // Out-of-vocabulary rate — the vocab-relative quality signal the
+  // heuristic family lacks: x16 scores surface shape, x26
+  // repetition, x68 bigram-LM surprisal; this scores each document
+  // against the TRAINED top-V vocabulary (x31's table): the permille
+  // of token instances outside it. High-OOV documents tokenize into
+  // rare-piece soup (the filter CCNet applies via its LM vocabulary).
+  //
+  // Scale shape: the vocab is corpus-trained in one map-side-partial
+  // count agg + distributed TakeOrdered (orderBy.limit — no global
+  // window), collapses to ONE broadcast array row; scoring is a
+  // per-row HOF membership scan (V·n_tok comparisons per doc, V
+  // bounded). Two corpus scans, the only shuffle is vocabulary-sized.
+  private val OovV = 256
+
+  private val x84 = GateQuery(
+    "x84_oov_rate",
+    (s, d) => {
+      val docs = Tables.documents(s, d)
+      val voc = docs.select(explode(split(col("text"), " ")).as("tok"))
+        .groupBy(col("tok")).agg(count(lit(1)).as("cnt"))
+        .orderBy(col("cnt").desc, col("tok")).limit(OovV)
+        .agg(sort_array(collect_list(col("tok"))).as("varr"))
+      val tk = split(col("text"), " ")
+      val oov = size(filter(tk, t => not(array_contains(col("varr"), t))))
+      ordered(docs.crossJoin(broadcast(voc))
+        .select(col("doc_id"),
+          size(tk).cast("long").as("n_tok"),
+          oov.cast("long").as("oov"))
+        .withColumn("oov_permille", expr("oov * 1000 div n_tok")))
+    },
+    Some(s"""WITH c AS (
+              SELECT unnest(string_split(text, ' ')) AS tok FROM documents),
+            g AS (SELECT tok, count(*) AS cnt FROM c GROUP BY 1),
+            voc AS (
+              SELECT tok FROM g ORDER BY cnt DESC, tok LIMIT $OovV),
+            va AS (SELECT list(tok ORDER BY tok) AS varr FROM voc),
+            sc AS (
+              SELECT doc_id,
+                CAST(len(tk) AS BIGINT) AS n_tok,
+                CAST(len(list_filter(tk,
+                  x -> NOT list_contains(va.varr, x))) AS BIGINT) AS oov
+              FROM (SELECT doc_id, string_split(text, ' ') AS tk
+                    FROM documents), va)
+            SELECT doc_id, n_tok, oov,
+                   CAST(oov * 1000 // n_tok AS BIGINT) AS oov_permille
+            FROM sc ORDER BY 1,2,3,4"""))
+
   val all: Seq[GateQuery] = Seq(x01, x02, x03, x04, x05, x06, x07, x08, x09,
     x10, x11, x12, x13, x14, x15, x16, x17, x18, x19, x20, x21, x22, x23,
     x24, x25, x26, x27, x28, x29, x30, x31, x32, x33, x34, x35, x36, x37,
     x38, x39, x40, x41, x42, x43, x44, x45, x46, x47, x48, x49, x50, x51,
     x52, x53, x54, x55, x56, x57, x58, x59, x60, x61, x62, x63, x64, x65, x66,
     x67, x68, x69, x70, x71, x72, x73, x74, x75, x76, x77, x78, x79, x80,
-    x81, x82, x83)
+    x81, x82, x83, x84)
 }
