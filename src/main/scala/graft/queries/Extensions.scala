@@ -5748,11 +5748,246 @@ object Extensions {
                    CAST(oov * 1000 // n_tok AS BIGINT) AS oov_permille
             FROM sc ORDER BY 1,2,3,4"""))
 
+  // ---------------------------------------------------------------- x85
+  // Prototypicality pruning (the SSL-prototypes data-selection move,
+  // Sorscher et al. "Beyond neural scaling laws"): when data is
+  // abundant, the EASIEST examples — those closest to their class
+  // prototype — teach the least and are pruned first. Prototype =
+  // the per-label exact integer sum centroid (x38's construction;
+  // with unlabeled data x39's k-means supplies the labels — same
+  // substrate, composition documented). Each vector's cosine to its
+  // OWN prototype is bucketed by FLOOR(cos·64) — 64 is a power of
+  // two, so the scaling multiply is exact and the floor bit-identical
+  // across engines — and the per-label keep/prune threshold is the
+  // QUANTILE BUCKET: the largest bucket t whose from-the-top
+  // cumulative count reaches the prune quota (n·pm/1000). Rows at or
+  // above t are pruned — the smallest bucket-aligned superset of the
+  // quota, so no per-row rank (and no corpus-wide order statistic)
+  // is ever computed.
+  //
+  // Scale shape: centroid agg = k×dim keyed partial sums (map-side
+  // combined, never more rows in flight); scoring joins the k-row
+  // centroid table by broadcast and runs one fused native cosine per
+  // row (LongCosine); the histogram is ≤ k×129 rows and its window
+  // is metadata-scale (the x82 contract) — thresholds broadcast back
+  // and the flag is a stateless per-row comparison. Zero corpus-wide
+  // shuffles, zero order statistics over the corpus.
+  private val ProtoPrunePm = 250L // prune the most-prototypical quartile
+  private val ProtoBuckets = 64 // power of two: exact double scaling
+
+  /** x85's engine, parameterized for fixtures: (vec_id, label, qv)
+    * rows in, (vec_id, label, bkt, pruned) out. X85ProtoSpec pins the
+    * quantile-bucket threshold semantics on hand fixtures. */
+  private[graft] def protoPrune(vIn: DataFrame,
+      prunePm: Long = ProtoPrunePm): DataFrame = {
+    val v = vIn.persist() // centroid agg + scoring pass both consume it
+    v.count() // eager: consumers race on a cold cache (see x14)
+    val cents = sumCentroids(v.select(col("label").as("clabel"), col("qv")))
+      .withColumnRenamed("clabel", "label")
+    val sc = v.join(broadcast(cents), "label")
+      .select(col("vec_id"), col("label"),
+        floor(cosLongCol(col("qv"), col("cv")) * lit(ProtoBuckets))
+          .cast("long").as("bkt"))
+      .persist() // histogram + final flag pass both consume it
+    sc.count()
+    val n = sc.groupBy(col("label")).agg(count(lit(1)).as("n"))
+    val hist = sc.groupBy(col("label"), col("bkt")).agg(count(lit(1)).as("c"))
+    val cum = hist.withColumn("cum",
+      sum(col("c")).over(Window.partitionBy(col("label"))
+        .orderBy(col("bkt").desc)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    val thr = cum.join(n, "label")
+      .withColumn("quota", expr(s"n * $prunePm div 1000"))
+      .filter(col("quota") > 0 && col("cum") >= col("quota"))
+      .groupBy(col("label")).agg(max(col("bkt")).as("thr"))
+    ordered(sc.join(broadcast(thr), Seq("label"), "left")
+      .select(col("vec_id"), col("label"), col("bkt"),
+        coalesce(col("bkt") >= col("thr"), lit(false)).as("pruned")))
+  }
+
+  private val x85 = GateQuery(
+    "x85_proto_prune",
+    (s, d) => {
+      val quant = transform(col("embedding"),
+        x => floor(x * lit(1000)).cast("long"))
+      protoPrune(Tables.embeddings(s, d)
+        .select(col("vec_id"), col("label"), quant.as("qv")))
+    },
+    Some(s"""WITH v AS (
+              SELECT vec_id, label, list_transform(embedding,
+                x -> CAST(FLOOR(x * 1000) AS BIGINT)) AS qv
+              FROM embeddings),
+            sums AS (
+              SELECT label, u.i AS pos, sum(qv[u.i + 1]) AS s
+              FROM v, unnest(range(len(qv))) AS u(i)
+              GROUP BY 1, 2),
+            cents AS (
+              SELECT label, list(s ORDER BY pos) AS cv
+              FROM sums GROUP BY 1),
+            sc AS (
+              SELECT vec_id, v.label,
+                CAST(FLOOR(list_dot_product(v.qv, c.cv) /
+                  (sqrt(list_dot_product(v.qv, v.qv))
+                   * sqrt(list_dot_product(c.cv, c.cv)))
+                  * $ProtoBuckets) AS BIGINT) AS bkt
+              FROM v JOIN cents c ON c.label = v.label),
+            n AS (SELECT label, count(*) AS n FROM sc GROUP BY 1),
+            hist AS (
+              SELECT label, bkt, count(*) AS c FROM sc GROUP BY 1, 2),
+            cum AS (
+              SELECT label, bkt,
+                sum(c) OVER (PARTITION BY label ORDER BY bkt DESC) AS cum
+              FROM hist),
+            thr AS (
+              SELECT cum.label, max(bkt) AS thr
+              FROM cum JOIN n ON n.label = cum.label
+              WHERE (n.n * $ProtoPrunePm) // 1000 > 0
+                AND cum >= (n.n * $ProtoPrunePm) // 1000
+              GROUP BY 1)
+          SELECT sc.vec_id, sc.label, sc.bkt,
+                 coalesce(sc.bkt >= t.thr, false) AS pruned
+          FROM sc LEFT JOIN thr t ON t.label = sc.label
+          ORDER BY 1,2,3,4"""))
+
+  // ---------------------------------------------------------------- x86
+  // Incremental dedup ingest — the daily-crawl move: dedup TODAY'S
+  // delta against the 100 TB history WITHOUT rescanning it. The
+  // history is a frozen REGISTRY of MinHash band keys (here rebuilt
+  // from doc_id % 4 != 0 for the gate; in production it is written
+  // once, stored PARTITIONED BY band key, and only appended to); the
+  // batch (doc_id % 4 == 0) computes its own bands and probes the
+  // registry with a band equi-join — cost ∝ delta size + collision
+  // sets, never ∝ history size, and the x48 Bloom semi-join composes
+  // on the registry scan so only buckets the delta actually touches
+  // are read. Candidates verify with EXACT token-set Jaccard
+  // (integer intersection/union sizes over the sorted-distinct
+  // arrays, inter·10 ≥ 9·union ⇔ jac ≥ 0.9 — no float anywhere),
+  // restricted to candidate ids (x04's semi-join-then-broadcast
+  // pattern). Per batch doc: duplicate count, best match by
+  // (jac_permille desc, reg_id asc), novelty flag; novel docs carry
+  // the (-1, 0) sentinels — no NULLs. The streaming twin is the
+  // NearDup/DocStreams watermark-bounded path; this is its BATCH
+  // form where history stays at rest.
+  /** x86's engine, parameterized for fixtures: `reg` and `bat` are
+    * (doc_id, arr) token-set tables (registry/history and today's
+    * delta). Returns one row per batch doc: duplicate count, best
+    * match by (jac_permille desc, reg_id asc), novelty flag; (-1, 0)
+    * sentinels for novel docs. X86IngestSpec pins the semantics. */
+  private[graft] def incrementalIngest(reg: DataFrame, bat: DataFrame,
+      jacThresholdPct: Long = 90L): DataFrame = {
+    val regB = bandTableArr(reg.select(col("doc_id").as("rep"), col("arr")), "t:")
+    val batB = bandTableArr(bat.select(col("doc_id").as("rep"), col("arr")), "t:")
+    val joinCond = col("a.band") === col("b.band") &&
+      (0 until BandRows).map(j => col(s"a.k$j") === col(s"b.k$j")).reduce(_ && _)
+    val cand = batB.as("a").join(regB.as("b"), joinCond)
+      .select(col("a.rep").as("new_id"), col("b.rep").as("reg_id"))
+      .distinct().persist()
+    cand.count()
+    // verify sides: only ids that appear in a candidate pair are
+    // broadcast (candidate volume is LSH-collision-bounded; the
+    // full corpus array table never is)
+    val aArr = broadcast(bat.join(
+      cand.select(col("new_id").as("doc_id")).distinct(), "doc_id")
+      .select(col("doc_id").as("new_id"), col("arr").as("arr_a")))
+    val bArr = broadcast(reg.join(
+      cand.select(col("reg_id").as("doc_id")).distinct(), "doc_id")
+      .select(col("doc_id").as("reg_id"), col("arr").as("arr_b")))
+    val inter = size(array_intersect(col("arr_a"), col("arr_b"))).cast("long")
+    val uni = (size(col("arr_a")) + size(col("arr_b"))).cast("long") - inter
+    val dups = cand.join(aArr, "new_id").join(bArr, "reg_id")
+      .withColumn("inter", inter).withColumn("uni", uni)
+      .filter(col("inter") * 100 >= col("uni") * jacThresholdPct)
+      .withColumn("jac_pm", expr("inter * 1000 div uni"))
+    val summary = dups.groupBy(col("new_id"))
+      .agg(count(lit(1)).as("n_dups"),
+        max(struct(col("jac_pm"), (-col("reg_id")).as("nreg"))).as("best"))
+      .select(col("new_id"), col("n_dups"),
+        (-col("best.nreg")).as("best_reg"), col("best.jac_pm").as("best_jac_pm"))
+    ordered(bat.select(col("doc_id").as("new_id"))
+      .join(summary, Seq("new_id"), "left")
+      .select(col("new_id"),
+        coalesce(col("n_dups"), lit(0L)).as("n_dups"),
+        coalesce(col("best_reg"), lit(-1L)).as("best_reg"),
+        coalesce(col("best_jac_pm"), lit(0L)).as("best_jac_pm"))
+      .withColumn("novel", col("n_dups") === 0L))
+  }
+
+  private val x86 = GateQuery(
+    "x86_incremental_ingest",
+    (s, d) => {
+      // narrow repartition off the 1-split scan; persisted: registry
+      // bands, batch bands and both verify sides all consume it
+      val docArrs = Tables.documents(s, d)
+        .repartition(col("doc_id"))
+        .select(col("doc_id"), tokenSet(col("text")).as("arr"))
+        .persist()
+      docArrs.count()
+      incrementalIngest(
+        docArrs.filter(col("doc_id") % 4 =!= 0),
+        docArrs.filter(col("doc_id") % 4 === 0))
+    },
+    Some({
+      val mhCols = (0 until NumMinhash).map { i =>
+        s"MIN((h * ${mhA(i)} + ${mhB(i)}) % $Mod32) AS mh$i"
+      }.mkString(", ")
+      val bandSelects = (0 until NumBands).map { b =>
+        val ks = (0 until BandRows)
+          .map(j => s"mh${BandRows * b + j} AS k$j").mkString(", ")
+        s"SELECT doc_id, $b AS band, $ks FROM mh"
+      }.mkString(" UNION ALL ")
+      val joinKeys = "a.band = b.band AND " +
+        (0 until BandRows).map(j => s"a.k$j = b.k$j").mkString(" AND ")
+      s"""WITH arrs AS (
+            SELECT doc_id,
+                   list_sort(list_distinct(string_split(text, ' '))) AS arr
+            FROM documents),
+          toks AS (
+            SELECT doc_id, unnest(arr) AS tok FROM arrs),
+          th AS (
+            SELECT doc_id, ${duckHex32("md5('t:' || tok)")} AS h FROM toks),
+          mh AS (SELECT doc_id, $mhCols FROM th GROUP BY doc_id),
+          banded AS ($bandSelects),
+          regb AS (SELECT * FROM banded WHERE doc_id % 4 != 0),
+          batb AS (SELECT * FROM banded WHERE doc_id % 4 = 0),
+          cand AS (
+            SELECT DISTINCT a.doc_id AS new_id, b.doc_id AS reg_id
+            FROM batb a JOIN regb b ON $joinKeys),
+          scored AS (
+            SELECT c.new_id, c.reg_id,
+              CAST(len(list_intersect(aa.arr, ba.arr)) AS BIGINT) AS inter,
+              CAST(len(aa.arr) + len(ba.arr)
+                   - len(list_intersect(aa.arr, ba.arr)) AS BIGINT) AS uni
+            FROM cand c
+            JOIN arrs aa ON aa.doc_id = c.new_id
+            JOIN arrs ba ON ba.doc_id = c.reg_id),
+          dups AS (
+            SELECT new_id, reg_id, (inter * 1000) // uni AS jac_pm
+            FROM scored WHERE inter * 10 >= uni * 9),
+          summary AS (
+            SELECT new_id, CAST(count(*) AS BIGINT) AS n_dups,
+              CAST(max(jac_pm) AS BIGINT) AS best_jac_pm
+            FROM dups GROUP BY 1),
+          best AS (
+            SELECT new_id, reg_id AS best_reg FROM (
+              SELECT new_id, reg_id, row_number() OVER (
+                PARTITION BY new_id ORDER BY jac_pm DESC, reg_id) AS rn
+              FROM dups) WHERE rn = 1)
+        SELECT b.doc_id AS new_id,
+               coalesce(s.n_dups, 0) AS n_dups,
+               coalesce(bb.best_reg, -1) AS best_reg,
+               coalesce(s.best_jac_pm, 0) AS best_jac_pm,
+               coalesce(s.n_dups, 0) = 0 AS novel
+        FROM (SELECT doc_id FROM arrs WHERE doc_id % 4 = 0) b
+        LEFT JOIN summary s ON s.new_id = b.doc_id
+        LEFT JOIN best bb ON bb.new_id = b.doc_id
+        ORDER BY 1,2,3,4,5"""
+    }))
+
   val all: Seq[GateQuery] = Seq(x01, x02, x03, x04, x05, x06, x07, x08, x09,
     x10, x11, x12, x13, x14, x15, x16, x17, x18, x19, x20, x21, x22, x23,
     x24, x25, x26, x27, x28, x29, x30, x31, x32, x33, x34, x35, x36, x37,
     x38, x39, x40, x41, x42, x43, x44, x45, x46, x47, x48, x49, x50, x51,
     x52, x53, x54, x55, x56, x57, x58, x59, x60, x61, x62, x63, x64, x65, x66,
     x67, x68, x69, x70, x71, x72, x73, x74, x75, x76, x77, x78, x79, x80,
-    x81, x82, x83, x84)
+    x81, x82, x83, x84, x85, x86)
 }

@@ -171,7 +171,11 @@ def main(sf_dir: str, out_dir: str) -> int:
         results[name] = {"rows_match": None, "schema_match": None,
                          "hash_match": None, "spark_rows": None,
                          "oracle_rows": None, "err": None, **kw}
+    only = os.environ.get("GRAFT_ONLY")
+    only = set(only.split(",")) if only else None
     for name, sql in sorted(oracle.items()):
+        if only is not None and name not in only:
+            continue
         files = glob.glob(f"{out_dir}/{name}/*.parquet")
         if not files:
             print(f"FAIL {name}: no spark output"); n_bad += 1
