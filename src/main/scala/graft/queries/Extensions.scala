@@ -5715,21 +5715,34 @@ object Extensions {
   // bounded). Two corpus scans, the only shuffle is vocabulary-sized.
   private val OovV = 256
 
+  /** Train the top-V vocabulary as ONE sorted 1-row array: map-side
+    * count agg + distributed TakeOrdered (orderBy.limit — no global
+    * window). */
+  private[graft] def oovVocab(docs: DataFrame, v: Int = OovV): DataFrame =
+    docs.select(explode(split(col("text"), " ")).as("tok"))
+      .groupBy(col("tok")).agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("tok")).limit(v)
+      .agg(sort_array(collect_list(col("tok"))).as("varr"))
+
+  /** Score (doc_id, text, …) rows against a frozen one-row
+    * [[oovVocab]]: one per-row HOF membership scan, zero shuffles,
+    * streaming-legal (vocab trained offline, arrivals scored at
+    * ingest — DocStreams.oovScoreStream). */
+  private[graft] def oovScore(docs: DataFrame, voc: DataFrame): DataFrame = {
+    val tk = split(col("text"), " ")
+    val oov = size(filter(tk, t => not(array_contains(col("varr"), t))))
+    docs.crossJoin(broadcast(voc))
+      .select(col("doc_id"),
+        size(tk).cast("long").as("n_tok"),
+        oov.cast("long").as("oov"))
+      .withColumn("oov_permille", expr("oov * 1000 div n_tok"))
+  }
+
   private val x84 = GateQuery(
     "x84_oov_rate",
     (s, d) => {
       val docs = Tables.documents(s, d)
-      val voc = docs.select(explode(split(col("text"), " ")).as("tok"))
-        .groupBy(col("tok")).agg(count(lit(1)).as("cnt"))
-        .orderBy(col("cnt").desc, col("tok")).limit(OovV)
-        .agg(sort_array(collect_list(col("tok"))).as("varr"))
-      val tk = split(col("text"), " ")
-      val oov = size(filter(tk, t => not(array_contains(col("varr"), t))))
-      ordered(docs.crossJoin(broadcast(voc))
-        .select(col("doc_id"),
-          size(tk).cast("long").as("n_tok"),
-          oov.cast("long").as("oov"))
-        .withColumn("oov_permille", expr("oov * 1000 div n_tok")))
+      ordered(oovScore(docs, oovVocab(docs)))
     },
     Some(s"""WITH c AS (
               SELECT unnest(string_split(text, ' ')) AS tok FROM documents),
@@ -5784,26 +5797,43 @@ object Extensions {
     v.count() // eager: consumers race on a cold cache (see x14)
     val cents = sumCentroids(v.select(col("label").as("clabel"), col("qv")))
       .withColumnRenamed("clabel", "label")
-    val sc = v.join(broadcast(cents), "label")
+    val sc = protoScore(v, cents)
+      .persist() // histogram + final flag pass both consume it
+    sc.count()
+    ordered(protoFlag(sc, protoThresholds(sc, prunePm)))
+  }
+
+  /** Bucketed prototype affinity for (vec_id, label, qv) rows against
+    * a frozen (label, cv) centroid table: a k-row broadcast equi-join
+    * + one fused native cosine per row — zero shuffles,
+    * streaming-legal. */
+  private[graft] def protoScore(v: DataFrame, cents: DataFrame): DataFrame =
+    v.join(broadcast(cents), "label")
       .select(col("vec_id"), col("label"),
         floor(cosLongCol(col("qv"), col("cv")) * lit(ProtoBuckets))
           .cast("long").as("bkt"))
-      .persist() // histogram + final flag pass both consume it
-    sc.count()
+
+  /** Per-label quantile-bucket prune thresholds from a scored table:
+    * the histogram is ≤ k×129 rows, its window metadata-scale. */
+  private[graft] def protoThresholds(sc: DataFrame, prunePm: Long): DataFrame = {
     val n = sc.groupBy(col("label")).agg(count(lit(1)).as("n"))
     val hist = sc.groupBy(col("label"), col("bkt")).agg(count(lit(1)).as("c"))
     val cum = hist.withColumn("cum",
       sum(col("c")).over(Window.partitionBy(col("label"))
         .orderBy(col("bkt").desc)
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
-    val thr = cum.join(n, "label")
+    cum.join(n, "label")
       .withColumn("quota", expr(s"n * $prunePm div 1000"))
       .filter(col("quota") > 0 && col("cum") >= col("quota"))
       .groupBy(col("label")).agg(max(col("bkt")).as("thr"))
-    ordered(sc.join(broadcast(thr), Seq("label"), "left")
-      .select(col("vec_id"), col("label"), col("bkt"),
-        coalesce(col("bkt") >= col("thr"), lit(false)).as("pruned")))
   }
+
+  /** Stateless prune flag against frozen thresholds (labels with no
+    * threshold — quota 0 — keep everything). */
+  private[graft] def protoFlag(sc: DataFrame, thr: DataFrame): DataFrame =
+    sc.join(broadcast(thr), Seq("label"), "left")
+      .select(col("vec_id"), col("label"), col("bkt"),
+        coalesce(col("bkt") >= col("thr"), lit(false)).as("pruned"))
 
   private val x85 = GateQuery(
     "x85_proto_prune",

@@ -175,6 +175,29 @@ object DocStreams {
     Extensions.dsirScore(docs, model)
       .select(col("doc_id"), col("n_tok"), col("dsir_bits"))
 
+  /** Streaming face of x84's OOV rate: arrivals scored against the
+    * FROZEN top-V vocabulary (trained offline on a static corpus,
+    * [[Extensions.oovVocab]]) — one per-row HOF membership scan over
+    * the broadcast 1-row array, append mode, no state. Bit-identical
+    * to the batch scorer on the same model (DocStreamsSpec). Column
+    * contract: input has (doc_id, text); output (doc_id, n_tok, oov,
+    * oov_permille). */
+  def oovScoreStream(docs: DataFrame, voc: DataFrame): DataFrame =
+    Extensions.oovScore(docs, voc)
+
+  /** Streaming face of x85's prototypicality pruning: arrivals scored
+    * against the FROZEN prototype model — per-label sum centroids
+    * ([[graft.queries.Extensions.sumCentroids]]) plus per-label
+    * quantile-bucket thresholds ([[Extensions.protoThresholds]]),
+    * both trained offline. Scoring is a k-row broadcast equi-join +
+    * one fused native cosine + a stateless flag — append mode, no
+    * state. Bit-identical to the batch gate's flags on the same model
+    * (DocStreamsSpec). Column contract: input has (vec_id, label,
+    * qv: array<long>); output (vec_id, label, bkt, pruned). */
+  def protoPruneStream(vecs: DataFrame, cents: DataFrame,
+      thr: DataFrame): DataFrame =
+    Extensions.protoFlag(Extensions.protoScore(vecs, cents), thr)
+
   /** Streaming face of x46's heavy hitters: an UNBOUNDED token
     * stream tracked in bounded memory. Tokens route to `buckets`
     * state groups (md5, so a hot token always lands in one group);

@@ -598,6 +598,77 @@ class DocStreamsSpec extends AnyFunSuite {
     q.stop()
   }
 
+  test("streaming OOV scorer agrees with the batch x84 scorer") {
+    // vocab trained offline on a static corpus; a stream of NEW docs
+    // is scored statelessly and must match the batch scorer bit for
+    // bit on the same frozen 1-row vocab
+    val staticDocs = Seq(
+      Doc(1, "alpha beta alpha beta gamma", "en"),
+      Doc(2, "alpha beta delta alpha", "en")).toDF()
+    val voc = graft.queries.Extensions.oovVocab(staticDocs, v = 3).persist()
+    val arriving = Seq(
+      Doc(10, "alpha beta never seen", "zz"),
+      Doc(11, "alpha alpha alpha", "zz"),
+      Doc(12, "wholly novel tokens only", "zz"))
+    val batch = graft.queries.Extensions.oovScore(arriving.toDF(), voc)
+      .as[(Long, Long, Long, Long)].collect().sortBy(_._1)
+    // sanity on the fixture: half-OOV, fully-known, fully-novel
+    assert(batch.map(r => r._1 -> r._4).toMap ==
+      Map(10L -> 500L, 11L -> 0L, 12L -> 1000L))
+
+    val in = MemoryStream[Doc]
+    val q = DocStreams.oovScoreStream(in.toDF(), voc)
+      .writeStream.format("memory").queryName("oov")
+      .outputMode("append").start()
+    in.addData(arriving.take(2): _*)
+    q.processAllAvailable()
+    in.addData(arriving.drop(2): _*)
+    q.processAllAvailable()
+    val streamed = spark.table("oov")
+      .as[(Long, Long, Long, Long)].collect().sortBy(_._1)
+    assert(streamed.sameElements(batch))
+    q.stop()
+  }
+
+  test("streaming prototype pruner agrees with the batch x85 flags") {
+    // prototype model (centroids + per-label quantile-bucket
+    // thresholds) trained offline on a static labeled corpus; NEW
+    // arrivals are flagged statelessly against the frozen model
+    val training = (1L to 8L).map(i =>
+        (i, (i % 2).toInt, Seq(i * 97 % 13 * 100L, i * 41 % 7 * 150L,
+          (i * 59 % 11) * 80L - 200L)))
+      .toDF("vec_id", "label", "qv")
+    val cents = graft.queries.Extensions.sumCentroids(
+      training.withColumnRenamed("label", "clabel"))
+      .withColumnRenamed("clabel", "label").persist()
+    val thr = graft.queries.Extensions.protoThresholds(
+      graft.queries.Extensions.protoScore(training, cents), 250L).persist()
+    thr.count()
+    val arriving = Seq(
+      (10L, 0, Seq(500L, 300L, 100L)),
+      (11L, 1, Seq(-200L, 900L, 0L)),
+      (12L, 0, Seq(0L, 0L, 1000L)),
+      (13L, 1, Seq(400L, 400L, 400L)))
+    val batch = graft.queries.Extensions.protoFlag(
+      graft.queries.Extensions.protoScore(
+        arriving.toDF("vec_id", "label", "qv"), cents), thr)
+      .as[(Long, Int, Long, Boolean)].collect().sortBy(_._1)
+
+    val in = MemoryStream[(Long, Int, Seq[Long])]
+    val q = DocStreams.protoPruneStream(
+        in.toDF().toDF("vec_id", "label", "qv"), cents, thr)
+      .writeStream.format("memory").queryName("proto")
+      .outputMode("append").start()
+    in.addData(arriving.take(2): _*)
+    q.processAllAvailable()
+    in.addData(arriving.drop(2): _*)
+    q.processAllAvailable()
+    val streamed = spark.table("proto")
+      .as[(Long, Int, Long, Boolean)].collect().sortBy(_._1)
+    assert(streamed.sameElements(batch))
+    q.stop()
+  }
+
   test("heavy-hitter stream: exact while under k, state carries across batches") {
     // k large enough that nothing evicts: Misra-Gries degenerates to
     // exact counting, so the post-batch-2 emission must show the
