@@ -4119,7 +4119,17 @@ object Extensions {
   /** x68's engine, parameterized for fixtures: (doc_id, text) rows in,
     * (doc_id, n_bg, bits_sum, avg_bits, flagged) out. X68LmSpec pins
     * the whole-bit arithmetic on a hand-computed corpus. */
-  private[graft] def lmSurprisal(docs: DataFrame): DataFrame = {
+  private[graft] def lmSurprisal(docs: DataFrame): DataFrame =
+    ordered(lmDocBits(docs)
+      .select(col("doc_id"), col("n_bg"), col("bits_sum"),
+        (col("bits_sum").cast("double") / col("n_bg")).as("avg_bits"),
+        (col("bits_sum").cast("double") / col("n_bg") > LmMaxBits)
+          .as("flagged")))
+
+  /** The unordered per-doc core of [[lmSurprisal]]: (doc_id, n_bg,
+    * bits_sum) whole-bit surprisal totals. Shared with x87's CCNet
+    * bucket assignment. */
+  private[graft] def lmDocBits(docs: DataFrame): DataFrame = {
       val tk = docs
         .select(col("doc_id"), split(col("text"), " ").as("tk"))
       val pos = tk.select(col("doc_id"),
@@ -4145,19 +4155,15 @@ object Extensions {
         .withColumn("bits", expr(wholeBitLog2Sql(
           "cast(c_w1 as decimal(38,0)) + v_ctx",
           "cast(c_bg as decimal(38,0)) + 1")))
-      ordered(scored.groupBy(col("doc_id"))
+      scored.groupBy(col("doc_id"))
         .agg(sum(col("tf")).as("n_bg"),
           sum(col("tf") * col("bits")).as("bits_sum"))
-        .select(col("doc_id"), col("n_bg"), col("bits_sum"),
-          (col("bits_sum").cast("double") / col("n_bg")).as("avg_bits"),
-          (col("bits_sum").cast("double") / col("n_bg") > LmMaxBits)
-            .as("flagged")))
   }
 
-  private val x68 = GateQuery(
-    "x68_lm_surprisal",
-    (s, d) => lmSurprisal(Tables.documents(s, d)),
-    Some(s"""WITH tk AS (
+  /** Oracle twin of [[lmDocBits]]: CTE chain ending in
+    * `lm(doc_id, n_bg, bits_sum)`. Shared by x68 and x87. */
+  private def duckLmCtes: String =
+    s"""tk AS (
               SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
             bgl AS (
               SELECT doc_id,
@@ -4180,15 +4186,21 @@ object Extensions {
               FROM db d
               JOIN cb b ON b.bg = d.bg
               JOIN cw c ON c.w1 = string_split(d.bg, ' ')[1]
-              CROSS JOIN v)
-            SELECT doc_id,
-                   CAST(sum(tf) AS BIGINT) AS n_bg,
-                   CAST(sum(tf * bits) AS BIGINT) AS bits_sum,
-                   CAST(sum(tf * bits) AS DOUBLE) / CAST(sum(tf) AS BIGINT)
-                     AS avg_bits,
-                   (CAST(sum(tf * bits) AS DOUBLE) / CAST(sum(tf) AS BIGINT))
-                     > $LmMaxBits AS flagged
-            FROM sc GROUP BY 1 ORDER BY 1,2,3,4,5"""))
+              CROSS JOIN v),
+            lm AS (
+              SELECT doc_id,
+                     CAST(sum(tf) AS BIGINT) AS n_bg,
+                     CAST(sum(tf * bits) AS BIGINT) AS bits_sum
+              FROM sc GROUP BY 1)"""
+
+  private val x68 = GateQuery(
+    "x68_lm_surprisal",
+    (s, d) => lmSurprisal(Tables.documents(s, d)),
+    Some(s"""WITH $duckLmCtes
+            SELECT doc_id, n_bg, bits_sum,
+                   CAST(bits_sum AS DOUBLE) / n_bg AS avg_bits,
+                   CAST(bits_sum AS DOUBLE) / n_bg > $LmMaxBits AS flagged
+            FROM lm ORDER BY 1,2,3,4,5"""))
 
   // ---------------------------------------------------------------- x69
   // CONTAINMENT decontamination (bipartite, benchmark → corpus):
@@ -6013,11 +6025,182 @@ object Extensions {
         ORDER BY 1,2,3,4,5"""
     }))
 
+  // ---------------------------------------------------------------- x87
+  // CCNet perplexity buckets: split each LANGUAGE's corpus into
+  // head / middle / tail terciles by LM surprisal — CCNet's central
+  // data-quality partition (head = most-fluent third, the slice that
+  // trains; tail = the slice that gets dropped or down-weighted).
+  // Surprisal is x68's whole-bit bigram-LM score collapsed to an
+  // integer permille-bits-per-bigram (spb = bits_sum·1000 div n_bg),
+  // and the per-lang tercile cut reuses x85's quantile-HISTOGRAM
+  // move at coarser grain: spb div 100 buckets (≤ ~200 per lang),
+  // t1/t2 = smallest bucket whose from-the-bottom cumulative count
+  // reaches n/3 and 2n/3 (cum·3 ≥ n — pure integer, no division).
+  // Bucket-aligned boundaries, same documented granularity trade as
+  // x85. Docs with <2 tokens have no bigrams and no score — absent
+  // on both engines.
+  //
+  // Scale shape: the LM scoring is x68's (vocabulary-sized count
+  // tables, one corpus shuffle onto bg); the lang join is one
+  // doc_id equi-join of two per-doc tables; the histogram is
+  // langs×200 rows (metadata-scale window, the x82 contract) and
+  // the two thresholds broadcast back into a stateless CASE.
+  private val CcnetHb = 100L // deci-bit histogram granularity
+
+  /** x87's engine, parameterized for fixtures: (doc_id, text, lang)
+    * rows in, (doc_id, lang, spb, bucket) out. X87CcnetSpec pins the
+    * tercile-order and quota properties. */
+  private[graft] def ccnetBuckets(docs: DataFrame): DataFrame = {
+    val d = lmDocBits(docs)
+      .join(docs.select(col("doc_id"), col("lang")), "doc_id")
+      .withColumn("spb", expr("bits_sum * 1000 div n_bg"))
+      .withColumn("hb", expr(s"spb div $CcnetHb"))
+      .persist() // histogram + final assignment both consume it
+    d.count()
+    val n = d.groupBy(col("lang")).agg(count(lit(1)).as("n"))
+    val hist = d.groupBy(col("lang"), col("hb")).agg(count(lit(1)).as("c"))
+    val cum = hist.withColumn("cum",
+      sum(col("c")).over(Window.partitionBy(col("lang"))
+        .orderBy(col("hb").asc)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .join(n, "lang").persist() // t1 + t2 both consume it
+    val t1 = cum.filter(col("cum") * 3 >= col("n"))
+      .groupBy(col("lang")).agg(min(col("hb")).as("t1"))
+    val t2 = cum.filter(col("cum") * 3 >= col("n") * 2)
+      .groupBy(col("lang")).agg(min(col("hb")).as("t2"))
+    ordered(d.join(broadcast(t1), "lang").join(broadcast(t2), "lang")
+      .select(col("doc_id"), col("lang"), col("spb"),
+        when(col("hb") <= col("t1"), "head")
+          .when(col("hb") <= col("t2"), "middle")
+          .otherwise("tail").as("bucket")))
+  }
+
+  private val x87 = GateQuery(
+    "x87_ccnet_buckets",
+    (s, d) => ccnetBuckets(Tables.documents(s, d)),
+    Some(s"""WITH $duckLmCtes,
+            d AS (
+              SELECT l.doc_id, doc.lang,
+                     (l.bits_sum * 1000) // l.n_bg AS spb,
+                     ((l.bits_sum * 1000) // l.n_bg) // $CcnetHb AS hb
+              FROM lm l JOIN documents doc ON doc.doc_id = l.doc_id),
+            n AS (SELECT lang, count(*) AS n FROM d GROUP BY 1),
+            hist AS (SELECT lang, hb, count(*) AS c FROM d GROUP BY 1, 2),
+            cum AS (
+              SELECT hist.lang, hb, n.n,
+                sum(c) OVER (PARTITION BY hist.lang ORDER BY hb ASC) AS cum
+              FROM hist JOIN n ON n.lang = hist.lang),
+            t1 AS (
+              SELECT lang, min(hb) AS t1 FROM cum
+              WHERE cum * 3 >= n GROUP BY 1),
+            t2 AS (
+              SELECT lang, min(hb) AS t2 FROM cum
+              WHERE cum * 3 >= 2 * n GROUP BY 1)
+          SELECT d.doc_id, d.lang, CAST(d.spb AS BIGINT) AS spb,
+                 CASE WHEN d.hb <= t1.t1 THEN 'head'
+                      WHEN d.hb <= t2.t2 THEN 'middle'
+                      ELSE 'tail' END AS bucket
+          FROM d
+          JOIN t1 ON t1.lang = d.lang
+          JOIN t2 ON t2.lang = d.lang
+          ORDER BY 1,2,3,4"""))
+
+  // ---------------------------------------------------------------- x88
+  // Repeated-span REMOVAL (the transform behind "deduplicate the
+  // training set at the substring level", Lee et al. "Deduplicating
+  // Training Data Makes Language Models Better"): x45 MEASURES
+  // duplicated W-token spans; this gate REWRITES each document with
+  // every token that any cross-doc-duplicated span covers removed.
+  // A span duplicates when its hash occurs in ≥ 2 DISTINCT documents
+  // (within-doc repeats alone don't trigger removal — they're x26's
+  // signal); coverage is positional, so overlapping duplicated spans
+  // merge naturally into one removed region.
+  //
+  // Scale shape: the positional span table is (doc_id, i, 32-hex
+  // hash) — rows ∝ corpus token count, document text never shuffles
+  // (x45's contract; positions ride along because the REWRITE needs
+  // them, which distinct-hash SpanHashes cannot supply). The dup-span
+  // set is corpus-scale, so its join with the positional table is a
+  // deliberate shuffle equi-join on the hash (never a broadcast);
+  // doc-side state is one start-position set ≤ doc length; the
+  // rewrite itself is a stateless per-row HOF (per-token cost
+  // O(|starts|), bounded by doc length). The dup flag aggregates
+  // constant-buffer counts over per-doc-distinct (doc, sh) rows —
+  // a stopword span never materializes a doc list (the spanEdges
+  // hub-safety rule).
+  private val ScrubW = SpanW // 8-token windows, x45's grain
+
+  /** x88's engine, parameterized for fixtures: (doc_id, text) rows
+    * in, (doc_id, n_tok, n_removed, clean) out. X88ScrubSpec pins
+    * coverage merge, cross-doc-only triggering, and the short-doc
+    * identity. */
+  private[graft] def spanScrub(docs: DataFrame, w: Int = ScrubW): DataFrame = {
+    // hoist split() out of every lambda (HOF bodies re-evaluate per
+    // element); persisted: the span pass and the rebuild consume it
+    val tkd = docs
+      .select(col("doc_id"), split(col("text"), " ").as("tk"))
+      .persist()
+    tkd.count()
+    val ps = tkd.select(col("doc_id"), posexplode(
+        when(size(col("tk")) >= w,
+          transform(sequence(lit(0), size(col("tk")) - w),
+            i => md5(concat_ws(" ", slice(col("tk"), i + 1, lit(w))))))
+          .otherwise(array().cast("array<string>")))
+        .as(Seq("i", "sh")))
+      .persist() // dup-set agg + start-position join both consume it
+    ps.count()
+    val dup = ps.select(col("doc_id"), col("sh")).distinct()
+      .groupBy(col("sh")).agg(count(lit(1)).as("n_docs"))
+      .filter(col("n_docs") >= 2).select(col("sh"))
+    val starts = ps.join(dup, "sh")
+      .groupBy(col("doc_id")).agg(collect_set(col("i")).as("starts"))
+    ordered(tkd.join(starts, Seq("doc_id"), "left")
+      .withColumn("st", coalesce(col("starts"), array().cast("array<int>")))
+      .withColumn("kept", filter(col("tk"), (t, p) =>
+        not(exists(col("st"), s => s <= p && p <= s + (w - 1)))))
+      .select(col("doc_id"),
+        size(col("tk")).cast("long").as("n_tok"),
+        (size(col("tk")) - size(col("kept"))).cast("long").as("n_removed"),
+        concat_ws(" ", col("kept")).as("clean")))
+  }
+
+  private val x88 = GateQuery(
+    "x88_span_scrub",
+    (s, d) => spanScrub(Tables.documents(s, d)),
+    Some(s"""WITH tk AS (
+              SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+            ps AS MATERIALIZED (
+              SELECT doc_id, i,
+                     md5(array_to_string(tk[i+1 : i+$ScrubW], ' ')) AS sh
+              FROM tk,
+                   unnest(range(0, GREATEST(len(tk) - ${ScrubW - 1}, 0))) AS u(i)),
+            dup AS (
+              SELECT sh FROM (SELECT DISTINCT doc_id, sh FROM ps)
+              GROUP BY sh HAVING count(*) >= 2),
+            st AS (
+              SELECT ps.doc_id, list(i) AS starts
+              FROM ps JOIN dup ON dup.sh = ps.sh
+              GROUP BY 1),
+            reb AS (
+              SELECT t.doc_id,
+                     CAST(len(t.tk) AS BIGINT) AS n_tok,
+                     [t.tk[p + 1] FOR p IN range(0, len(t.tk))
+                      IF len(list_filter(coalesce(st.starts, []),
+                        s -> s <= p AND p <= s + ${ScrubW - 1})) = 0] AS kept
+              FROM tk t LEFT JOIN st ON st.doc_id = t.doc_id)
+          SELECT doc_id, n_tok,
+                 n_tok - CAST(len(kept) AS BIGINT) AS n_removed,
+                 -- DuckDB's array_to_string([]) is NULL, Spark's
+                 -- concat_ws over an empty array is '' — coalesce to
+                 -- the Spark value (fully-scrubbed docs hit this)
+                 coalesce(array_to_string(kept, ' '), '') AS clean
+          FROM reb ORDER BY 1,2,3,4"""))
+
   val all: Seq[GateQuery] = Seq(x01, x02, x03, x04, x05, x06, x07, x08, x09,
     x10, x11, x12, x13, x14, x15, x16, x17, x18, x19, x20, x21, x22, x23,
     x24, x25, x26, x27, x28, x29, x30, x31, x32, x33, x34, x35, x36, x37,
     x38, x39, x40, x41, x42, x43, x44, x45, x46, x47, x48, x49, x50, x51,
     x52, x53, x54, x55, x56, x57, x58, x59, x60, x61, x62, x63, x64, x65, x66,
     x67, x68, x69, x70, x71, x72, x73, x74, x75, x76, x77, x78, x79, x80,
-    x81, x82, x83, x84, x85, x86)
+    x81, x82, x83, x84, x85, x86, x87, x88)
 }
