@@ -6196,11 +6196,87 @@ object Extensions {
                  coalesce(array_to_string(kept, ' '), '') AS clean
           FROM reb ORDER BY 1,2,3,4"""))
 
+  // ---------------------------------------------------------------- x89
+  // Scrub-effectiveness audit — the transform-side member of the
+  // audit family (x66 IVF recall, x73 LSH calibration, x74 PQ
+  // distortion, x78 blocking recall, x83 IVFADC): run x45's
+  // duplicated-span measurement BEFORE and AFTER x88's repeated-span
+  // removal and report both per doc. Residual duplication after one
+  // scrub pass is a real phenomenon (removal creates new token
+  // adjacencies whose windows can coincide across docs — Lee et al.
+  // iterate to a fixpoint), so the audit turns "the scrub worked"
+  // into a measured number instead of an assumption.
+  //
+  // Scale shape: exactly the sum of its parts — x88's chain plus two
+  // x45 passes (three corpus scans, every wide op an equi-shuffle on
+  // fixed-width hashes or doc_id); nothing new materializes beyond
+  // the shapes both components already price.
+  private val x89 = GateQuery(
+    "x89_scrub_audit",
+    (s, d) => {
+      val docs = Tables.documents(s, d)
+        .select(col("doc_id"), col("text")).persist()
+      docs.count() // scrub + before-counts both consume it
+      val before = spanDedupCounts(docs)
+        .withColumnRenamed("n_spans", "n_spans_before")
+        .withColumnRenamed("dup_spans", "dup_before")
+      val clean = spanScrub(docs).select(col("doc_id"), col("clean").as("text"))
+      val after = spanDedupCounts(clean)
+        .withColumnRenamed("n_spans", "n_spans_after")
+        .withColumnRenamed("dup_spans", "dup_after")
+      ordered(before.join(after, "doc_id"))
+    },
+    Some(s"""WITH tk AS (
+              SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+            ps AS MATERIALIZED (
+              SELECT doc_id, i,
+                     md5(array_to_string(tk[i+1 : i+$ScrubW], ' ')) AS sh
+              FROM tk,
+                   unnest(range(0, GREATEST(len(tk) - ${ScrubW - 1}, 0))) AS u(i)),
+            dup AS (
+              SELECT sh FROM (SELECT DISTINCT doc_id, sh FROM ps)
+              GROUP BY sh HAVING count(*) >= 2),
+            st AS (
+              SELECT ps.doc_id, list(i) AS starts
+              FROM ps JOIN dup ON dup.sh = ps.sh
+              GROUP BY 1),
+            ctk AS (
+              SELECT t.doc_id,
+                     [t.tk[p + 1] FOR p IN range(0, len(t.tk))
+                      IF len(list_filter(coalesce(st.starts, []),
+                        s -> s <= p AND p <= s + ${ScrubW - 1})) = 0] AS tk
+              FROM tk t LEFT JOIN st ON st.doc_id = t.doc_id),
+            bsp AS (SELECT DISTINCT doc_id, sh FROM ps),
+            bps AS (SELECT sh, count(*) AS n_docs FROM bsp GROUP BY 1),
+            bpd AS (
+              SELECT s.doc_id, count(*) AS n_spans,
+                     sum(CASE WHEN c.n_docs >= 2 THEN 1 ELSE 0 END) AS dup_spans
+              FROM bsp s JOIN bps c USING (sh) GROUP BY 1),
+            asp AS (
+              SELECT DISTINCT doc_id,
+                     md5(array_to_string(tk[i+1 : i+$ScrubW], ' ')) AS sh
+              FROM ctk,
+                   unnest(range(0, GREATEST(len(tk) - ${ScrubW - 1}, 0))) AS u(i)),
+            aps AS (SELECT sh, count(*) AS n_docs FROM asp GROUP BY 1),
+            apd AS (
+              SELECT s.doc_id, count(*) AS n_spans,
+                     sum(CASE WHEN c.n_docs >= 2 THEN 1 ELSE 0 END) AS dup_spans
+              FROM asp s JOIN aps c USING (sh) GROUP BY 1)
+          SELECT d.doc_id,
+                 CAST(COALESCE(b.n_spans, 0) AS BIGINT) AS n_spans_before,
+                 CAST(COALESCE(b.dup_spans, 0) AS BIGINT) AS dup_before,
+                 CAST(COALESCE(a.n_spans, 0) AS BIGINT) AS n_spans_after,
+                 CAST(COALESCE(a.dup_spans, 0) AS BIGINT) AS dup_after
+          FROM documents d
+          LEFT JOIN bpd b USING (doc_id)
+          LEFT JOIN apd a USING (doc_id)
+          ORDER BY 1,2,3,4,5"""))
+
   val all: Seq[GateQuery] = Seq(x01, x02, x03, x04, x05, x06, x07, x08, x09,
     x10, x11, x12, x13, x14, x15, x16, x17, x18, x19, x20, x21, x22, x23,
     x24, x25, x26, x27, x28, x29, x30, x31, x32, x33, x34, x35, x36, x37,
     x38, x39, x40, x41, x42, x43, x44, x45, x46, x47, x48, x49, x50, x51,
     x52, x53, x54, x55, x56, x57, x58, x59, x60, x61, x62, x63, x64, x65, x66,
     x67, x68, x69, x70, x71, x72, x73, x74, x75, x76, x77, x78, x79, x80,
-    x81, x82, x83, x84, x85, x86, x87, x88)
+    x81, x82, x83, x84, x85, x86, x87, x88, x89)
 }
