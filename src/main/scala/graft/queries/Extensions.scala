@@ -6211,6 +6211,52 @@ object Extensions {
   // x45 passes (three corpus scans, every wide op an equi-shuffle on
   // fixed-width hashes or doc_id); nothing new materializes beyond
   // the shapes both components already price.
+  /** The K most-duplicated spans as ONE broadcastable array row
+    * (sharr), ranked (n_docs desc, sh) over per-doc-distinct span
+    * hashes — x36's top-K shape at span grain. The frozen model for
+    * [[scrubAgainst]] / DocStreams.boilerplateScrubStream: full-corpus
+    * scrubbing stays batch (x88 — the dup set there is corpus-scale
+    * and never broadcasts); at INGEST the production move is scrubbing
+    * the hot boilerplate spans, a constant-K set. */
+  private[graft] def topDupSpans(docs: DataFrame, k: Int,
+      w: Int = ScrubW): DataFrame =
+    docs.select(col("doc_id"),
+        explode(graft.functions.SpanHashes.spanHashes(col("text"), w))
+          .as("sh"))
+      .groupBy(col("sh")).agg(count(lit(1)).as("n_docs"))
+      .filter(col("n_docs") >= 2)
+      .orderBy(col("n_docs").desc, col("sh")).limit(k)
+      .agg(sort_array(collect_list(col("sh"))).as("sharr"))
+
+  /** Scrub (doc_id, text, …) rows against a FROZEN one-row span-hash
+    * array: per-row positional hashes + an exists-over-covering-
+    * windows filter — zero shuffles, streaming-legal. With `sharr` =
+    * the full cross-doc dup set this is bit-identical to [[spanScrub]]
+    * (X88ScrubSpec pins the agreement); with [[topDupSpans]] it is the
+    * bounded ingest-time boilerplate scrub. */
+  private[graft] def scrubAgainst(docs: DataFrame, spanArr: DataFrame,
+      w: Int = ScrubW): DataFrame = {
+    val staged = docs.crossJoin(broadcast(spanArr))
+      .withColumn("tk", split(col("text"), " "))
+      .withColumn("phs", when(size(col("tk")) >= w,
+        transform(sequence(lit(0), size(col("tk")) - w),
+          i => md5(concat_ws(" ", slice(col("tk"), i + 1, lit(w))))))
+        .otherwise(array().cast("array<string>")))
+    // position p is covered iff some valid window start in
+    // [p−w+1, p] ∩ [0, n−w] hashes into the dup set; for n < w the
+    // phs array is empty and every token survives
+    val kept = filter(col("tk"), (t, p) => not(exists(
+      when(size(col("tk")) >= w,
+        sequence(greatest(lit(0), p - (w - 1)),
+          least(p, size(col("tk")) - w)))
+        .otherwise(array().cast("array<int>")),
+      s => array_contains(col("sharr"), element_at(col("phs"), s + 1)))))
+    staged.select(col("doc_id"),
+      size(col("tk")).cast("long").as("n_tok"),
+      (size(col("tk")) - size(kept)).cast("long").as("n_removed"),
+      concat_ws(" ", kept).as("clean"))
+  }
+
   private val x89 = GateQuery(
     "x89_scrub_audit",
     (s, d) => {

@@ -198,6 +198,20 @@ object DocStreams {
       thr: DataFrame): DataFrame =
     Extensions.protoFlag(Extensions.protoScore(vecs, cents), thr)
 
+  /** Streaming face of x88's span scrub: arrivals rewritten against a
+    * FROZEN constant-K boilerplate span set
+    * ([[graft.queries.Extensions.topDupSpans]], trained offline) —
+    * one broadcast row, per-row positional hashing + a covering-
+    * window filter, append mode, no state. Full-corpus dup scrubbing
+    * stays batch (x88's dup set is corpus-scale and never
+    * broadcasts); this is the ingest-time form. With the full dup set
+    * as the model it is bit-identical to batch spanScrub
+    * (X88ScrubSpec/DocStreamsSpec agreement). Column contract: input
+    * has (doc_id, text); output (doc_id, n_tok, n_removed, clean). */
+  def boilerplateScrubStream(docs: DataFrame, spanArr: DataFrame,
+      w: Int = 8): DataFrame =
+    Extensions.scrubAgainst(docs, spanArr, w)
+
   /** Streaming face of x46's heavy hitters: an UNBOUNDED token
     * stream tracked in bounded memory. Tokens route to `buckets`
     * state groups (md5, so a hot token always lands in one group);

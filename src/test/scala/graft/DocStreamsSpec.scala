@@ -669,6 +669,39 @@ class DocStreamsSpec extends AnyFunSuite {
     q.stop()
   }
 
+  test("streaming boilerplate scrub agrees with batch scrubAgainst; K bounds it") {
+    // boilerplate model trained offline: 'a b c' is shared by the two
+    // static docs; arrivals carrying it are rewritten at ingest
+    val staticDocs = Seq(
+      Doc(1, "x1 a b c x2 x3", "en"),
+      Doc(2, "y1 y2 a b c y3", "en")).toDF()
+    val model = graft.queries.Extensions.topDupSpans(staticDocs, k = 4, w = 3)
+      .persist()
+    model.count()
+    val arriving = Seq(
+      Doc(10, "z1 a b c z2", "zz"),
+      Doc(11, "no boiler here at all", "zz"),
+      Doc(12, "a b c", "zz"))
+    val batch = graft.queries.Extensions.scrubAgainst(
+      arriving.toDF(), model, 3)
+      .as[(Long, Long, Long, String)].collect().sortBy(_._1)
+    assert(batch.map(r => r._1 -> r._4).toMap ==
+      Map(10L -> "z1 z2", 11L -> "no boiler here at all", 12L -> ""))
+
+    val in = MemoryStream[Doc]
+    val q = DocStreams.boilerplateScrubStream(in.toDF(), model, w = 3)
+      .writeStream.format("memory").queryName("scrub")
+      .outputMode("append").start()
+    in.addData(arriving.take(2): _*)
+    q.processAllAvailable()
+    in.addData(arriving.drop(2): _*)
+    q.processAllAvailable()
+    val streamed = spark.table("scrub")
+      .as[(Long, Long, Long, String)].collect().sortBy(_._1)
+    assert(streamed.sameElements(batch))
+    q.stop()
+  }
+
   test("heavy-hitter stream: exact while under k, state carries across batches") {
     // k large enough that nothing evicts: Misra-Gries degenerates to
     // exact counting, so the post-batch-2 emission must show the

@@ -43,6 +43,24 @@ class X88ScrubSpec extends AnyFunSuite {
     assert(got(1L) == ((9L, 0L, "a b c a b c a b c")))
   }
 
+  test("scrubAgainst the FULL dup set is bit-identical to spanScrub") {
+    val rows = Seq(
+      1L -> "u1 u2 a b c v1 v2",
+      2L -> "w1 a b c w2 w3 w4",
+      3L -> "a b c d u1 u2 u3",
+      4L -> "v1 v2 a b c d v3",
+      5L -> "s1 s2",
+      6L -> "p q r t",
+      7L -> "p q r t")
+    val docs = rows.toDF("doc_id", "text")
+    val batch = Extensions.spanScrub(docs, 3)
+      .as[(Long, Long, Long, String)].collect().sortBy(_._1)
+    val full = Extensions.topDupSpans(docs, k = 1000, w = 3)
+    val against = Extensions.scrubAgainst(docs, full, 3)
+      .as[(Long, Long, Long, String)].collect().sortBy(_._1)
+    assert(against.sameElements(batch))
+  }
+
   test("docs shorter than the window pass through; exact twins scrub empty") {
     val got = run(Seq(
       1L -> "s1 s2",
