@@ -173,6 +173,54 @@ object Media {
   /** Byte-histogram fallback features for payloads with no JVM codec
     * (video, exotic audio encodings): deterministic 8-dim rolling
     * byte sums. NOT a decode — documented fallback only. */
+  /** Perceptual average-hash (aHash) over a REAL decoded raster:
+    * band-0 samples block-pooled onto a grid×grid lattice (cell of
+    * pixel (x,y) = (y·g div h, x·g div w) — surjective whenever
+    * w,h ≥ g), bit c set iff cell c's mean ≥ the image's pixel mean.
+    * The comparison is the exact integer cross-multiply
+    * `cellSum·n ≥ totalSum·cellCnt` — no float ever exists, so the
+    * 64-bit hash is bit-reproducible on any JVM and replayable in
+    * closed form by an oracle that knows the pixel function
+    * (products stay < 2^63 up to ~30-megapixel 8-bit rasters).
+    * Near-duplicate images (re-encodes, small edits, brightness-
+    * preserving noise) land within a few Hamming bits; x90 buckets
+    * the hash into 16-bit bands for the standard banded near-dup
+    * join. None for payloads ImageIO has no reader for. */
+  def averageHash(bytes: Array[Byte], grid: Int = 8): Option[Long] =
+    try {
+      Option(ImageIO.read(new ByteArrayInputStream(bytes))).map { img =>
+        val raster = img.getRaster
+        val w = img.getWidth
+        val h = img.getHeight
+        val cells = grid * grid
+        val sums = new Array[Long](cells)
+        val cnts = new Array[Long](cells)
+        var y = 0
+        while (y < h) {
+          val cy = y * grid / h
+          var x = 0
+          while (x < w) {
+            val c = cy * grid + x * grid / w
+            sums(c) += raster.getSample(x, y, 0)
+            cnts(c) += 1
+            x += 1
+          }
+          y += 1
+        }
+        var tot = 0L
+        var n = 0L
+        var i = 0
+        while (i < cells) { tot += sums(i); n += cnts(i); i += 1 }
+        var bits = 0L
+        i = 0
+        while (i < cells) {
+          if (sums(i) * n >= tot * cnts(i)) bits |= (1L << i)
+          i += 1
+        }
+        bits
+      }
+    } catch { case _: java.io.IOException => None }
+
   def byteHistogram(bytes: Array[Byte], dim: Int = 8): Array[Float] = {
     val acc = new Array[Long](dim)
     var i = 0

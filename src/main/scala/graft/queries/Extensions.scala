@@ -6318,11 +6318,124 @@ object Extensions {
           LEFT JOIN apd a USING (doc_id)
           ORDER BY 1,2,3,4,5"""))
 
+  // ---------------------------------------------------------------- x90
+  // Perceptual-hash image dedup: every document's synthetic 16×16
+  // gradient PNG (off = id·31 mod 256 — ids ≡ mod 256 render
+  // IDENTICAL images, nearby offsets render near-identical ones) is
+  // encoded AND decoded through the real javax.imageio codec, hashed
+  // with the integer-exact average-hash ([[graft.multimodal.Media
+  // .averageHash]] — block-pooled raster, cross-multiplied threshold,
+  // no floats), and near-duplicates found by the standard banded
+  // join: 4×16-bit bands of the 64-bit hash, Hamming ≤ 3 verified on
+  // candidates (pigeonhole: ≤ 3 differing bits across 4 bands leaves
+  // ≥ 1 band exactly equal — the candidate generation is LOSSLESS for
+  // the threshold). Output is the per-image summary (neighbor count,
+  // min-id representative), never the pair list — output stays
+  // corpus-sized at any scale.
+  //
+  // Scale shape: hashing is per-row mapPartitions codec work (x37's
+  // contract). The banded self-join runs at HASH-CLASS level, not doc
+  // level (x01's exact-collapse composed with x04's banding): docs
+  // first collapse to distinct hashes — an identical-image class of
+  // any size is ONE row in the join, so a million re-posts of one
+  // meme cannot make a band bucket quadratic — and the verify is a
+  // pure projection on the (ah, nb_ah) pair itself (both hashes ride
+  // the candidate row; no third join). Class stats then rejoin docs
+  // by ah — a shuffleable equi-join ∝ corpus, never a broadcast (the
+  // class table is ∝ distinct perceptual hashes, unbounded in
+  // general). The oracle replays the raster in closed form — a fake
+  // or lossy decode cannot hash-match.
+  private val PhashHamT = 3
+
+  private val x90 = GateQuery(
+    "x90_image_phash",
+    (s, d) => {
+      import s.implicits._
+      val hashed = Tables.documents(s, d).select(col("doc_id")).as[Long]
+        .repartition(32) // spread codec work off the 1-split scan
+        .map { id =>
+          val off = ((id * 31) % 256).toInt
+          val png = graft.multimodal.Media.encodePng(16, 16, (x, y) => {
+            val v = (off + y * 16 + x) % 256
+            (v << 16) | (v << 8) | v
+          })
+          (id, graft.multimodal.Media.averageHash(png).get)
+        }.toDF("doc_id", "ah").persist()
+      hashed.count() // class agg + final doc join both consume it
+      val classes = hashed.groupBy(col("ah"))
+        .agg(count(lit(1)).as("cnt"), min(col("doc_id")).as("cmin"))
+        .persist() // banding + near-agg + final join consume it
+      classes.count()
+      val banded = classes.select(col("ah"), posexplode(array(
+        (0 until 4).map(b => expr(s"shiftright(ah, ${16 * b}) & 65535")): _*))
+        .as(Seq("band", "k")))
+      val ver = banded.as("a").join(banded.as("b"),
+          col("a.band") === col("b.band") && col("a.k") === col("b.k") &&
+            col("a.ah") =!= col("b.ah"))
+        .select(col("a.ah").as("ah"), col("b.ah").as("nb_ah"))
+        .distinct()
+        .filter(bit_count(col("ah").bitwiseXOR(col("nb_ah"))) <= PhashHamT)
+      val near = ver.join(classes.select(col("ah").as("nb_ah"),
+          col("cnt").as("ncnt"), col("cmin").as("nmin")), "nb_ah")
+        .groupBy(col("ah"))
+        .agg(sum(col("ncnt")).as("near_cnt"), min(col("nmin")).as("near_min"))
+      val classFull = classes.join(near, Seq("ah"), "left")
+        .select(col("ah"), col("cnt"), col("cmin"),
+          coalesce(col("near_cnt"), lit(0L)).as("near_cnt"),
+          coalesce(col("near_min"), lit(Long.MaxValue)).as("near_min"))
+      ordered(hashed.join(classFull, "ah")
+        .select(col("doc_id"), col("ah"),
+          (col("cnt") - 1 + col("near_cnt")).as("n_near"),
+          least(col("cmin"), col("near_min")).as("rep")))
+    },
+    Some(s"""WITH px AS (
+              SELECT doc_id,
+                     ((doc_id * 31) % 256 + u.p) % 256 AS v,
+                     ((u.p // 16) // 2) * 8 + (u.p % 16) // 2 AS c
+              FROM documents, unnest(range(256)) AS u(p)),
+            cells AS (SELECT doc_id, c, sum(v) AS s FROM px GROUP BY 1, 2),
+            tot AS (SELECT doc_id, sum(s) AS t FROM cells GROUP BY 1),
+            bits AS (
+              SELECT cells.doc_id,
+                bit_or(CASE WHEN s * 256 >= t * 4 THEN
+                  -- bit 63 spelled out (the duckMasksCte signed trick)
+                  CASE WHEN c = 63 THEN CAST(-9223372036854775808 AS BIGINT)
+                       ELSE CAST(1 AS BIGINT) << CAST(c AS INT) END
+                  ELSE 0 END) AS ah
+              FROM cells JOIN tot ON tot.doc_id = cells.doc_id
+              GROUP BY 1),
+            classes AS (
+              SELECT ah, CAST(count(*) AS BIGINT) AS cnt,
+                     min(doc_id) AS cmin
+              FROM bits GROUP BY 1),
+            banded AS (
+              SELECT ah, b.band, (ah >> CAST(16 * b.band AS INT)) & 65535 AS k
+              FROM classes, unnest(range(4)) AS b(band)),
+            ver AS (
+              SELECT ah, nb_ah FROM (
+                SELECT DISTINCT a.ah, b.ah AS nb_ah
+                FROM banded a JOIN banded b
+                  ON b.band = a.band AND b.k = a.k AND b.ah != a.ah)
+              WHERE bit_count(xor(ah, nb_ah)) <= $PhashHamT),
+            near AS (
+              SELECT v.ah, CAST(sum(c.cnt) AS BIGINT) AS near_cnt,
+                     min(c.cmin) AS near_min
+              FROM ver v JOIN classes c ON c.ah = v.nb_ah
+              GROUP BY 1)
+          SELECT h.doc_id, h.ah,
+                 c.cnt - 1 + coalesce(n.near_cnt, 0) AS n_near,
+                 least(c.cmin,
+                   coalesce(n.near_min, 9223372036854775807)) AS rep
+          FROM bits h
+          JOIN classes c ON c.ah = h.ah
+          LEFT JOIN near n ON n.ah = h.ah
+          ORDER BY 1,2,3,4"""))
+
   val all: Seq[GateQuery] = Seq(x01, x02, x03, x04, x05, x06, x07, x08, x09,
     x10, x11, x12, x13, x14, x15, x16, x17, x18, x19, x20, x21, x22, x23,
     x24, x25, x26, x27, x28, x29, x30, x31, x32, x33, x34, x35, x36, x37,
     x38, x39, x40, x41, x42, x43, x44, x45, x46, x47, x48, x49, x50, x51,
     x52, x53, x54, x55, x56, x57, x58, x59, x60, x61, x62, x63, x64, x65, x66,
     x67, x68, x69, x70, x71, x72, x73, x74, x75, x76, x77, x78, x79, x80,
-    x81, x82, x83, x84, x85, x86, x87, x88, x89)
+    x81, x82, x83, x84, x85, x86, x87, x88, x89, x90)
 }
