@@ -221,6 +221,70 @@ object Media {
       }
     } catch { case _: java.io.IOException => None }
 
+  /** 64-bit energy fingerprint over REAL decoded PCM — the audio
+    * sibling of [[averageHash]]: channel-0 |sample| values block-
+    * pooled onto `grid` time blocks (block of frame i = i·g div n),
+    * bit b set iff block b's mean energy ≥ the clip's mean energy,
+    * compared with the exact integer cross-multiply — no floats, so
+    * the fingerprint is bit-reproducible and closed-form replayable.
+    * Loads channel-0 samples into memory (fingerprinting targets
+    * clip-length payloads; block assignment needs the frame count up
+    * front). None for non-PCM/16-bit payloads or clips shorter than
+    * the grid. */
+  def energyHash(bytes: Array[Byte], grid: Int = 64): Option[Long] =
+    try {
+      val in = javax.sound.sampled.AudioSystem
+        .getAudioInputStream(new ByteArrayInputStream(bytes))
+      try {
+        val f = in.getFormat
+        if (f.getEncoding != javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED ||
+            f.getSampleSizeInBits != 16) None
+        else {
+          val frameBytes = f.getFrameSize
+          val out = scala.collection.mutable.ArrayBuffer.empty[Int]
+          val buf = new Array[Byte](frameBytes * 1024)
+          var n = in.read(buf)
+          while (n > 0) {
+            var off = 0
+            while (off + frameBytes <= n) {
+              val s =
+                if (f.isBigEndian) ((buf(off) << 8) | (buf(off + 1) & 0xff)).toShort
+                else ((buf(off + 1) << 8) | (buf(off) & 0xff)).toShort
+              out += math.abs(s.toInt)
+              off += frameBytes
+            }
+            n = in.read(buf)
+          }
+          val nf = out.length
+          if (nf < grid) None
+          else {
+            val sums = new Array[Long](grid)
+            val cnts = new Array[Long](grid)
+            var i = 0
+            while (i < nf) {
+              val b = (i.toLong * grid / nf).toInt
+              sums(b) += out(i)
+              cnts(b) += 1
+              i += 1
+            }
+            var tot = 0L
+            i = 0
+            while (i < grid) { tot += sums(i); i += 1 }
+            var bits = 0L
+            i = 0
+            while (i < grid) {
+              if (sums(i) * nf >= tot * cnts(i)) bits |= (1L << i)
+              i += 1
+            }
+            Some(bits)
+          }
+        }
+      } finally in.close()
+    } catch {
+      case _: javax.sound.sampled.UnsupportedAudioFileException => None
+      case _: java.io.IOException => None
+    }
+
   def byteHistogram(bytes: Array[Byte], dim: Int = 8): Array[Float] = {
     val acc = new Array[Long](dim)
     var i = 0

@@ -6347,6 +6347,72 @@ object Extensions {
   // or lossy decode cannot hash-match.
   private val PhashHamT = 3
 
+  /** Class-level banded Hamming near-dup over (doc_id, ah) 64-bit
+    * fingerprint rows — the x01-collapse + x04-banding composition
+    * shared by the image (x90) and audio (x91) dedups: exact-hash
+    * classes collapse first, the 4×16-bit band self-join runs over
+    * distinct hashes only, Hamming ≤ hamT verifies as a pure
+    * projection on the candidate pair, and class stats rejoin docs by
+    * ah. @return (doc_id, ah, n_near, rep). */
+  private[graft] def hashClassNearDup(hashed: DataFrame,
+      hamT: Int): DataFrame = {
+    val classes = hashed.groupBy(col("ah"))
+      .agg(count(lit(1)).as("cnt"), min(col("doc_id")).as("cmin"))
+      .persist() // banding + near-agg + final join consume it
+    classes.count()
+    val banded = classes.select(col("ah"), posexplode(array(
+      (0 until 4).map(b => expr(s"shiftright(ah, ${16 * b}) & 65535")): _*))
+      .as(Seq("band", "k")))
+    val ver = banded.as("a").join(banded.as("b"),
+        col("a.band") === col("b.band") && col("a.k") === col("b.k") &&
+          col("a.ah") =!= col("b.ah"))
+      .select(col("a.ah").as("ah"), col("b.ah").as("nb_ah"))
+      .distinct()
+      .filter(bit_count(col("ah").bitwiseXOR(col("nb_ah"))) <= hamT)
+    val near = ver.join(classes.select(col("ah").as("nb_ah"),
+        col("cnt").as("ncnt"), col("cmin").as("nmin")), "nb_ah")
+      .groupBy(col("ah"))
+      .agg(sum(col("ncnt")).as("near_cnt"), min(col("nmin")).as("near_min"))
+    val classFull = classes.join(near, Seq("ah"), "left")
+      .select(col("ah"), col("cnt"), col("cmin"),
+        coalesce(col("near_cnt"), lit(0L)).as("near_cnt"),
+        coalesce(col("near_min"), lit(Long.MaxValue)).as("near_min"))
+    ordered(hashed.join(classFull, "ah")
+      .select(col("doc_id"), col("ah"),
+        (col("cnt") - 1 + col("near_cnt")).as("n_near"),
+        least(col("cmin"), col("near_min")).as("rep")))
+  }
+
+  /** Oracle twin of [[hashClassNearDup]]: CTEs + final SELECT over a
+    * preceding `bits(doc_id, ah)` CTE. */
+  private def duckClassNearDup(hamT: Int): String =
+    s"""classes AS (
+              SELECT ah, CAST(count(*) AS BIGINT) AS cnt,
+                     min(doc_id) AS cmin
+              FROM bits GROUP BY 1),
+            banded AS (
+              SELECT ah, b.band, (ah >> CAST(16 * b.band AS INT)) & 65535 AS k
+              FROM classes, unnest(range(4)) AS b(band)),
+            ver AS (
+              SELECT ah, nb_ah FROM (
+                SELECT DISTINCT a.ah, b.ah AS nb_ah
+                FROM banded a JOIN banded b
+                  ON b.band = a.band AND b.k = a.k AND b.ah != a.ah)
+              WHERE bit_count(xor(ah, nb_ah)) <= $hamT),
+            near AS (
+              SELECT v.ah, CAST(sum(c.cnt) AS BIGINT) AS near_cnt,
+                     min(c.cmin) AS near_min
+              FROM ver v JOIN classes c ON c.ah = v.nb_ah
+              GROUP BY 1)
+          SELECT h.doc_id, h.ah,
+                 c.cnt - 1 + coalesce(n.near_cnt, 0) AS n_near,
+                 least(c.cmin,
+                   coalesce(n.near_min, 9223372036854775807)) AS rep
+          FROM bits h
+          JOIN classes c ON c.ah = h.ah
+          LEFT JOIN near n ON n.ah = h.ah
+          ORDER BY 1,2,3,4"""
+
   private val x90 = GateQuery(
     "x90_image_phash",
     (s, d) => {
@@ -6362,31 +6428,7 @@ object Extensions {
           (id, graft.multimodal.Media.averageHash(png).get)
         }.toDF("doc_id", "ah").persist()
       hashed.count() // class agg + final doc join both consume it
-      val classes = hashed.groupBy(col("ah"))
-        .agg(count(lit(1)).as("cnt"), min(col("doc_id")).as("cmin"))
-        .persist() // banding + near-agg + final join consume it
-      classes.count()
-      val banded = classes.select(col("ah"), posexplode(array(
-        (0 until 4).map(b => expr(s"shiftright(ah, ${16 * b}) & 65535")): _*))
-        .as(Seq("band", "k")))
-      val ver = banded.as("a").join(banded.as("b"),
-          col("a.band") === col("b.band") && col("a.k") === col("b.k") &&
-            col("a.ah") =!= col("b.ah"))
-        .select(col("a.ah").as("ah"), col("b.ah").as("nb_ah"))
-        .distinct()
-        .filter(bit_count(col("ah").bitwiseXOR(col("nb_ah"))) <= PhashHamT)
-      val near = ver.join(classes.select(col("ah").as("nb_ah"),
-          col("cnt").as("ncnt"), col("cmin").as("nmin")), "nb_ah")
-        .groupBy(col("ah"))
-        .agg(sum(col("ncnt")).as("near_cnt"), min(col("nmin")).as("near_min"))
-      val classFull = classes.join(near, Seq("ah"), "left")
-        .select(col("ah"), col("cnt"), col("cmin"),
-          coalesce(col("near_cnt"), lit(0L)).as("near_cnt"),
-          coalesce(col("near_min"), lit(Long.MaxValue)).as("near_min"))
-      ordered(hashed.join(classFull, "ah")
-        .select(col("doc_id"), col("ah"),
-          (col("cnt") - 1 + col("near_cnt")).as("n_near"),
-          least(col("cmin"), col("near_min")).as("rep")))
+      hashClassNearDup(hashed, PhashHamT)
     },
     Some(s"""WITH px AS (
               SELECT doc_id,
@@ -6404,32 +6446,57 @@ object Extensions {
                   ELSE 0 END) AS ah
               FROM cells JOIN tot ON tot.doc_id = cells.doc_id
               GROUP BY 1),
-            classes AS (
-              SELECT ah, CAST(count(*) AS BIGINT) AS cnt,
-                     min(doc_id) AS cmin
-              FROM bits GROUP BY 1),
-            banded AS (
-              SELECT ah, b.band, (ah >> CAST(16 * b.band AS INT)) & 65535 AS k
-              FROM classes, unnest(range(4)) AS b(band)),
-            ver AS (
-              SELECT ah, nb_ah FROM (
-                SELECT DISTINCT a.ah, b.ah AS nb_ah
-                FROM banded a JOIN banded b
-                  ON b.band = a.band AND b.k = a.k AND b.ah != a.ah)
-              WHERE bit_count(xor(ah, nb_ah)) <= $PhashHamT),
-            near AS (
-              SELECT v.ah, CAST(sum(c.cnt) AS BIGINT) AS near_cnt,
-                     min(c.cmin) AS near_min
-              FROM ver v JOIN classes c ON c.ah = v.nb_ah
-              GROUP BY 1)
-          SELECT h.doc_id, h.ah,
-                 c.cnt - 1 + coalesce(n.near_cnt, 0) AS n_near,
-                 least(c.cmin,
-                   coalesce(n.near_min, 9223372036854775807)) AS rep
-          FROM bits h
-          JOIN classes c ON c.ah = h.ah
-          LEFT JOIN near n ON n.ah = h.ah
-          ORDER BY 1,2,3,4"""))
+            ${duckClassNearDup(PhashHamT)}"""))
+
+  // ---------------------------------------------------------------- x91
+  // Audio fingerprint dedup — the PCM sibling of x90, completing the
+  // multimodal near-dup matrix (text spans x45/x88, token sets x04,
+  // embeddings x13/x21/x29/x47, images x90, audio here): every
+  // document's synthetic 128-frame WAV (sample_i = (off·97 + 31·i²)
+  // mod 2^16 − 2^15 with off = id·7 mod 256 — ids ≡ mod 256 render
+  // IDENTICAL clips) round-trips through the real javax.sound
+  // codec, fingerprints with the integer-exact block-energy hash
+  // ([[graft.multimodal.Media.energyHash]] — |sample| pooled onto 64
+  // time blocks, cross-multiplied threshold, no floats), and dedups
+  // through the same class-level banded join as x90
+  // ([[hashClassNearDup]]). Same scale shape, same closed-form-oracle
+  // property: a fake decode cannot hash-match.
+  private val AudioHamT = 3
+
+  private val x91 = GateQuery(
+    "x91_audio_fingerprint",
+    (s, d) => {
+      import s.implicits._
+      val hashed = Tables.documents(s, d).select(col("doc_id")).as[Long]
+        .repartition(32) // spread codec work off the 1-split scan
+        .map { id =>
+          val off = ((id * 7) % 256).toInt
+          val samples = Array.tabulate(128)(i =>
+            (((off * 97 + 31 * i * i) % 65536) - 32768).toShort)
+          val wav = graft.multimodal.Media.encodeWav(samples, 8000)
+          (id, graft.multimodal.Media.energyHash(wav).get)
+        }.toDF("doc_id", "ah").persist()
+      hashed.count() // class agg + final doc join both consume it
+      hashClassNearDup(hashed, AudioHamT)
+    },
+    Some(s"""WITH en AS (
+              SELECT doc_id,
+                     abs(((doc_id * 7) % 256 * 97 + 31 * u.i * u.i) % 65536
+                         - 32768) AS e,
+                     u.i // 2 AS b
+              FROM documents, unnest(range(128)) AS u(i)),
+            blk AS (SELECT doc_id, b, sum(e) AS s FROM en GROUP BY 1, 2),
+            tot AS (SELECT doc_id, sum(s) AS t FROM blk GROUP BY 1),
+            bits AS (
+              SELECT blk.doc_id,
+                bit_or(CASE WHEN s * 128 >= t * 2 THEN
+                  -- bit 63 spelled out (the duckMasksCte signed trick)
+                  CASE WHEN b = 63 THEN CAST(-9223372036854775808 AS BIGINT)
+                       ELSE CAST(1 AS BIGINT) << CAST(b AS INT) END
+                  ELSE 0 END) AS ah
+              FROM blk JOIN tot ON tot.doc_id = blk.doc_id
+              GROUP BY 1),
+            ${duckClassNearDup(AudioHamT)}"""))
 
   val all: Seq[GateQuery] = Seq(x01, x02, x03, x04, x05, x06, x07, x08, x09,
     x10, x11, x12, x13, x14, x15, x16, x17, x18, x19, x20, x21, x22, x23,
@@ -6437,5 +6504,5 @@ object Extensions {
     x38, x39, x40, x41, x42, x43, x44, x45, x46, x47, x48, x49, x50, x51,
     x52, x53, x54, x55, x56, x57, x58, x59, x60, x61, x62, x63, x64, x65, x66,
     x67, x68, x69, x70, x71, x72, x73, x74, x75, x76, x77, x78, x79, x80,
-    x81, x82, x83, x84, x85, x86, x87, x88, x89, x90)
+    x81, x82, x83, x84, x85, x86, x87, x88, x89, x90, x91)
 }
