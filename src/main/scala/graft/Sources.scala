@@ -99,4 +99,41 @@ object Sources {
       .drop("__z")
       .write.mode("overwrite").parquet(path)
   }
+
+  /** Name of the quarantine column [[readJsonQuarantine]] appends. */
+  val CorruptCol = "_corrupt_record"
+
+  /** PERMISSIVE NDJSON reader with corrupt-record quarantine — the
+    * production ingestion contract where FAILFAST would kill a 100 TB
+    * job on one mangled line and DROPMALFORMED would lose it
+    * silently: schema-valid rows parse normally, unparseable lines
+    * land whole in [[CorruptCol]] (their typed columns null), so the
+    * caller splits the stream with [[goodRows]] / [[badRows]] and
+    * quarantines the bad lines for replay. Spark quirk handled here:
+    * a query that selects ONLY the corrupt column over raw JSON is
+    * rejected (SPARK-38285-adjacent analyzer rule), so `badRows`
+    * carries the parsed columns too — project after collecting if
+    * only the raw line is wanted. Streaming-legal: the same
+    * schema+options work under `readStream`. */
+  def readJsonQuarantine(spark: SparkSession, schema: StructType,
+      path: String): DataFrame =
+    spark.read
+      .schema(schema.add(CorruptCol, org.apache.spark.sql.types.StringType))
+      .option("mode", "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", CorruptCol)
+      .json(path)
+
+  /** Schema-valid rows of a [[readJsonQuarantine]] frame, corrupt
+    * column dropped. */
+  def goodRows(df: DataFrame): DataFrame = {
+    import org.apache.spark.sql.functions.col
+    df.filter(col(CorruptCol).isNull).drop(CorruptCol)
+  }
+
+  /** Quarantined rows: the raw unparseable line plus the (null) typed
+    * columns. */
+  def badRows(df: DataFrame): DataFrame = {
+    import org.apache.spark.sql.functions.col
+    df.filter(col(CorruptCol).isNotNull)
+  }
 }
