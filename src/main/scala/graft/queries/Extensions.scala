@@ -6383,6 +6383,45 @@ object Extensions {
         least(col("cmin"), col("near_min")).as("rep")))
   }
 
+  /** Exact-hash class table of a (doc_id, ah) fingerprint frame —
+    * the frozen registry DocStreams.fingerprintMatchStream probes. */
+  private[graft] def fingerprintClasses(hashed: DataFrame): DataFrame =
+    hashed.groupBy(col("ah"))
+      .agg(count(lit(1)).as("cnt"), min(col("doc_id")).as("cmin"))
+
+  /** The 4×16-bit band keys of a 64-bit fingerprint, as an array. */
+  private[graft] def fingerprintBandKeys(ah: Column): Column =
+    array((0 until 4).map(b =>
+      shiftright(ah, 16 * b).bitwiseAND(lit(65535L))): _*)
+
+  /** Banded Hamming match of (id, ah) rows against a fingerprint
+    * class table (ah, cnt, cmin): both sides explode their 4 band
+    * keys, candidates join on (band, key), multi-band collisions
+    * dedupe with the first-agreeing-band filter (a projection — no
+    * distinct, so the plan stays streaming-legal), and Hamming ≤ hamT
+    * verifies on the pair itself. One row per (id, matched class).
+    * Works identically on batch and streaming inputs — DocStreamsSpec
+    * pins the agreement. */
+  private[graft] def fingerprintMatch(arrivals: DataFrame,
+      registry: DataFrame, hamT: Int): DataFrame = {
+    val a = arrivals
+      .withColumn("dkeys", fingerprintBandKeys(col("ah")))
+      .select(col("id"), col("ah"), col("dkeys"),
+        posexplode(col("dkeys")).as(Seq("band", "k")))
+    val r = registry
+      .withColumn("rkeys", fingerprintBandKeys(col("ah")))
+      .select(col("ah").as("reg_ah"), col("cnt"), col("cmin"),
+        col("rkeys"), posexplode(col("rkeys")).as(Seq("band", "k")))
+    a.join(r, Seq("band", "k"))
+      .filter(col("band") === expr(
+        "array_position(zip_with(dkeys, rkeys, (x, y) -> x = y), true) - 1"))
+      .withColumn("hamming",
+        bit_count(col("ah").bitwiseXOR(col("reg_ah"))))
+      .filter(col("hamming") <= hamT)
+      .select(col("id"), col("reg_ah"), col("cnt"), col("cmin"),
+        col("hamming"))
+  }
+
   /** Oracle twin of [[hashClassNearDup]]: CTEs + final SELECT over a
     * preceding `bits(doc_id, ah)` CTE. */
   private def duckClassNearDup(hamT: Int): String =

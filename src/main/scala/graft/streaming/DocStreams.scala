@@ -212,6 +212,21 @@ object DocStreams {
       w: Int = 8): DataFrame =
     Extensions.scrubAgainst(docs, spanArr, w)
 
+  /** Streaming face of x90/x91's fingerprint dedup, hash-agnostic
+    * (image aHash or audio energy hash alike): arrivals (id, ah)
+    * probe a FROZEN registry CLASS table (ah, cnt, cmin —
+    * [[graft.queries.Extensions.fingerprintClasses]], built offline)
+    * through the banded Hamming join; emits one row per (arrival,
+    * matched class) in append mode with no state — multi-band
+    * collisions dedupe by the first-agreeing-band projection, not a
+    * `distinct` (which would be stateful). The registry side is a
+    * stream-static equi-join on (band, key): never a forced
+    * broadcast, the class table is ∝ distinct fingerprints. Column
+    * contract: output (id, reg_ah, cnt, cmin, hamming). */
+  def fingerprintMatchStream(arrivals: DataFrame, registry: DataFrame,
+      hamT: Int = 3): DataFrame =
+    Extensions.fingerprintMatch(arrivals, registry, hamT)
+
   /** Streaming face of x46's heavy hitters: an UNBOUNDED token
     * stream tracked in bounded memory. Tokens route to `buckets`
     * state groups (md5, so a hot token always lands in one group);

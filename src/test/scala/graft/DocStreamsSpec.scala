@@ -702,6 +702,43 @@ class DocStreamsSpec extends AnyFunSuite {
     q.stop()
   }
 
+  test("fingerprint match stream agrees with batch; one row per matched class") {
+    // registry classes from real image hashes (x90's fixture formula);
+    // offsets 0 and 4 are near (small gradient shift), 128 is far
+    def ah(off: Int): Long = graft.multimodal.Media.averageHash(
+      graft.multimodal.Media.encodePng(16, 16, (x, y) => {
+        val v = (off + y * 16 + x) % 256
+        (v << 16) | (v << 8) | v
+      })).get
+    val registry = graft.queries.Extensions.fingerprintClasses(
+      Seq((1L, ah(0)), (2L, ah(0)), (3L, ah(128)))
+        .toDF("doc_id", "ah")).persist()
+    registry.count()
+    val arriving = Seq((10L, ah(0)), (11L, ah(4)), (12L, ah(128)))
+    val batch = graft.queries.Extensions.fingerprintMatch(
+      arriving.toDF("id", "ah"), registry, 3)
+      .as[(Long, Long, Long, Long, Long)].collect().sortBy(r => (r._1, r._2))
+    // the exact twin matches its class ONCE (all 4 bands agree — the
+    // first-band filter must still emit a single row) at hamming 0
+    val exact = batch.filter(r => r._1 == 10L && r._5 == 0L)
+    assert(exact.length == 1 && exact.head._3 == 2L && exact.head._4 == 1L)
+    assert(batch.filter(_._1 == 12L).exists(_._5 == 0L))
+
+    val in = MemoryStream[(Long, Long)]
+    val q = DocStreams.fingerprintMatchStream(
+        in.toDF().toDF("id", "ah"), registry)
+      .writeStream.format("memory").queryName("fp")
+      .outputMode("append").start()
+    in.addData(arriving.take(2): _*)
+    q.processAllAvailable()
+    in.addData(arriving.drop(2): _*)
+    q.processAllAvailable()
+    val streamed = spark.table("fp")
+      .as[(Long, Long, Long, Long, Long)].collect().sortBy(r => (r._1, r._2))
+    assert(streamed.sameElements(batch))
+    q.stop()
+  }
+
   test("heavy-hitter stream: exact while under k, state carries across batches") {
     // k large enough that nothing evicts: Misra-Gries degenerates to
     // exact counting, so the post-batch-2 emission must show the
