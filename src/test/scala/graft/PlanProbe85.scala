@@ -15,7 +15,9 @@ object PlanProbe85 {
       .config("spark.ui.enabled", "false")).getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     val sf = "/root/testdata/sf0.01"
-    Seq("x85_proto_prune", "x86_incremental_ingest").foreach { n =>
+    Seq("x85_proto_prune", "x86_incremental_ingest", "x87_ccnet_buckets",
+        "x88_span_scrub", "x89_scrub_audit", "x90_image_phash",
+        "x91_audio_fingerprint").foreach { n =>
       val df = SparkEntry.queries(n)(spark, sf)
       df.count()
       val p = df.queryExecution.executedPlan.toString
