@@ -5917,37 +5917,65 @@ object Extensions {
     * sentinels for novel docs. X86IngestSpec pins the semantics. */
   private[graft] def incrementalIngest(reg: DataFrame, bat: DataFrame,
       jacThresholdPct: Long = 90L): DataFrame = {
-    val regB = bandTableArr(reg.select(col("doc_id").as("rep"), col("arr")), "t:")
-    val batB = bandTableArr(bat.select(col("doc_id").as("rep"), col("arr")), "t:")
+    // Collapse BOTH sides to exact token-set classes first (x01's
+    // move, same role as x90's hash-class collapse): Jaccard is a
+    // function of the token SET alone, so class-level banding +
+    // verify is EXACTLY doc-level semantics — and on dup-dense
+    // corpora it is the difference between a tractable join and a
+    // quadratic one (measured at sf1: 24.0M doc-level distinct
+    // candidates collapse to class-level pairs; n_dups then
+    // reconstructs as Σ matched-class sizes, best_reg as the min id
+    // in the best class — members of a class are interchangeable).
+    val sigOf = md5(array_join(col("arr"), " "))
+    val regCls = reg.withColumn("sig", sigOf)
+      .groupBy(col("sig"))
+      .agg(count(lit(1)).as("cnt"), min(col("doc_id")).as("min_id"))
+    // arr is functionally determined by sig, so dropDuplicates picks
+    // a value-deterministic representative
+    val regC = regCls.join(
+      reg.withColumn("sig", sigOf).select(col("sig"), col("arr"))
+        .dropDuplicates("sig"), "sig").persist()
+    regC.count()
+    val batMembers = bat.withColumn("sig", sigOf)
+      .select(col("doc_id"), col("sig")).persist()
+    batMembers.count()
+    val batC = bat.withColumn("sig", sigOf).select(col("sig"), col("arr"))
+      .dropDuplicates("sig").persist()
+    batC.count()
+    val regB = bandTableArr(regC.select(col("sig").as("rep"), col("arr")), "t:")
+    val batB = bandTableArr(batC.select(col("sig").as("rep"), col("arr")), "t:")
     val joinCond = col("a.band") === col("b.band") &&
       (0 until BandRows).map(j => col(s"a.k$j") === col(s"b.k$j")).reduce(_ && _)
+    // identical token sets agree on every band, so exact-duplicate
+    // registry classes are candidates of the batch class by
+    // construction — no same-sig special case needed
     val cand = batB.as("a").join(regB.as("b"), joinCond)
-      .select(col("a.rep").as("new_id"), col("b.rep").as("reg_id"))
+      .select(col("a.rep").as("bsig"), col("b.rep").as("rsig"))
       .distinct().persist()
     cand.count()
-    // verify sides: only ids that appear in a candidate pair are
-    // broadcast (candidate volume is LSH-collision-bounded; the
-    // full corpus array table never is)
-    val aArr = broadcast(bat.join(
-      cand.select(col("new_id").as("doc_id")).distinct(), "doc_id")
-      .select(col("doc_id").as("new_id"), col("arr").as("arr_a")))
-    val bArr = broadcast(reg.join(
-      cand.select(col("reg_id").as("doc_id")).distinct(), "doc_id")
-      .select(col("doc_id").as("reg_id"), col("arr").as("arr_b")))
+    // verify sides restrict to classes that appear in a candidate
+    // pair (x04's semi-join-then-broadcast pattern)
+    val aArr = broadcast(batC.join(
+      cand.select(col("bsig").as("sig")).distinct(), "sig")
+      .select(col("sig").as("bsig"), col("arr").as("arr_a")))
+    val bArr = broadcast(regC.join(
+      cand.select(col("rsig").as("sig")).distinct(), "sig")
+      .select(col("sig").as("rsig"), col("arr").as("arr_b"),
+        col("cnt"), col("min_id")))
     val inter = size(array_intersect(col("arr_a"), col("arr_b"))).cast("long")
     val uni = (size(col("arr_a")) + size(col("arr_b"))).cast("long") - inter
-    val dups = cand.join(aArr, "new_id").join(bArr, "reg_id")
+    val dups = cand.join(aArr, "bsig").join(bArr, "rsig")
       .withColumn("inter", inter).withColumn("uni", uni)
       .filter(col("inter") * 100 >= col("uni") * jacThresholdPct)
       .withColumn("jac_pm", expr("inter * 1000 div uni"))
-    val summary = dups.groupBy(col("new_id"))
-      .agg(count(lit(1)).as("n_dups"),
-        max(struct(col("jac_pm"), (-col("reg_id")).as("nreg"))).as("best"))
-      .select(col("new_id"), col("n_dups"),
+    val summary = dups.groupBy(col("bsig"))
+      .agg(sum(col("cnt")).as("n_dups"),
+        max(struct(col("jac_pm"), (-col("min_id")).as("nreg"))).as("best"))
+      .select(col("bsig").as("sig"), col("n_dups"),
         (-col("best.nreg")).as("best_reg"), col("best.jac_pm").as("best_jac_pm"))
-    ordered(bat.select(col("doc_id").as("new_id"))
-      .join(summary, Seq("new_id"), "left")
-      .select(col("new_id"),
+    ordered(batMembers
+      .join(summary, Seq("sig"), "left")
+      .select(col("doc_id").as("new_id"),
         coalesce(col("n_dups"), lit(0L)).as("n_dups"),
         coalesce(col("best_reg"), lit(-1L)).as("best_reg"),
         coalesce(col("best_jac_pm"), lit(0L)).as("best_jac_pm"))
