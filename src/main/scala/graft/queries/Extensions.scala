@@ -6073,18 +6073,12 @@ object Extensions {
   // doc_id equi-join of two per-doc tables; the histogram is
   // langs×200 rows (metadata-scale window, the x82 contract) and
   // the two thresholds broadcast back into a stateless CASE.
-  private val CcnetHb = 100L // deci-bit histogram granularity
+  private[graft] val CcnetHb = 100L // deci-bit histogram granularity
 
-  /** x87's engine, parameterized for fixtures: (doc_id, text, lang)
-    * rows in, (doc_id, lang, spb, bucket) out. X87CcnetSpec pins the
-    * tercile-order and quota properties. */
-  private[graft] def ccnetBuckets(docs: DataFrame): DataFrame = {
-    val d = lmDocBits(docs)
-      .join(docs.select(col("doc_id"), col("lang")), "doc_id")
-      .withColumn("spb", expr("bits_sum * 1000 div n_bg"))
-      .withColumn("hb", expr(s"spb div $CcnetHb"))
-      .persist() // histogram + final assignment both consume it
-    d.count()
+  /** Per-lang tercile thresholds (lang, t1, t2) over a scored
+    * (lang, hb) table — x87's quantile-histogram cut, exposed as the
+    * frozen half of DocStreams.ccnetBucketStream's model. */
+  private[graft] def ccnetThresholds(d: DataFrame): DataFrame = {
     val n = d.groupBy(col("lang")).agg(count(lit(1)).as("n"))
     val hist = d.groupBy(col("lang"), col("hb")).agg(count(lit(1)).as("c"))
     val cum = hist.withColumn("cum",
@@ -6096,11 +6090,50 @@ object Extensions {
       .groupBy(col("lang")).agg(min(col("hb")).as("t1"))
     val t2 = cum.filter(col("cum") * 3 >= col("n") * 2)
       .groupBy(col("lang")).agg(min(col("hb")).as("t2"))
-    ordered(d.join(broadcast(t1), "lang").join(broadcast(t2), "lang")
+    t1.join(t2, "lang")
+  }
+
+  /** x87's engine, parameterized for fixtures: (doc_id, text, lang)
+    * rows in, (doc_id, lang, spb, bucket) out. X87CcnetSpec pins the
+    * tercile-order and quota properties. */
+  private[graft] def ccnetBuckets(docs: DataFrame): DataFrame = {
+    val d = lmDocBits(docs)
+      .join(docs.select(col("doc_id"), col("lang")), "doc_id")
+      .withColumn("spb", expr("bits_sum * 1000 div n_bg"))
+      .withColumn("hb", expr(s"spb div $CcnetHb"))
+      .persist() // histogram + final assignment both consume it
+    d.count()
+    ordered(d.join(broadcast(ccnetThresholds(d)), "lang")
       .select(col("doc_id"), col("lang"), col("spb"),
         when(col("hb") <= col("t1"), "head")
           .when(col("hb") <= col("t2"), "middle")
           .otherwise("tail").as("bucket")))
+  }
+
+  /** The trained LM's per-bigram whole-bit surprisal (bg, bits) —
+    * the vocabulary-sized half of the frozen CCNet ingest model
+    * (bits depend only on the bigram: its count, its context count,
+    * and the context-vocabulary size). */
+  private[graft] def lmBigramBits(docs: DataFrame): DataFrame = {
+    val tk = docs.select(col("doc_id"), split(col("text"), " ").as("tk"))
+    val pos = tk.select(col("doc_id"),
+      explode(zip_with(
+        slice(col("tk"), lit(1), size(col("tk")) - 1),
+        slice(col("tk"), lit(2), size(col("tk")) - 1),
+        (a, b) => concat(a, lit(" "), b))).as("bg"))
+    val docBg = pos.groupBy(col("doc_id"), col("bg"))
+      .agg(count(lit(1)).as("tf"))
+    val cBg = docBg.groupBy(col("bg")).agg(sum(col("tf")).as("c_bg"))
+    val cW1 = docBg
+      .select(split(col("bg"), " ").getItem(0).as("w1"), col("tf"))
+      .groupBy(col("w1")).agg(sum(col("tf")).as("c_w1"))
+    val vCtx = cW1.agg(count(lit(1)).as("v_ctx"))
+    cBg.withColumn("w1", split(col("bg"), " ").getItem(0))
+      .join(cW1, "w1")
+      .crossJoin(broadcast(vCtx))
+      .select(col("bg"), expr(wholeBitLog2Sql(
+        "cast(c_w1 as decimal(38,0)) + v_ctx",
+        "cast(c_bg as decimal(38,0)) + 1")).as("bits"))
   }
 
   private val x87 = GateQuery(

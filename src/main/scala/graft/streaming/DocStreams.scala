@@ -227,6 +227,44 @@ object DocStreams {
       hamT: Int = 3): DataFrame =
     Extensions.fingerprintMatch(arrivals, registry, hamT)
 
+  /** Streaming face of x87's CCNet buckets — the full quality-gate at
+    * ingest: arrivals are surprisal-scored against a FROZEN bigram-LM
+    * (`bits`: bg → whole-bit surprisal,
+    * [[graft.queries.Extensions.lmBigramBits]]; bigrams the training
+    * corpus never saw cost `defaultBits` — the frozen-LM unseen-event
+    * charge) and bucketed against FROZEN per-lang tercile thresholds
+    * ([[Extensions.ccnetThresholds]]). One per-row HOF over the
+    * model literal + one broadcast threshold join — append mode, no
+    * state. Docs without a bigram are dropped (the batch contract);
+    * langs absent from the thresholds bucket as 'unknown'. On the
+    * training corpus itself (all bigrams seen) the assignment is
+    * bit-identical to batch x87 (DocStreamsSpec). Column contract:
+    * input (doc_id, text, lang); output (doc_id, lang, spb, bucket). */
+  def ccnetBucketStream(docs: DataFrame, bits: Map[String, Long],
+      defaultBits: Long, thr: DataFrame): DataFrame = {
+    val staged = docs.select(col("doc_id"), col("lang"),
+      split(col("text"), " ").as("tk"))
+    val bgs = zip_with(
+      slice(col("tk"), lit(1), size(col("tk")) - 1),
+      slice(col("tk"), lit(2), size(col("tk")) - 1),
+      (a, b) => concat(a, lit(" "), b))
+    val bitsSum = aggregate(col("bgs"), lit(0L), (acc, bg) =>
+      acc + coalesce(element_at(typedLit(bits), bg), lit(defaultBits)))
+    staged.withColumn("bgs", bgs)
+      .filter(size(col("bgs")) >= 1)
+      .withColumn("n_bg", size(col("bgs")).cast("long"))
+      .withColumn("bits_sum", bitsSum)
+      .withColumn("spb", expr("bits_sum * 1000 div n_bg"))
+      .withColumn("hb", expr(s"spb div ${Extensions.CcnetHb}"))
+      .join(broadcast(thr), Seq("lang"), "left")
+      .select(col("doc_id"), col("lang"), col("spb"),
+        coalesce(
+          when(col("hb") <= col("t1"), "head")
+            .when(col("hb") <= col("t2"), "middle")
+            .when(col("hb") > col("t2"), "tail"),
+          lit("unknown")).as("bucket"))
+  }
+
   /** Streaming face of x46's heavy hitters: an UNBOUNDED token
     * stream tracked in bounded memory. Tokens route to `buckets`
     * state groups (md5, so a hot token always lands in one group);

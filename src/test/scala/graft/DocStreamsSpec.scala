@@ -739,6 +739,52 @@ class DocStreamsSpec extends AnyFunSuite {
     q.stop()
   }
 
+  test("streaming CCNet bucketer agrees with batch x87 on the training corpus") {
+    // fluency gradient per lang (the X87CcnetSpec fixture shape)
+    def corpus(lang: String, off: Long) = {
+      val fluent = "a b " * 20
+      (1 to 9).map { i =>
+        val rare = (1 to i).map(j => s"${lang}r${i}_$j").mkString(" ")
+        Doc(off + i, (fluent + rare).trim, lang)
+      }
+    }
+    val training = (corpus("en", 0L) ++ corpus("de", 100L)).toDF()
+    val batch = graft.queries.Extensions.ccnetBuckets(training)
+      .as[(Long, String, Long, String)].collect().sortBy(_._1)
+    // frozen model: per-bigram bits + per-lang tercile thresholds
+    val bits = graft.queries.Extensions.lmBigramBits(training)
+      .as[(String, Long)].collect().toMap
+    val thr = graft.queries.Extensions.ccnetThresholds(
+      batch.toSeq.toDF("doc_id", "lang", "spb", "bucket")
+        .select(col("lang"),
+          expr(s"spb div ${graft.queries.Extensions.CcnetHb}").as("hb")))
+      .persist()
+    thr.count()
+
+    val in = MemoryStream[Doc]
+    val q = DocStreams.ccnetBucketStream(in.toDF(), bits, 99L, thr)
+      .writeStream.format("memory").queryName("ccnet")
+      .outputMode("append").start()
+    val docs = (corpus("en", 0L) ++ corpus("de", 100L))
+    in.addData(docs.take(9): _*)
+    q.processAllAvailable()
+    in.addData(docs.drop(9): _*)
+    q.processAllAvailable()
+    val streamed = spark.table("ccnet")
+      .as[(Long, String, Long, String)].collect().sortBy(_._1)
+    assert(streamed.sameElements(batch))
+
+    // unseen lang buckets as 'unknown'; all-unseen bigrams at a high
+    // default charge land in the existing lang's tail
+    in.addData(Doc(500, "wholly novel words here", "fr"),
+      Doc(501, "wholly novel words here", "en"))
+    q.processAllAvailable()
+    val extra = spark.table("ccnet").as[(Long, String, Long, String)]
+      .collect().filter(_._1 >= 500).sortBy(_._1)
+    assert(extra.map(_._4).toSeq == Seq("unknown", "tail"))
+    q.stop()
+  }
+
   test("heavy-hitter stream: exact while under k, state carries across batches") {
     // k large enough that nothing evicts: Misra-Gries degenerates to
     // exact counting, so the post-batch-2 emission must show the
