@@ -6598,11 +6598,69 @@ object Extensions {
               GROUP BY 1),
             ${duckClassNearDup(AudioHamT)}"""))
 
+  // ---------------------------------------------------------------- x92
+  // Quality-aware canonical selection: within each exact token-set
+  // class, keep the copy with the HIGHEST x16 quality score (ties to
+  // the smallest doc_id) instead of x19's min-id convention — the
+  // curation refinement real pipelines apply, because members of a
+  // token-SET class can differ in raw text (ordering, repetition,
+  // whitespace shape) and therefore in surface quality; dropping the
+  // lowest-quality copies is free once the class key exists. Per doc:
+  // its score, its class size, the class's elected best, and the keep
+  // flag.
+  //
+  // Scale shape: x16's staged projection (tokenize once into integer
+  // stats), the class election is ONE constant-buffer groupBy on the
+  // signature (max of a 2-field struct — no member list, no window),
+  // and the flag is an equi-join back on the signature. Exactly x01's
+  // shuffle profile plus a broadcast-eligible election table.
+  private val x92 = GateQuery(
+    "x92_keep_best",
+    (s, d) => {
+      val scored = qualityScored(Tables.documents(s, d), carry = Seq("text"))
+      val t = scored.select(col("doc_id"), col("quality_score"),
+          graft.ops.Cols.tokenSetSig(col("text")).as("sig"))
+        .persist() // election + flag join both consume it
+      t.count()
+      val best = t.groupBy(col("sig"))
+        .agg(count(lit(1)).as("cls_n"),
+          max(struct(col("quality_score"), (-col("doc_id")).as("nid")))
+            .as("b"))
+        .select(col("sig"), col("cls_n"), (-col("b.nid")).as("best_id"))
+      ordered(t.join(best, "sig")
+        .select(col("doc_id"), col("quality_score"), col("cls_n"),
+          col("best_id"), (col("doc_id") === col("best_id")).as("keep")))
+    },
+    Some(s"""WITH $duckQualityCte,
+            sigs AS (
+              SELECT doc_id,
+                md5(array_to_string(list_sort(list_distinct(
+                  string_split(text, ' '))), ' ')) AS sig
+              FROM documents),
+            t AS (
+              SELECT q.doc_id, q.quality_score, s.sig
+              FROM qsc q JOIN sigs s ON s.doc_id = q.doc_id),
+            best AS (
+              SELECT sig, doc_id AS best_id FROM (
+                SELECT sig, doc_id, row_number() OVER (
+                  PARTITION BY sig
+                  ORDER BY quality_score DESC, doc_id) AS rn
+                FROM t) WHERE rn = 1),
+            cnt AS (
+              SELECT sig, CAST(count(*) AS BIGINT) AS cls_n
+              FROM t GROUP BY 1)
+          SELECT t.doc_id, t.quality_score, c.cls_n, b.best_id,
+                 t.doc_id = b.best_id AS keep
+          FROM t
+          JOIN best b ON b.sig = t.sig
+          JOIN cnt c ON c.sig = t.sig
+          ORDER BY 1,2,3,4,5"""))
+
   val all: Seq[GateQuery] = Seq(x01, x02, x03, x04, x05, x06, x07, x08, x09,
     x10, x11, x12, x13, x14, x15, x16, x17, x18, x19, x20, x21, x22, x23,
     x24, x25, x26, x27, x28, x29, x30, x31, x32, x33, x34, x35, x36, x37,
     x38, x39, x40, x41, x42, x43, x44, x45, x46, x47, x48, x49, x50, x51,
     x52, x53, x54, x55, x56, x57, x58, x59, x60, x61, x62, x63, x64, x65, x66,
     x67, x68, x69, x70, x71, x72, x73, x74, x75, x76, x77, x78, x79, x80,
-    x81, x82, x83, x84, x85, x86, x87, x88, x89, x90, x91)
+    x81, x82, x83, x84, x85, x86, x87, x88, x89, x90, x91, x92)
 }
