@@ -6656,11 +6656,121 @@ object Extensions {
           JOIN cnt c ON c.sig = t.sig
           ORDER BY 1,2,3,4,5"""))
 
+  // ---------------------------------------------------------------- x93
+  // Cross-modal duplication report — the curation view none of the
+  // single-modality gates give: per document, is its TEXT duplicated
+  // (any cross-doc W-token span, x45's substrate), is its IMAGE an
+  // exact perceptual twin (x90's aHash class has ≥ 2 members), is its
+  // AUDIO one (x91's energy-hash class)? A doc whose text is unique
+  // but whose image is a known meme — or scraped text re-posted under
+  // fresh media — only shows up when the modalities are JOINED, which
+  // is exactly three per-doc flag tables equi-joined on doc_id.
+  //
+  // Scale shape: the three component passes keep their own contracts
+  // (span hashes: rows ∝ tokens; fingerprints: per-row codec +
+  // class-count agg); the join is three corpus-sized (doc_id) equi-
+  // joins of 1-flag tables. The oracle replays all three chains in
+  // closed form.
+  private val x93 = GateQuery(
+    "x93_cross_modal",
+    (s, d) => {
+      import s.implicits._
+      val docs = Tables.documents(s, d).select(col("doc_id"), col("text"))
+        .persist()
+      docs.count()
+      val text = spanDedupCounts(docs)
+        .select(col("doc_id"), (col("dup_spans") >= 1).as("text_dup"))
+      val media = docs.select(col("doc_id")).as[Long]
+        .repartition(32)
+        .map { id =>
+          val ioff = ((id * 31) % 256).toInt
+          val png = graft.multimodal.Media.encodePng(16, 16, (x, y) => {
+            val v = (ioff + y * 16 + x) % 256
+            (v << 16) | (v << 8) | v
+          })
+          val aoff = ((id * 7) % 256).toInt
+          val wav = graft.multimodal.Media.encodeWav(
+            Array.tabulate(128)(i =>
+              (((aoff * 97 + 31 * i * i) % 65536) - 32768).toShort), 8000)
+          (id, graft.multimodal.Media.averageHash(png).get,
+            graft.multimodal.Media.energyHash(wav).get)
+        }.toDF("doc_id", "iah", "aah").persist()
+      media.count()
+      def classDup(c: String, flag: String) = {
+        val cls = media.groupBy(col(c)).agg(count(lit(1)).as("cnt"))
+        media.select(col("doc_id"), col(c))
+          .join(cls, c).select(col("doc_id"), (col("cnt") >= 2).as(flag))
+      }
+      ordered(text
+        .join(classDup("iah", "img_dup"), "doc_id")
+        .join(classDup("aah", "aud_dup"), "doc_id"))
+    },
+    Some(s"""WITH staged AS (
+              SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+            spans AS (
+              SELECT DISTINCT doc_id,
+                     md5(array_to_string(tk[i+1 : i+$SpanW], ' ')) AS sh
+              FROM staged,
+                   unnest(range(0, GREATEST(len(tk) - ${SpanW - 1}, 0))) AS u(i)),
+            per_span AS (SELECT sh, count(*) AS n_docs FROM spans GROUP BY 1),
+            tflag AS (
+              SELECT d.doc_id,
+                coalesce(max(CASE WHEN c.n_docs >= 2 THEN 1 ELSE 0 END), 0) = 1
+                  AS text_dup
+              FROM documents d
+              LEFT JOIN spans s ON s.doc_id = d.doc_id
+              LEFT JOIN per_span c ON c.sh = s.sh
+              GROUP BY 1),
+            ipx AS (
+              SELECT doc_id,
+                     ((doc_id * 31) % 256 + u.p) % 256 AS v,
+                     ((u.p // 16) // 2) * 8 + (u.p % 16) // 2 AS c
+              FROM documents, unnest(range(256)) AS u(p)),
+            icells AS (SELECT doc_id, c, sum(v) AS s FROM ipx GROUP BY 1, 2),
+            itot AS (SELECT doc_id, sum(s) AS t FROM icells GROUP BY 1),
+            ibits AS (
+              SELECT icells.doc_id,
+                bit_or(CASE WHEN s * 256 >= t * 4 THEN
+                  CASE WHEN c = 63 THEN CAST(-9223372036854775808 AS BIGINT)
+                       ELSE CAST(1 AS BIGINT) << CAST(c AS INT) END
+                  ELSE 0 END) AS ah
+              FROM icells JOIN itot ON itot.doc_id = icells.doc_id
+              GROUP BY 1),
+            icls AS (SELECT ah, count(*) AS cnt FROM ibits GROUP BY 1),
+            iflag AS (
+              SELECT b.doc_id, c.cnt >= 2 AS img_dup
+              FROM ibits b JOIN icls c ON c.ah = b.ah),
+            aen AS (
+              SELECT doc_id,
+                     abs(((doc_id * 7) % 256 * 97 + 31 * u.i * u.i) % 65536
+                         - 32768) AS e,
+                     u.i // 2 AS b
+              FROM documents, unnest(range(128)) AS u(i)),
+            ablk AS (SELECT doc_id, b, sum(e) AS s FROM aen GROUP BY 1, 2),
+            atot AS (SELECT doc_id, sum(s) AS t FROM ablk GROUP BY 1),
+            abits AS (
+              SELECT ablk.doc_id,
+                bit_or(CASE WHEN s * 128 >= t * 2 THEN
+                  CASE WHEN b = 63 THEN CAST(-9223372036854775808 AS BIGINT)
+                       ELSE CAST(1 AS BIGINT) << CAST(b AS INT) END
+                  ELSE 0 END) AS ah
+              FROM ablk JOIN atot ON atot.doc_id = ablk.doc_id
+              GROUP BY 1),
+            acls AS (SELECT ah, count(*) AS cnt FROM abits GROUP BY 1),
+            aflag AS (
+              SELECT b.doc_id, c.cnt >= 2 AS aud_dup
+              FROM abits b JOIN acls c ON c.ah = b.ah)
+          SELECT t.doc_id, t.text_dup, i.img_dup, a.aud_dup
+          FROM tflag t
+          JOIN iflag i ON i.doc_id = t.doc_id
+          JOIN aflag a ON a.doc_id = t.doc_id
+          ORDER BY 1,2,3,4"""))
+
   val all: Seq[GateQuery] = Seq(x01, x02, x03, x04, x05, x06, x07, x08, x09,
     x10, x11, x12, x13, x14, x15, x16, x17, x18, x19, x20, x21, x22, x23,
     x24, x25, x26, x27, x28, x29, x30, x31, x32, x33, x34, x35, x36, x37,
     x38, x39, x40, x41, x42, x43, x44, x45, x46, x47, x48, x49, x50, x51,
     x52, x53, x54, x55, x56, x57, x58, x59, x60, x61, x62, x63, x64, x65, x66,
     x67, x68, x69, x70, x71, x72, x73, x74, x75, x76, x77, x78, x79, x80,
-    x81, x82, x83, x84, x85, x86, x87, x88, x89, x90, x91, x92)
+    x81, x82, x83, x84, x85, x86, x87, x88, x89, x90, x91, x92, x93)
 }
