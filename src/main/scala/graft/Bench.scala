@@ -104,14 +104,25 @@ object Bench {
     }
     val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","passes":$passes,"agg":"min-per-query","x19_over_x04":$ratio}"""
     println(json)
-    // Also write the JSON to a file: the round driver captures only
-    // the log TAIL, which has truncated per-query entries before
-    // (round 4 lost 3 of 63) — the file artifact is the full record.
+    // Write the full-name JSON to a file: the round driver captures
+    // only the last ~2000 chars of stdout, which truncated the
+    // 120-entry line in rounds 4-9 — the file artifact is the full
+    // record.
     try {
       val out = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_SELF.json")
       java.nio.file.Files.write(java.nio.file.Paths.get(out),
         (json + "\n").getBytes("UTF-8"))
     } catch { case _: Throwable => () }
     spark.stop()
+    // The driver's artifact is the LAST ~2000 stdout chars parsed as
+    // JSON, so the final line must fit whole: abbreviate each query
+    // name to its unique qNN/xNN prefix and round to ms. The full
+    // names are in the file above (committed in-tree per round).
+    def r3(v: Double): String = f"$v%.3f".reverse.dropWhile(_ == '0')
+      .dropWhile(_ == '.').reverse
+    val shortQs = results.toSeq.sortBy(_._1)
+      .map { case (k, v) => "\"" + k.takeWhile(_ != '_') + "\":" + r3(v) }
+      .mkString("{", ",", "}")
+    println(s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$shortQs,"sf":"$sfDir","passes":$passes,"agg":"min-per-query","x19_over_x04":${r3(ratio)},"names":"qNN/xNN prefixes; full map in BENCH_SELF.json"}""")
   }
 }
