@@ -4439,10 +4439,21 @@ object Extensions {
     * X72TopKSpec pins the salted two-level selection's losslessness
     * against the direct one-window rank on tie-heavy data. */
   private[graft] def sourceSignatures(occ: DataFrame, k: Int,
+                                      buckets: Int): DataFrame =
+    signaturesFromTf(
+      occ.groupBy(col("source"), col("term")).agg(count(lit(1)).as("tf")),
+      k, buckets)
+
+  /** x72's scoring half over an already-aggregated (source, term, tf)
+    * table — the seam its streaming twin shares: the tf table is the
+    * STATE (DocStreams.sourceTfStream maintains it as a streaming
+    * aggregation), and sdf / n_src / the salted two-level top-k are
+    * marginal-global rollups of that very table, so the stream scores
+    * a complete-mode snapshot through this exact path (DocStreamsSpec
+    * pins batch/stream equality on the real corpus). */
+  private[graft] def signaturesFromTf(tf0: DataFrame, k: Int,
                                       buckets: Int): DataFrame = {
-      val tf = occ
-        .groupBy(col("source"), col("term")).agg(count(lit(1)).as("tf"))
-        .persist()
+      val tf = tf0.persist()
       tf.count() // sdf + n_src + score join consume it
       val sdf = tf.groupBy(col("term")).agg(count(lit(1)).as("sdf"))
       val nSrc = tf.agg(countDistinct(col("source")).as("n_src"))
@@ -5355,10 +5366,17 @@ object Extensions {
         col("resid"), col("rflat"), PqM, PqK, PqSub))
       .select(col("vec_id"), col("cid"), col("codes"), col("rflat"))
 
-  /** The full IVFADC serving path over persisted (vec_id, qv) rows:
-    * build both models, encode, probe, ADC-rank — (qid, vec_id, rn,
-    * adist), top TopK per query. */
-  private[graft] def ivfPqTopK(v: DataFrame): DataFrame = {
+  /** ADC candidates to re-rank per query (Jégou et al.'s R): the ADC
+    * scan keeps its top R = 3·k, the exact pass re-orders only those.
+    * Re-rank work is ≤ R·|queries| exact distances — audit-sized,
+    * independent of the corpus. */
+  private val RerankR = 3 * TopK
+
+  /** The ADC half of the IVFADC serving path over persisted (vec_id,
+    * qv) rows: build both models, encode, probe, ADC-rank — (qid,
+    * vec_id, rn, adist), top [[RerankR]] per query (the re-rank
+    * candidate set; filter rn ≤ TopK for the ADC-only answer). */
+  private[graft] def ivfPqAdcRanked(v: DataFrame): DataFrame = {
       val cents = ivfPqCentModel(v)
       val assigned = ivfPqAssign(v, cents)
       val rcb = ivfPqCodebook(assigned)
@@ -5384,22 +5402,42 @@ object Extensions {
       val w = Window.partitionBy(col("qid"))
         .orderBy(col("adist"), col("vec_id"))
       scored.withColumn("rn", row_number().over(w))
-        .filter(col("rn") <= TopK)
+        .filter(col("rn") <= RerankR)
         .select(col("qid"), col("vec_id"), col("rn"), col("adist"))
   }
 
-  private val x80 = GateQuery(
-    "x80_knn_ivfpq",
-    (s, d) => {
-      val quant = transform(col("embedding"),
-        x => floor(x * lit(1000)).cast("long"))
-      val v = Tables.embeddings(s, d)
-        .select(col("vec_id"), quant.as("qv"))
-        .persist() // centroids, codebook, corpus and queries all consume it
-      v.count() // eager: consumers race on a cold cache (see x14)
-      ordered(ivfPqTopK(v))
-    },
-    Some(s"""WITH v AS (
+  /** The re-rank stage production IVFADC runs after the ADC scan
+    * (Jégou et al. §V): the ADC top-R candidates — a broadcastable
+    * queries×R table — re-order by EXACT quantized L2² against the
+    * true vectors, fetched with one broadcast-side equi-join per side
+    * (the corpus streams map-side; only R·|q| rows compute a
+    * distance). Returns (qid, vec_id, rn, adist, el2), top TopK by
+    * (el2, vec_id). */
+  private[graft] def ivfPqRerank(v: DataFrame, cand: DataFrame): DataFrame = {
+    val q = v.filter(col("vec_id") < NumQueries)
+      .select(col("vec_id").as("qid"), col("qv").as("qq"))
+    val exact = v.join(broadcast(cand.select(col("qid"), col("vec_id"),
+        col("adist"))), "vec_id")
+      .join(broadcast(q), "qid")
+      .withColumn("el2", l2sqCol(col("qq"), col("qv")))
+    val w = Window.partitionBy(col("qid"))
+      .orderBy(col("el2"), col("vec_id"))
+    exact.withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= TopK)
+      .select(col("qid"), col("vec_id"), col("rn"), col("adist"),
+        col("el2"))
+  }
+
+  /** The full IVFADC serving path: ADC scan to top [[RerankR]], exact
+    * re-rank to top TopK — (qid, vec_id, rn, adist, el2). */
+  private[graft] def ivfPqTopK(v: DataFrame): DataFrame =
+    ivfPqRerank(v, ivfPqAdcRanked(v))
+
+  /** Shared oracle core for x80/x83: every CTE through `adcr` (the
+    * ADC top-R candidates, rank kept) and `rer` (the exact re-rank,
+    * rank `rern`) — x80's final answer is rer at rern ≤ TopK, x83
+    * audits BOTH cuts. */
+  private lazy val ivfPqOracleCore: String = s"""v AS (
               SELECT vec_id, list_transform(embedding,
                 x -> CAST(FLOOR(x * 1000) AS BIGINT)) AS qv
               FROM embeddings),
@@ -5460,12 +5498,41 @@ object Extensions {
               FROM probes p
               JOIN enc e ON e.cid = p.cid AND e.vec_id <> p.qid
               JOIN rcb b ON b.sub = e.sub AND b.code = e.code
-              GROUP BY 1, 2)
-            SELECT qid, vec_id, rn, adist FROM (
-              SELECT qid, vec_id, adist,
-                row_number() OVER (PARTITION BY qid ORDER BY adist, vec_id) AS rn
-              FROM scored) WHERE rn <= $TopK
-            ORDER BY 1,2,3,4"""))
+              GROUP BY 1, 2),
+            adcr AS (
+              SELECT qid, vec_id, adist, rn FROM (
+                SELECT qid, vec_id, adist,
+                  row_number() OVER (PARTITION BY qid
+                    ORDER BY adist, vec_id) AS rn
+                FROM scored) WHERE rn <= $RerankR),
+            rer AS (
+              SELECT qid, vec_id, adist, el2,
+                row_number() OVER (PARTITION BY qid
+                  ORDER BY el2, vec_id) AS rern
+              FROM (
+                SELECT c.qid, c.vec_id, c.adist,
+                  CAST(list_dot_product(q.qv, q.qv)
+                    - 2*list_dot_product(q.qv, x.qv)
+                    + list_dot_product(x.qv, x.qv) AS BIGINT) AS el2
+                FROM adcr c
+                JOIN v x ON x.vec_id = c.vec_id
+                JOIN v q ON q.vec_id = c.qid))"""
+
+  private val x80 = GateQuery(
+    "x80_knn_ivfpq",
+    (s, d) => {
+      val quant = transform(col("embedding"),
+        x => floor(x * lit(1000)).cast("long"))
+      val v = Tables.embeddings(s, d)
+        .select(col("vec_id"), quant.as("qv"))
+        .persist() // centroids, codebook, corpus and queries all consume it
+      v.count() // eager: consumers race on a cold cache (see x14)
+      ordered(ivfPqTopK(v))
+    },
+    Some(s"""WITH $ivfPqOracleCore
+            SELECT qid, vec_id, rern AS rn, adist, el2 FROM rer
+            WHERE rern <= $TopK
+            ORDER BY 1,2,3,4,5"""))
 
   // ---------------------------------------------------------------- x81
   // DSIR-style importance weighting (Xie et al., "Data Selection for
@@ -5675,20 +5742,26 @@ object Extensions {
         .withColumn("rn", row_number().over(wt))
         .filter(col("rn") <= TopK)
         .select(col("qid"), col("vec_id"))
-      val hits = ivfPqTopK(v).select(col("qid"), col("vec_id"))
-        .join(truthK, Seq("qid", "vec_id"), "left_semi")
-        .groupBy(col("qid")).agg(count(lit(1)).as("hits"))
+      // both cuts of ONE ADC ranking: the re-ranked answer (x80's
+      // path) and the ADC-only top-K — the audit exposes the re-rank
+      // LIFT, which is the number that justifies the extra exact pass
+      val adc = ivfPqAdcRanked(v).persist()
+      adc.count() // re-rank + adc-only cut both consume it
+      def recallOf(ans: DataFrame, h: String) =
+        ans.select(col("qid"), col("vec_id"))
+          .join(truthK, Seq("qid", "vec_id"), "left_semi")
+          .groupBy(col("qid")).agg(count(lit(1)).as(h))
       ordered(q.select(col("qid"))
-        .join(hits, Seq("qid"), "left_outer")
-        .select(col("qid"), coalesce(col("hits"), lit(0L)).as("hits"))
-        .withColumn("recall_bp", expr(s"hits * 10000 div $TopK")))
+        .join(recallOf(ivfPqRerank(v, adc), "hits"), Seq("qid"), "left_outer")
+        .join(recallOf(adc.filter(col("rn") <= TopK), "hits_adc"),
+          Seq("qid"), "left_outer")
+        .select(col("qid"),
+          coalesce(col("hits"), lit(0L)).as("hits"),
+          coalesce(col("hits_adc"), lit(0L)).as("hits_adc"))
+        .withColumn("recall_bp", expr(s"hits * 10000 div $TopK"))
+        .withColumn("recall_adc_bp", expr(s"hits_adc * 10000 div $TopK")))
     },
-    for (s80 <- x80.oracle) yield
-      s"""WITH approx AS ($s80),
-            v AS (
-              SELECT vec_id, list_transform(embedding,
-                x -> CAST(FLOOR(x * 1000) AS BIGINT)) AS qv
-              FROM embeddings),
+    Some(s"""WITH $ivfPqOracleCore,
             truth AS (
               SELECT qid, vec_id FROM (
                 SELECT q.vec_id AS qid, c.vec_id,
@@ -5702,15 +5775,28 @@ object Extensions {
               WHERE rn <= $TopK),
             hits AS (
               SELECT a.qid, CAST(count(*) AS BIGINT) AS hits
-              FROM approx a
+              FROM rer a
               JOIN truth t ON t.qid = a.qid AND t.vec_id = a.vec_id
+              WHERE a.rern <= $TopK
+              GROUP BY 1),
+            hitsadc AS (
+              SELECT a.qid, CAST(count(*) AS BIGINT) AS hits_adc
+              FROM adcr a
+              JOIN truth t ON t.qid = a.qid AND t.vec_id = a.vec_id
+              WHERE a.rn <= $TopK
               GROUP BY 1)
           SELECT q.vec_id AS qid,
                  CAST(COALESCE(h.hits, 0) AS BIGINT) AS hits,
-                 CAST(COALESCE(h.hits, 0) * 10000 // $TopK AS BIGINT) AS recall_bp
-          FROM v q LEFT JOIN hits h ON h.qid = q.vec_id
+                 CAST(COALESCE(ha.hits_adc, 0) AS BIGINT) AS hits_adc,
+                 CAST(COALESCE(h.hits, 0) * 10000 // $TopK AS BIGINT)
+                   AS recall_bp,
+                 CAST(COALESCE(ha.hits_adc, 0) * 10000 // $TopK AS BIGINT)
+                   AS recall_adc_bp
+          FROM v q
+          LEFT JOIN hits h ON h.qid = q.vec_id
+          LEFT JOIN hitsadc ha ON ha.qid = q.vec_id
           WHERE q.vec_id < $NumQueries
-          ORDER BY 1,2,3""")
+          ORDER BY 1,2,3,4,5"""))
 
   // ---------------------------------------------------------------- x84
   // Out-of-vocabulary rate — the vocab-relative quality signal the

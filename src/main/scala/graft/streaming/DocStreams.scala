@@ -106,6 +106,20 @@ object DocStreams {
       .select(explode(graft.queries.Extensions.skipGramPairs).as("p"))
       .groupBy(col("p")).agg(count(lit(1)).as("c_ab"))
 
+  /** Streaming twin of x72's per-source signature terms: the
+    * (source, term) → tf table as a plain streaming aggregation —
+    * state is one counter per (source, term) TYPE, i.e. bounded by
+    * Σ per-source vocabularies (the [[vocabCounts]] discipline at
+    * source grain), independent of stream length. The scoring half
+    * (sdf, n_src, the salted two-level exact top-k) is marginal-
+    * global over this very table, so it stays a snapshot step: apply
+    * `Extensions.signaturesFromTf` to the complete-mode snapshot —
+    * DocStreamsSpec proves that composition equals batch x72 on the
+    * real corpus across arbitrary batch splits. */
+  def sourceTfStream(docs: DataFrame): DataFrame =
+    docs.select(col("source"), explode(split(col("text"), " ")).as("term"))
+      .groupBy(col("source"), col("term")).agg(count(lit(1)).as("tf"))
+
   /** Streaming heavy-hitter CANDIDATES — x46's bounded-memory pass
     * as a streaming aggregation: ONE Misra-Gries summary row
     * ([[graft.functions.FreqCandidatesAgg]]) carried across batches

@@ -136,6 +136,38 @@ class DocStreamsSpec extends AnyFunSuite {
     q.stop()
   }
 
+  test("streaming source-tf + snapshot signature scoring equal batch " +
+    "x72 on the real corpus") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val expected = Extensions.sourceSignatures(
+        docs.select(col("source"),
+          explode(split(col("text"), " ")).as("term")), 10, 16)
+      .as[(String, String, Long, Long, Long, Long)].collect().toSet
+    assert(expected.nonEmpty, "premise: batch x72 non-empty at sf0.001")
+    val rows = docs.select("doc_id", "text", "source")
+      .as[(Long, String, String)].collect()
+    val in = MemoryStream[(Long, String, String)]
+    val q = DocStreams.sourceTfStream(
+        in.toDF().toDF("doc_id", "text", "source"))
+      .writeStream.format("memory").queryName("stf")
+      .outputMode("complete").start()
+    in.addData(rows.take(150).toIndexedSeq: _*)
+    q.processAllAvailable()
+    in.addData(rows.drop(150).toIndexedSeq: _*)
+    q.processAllAvailable()
+    // score a frozen copy of the state snapshot with the shared batch
+    // scorer (a memory-sink view self-joins with conflicting
+    // attribute ids; a real deployment scores a written-out snapshot)
+    val snap = spark.table("stf").as[(String, String, Long)].collect()
+      .toSeq.toDF("source", "term", "tf")
+    val got = Extensions.signaturesFromTf(snap, 10, 16)
+      .as[(String, String, Long, Long, Long, Long)].collect().toSet
+    assert(got == expected,
+      s"stream-only: ${(got -- expected).take(5)}; " +
+        s"batch-only: ${(expected -- got).take(5)}")
+    q.stop()
+  }
+
   test("streaming token encoder agrees with the batch encodeTokens for a frozen vocab") {
     val docs = Seq(
       Doc(1, "a b oovword a", "en"),

@@ -73,8 +73,9 @@ class X80IvfPqSpec extends AnyFunSuite {
     }
     val codesOf = raw.map { case (id, _) => id -> encode(residOf(id)) }.toMap
 
-    // probes + ADC top-k
-    val expected = (0L until NumQueries.toLong).flatMap { qid =>
+    // probes + ADC top-R, then the exact re-rank to top-k
+    val RerankR = 3 * TopK
+    val adcRanked = (0L until NumQueries.toLong).map { qid =>
       val qq = byId(qid)
       val probed = cents.map { case (cid, cv) => (l2sq(qq, cv), cid.toInt) }
         .sorted.take(Probe).map(_._2)
@@ -91,37 +92,53 @@ class X80IvfPqSpec extends AnyFunSuite {
             (id, adist)
           }
       }
-      scored.sortBy { case (id, d) => (d, id) }.take(TopK)
+      qid -> scored.sortBy { case (id, d) => (d, id) }.take(RerankR)
+    }.toMap
+    val expected = (0L until NumQueries.toLong).flatMap { qid =>
+      val qq = byId(qid)
+      adcRanked(qid)
+        .map { case (id, adist) => (id, adist, l2sq(qq, byId(id))) }
+        .sortBy { case (id, _, el2) => (el2, id) }.take(TopK)
         .zipWithIndex
-        .map { case ((id, d), i) => (qid, id, i + 1, d) }
+        .map { case ((id, adist, el2), i) => (qid, id, i + 1, adist, el2) }
     }.sortBy(identity)
 
     val got = SparkEntry.queries("x80_knn_ivfpq")(spark, "/root/testdata/sf0.001")
       .collect()
-      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getLong(3)))
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getLong(3),
+        r.getLong(4)))
       .toSeq.sortBy(identity)
 
     assert(got == expected)
 
     // x83 recall audit against the same reference: exact-L2² truth
-    // top-K per query, hits = |approx ∩ truth|, integer basis points
+    // top-K per query; hits for BOTH the re-ranked answer and the
+    // ADC-only cut, integer basis points
     val truth = (0L until NumQueries.toLong).map { qid =>
       val qq = byId(qid)
       qid -> raw.iterator.filter(_._1 != qid)
         .map { case (id, v) => (l2sq(qq, v), id) }
         .toSeq.sorted.take(TopK).map(_._2).toSet
     }.toMap
-    val approxIds = expected.groupBy(_._1)
+    val rerankIds = expected.groupBy(_._1)
       .map { case (q, xs) => q -> xs.map(_._2).toSet }
+    val adcIds = adcRanked.map { case (q, xs) =>
+      q -> xs.take(TopK).map(_._1).toSet }
     val wantRecall = (0L until NumQueries.toLong).map { qid =>
-      val h = approxIds.getOrElse(qid, Set.empty).count(truth(qid))
-      (qid, h.toLong, h.toLong * 10000L / TopK)
+      val h = rerankIds.getOrElse(qid, Set.empty).count(truth(qid)).toLong
+      val ha = adcIds.getOrElse(qid, Set.empty).count(truth(qid)).toLong
+      (qid, h, ha, h * 10000L / TopK, ha * 10000L / TopK)
     }.toSeq
     val gotRecall = SparkEntry.queries("x83_ivfpq_recall")(
         spark, "/root/testdata/sf0.001")
       .collect()
-      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4)))
       .toSeq.sortBy(_._1)
     assert(gotRecall == wantRecall)
+
+    // re-ranking within a candidate superset of the ADC answer can
+    // only help: per query, re-ranked hits >= ADC-only hits
+    wantRecall.foreach { case (_, h, ha, _, _) => assert(h >= ha) }
   }
 }
