@@ -185,10 +185,21 @@ object Media {
     * Near-duplicate images (re-encodes, small edits, brightness-
     * preserving noise) land within a few Hamming bits; x90 buckets
     * the hash into 16-bit bands for the standard banded near-dup
-    * join. None for payloads ImageIO has no reader for. */
-  def averageHash(bytes: Array[Byte], grid: Int = 8): Option[Long] =
+    * join. None for payloads ImageIO has no reader for, and for
+    * images narrower or shorter than the grid: a sub-grid image
+    * leaves lattice cells EMPTY, and the empty-cell comparison
+    * `0·n ≥ tot·0` is vacuously true — every empty cell would hash
+    * as a set bit, distorting Hamming distances toward spurious
+    * similarity, so such payloads are unhashable rather than wrong.
+    * grid² must fit the 64-bit hash (`1L << i` wraps past bit 63
+    * otherwise). */
+  def averageHash(bytes: Array[Byte], grid: Int = 8): Option[Long] = {
+    require(grid >= 1 && grid * grid <= 64,
+      s"grid^2 must fit a 64-bit hash, got $grid")
     try {
-      Option(ImageIO.read(new ByteArrayInputStream(bytes))).map { img =>
+      Option(ImageIO.read(new ByteArrayInputStream(bytes)))
+        .filter(img => img.getWidth >= grid && img.getHeight >= grid)
+        .map { img =>
         val raster = img.getRaster
         val w = img.getWidth
         val h = img.getHeight
@@ -220,6 +231,7 @@ object Media {
         bits
       }
     } catch { case _: java.io.IOException => None }
+  }
 
   /** 64-bit energy fingerprint over REAL decoded PCM — the audio
     * sibling of [[averageHash]]: channel-0 |sample| values block-
@@ -229,16 +241,22 @@ object Media {
     * the fingerprint is bit-reproducible and closed-form replayable.
     * Loads channel-0 samples into memory (fingerprinting targets
     * clip-length payloads; block assignment needs the frame count up
-    * front). None for non-PCM/16-bit payloads or clips shorter than
-    * the grid. */
-  def energyHash(bytes: Array[Byte], grid: Int = 64): Option[Long] =
+    * front). None for non-PCM/16-bit payloads, clips shorter than
+    * the grid, or formats reporting an unusable frame size (a
+    * malformed header can report NOT_SPECIFIED = -1, which would
+    * otherwise escape as NegativeArraySizeException and kill the
+    * ingest task instead of quarantining the payload). grid must fit
+    * the 64-bit hash. */
+  def energyHash(bytes: Array[Byte], grid: Int = 64): Option[Long] = {
+    require(grid >= 1 && grid <= 64,
+      s"grid must fit a 64-bit hash, got $grid")
     try {
       val in = javax.sound.sampled.AudioSystem
         .getAudioInputStream(new ByteArrayInputStream(bytes))
       try {
         val f = in.getFormat
         if (f.getEncoding != javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED ||
-            f.getSampleSizeInBits != 16) None
+            f.getSampleSizeInBits != 16 || f.getFrameSize < 2) None
         else {
           val frameBytes = f.getFrameSize
           val out = scala.collection.mutable.ArrayBuffer.empty[Int]
@@ -284,6 +302,7 @@ object Media {
       case _: javax.sound.sampled.UnsupportedAudioFileException => None
       case _: java.io.IOException => None
     }
+  }
 
   def byteHistogram(bytes: Array[Byte], dim: Int = 8): Array[Float] = {
     val acc = new Array[Long](dim)

@@ -5884,7 +5884,16 @@ object Extensions {
   // and the flag is a stateless per-row comparison. Zero corpus-wide
   // shuffles, zero order statistics over the corpus.
   private val ProtoPrunePm = 250L // prune the most-prototypical quartile
-  private val ProtoBuckets = 64 // power of two: exact double scaling
+  // Power of two: the ·64 scaling multiply is exact in a double.
+  // Cross-engine bit-identity additionally requires the integer dot
+  // products feeding the cosine to stay BELOW 2^53: Spark computes an
+  // exact long dot then converts once to double, while DuckDB's
+  // list_dot_product accumulates per-element doubles — above 2^53
+  // the two roundings can diverge and a boundary row buckets
+  // differently. Here |dot| ≤ dim·1000² = 2^26 with 2^27 headroom;
+  // for larger dims/scales compute the oracle dot in HUGEINT before
+  // the float division.
+  private val ProtoBuckets = 64
 
   /** x85's engine, parameterized for fixtures: (vec_id, label, qv)
     * rows in, (vec_id, label, bkt, pruned) out. X85ProtoSpec pins the

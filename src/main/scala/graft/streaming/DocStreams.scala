@@ -253,7 +253,18 @@ object DocStreams {
     * langs absent from the thresholds bucket as 'unknown'. On the
     * training corpus itself (all bigrams seen) the assignment is
     * bit-identical to batch x87 (DocStreamsSpec). Column contract:
-    * input (doc_id, text, lang); output (doc_id, lang, spb, bucket). */
+    * input (doc_id, text, lang); output (doc_id, lang, spb, bucket).
+    *
+    * Model-size bound: the `bits` map ships as a PLAN LITERAL
+    * (typedLit), which is the right shape only while the model stays
+    * driver-small (≈ low-single-digit-million entries; the gate
+    * corpus LM is ~10⁴). The map is required because the per-doc sum
+    * must stay a stateless per-row HOF — a (bg, bits) join would
+    * need a per-doc RE-AGGREGATION, which append-mode streaming
+    * cannot express without watermark state. At production LM sizes
+    * either coarsen the model (hash bigrams into x81's DsirB-style
+    * buckets so the literal stays bounded) or accept the stateful
+    * windowed re-agg. */
   def ccnetBucketStream(docs: DataFrame, bits: Map[String, Long],
       defaultBits: Long, thr: DataFrame): DataFrame = {
     val staged = docs.select(col("doc_id"), col("lang"),

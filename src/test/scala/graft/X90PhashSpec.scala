@@ -57,4 +57,18 @@ class X90PhashSpec extends AnyFunSuite {
   test("non-image payloads hash to None") {
     assert(Media.averageHash("not a png".getBytes).isEmpty)
   }
+
+  test("sub-grid images are unhashable, not spuriously-similar") {
+    // a 4x4 image leaves 8x8 lattice cells empty; the empty-cell
+    // comparison 0*n >= tot*0 would set every empty bit — None
+    // instead of a distance-distorting hash
+    val tiny = Media.encodePng(4, 4, (x, y) => (x * 16 + y) * 0x010101)
+    assert(Media.averageHash(tiny).isEmpty)
+    assert(Media.averageHash(Media.encodePng(16, 4, (_, _) => 0x333333))
+      .isEmpty)
+    // a grid whose hash cannot fit 64 bits is a caller error
+    intercept[IllegalArgumentException] {
+      Media.averageHash(gradientPng(1), grid = 9)
+    }
+  }
 }

@@ -42,4 +42,22 @@ class X91AudioSpec extends AnyFunSuite {
     assert(Media.energyHash(short).isEmpty)
     assert(Media.energyHash("definitely not a wav".getBytes).isEmpty)
   }
+
+  test("header damage never escapes as a task-killing exception; an " +
+    "over-64 grid is a caller error") {
+    // a zeroed block-align is NORMALIZED by the JVM's WAV reader
+    // (frame size re-derived from channels·bits), so it must still
+    // hash — the frameSize < 2 guard covers formats that DO report
+    // NOT_SPECIFIED (-1), where the old code died in
+    // NegativeArraySizeException outside the IOException catch
+    val good = Media.encodeWav(Array.fill(128)(7.toShort), 8000)
+    val bad = good.clone()
+    bad(32) = 0; bad(33) = 0 // fmt-chunk blockAlign
+    assert(Media.energyHash(bad).contains(-1L)) // constant clip saturates
+    // truncated / garbage payloads quarantine as None, never throw
+    assert(Media.energyHash(good.take(30)).isEmpty)
+    intercept[IllegalArgumentException] {
+      Media.energyHash(good, grid = 65)
+    }
+  }
 }

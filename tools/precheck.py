@@ -175,6 +175,9 @@ def main(sf_dir: str, out_dir: str) -> int:
     only = set(only.split(",")) if only else None
     for name, sql in sorted(oracle.items()):
         if only is not None and name not in only:
+            # record the unselected gate explicitly: a filtered run's
+            # JSON must be distinguishable from a full green sweep
+            record(name, err="filtered (GRAFT_ONLY)")
             continue
         files = glob.glob(f"{out_dir}/{name}/*.parquet")
         if not files:
@@ -243,9 +246,14 @@ def main(sf_dir: str, out_dir: str) -> int:
                              hash_match=True)
         n_ok += 1
     skip = f", {n_skip} skip" if n_skip else ""
-    print(f"== {n_ok} ok, {n_bad} fail{skip} ==")
+    n_filt = sum(1 for r in results.values()
+                 if r.get("err") == "filtered (GRAFT_ONLY)")
+    filt = f", {n_filt} filtered (GRAFT_ONLY)" if n_filt else ""
+    print(f"== {n_ok} ok, {n_bad} fail{skip}{filt} ==")
     json_out = os.environ.get("GRAFT_JSON_OUT")
     if json_out:
+        if only is not None:
+            results["_graft_only"] = sorted(only)
         with open(json_out, "w") as f:
             json.dump(results, f, indent=2)
     return 1 if n_bad else 0
