@@ -95,14 +95,29 @@ final class MatchedPrefix[E] private[streaming] (
   *  - `consecutive`: strict contiguity INSIDE a one-or-more run — a
   *    non-matching event freezes the run instead of being skipped;
   *  - `combinations`: non-deterministic one-or-more — every matching
-  *    event forks absorb/skip, enumerating every subsequence. */
+  *    event forks absorb/skip, enumerating every subsequence;
+  *  - `greedy`: maximal-munch AMBIGUITY resolution (Flink
+  *    `.greedy()`): an event that matches both this quantified stage
+  *    and the following stage's guard is COMMITTED to the quantifier;
+  *    without it the engine forks both interpretations (Flink's
+  *    default-reluctant alternative selection). Only observable when
+  *    the two guards overlap.
+  *
+  * Group-window fields (Flink `within` on a GroupPattern):
+  * `groupStart` is the index of the group's first inlined stage and
+  * `groupWithinMs` bounds the time from the group's FIRST matched
+  * event to any later event consumed by a group stage; MaxValue = no
+  * group window. */
 final case class PatternStep[E](
     name: String, pred: (E, MatchedPrefix[E]) => Boolean,
     kind: StepKind = StepKind.Relaxed,
     until: Option[(E, MatchedPrefix[E]) => Boolean] = None,
     any: Boolean = false,
     consecutive: Boolean = false,
-    combinations: Boolean = false)
+    combinations: Boolean = false,
+    greedy: Boolean = false,
+    groupStart: Int = -1,
+    groupWithinMs: Long = Long.MaxValue)
 
 /** Flink-CEP-style sequential event pattern
   * (`Pattern.begin(...).where(...).followedBy(...).within(...)`,
@@ -364,6 +379,36 @@ final case class EventPattern[E] private (
     copy(steps = pre ++ rewritten)
   }
 
+  /** Resolve quantifier AMBIGUITY by maximal munch (Flink
+    * `.greedy()` on `times(from, to)` / `oneOrMore` / `timesOrMore`):
+    * an event whose guard match is ambiguous — it satisfies both the
+    * quantified stage and the FOLLOWING stage — is committed to the
+    * quantifier, so only the longest-absorption alternative survives.
+    * Without `greedy` the engine forks both interpretations (Flink's
+    * default-reluctant alternative selection), emitting a match per
+    * viable absorption length. The modifier is observable only when
+    * the two guards overlap; on disjoint guards (the common case)
+    * default and greedy are identical, which CepModifiersSpec pins as
+    * a property. NOTE one documented divergence stands either way: a
+    * TERMINAL quantifier emits its maximal run at window close rather
+    * than Flink's one-match-per-prefix multiplicity (that enumeration
+    * is [[allowCombinations]]' job). */
+  def greedy: EventPattern[E] = {
+    val (pre, grp) = lastGroup
+    require(grp.last.kind == StepKind.Repeated ||
+      grp.exists(_.kind == StepKind.Optional),
+      "greedy() applies to a times(from, to)/oneOrMore/timesOrMore stage")
+    require(grp.forall(!_.combinations),
+      "greedy() and allowCombinations() are mutually exclusive — " +
+        "combinations already enumerates every alternative")
+    val rewritten = grp.map { st =>
+      if (st.kind == StepKind.Repeated || st.kind == StepKind.Optional)
+        st.copy(greedy = true)
+      else st
+    }
+    copy(steps = pre ++ rewritten)
+  }
+
   private def append(name: String, kind: StepKind): EventPattern[E] = {
     require(!steps.exists(_.name == name), s"duplicate step name: $name")
     copy(steps = steps :+ PatternStep[E](name, (_, _) => true, kind))
@@ -389,15 +434,31 @@ final case class EventPattern[E] private (
   def next(name: String): EventPattern[E] =
     append(name, StepKind.Strict)
 
-  private def groupSteps(sub: EventPattern[E]): Vector[PatternStep[E]] = {
-    require(sub.withinMs == Long.MaxValue,
-      "a group sub-pattern cannot carry its own within() — the outer " +
-        "pattern's window bounds the whole match")
+  /** Inline a group sub-pattern's stages at offset `base`. A
+    * `within()` on the sub-pattern becomes a GROUP WINDOW (Flink's
+    * GroupPattern-scoped within): every inlined stage is tagged with
+    * the group's first stage index and the bound, and the NFA then
+    * requires any event a group stage consumes to fall within
+    * groupWithinMs of the group's FIRST matched event. Already-
+    * windowed inner groups shift with the offset; a windowed group
+    * may not nest another windowed group (one group window per
+    * stage). */
+  private def groupSteps(sub: EventPattern[E],
+      base: Int): Vector[PatternStep[E]] = {
     require(sub.skip == SkipStrategy.NoSkip,
       "a group sub-pattern cannot carry a skip strategy")
     require(sub.steps.nonEmpty && sub.steps.head.kind == StepKind.Relaxed,
       "a group sub-pattern must start with a plain begin stage")
-    sub.steps
+    val shifted = sub.steps.map { st =>
+      if (st.groupStart < 0) st else st.copy(groupStart = st.groupStart + base)
+    }
+    if (sub.withinMs == Long.MaxValue) shifted
+    else {
+      require(sub.steps.forall(_.groupWithinMs == Long.MaxValue),
+        "a windowed group cannot nest another windowed group — one " +
+          "group window per stage")
+      shifted.map(_.copy(groupStart = base, groupWithinMs = sub.withinMs))
+    }
   }
 
   /** Append a GROUP sub-pattern with relaxed contiguity (Flink
@@ -405,11 +466,12 @@ final case class EventPattern[E] private (
     * sub-pattern's stage sequence is inlined — matching proceeds
     * through its stages exactly as if they were declared on the outer
     * pattern, and the match exposes each inner stage under its own
-    * name. The sub-pattern must be window-free and skip-free (the
-    * outer pattern owns both); its stage names must not collide with
-    * the outer ones. */
+    * name. A `within()` on the sub-pattern becomes a GROUP-scoped
+    * window (first group event → any group event); the outer
+    * pattern's own `within` still bounds the whole match. Stage names
+    * must not collide with the outer ones. */
   def followedBy(sub: EventPattern[E]): EventPattern[E] = {
-    val gs = groupSteps(sub)
+    val gs = groupSteps(sub, steps.length)
     gs.map(_.name).distinct.foreach { nm =>
       require(!steps.exists(_.name == nm), s"duplicate step name: $nm") }
     copy(steps = steps ++ gs)
@@ -417,9 +479,10 @@ final case class EventPattern[E] private (
 
   /** Append a group sub-pattern with STRICT contiguity into its first
     * stage (Flink `next(Pattern)`): the sub-pattern's first event must
-    * be the key's immediately-next event. */
+    * be the key's immediately-next event. A sub-pattern `within()`
+    * becomes the group's window, as in [[followedBy]]. */
   def next(sub: EventPattern[E]): EventPattern[E] = {
-    val gs = groupSteps(sub)
+    val gs = groupSteps(sub, steps.length)
     gs.map(_.name).distinct.foreach { nm =>
       require(!steps.exists(_.name == nm), s"duplicate step name: $nm") }
     copy(steps = steps ++
@@ -431,19 +494,22 @@ final case class EventPattern[E] private (
     * complete n times in order, with relaxed contiguity between
     * repetitions. Compiled by expansion — the n copies share the
     * inner stage names, so the match merges every repetition's events
-    * under those names, exactly FlinkCEP's GroupPattern exposure.
-    * Only exact counts are supported on groups: a range or one-or-
-    * more group would need optional/looping SEQUENCES, which this
-    * NFA's per-stage forward scan cannot express soundly. */
+    * under those names, exactly FlinkCEP's GroupPattern exposure. A
+    * sub-pattern `within()` bounds EACH REPETITION separately (every
+    * copy is its own group instance). Only exact counts are supported
+    * on groups: a range or one-or-more group would need
+    * optional/looping SEQUENCES, which this NFA's per-stage forward
+    * scan cannot express soundly. */
   def followedByTimes(sub: EventPattern[E], n: Int): EventPattern[E] = {
     require(n >= 1, "followedByTimes(sub, n) needs n >= 1")
-    val gs = groupSteps(sub)
-    gs.map(_.name).distinct.foreach { nm =>
-      require(!steps.exists(_.name == nm), s"duplicate step name: $nm") }
-    require(gs.forall(st => st.kind == StepKind.Relaxed ||
+    require(sub.steps.forall(st => st.kind == StepKind.Relaxed ||
       st.kind == StepKind.Strict),
       "a repeated group may contain plain followedBy/next stages only")
-    copy(steps = steps ++ Vector.fill(n)(gs).flatten)
+    sub.steps.map(_.name).distinct.foreach { nm =>
+      require(!steps.exists(_.name == nm), s"duplicate step name: $nm") }
+    val copies = (0 until n).flatMap { i =>
+      groupSteps(sub, steps.length + i * sub.steps.length) }
+    copy(steps = steps ++ copies)
   }
 
   /** Append an absence stage (Flink `.notFollowedBy`): an event
@@ -486,13 +552,21 @@ object EventPattern {
   /** Start a pattern from a GROUP sub-pattern (Flink
     * `Pattern.begin(Pattern)`): the sub-pattern's stages become the
     * outer pattern's prefix — declare guards inside the sub-pattern,
-    * then chain `followedBy`/`within`/... on the result. */
+    * then chain `followedBy`/`within`/... on the result. A
+    * sub-pattern `within()` becomes a GROUP window scoped to the
+    * leading stages (the outer `within` is still declared on the
+    * result). */
   def begin[E](sub: EventPattern[E]): EventPattern[E] = {
-    require(sub.withinMs == Long.MaxValue,
-      "a group sub-pattern cannot carry its own within()")
     require(sub.skip == SkipStrategy.NoSkip,
       "a group sub-pattern cannot carry a skip strategy")
-    sub
+    if (sub.withinMs == Long.MaxValue) sub
+    else {
+      require(sub.steps.forall(_.groupWithinMs == Long.MaxValue),
+        "a windowed group cannot nest another windowed group — one " +
+          "group window per stage")
+      EventPattern(sub.steps.map(
+        _.copy(groupStart = 0, groupWithinMs = sub.withinMs)), Long.MaxValue)
+    }
   }
 }
 
@@ -520,6 +594,33 @@ object Cep {
 
   private def deadline(withinMs: Long, t0: Long): Long =
     if (withinMs == Long.MaxValue) Long.MaxValue else t0 + withinMs
+
+  /** First matched event time of the group stage `idx` belongs to
+    * (MaxValue when the group hasn't matched anything yet). */
+  private def groupT0[E](steps: Vector[PatternStep[E]],
+      eventTimeMs: E => Long, idx: Int, acc: List[(Int, E)]): Long = {
+    val gs = steps(idx).groupStart
+    var g0 = Long.MaxValue
+    acc.foreach { case (i, ev) =>
+      if (i >= gs) { val ts = eventTimeMs(ev); if (ts < g0) g0 = ts } }
+    g0
+  }
+
+  /** A partial's effective deadline: the outer window, tightened by
+    * an in-progress group window (first group event + groupWithinMs).
+    * MaxValue = never expires. */
+  private def partialDeadline[E](steps: Vector[PatternStep[E]],
+      withinMs: Long, eventTimeMs: E => Long)(p: Partial[E]): Long = {
+    val (stage, t0, acc) = p
+    val base = deadline(withinMs, t0)
+    val st = steps(stage)
+    if (st.groupWithinMs == Long.MaxValue) base
+    else {
+      val g0 = groupT0(steps, eventTimeMs, stage, acc)
+      if (g0 == Long.MaxValue) base
+      else math.min(base, g0 + st.groupWithinMs)
+    }
+  }
 
   /** One per-key micro-batch of the NFA, PURE (CepPropertiesSpec
     * fuzzes it against a brute-force reference): processes `events`
@@ -622,11 +723,21 @@ object Cep {
       val kept = List.newBuilder[Partial[E]]
       partials.foreach { case p @ (stage, t0, acc) =>
         val inWindow = t >= t0 && t <= deadline(withinMs, t0)
+        // group-scoped within: consuming into stage `idx` must also
+        // fall inside that stage's group window (first group event +
+        // groupWithinMs; an empty group starts with this very event)
+        def groupOk(idx: Int): Boolean = {
+          val gw = steps(idx).groupWithinMs
+          gw == Long.MaxValue || {
+            val g0 = groupT0(steps, eventTimeMs, idx, acc)
+            g0 == Long.MaxValue || t <= g0 + gw
+          }
+        }
         // iterative-condition context: the partial's matched prefix
         val ctx = new MatchedPrefix(steps, acc)
         steps(stage).kind match {
           case StepKind.Relaxed =>
-            if (inWindow && steps(stage).pred(e, ctx)) {
+            if (inWindow && steps(stage).pred(e, ctx) && groupOk(stage)) {
               consume(kept, t0, acc, stage, e)
               // non-deterministic (`followedByAny` / the clone form of
               // allowCombinations): the original stays open so every
@@ -637,13 +748,14 @@ object Cep {
           case StepKind.Strict =>
             // the key's next event either matches or kills; an
             // out-of-window event can't match and kills too
-            if (inWindow && steps(stage).pred(e, ctx)) consume(kept, t0, acc, stage, e)
+            if (inWindow && steps(stage).pred(e, ctx) && groupOk(stage))
+              consume(kept, t0, acc, stage, e)
             // else: drop p
           case StepKind.Negative =>
             // advance-first: satisfying the NEXT stage wins over the
             // forbidden guard when an event matches both
             val advances = stage + 1 < steps.length && inWindow &&
-              steps(stage + 1).pred(e, ctx)
+              steps(stage + 1).pred(e, ctx) && groupOk(stage + 1)
             if (advances) consume(kept, t0, acc, stage + 1, e)
             else if (inWindow && steps(stage).pred(e, ctx)) {
               // forbidden event observed: kill (drop p)
@@ -658,7 +770,7 @@ object Cep {
               // kill (drop p)
             } else {
               val nxt = stage + 1
-              if (steps(nxt).pred(e, ctx)) {
+              if (steps(nxt).pred(e, ctx) && groupOk(nxt)) {
                 consume(kept, t0, acc, nxt, e)
                 if (steps(nxt).any) kept += ((nxt, t0, acc))
               }
@@ -673,9 +785,9 @@ object Cep {
             val st = steps(stage)
             val hasRun = acc.exists(_._1 == stage)
             val stopped = st.until.exists(u => inWindow && u(e, ctx))
-            val matchesLoop = inWindow && st.pred(e, ctx)
+            val matchesLoop = inWindow && st.pred(e, ctx) && groupOk(stage)
             val matchesNext = stage + 1 < steps.length && inWindow &&
-              steps(stage + 1).pred(e, ctx)
+              steps(stage + 1).pred(e, ctx) && groupOk(stage + 1)
             if (stopped) {
               if (hasRun) {
                 if (stage + 1 == steps.length) staged ::= ((t0, acc))
@@ -690,10 +802,18 @@ object Cep {
               if (hasRun && matchesNext) consume(kept, t0, acc, stage + 1, e)
               kept += p // skip fork: absorb later events instead
             }
-            // greedy: absorbing wins over advancing; the run ends on
-            // an event that matches the NEXT stage but not this one
-            else if (matchesLoop)
+            else if (matchesLoop) {
               kept += ((stage, t0, (stage, e) :: acc))
+              // AMBIGUOUS event (matches the loop AND the next
+              // stage): the default is Flink's reluctant fork — a
+              // sibling advances with the run as-is; greedy() commits
+              // to the loop (maximal munch). On disjoint guards the
+              // fork never fires and both modes are identical.
+              if (!st.greedy && hasRun && matchesNext)
+                consume(kept, t0, acc, stage + 1, e)
+            }
+            // the run ends on an event that matches the NEXT stage
+            // but not this one
             else if (hasRun && matchesNext)
               consume(kept, t0, acc, stage + 1, e)
             else if (st.consecutive) {
@@ -711,8 +831,26 @@ object Cep {
             }
             else kept += p // relaxed: skip the non-matching event
           case StepKind.Optional =>
-            // greedy: taken if its guard matches first…
-            if (inWindow && steps(stage).pred(e, ctx)) consume(kept, t0, acc, stage, e)
+            // taken if its guard matches first…
+            if (inWindow && steps(stage).pred(e, ctx) && groupOk(stage)) {
+              consume(kept, t0, acc, stage, e)
+              // AMBIGUOUS event: it may instead resolve this
+              // quantifier short and satisfy a later stage — the
+              // default forks that interpretation too (skipping this
+              // quantifier's remaining same-name clones, whose take
+              // would duplicate this one); greedy() commits to the
+              // quantifier
+              if (!steps(stage).greedy) {
+                var j = stage + 1
+                while (j < steps.length &&
+                  steps(j).kind == StepKind.Optional &&
+                  (steps(j).name == steps(stage).name ||
+                    !(steps(j).pred(e, ctx) && groupOk(j)))) j += 1
+                if (j < steps.length && steps(j).name != steps(stage).name &&
+                  steps(j).pred(e, ctx) && groupOk(j))
+                  consume(kept, t0, acc, j, e)
+              }
+            }
             else {
               // …skipped when a later stage's guard matches first:
               // scan past consecutive untaken optional stages (the
@@ -720,8 +858,9 @@ object Cep {
               // accepts the event
               var j = stage + 1
               while (j < steps.length && steps(j).kind == StepKind.Optional &&
-                !steps(j).pred(e, ctx)) j += 1
-              if (j < steps.length && inWindow && steps(j).pred(e, ctx))
+                !(steps(j).pred(e, ctx) && groupOk(j))) j += 1
+              if (j < steps.length && inWindow && steps(j).pred(e, ctx) &&
+                groupOk(j))
                 consume(kept, t0, acc, j, e)
               else kept += p
             }
@@ -753,7 +892,11 @@ object Cep {
     var kept = List.empty[Partial[E]]
     val expired = List.newBuilder[Partial[E]]
     partials.foreach { p =>
-      if (deadline(withinMs, p._2) >= watermarkMs) kept ::= p
+      // the effective deadline folds in an in-progress group window,
+      // so a partial stuck inside an expired GROUP prunes (and its
+      // terminal special-emissions fire) at the group close
+      if (partialDeadline(steps, withinMs, eventTimeMs)(p) >= watermarkMs)
+        kept ::= p
       else expired += p
     }
     kept = kept.reverse
@@ -826,7 +969,8 @@ object Cep {
       steps.head.kind != StepKind.NegativeStrict,
       "a pattern cannot START with notFollowedBy/notNext")
     require(steps.last.kind != StepKind.Negative ||
-      pattern.withinMs != Long.MaxValue,
+      pattern.withinMs != Long.MaxValue ||
+      steps.last.groupWithinMs != Long.MaxValue,
       "a terminal notFollowedBy requires within() — its match is " +
         "emitted when the window closes unviolated")
     require(steps.last.kind != StepKind.NegativeStrict,
@@ -834,12 +978,14 @@ object Cep {
     require(steps.head.kind != StepKind.Optional,
       "a pattern cannot START with an optional stage")
     require(steps.last.kind != StepKind.Optional ||
-      pattern.withinMs != Long.MaxValue,
+      pattern.withinMs != Long.MaxValue ||
+      steps.last.groupWithinMs != Long.MaxValue,
       "a terminal optional stage (times(from, to) range) requires " +
         "within() — its greedy-maximal match is emitted when the " +
         "window closes")
     require(steps.last.kind != StepKind.Repeated ||
       pattern.withinMs != Long.MaxValue ||
+      steps.last.groupWithinMs != Long.MaxValue ||
       steps.last.until.isDefined,
       "a terminal oneOrMore requires within() or until() — its " +
         "maximal run is emitted when the window closes or the stop " +
@@ -874,13 +1020,16 @@ object Cep {
           if (partials.isEmpty) state.remove()
           else {
             state.update(partials)
-            if (withinMs != Long.MaxValue) {
+            // group windows expire partials even when the pattern has
+            // no outer within — fold both into the wakeup deadline
+            val dls = partials
+              .map(partialDeadline(steps, withinMs, eventTimeMs))
+              .filter(_ != Long.MaxValue)
+            if (dls.nonEmpty) {
               // a kept partial's deadline can equal the watermark
               // exactly; Spark rejects a timeout <= watermark
-              val dl = partials.map { case (_, t0, _) =>
-                deadline(withinMs, t0) }.max
               state.setTimeoutTimestamp(
-                math.max(dl, state.getCurrentWatermarkMs() + 1))
+                math.max(dls.max, state.getCurrentWatermarkMs() + 1))
             }
           }
           val timedOut =

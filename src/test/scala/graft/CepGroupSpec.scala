@@ -84,10 +84,74 @@ class CepGroupSpec extends AnyFunSuite {
       Vector((1L, 2L, 3L)))
   }
 
+  test("within() on a group scopes the window to the group's own span") {
+    val pat = EventPattern.begin[Ev]("A").where(_.kind == "a")
+      .followedBy(bc.within(java.time.Duration.ofMillis(5)))
+      .within(java.time.Duration.ofMillis(W))
+    // group span b->c = 4 <= 5: match
+    assert(run(pat, Seq(ev("a", 0), ev("b", 10), ev("c", 14)))
+      .map(m => (m("B").head.ts, m("C").head.ts)) == Vector((10L, 14L)))
+    // group span 6 > 5: c cannot join, no match
+    assert(run(pat, Seq(ev("a", 0), ev("b", 10), ev("c", 16))).isEmpty)
+    // the gap BEFORE the group is unconstrained by the group window
+    assert(run(pat, Seq(ev("a", 0), ev("b", 50), ev("c", 54)))
+      .map(m => m("C").head.ts) == Vector(54L))
+    // the outer within still bounds the whole match
+    assert(run(pat, Seq(ev("a", 0), ev("b", 98), ev("c", 101))).isEmpty)
+  }
+
+  test("a group-expired partial prunes at the watermark and surfaces " +
+    "as a timeout with what it DID match") {
+    val pat = EventPattern.begin[Ev]("A").where(_.kind == "a")
+      .followedBy(bc.within(java.time.Duration.ofMillis(5)))
+      .within(java.time.Duration.ofMillis(W))
+    // b at 10 opens the group; no c arrives within 5 — once the
+    // watermark passes 15 the partial can never complete
+    val (kept, matches, timeouts) = Cep.step(pat.steps, pat.withinMs,
+      (e: Ev) => e.ts, Nil, Seq(ev("a", 0), ev("b", 10)), 50L)
+    assert(matches.isEmpty)
+    assert(kept.isEmpty, "group-expired partial must not linger")
+    assert(timeouts.map(m => (m("A").map(_.ts), m("B").map(_.ts))) ==
+      Vector((Seq(0L), Seq(10L))))
+    // the same feed with the watermark still below the group deadline
+    // keeps the partial open
+    val (kept2, _, _) = Cep.step(pat.steps, pat.withinMs,
+      (e: Ev) => e.ts, Nil, Seq(ev("a", 0), ev("b", 10)), 12L)
+    assert(kept2.nonEmpty)
+  }
+
+  test("each repetition of a windowed repeated group gets its own window") {
+    val pat = EventPattern.begin[Ev]("A").where(_.kind == "a")
+      .followedByTimes(bc.within(java.time.Duration.ofMillis(5)), 2)
+      .within(java.time.Duration.ofMillis(W))
+    // both repetitions tight: match (the 17ms gap BETWEEN repetitions
+    // is unconstrained)
+    assert(run(pat, Seq(ev("a", 0), ev("b", 1), ev("c", 3),
+      ev("b", 20), ev("c", 24)))
+      .map(m => (m("B").map(_.ts), m("C").map(_.ts))) ==
+      Vector((Seq(1L, 20L), Seq(3L, 24L))))
+    // second repetition over ITS window: no match
+    assert(run(pat, Seq(ev("a", 0), ev("b", 1), ev("c", 3),
+      ev("b", 20), ev("c", 26))).isEmpty)
+  }
+
+  test("begin(group) with a within() bounds the leading stages") {
+    val pat = EventPattern.begin(bc.within(java.time.Duration.ofMillis(5)))
+      .followedBy("D").where(_.kind == "a")
+      .within(java.time.Duration.ofMillis(W))
+    assert(run(pat, Seq(ev("b", 0), ev("c", 4), ev("a", 60)))
+      .map(m => m("D").head.ts) == Vector(60L))
+    assert(run(pat, Seq(ev("b", 0), ev("c", 6), ev("a", 60))).isEmpty)
+  }
+
   test("group misuse is rejected at build time") {
     val outer = EventPattern.begin[Ev]("A").where(_.kind == "a")
+    // a windowed group may not nest another windowed group
     intercept[IllegalArgumentException](
-      outer.followedBy(bc.within(java.time.Duration.ofMillis(5))))
+      outer.followedBy(
+        EventPattern.begin(bc.within(java.time.Duration.ofMillis(5)))
+          .followedBy("D").where(_.kind == "d")
+          .within(java.time.Duration.ofMillis(9))))
     intercept[IllegalArgumentException](
       outer.followedBy(EventPattern.begin[Ev]("A"))) // name collision
     intercept[IllegalArgumentException](

@@ -333,6 +333,101 @@ class CepModifiersSpec extends AnyFunSuite {
     })
   }
 
+  // ----------------------------------------------------------- greedy
+
+  // An AMBIGUOUS event is one matching both the quantifier's guard
+  // and the following stage's ("x" below is a b AND a c). Flink's
+  // default-reluctant selection forks both interpretations; greedy()
+  // commits the event to the quantifier — maximal munch.
+
+  test("oneOrMore: an ambiguous event forks by default, greedy() " +
+    "commits it to the run") {
+    def pat(g: Boolean) = {
+      val p = EventPattern.begin[Ev]("A").where(_.kind == "a")
+        .followedBy("B").where(e => e.kind == "b" || e.kind == "x")
+        .oneOrMore
+      (if (g) p.greedy else p)
+        .followedBy("C").where(e => e.kind == "c" || e.kind == "x")
+        .within(java.time.Duration.ofMillis(W))
+    }
+    val evs = Seq(ev("a", 0), ev("b", 1), ev("x", 2), ev("c", 3))
+    val def_ = run(pat(false), evs)
+      .map(m => (m("B").map(_.ts), m("C").head.ts)).sorted
+    // fork: x either extends the run (then c completes it) or IS the C
+    assert(def_ == Vector((Seq(1L), 2L), (Seq(1L, 2L), 3L)))
+    val grd = run(pat(true), evs)
+      .map(m => (m("B").map(_.ts), m("C").head.ts))
+    assert(grd == Vector((Seq(1L, 2L), 3L))) // maximal munch only
+  }
+
+  test("times(from, to): an ambiguous event forks at the optional " +
+    "clones, greedy() absorbs to the max") {
+    def pat(g: Boolean) = {
+      val p = EventPattern.begin[Ev]("A").where(_.kind == "a")
+        .followedBy("B").where(e => e.kind == "b" || e.kind == "x")
+        .times(1, 2)
+      (if (g) p.greedy else p)
+        .followedBy("C").where(e => e.kind == "c" || e.kind == "x")
+        .within(java.time.Duration.ofMillis(W))
+    }
+    val evs = Seq(ev("a", 0), ev("b", 1), ev("x", 2), ev("c", 3))
+    val def_ = run(pat(false), evs)
+      .map(m => (m("B").map(_.ts), m("C").head.ts)).sorted
+    assert(def_ == Vector((Seq(1L), 2L), (Seq(1L, 2L), 3L)))
+    val grd = run(pat(true), evs)
+      .map(m => (m("B").map(_.ts), m("C").head.ts))
+    assert(grd == Vector((Seq(1L, 2L), 3L)))
+  }
+
+  test("fuzz: greedy() is a no-op when the quantifier and the next " +
+    "stage have disjoint guards") {
+    def mk(g: Boolean, range: Boolean) = {
+      val b = EventPattern.begin[Ev]("A").where(_.kind == "a")
+        .followedBy("B").where(_.kind == "b")
+      val q = if (range) b.times(1, 3) else b.oneOrMore
+      (if (g) q.greedy else q)
+        .followedBy("C").where(_.kind == "c")
+        .within(java.time.Duration.ofMillis(W))
+    }
+    for (range <- Seq(false, true))
+      check(s"greedy-noop-range=$range", Prop.forAll(genEvents) { evs =>
+        val d = run(mk(g = false, range), evs, flush = true)
+          .map(m => (m("B").map(_.ts), m.get("C").map(_.map(_.ts))))
+        val g = run(mk(g = true, range), evs, flush = true)
+          .map(m => (m("B").map(_.ts), m.get("C").map(_.map(_.ts))))
+        d == g
+      })
+  }
+
+  test("fuzz: with overlapping guards, greedy() emits exactly the " +
+    "maximal-munch subset of the default's matches") {
+    // guard overlap via "x" ∈ B ∩ C; every greedy match must appear
+    // among the default's forked alternatives, and per (A, C) match
+    // key the greedy run is the longest offered
+    val genX: Gen[List[Ev]] = for {
+      n <- Gen.choose(0, 12)
+      ts <- Gen.pick(n, 0L until 300L)
+      kinds <- Gen.listOfN(n, Gen.oneOf("a", "b", "c", "x", "noise"))
+    } yield ts.sorted.zip(kinds).map { case (t, k) => Ev(k, t) }.toList
+    def mk(g: Boolean) = {
+      val q = EventPattern.begin[Ev]("A").where(_.kind == "a")
+        .followedBy("B").where(e => e.kind == "b" || e.kind == "x")
+        .oneOrMore
+      (if (g) q.greedy else q)
+        .followedBy("C").where(e => e.kind == "c" || e.kind == "x")
+        .within(java.time.Duration.ofMillis(W))
+    }
+    check("greedy-subset", Prop.forAll(genX) { evs =>
+      def sig(ms: Vector[Map[String, Seq[Ev]]]) =
+        ms.map(m => (m("A").head.ts, m("B").map(_.ts), m("C").head.ts))
+      val d = sig(run(mk(false), evs, flush = true))
+      val g = sig(run(mk(true), evs, flush = true))
+      g.toSet.subsetOf(d.toSet) &&
+        g.forall { case (a, bs, _) =>
+          d.filter(x => x._1 == a).forall(_._2.length <= bs.length) }
+    })
+  }
+
   // ---------------------------------------------------------- guards
 
   test("modifier misuse is rejected at build time") {
@@ -350,5 +445,9 @@ class CepModifiersSpec extends AnyFunSuite {
       base.notFollowedBy("N").notNext("M"))
     intercept[IllegalArgumentException](
       base.notNext("N").notFollowedBy("M"))
+    // greedy on an unquantified stage / after allowCombinations
+    intercept[IllegalArgumentException](base.greedy)
+    intercept[IllegalArgumentException](
+      base.oneOrMore.allowCombinations.greedy)
   }
 }
