@@ -7185,6 +7185,148 @@ object Extensions {
     },
     Some(ingestOracleSql))
 
+  // ---------------------------------------------------------------- x96
+  // Gopher repetition signals (Rae et al., "Scaling Language Models:
+  // Methods, Analysis & Insights from Training Gopher", Table A1) —
+  // the FULL repetition panel x26's single dup-bigram fraction
+  // sketches: per document, the fraction of characters covered by
+  // (a) the most frequent n-gram's occurrences for n ∈ {2, 3, 4}
+  // ("top n-gram character fraction") and (b) ANY n-gram occurring
+  // ≥ 2 times within the doc for n ∈ {5..10} ("duplicate n-gram
+  // character fraction"). Coverage is a POSITIONAL UNION — Rae et
+  // al.'s no-double-counting rule — computed with exactly x88's
+  // covering-window machinery at per-doc grain; fractions are integer
+  // permille of token characters (spaces excluded), so both engines
+  // hash-match bit-for-bit. Ties for the top gram break to the
+  // smallest gram hash (a total order both engines share).
+  //
+  // Scale shape: the batch form is the distributed one — ONE
+  // positional explode over all 9 n values (rows ∝ 9 × corpus
+  // tokens, fixed-width (doc_id, n, i, 32-hex hash)), per-(doc, n,
+  // gram) counts with map-side partials, start-position sets ≤ doc
+  // length collected per (doc, n), and a stateless per-row coverage
+  // HOF — the x45/x88 contract; document text shuffles never. The
+  // streaming twin ([[graft.streaming.DocStreams
+  // .gopherRepetitionStream]]) computes the same signals per-row
+  // (in-doc counts need no corpus state) with an O(len²)-per-doc
+  // expression, the ingest-time trade documented there.
+  private[graft] val GopherTopNs = Seq(2, 3, 4)
+  private[graft] val GopherDupNs = Seq(5, 6, 7, 8, 9, 10)
+
+  /** x96's engine, parameterized for fixtures: (doc_id, text) in;
+    * (doc_id, n_chars, rep_2..rep_4, rep_5..rep_10) out — permille of
+    * token characters covered by the top-(2..4)-gram / duplicated-
+    * (5..10)-grams. X96GopherSpec pins coverage union, tie-breaks,
+    * and batch/stream agreement. */
+  private[graft] def gopherRepetition(docs: DataFrame): DataFrame = {
+    val tkd = docs
+      .select(col("doc_id"), split(col("text"), " ").as("tk"))
+      .persist() // the gram pass and the coverage pass both consume it
+    tkd.count()
+    // positional n-grams for every n in one pass: (doc_id, n, i, g)
+    val pos = tkd
+      .select(col("doc_id"), col("tk"),
+        explode(sequence(lit(GopherTopNs.min), lit(GopherDupNs.max)))
+          .as("n"))
+      .select(col("doc_id"), col("n"), posexplode(
+        when(size(col("tk")) >= col("n"), expr(
+          "transform(sequence(0, size(tk) - n), " +
+            "i -> md5(concat_ws(' ', slice(tk, i + 1, n))))"))
+          .otherwise(array().cast("array<string>"))).as(Seq("i", "g")))
+      .persist() // counts + both start-set joins consume it
+    pos.count()
+    val cnts = pos.groupBy(col("doc_id"), col("n"), col("g"))
+      .agg(count(lit(1)).as("cnt"))
+    // n <= 4: the single most frequent gram (ties -> smallest hash)
+    val top = cnts.filter(col("n") <= GopherTopNs.max)
+      .groupBy(col("doc_id"), col("n"))
+      .agg(min(struct((-col("cnt")).as("nc"), col("g"))).as("b"))
+      .select(col("doc_id"), col("n"), col("b")("g").as("g"))
+    val topStarts = pos.join(top, Seq("doc_id", "n", "g"))
+      .groupBy(col("doc_id"), col("n"))
+      .agg(collect_set(col("i")).as("starts"))
+    // n >= 5: every gram duplicated WITHIN the doc
+    val dupStarts = pos
+      .join(cnts.filter(col("n") >= GopherDupNs.min && col("cnt") >= 2)
+        .select(col("doc_id"), col("n"), col("g")), Seq("doc_id", "n", "g"))
+      .groupBy(col("doc_id"), col("n"))
+      .agg(collect_set(col("i")).as("starts"))
+    val starts = topStarts.unionByName(dupStarts)
+    // positional-union coverage in token characters (spaces excluded)
+    val covered = tkd.join(starts, Seq("doc_id"))
+      .withColumn("chars", expr(
+        "aggregate(transform(tk, (t, p) -> IF(exists(starts, " +
+          "s -> s <= p AND p <= s + n - 1), length(t), 0)), " +
+          "0L, (acc, x) -> acc + x)"))
+      .select(col("doc_id"), col("n"), col("chars"))
+    val nch = tkd.select(col("doc_id"),
+      expr("aggregate(tk, 0L, (acc, t) -> acc + length(t))").as("n_chars"))
+    val pivotCols = (GopherTopNs ++ GopherDupNs).map { k =>
+      coalesce(max(when(col("n") === k,
+        expr(s"chars * 1000 div n_chars"))), lit(0L)).as(s"rep_$k")
+    }
+    ordered(nch.join(covered, Seq("doc_id"), "left")
+      .groupBy(col("doc_id"), col("n_chars"))
+      .agg(pivotCols.head, pivotCols.tail: _*))
+  }
+
+  private val x96 = GateQuery(
+    "x96_gopher_repetition",
+    (s, d) => gopherRepetition(Tables.documents(s, d)),
+    Some {
+      val repSelects = (GopherTopNs ++ GopherDupNs).map { k =>
+        s"coalesce(max(CASE WHEN c.n = $k THEN (c.chars * 1000) // nc.n_chars END), 0) AS rep_$k"
+      }.mkString(",\n                 ")
+      s"""WITH tkc AS (
+              SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+            pos AS MATERIALIZED (
+              SELECT doc_id, u.n, v.i,
+                     md5(array_to_string(tk[v.i+1 : v.i+u.n], ' ')) AS g
+              FROM tkc,
+                   unnest(range(${GopherTopNs.min}, ${GopherDupNs.max + 1}))
+                     AS u(n),
+                   unnest(range(0, GREATEST(len(tk) - u.n + 1, 0))) AS v(i)),
+            cnts AS (
+              SELECT doc_id, n, g, count(*) AS cnt
+              FROM pos GROUP BY 1, 2, 3),
+            top AS (
+              SELECT doc_id, n, g FROM (
+                SELECT doc_id, n, g, row_number() OVER (
+                  PARTITION BY doc_id, n ORDER BY cnt DESC, g) AS rn
+                FROM cnts WHERE n <= ${GopherTopNs.max}) WHERE rn = 1),
+            tstarts AS (
+              SELECT p.doc_id, p.n, list(p.i) AS starts
+              FROM pos p JOIN top t
+                ON t.doc_id = p.doc_id AND t.n = p.n AND t.g = p.g
+              GROUP BY 1, 2),
+            dstarts AS (
+              SELECT p.doc_id, p.n, list(p.i) AS starts
+              FROM pos p JOIN (SELECT doc_id, n, g FROM cnts
+                               WHERE n >= ${GopherDupNs.min} AND cnt >= 2) d
+                ON d.doc_id = p.doc_id AND d.n = p.n AND d.g = p.g
+              GROUP BY 1, 2),
+            starts AS (SELECT * FROM tstarts UNION ALL SELECT * FROM dstarts),
+            cov AS (
+              SELECT t.doc_id, s.n,
+                CAST(coalesce(list_sum(
+                  [CASE WHEN len(list_filter(s.starts,
+                     x -> x <= p AND p <= x + s.n - 1)) > 0
+                   THEN length(t.tk[p+1]) ELSE 0 END
+                   FOR p IN range(0, len(t.tk))]), 0) AS BIGINT) AS chars
+              FROM tkc t JOIN starts s ON s.doc_id = t.doc_id),
+            nchars AS (
+              SELECT doc_id,
+                CAST(coalesce(list_sum(
+                  [length(x) FOR x IN tk]), 0) AS BIGINT) AS n_chars
+              FROM tkc)
+          SELECT nc.doc_id, nc.n_chars,
+                 $repSelects
+          FROM nchars nc
+          LEFT JOIN cov c ON c.doc_id = nc.doc_id
+          GROUP BY 1, 2
+          ORDER BY 1,2,3,4,5,6,7,8,9,10,11"""
+    })
+
   val all: Seq[GateQuery] = Seq(x01, x02, x03, x04, x05, x06, x07, x08, x09,
     x10, x11, x12, x13, x14, x15, x16, x17, x18, x19, x20, x21, x22, x23,
     x24, x25, x26, x27, x28, x29, x30, x31, x32, x33, x34, x35, x36, x37,
@@ -7192,5 +7334,5 @@ object Extensions {
     x52, x53, x54, x55, x56, x57, x58, x59, x60, x61, x62, x63, x64, x65, x66,
     x67, x68, x69, x70, x71, x72, x73, x74, x75, x76, x77, x78, x79, x80,
     x81, x82, x83, x84, x85, x86, x87, x88, x89, x90, x91, x92, x93, x94,
-    x95)
+    x95, x96)
 }

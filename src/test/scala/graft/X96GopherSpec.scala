@@ -1,0 +1,111 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import graft.queries.Extensions
+import graft.streaming.DocStreams
+
+/** Pins x96's Gopher repetition panel (Rae et al. Table A1): top-n-
+  * gram character coverage for n ∈ {2,3,4}, duplicated-n-gram
+  * character coverage for n ∈ {5..10}, both as positional UNIONS (no
+  * double counting), integer permille of token characters; ties for
+  * the top gram break to the smallest gram hash; and the stateless
+  * per-row streaming twin is bit-identical to the batch engine. */
+class X96GopherSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+  implicit lazy val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
+
+  private def docs(rows: (Long, String)*): DataFrame =
+    rows.toDF("doc_id", "text")
+
+  private type Row11 =
+    (Long, Long, Long, Long, Long, Long, Long, Long, Long, Long, Long)
+
+  private def run(d: DataFrame): Map[Long, Row11] =
+    Extensions.gopherRepetition(d).as[Row11].collect()
+      .map(r => r._1 -> r).toMap
+
+  test("an alternating doc is fully covered by its top 2-gram") {
+    // "a b a b a b": 2-grams 'a b'@{0,2,4} (cnt 3), 'b a'@{1,3} —
+    // the top gram's occurrences cover every position
+    val got = run(docs(1L -> "a b a b a b"))(1L)
+    assert(got._2 == 6L)     // n_chars
+    assert(got._3 == 1000L)  // rep_2
+    assert(got._6 == 0L)     // rep_5: no duplicated 5-gram
+  }
+
+  test("duplicate 5-gram coverage is a positional union") {
+    // x1..x5 q x1..x5: the repeated 5-gram covers 10 of 11 tokens,
+    // 20 of 21 chars -> 952 permille
+    val got = run(docs(1L -> "x1 x2 x3 x4 x5 q x1 x2 x3 x4 x5"))(1L)
+    assert(got._2 == 21L)
+    assert(got._6 == 20L * 1000 / 21) // rep_5 = 952
+    // overlapping duplicated grams never double-count: rep_5 <= 1000
+    assert(got._6 <= 1000L)
+    assert(got._7 == 0L) // no duplicated 6-gram (q breaks every one)
+  }
+
+  test("all-unique grams: top coverage is one gram's span, dup is 0") {
+    // "a b c d": every 2-gram cnt 1; the top is the smallest md5 —
+    // whichever wins, coverage is exactly 2 tokens = 500 permille
+    val got = run(docs(1L -> "a b c d"))(1L)
+    assert(got._3 == 500L)  // top 2-gram: 2 of 4 chars
+    assert(got._4 == 750L)  // top 3-gram: 3 of 4 chars
+    assert(got._5 == 1000L) // top 4-gram: the whole doc
+    assert((6 to 11).forall(i => got.productElement(i - 1) == 0L)) // rep_5..rep_10
+  }
+
+  test("top-gram tie breaks to the smallest gram hash (batch == stream " +
+    "== hand md5)") {
+    val text = "a b c d"
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val grams = Seq("a b", "b c", "c d")
+    val winner = grams.minBy(md5hex)
+    val start = grams.indexOf(winner) // covers tokens start, start+1
+    val got = run(docs(1L -> text))(1L)
+    assert(got._3 == 500L)
+    // the streaming twin picks the same winner
+    val in = MemoryStream[(Long, String)]
+    val q = DocStreams.gopherRepetitionStream(
+        in.toDF().toDF("doc_id", "text"))
+      .writeStream.format("memory").queryName("gop1").outputMode("append")
+      .start()
+    in.addData((1L, text))
+    q.processAllAvailable()
+    val s = spark.table("gop1").as[Row11].collect().head
+    assert(s == got)
+    q.stop()
+    assert(start >= 0) // premise: winner is one of the grams
+  }
+
+  test("streaming twin equals batch on the real corpus") {
+    val d = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select("doc_id", "text")
+    val expected = run(d)
+    val rows = d.as[(Long, String)].collect()
+    val in = MemoryStream[(Long, String)]
+    val q = DocStreams.gopherRepetitionStream(
+        in.toDF().toDF("doc_id", "text"))
+      .writeStream.format("memory").queryName("gop2").outputMode("append")
+      .start()
+    in.addData(rows.take(250).toIndexedSeq: _*)
+    q.processAllAvailable()
+    in.addData(rows.drop(250).toIndexedSeq: _*)
+    q.processAllAvailable()
+    val got = spark.table("gop2").as[Row11].collect()
+      .map(r => r._1 -> r).toMap
+    assert(got == expected)
+    q.stop()
+  }
+
+  test("short docs: no grams of a given n report 0, never error") {
+    val got = run(docs(1L -> "solo", 2L -> "two words"))
+    assert(got(1L)._3 == 0L && got(1L)._6 == 0L)
+    assert(got(2L)._3 == 1000L) // the single 2-gram is its own top
+    assert(got(2L)._8 == 0L)
+  }
+}
