@@ -6058,12 +6058,28 @@ object Extensions {
       jacThresholdPct: Long = 90L): DataFrame =
     ingestAgainstClasses(classesOf(reg), bat, jacThresholdPct)
 
+  /** Measured broadcast gate for the ingest verify sides: a side is
+    * hinted for broadcast only when its MEASURED candidate-class
+    * count fits (the count is two metadata-scale distinct jobs over
+    * the already-persisted candidate table). Under the cap the side
+    * is a bounded broadcast — the plan that holds the verify joins
+    * map-side (13.9 s at sf1); over it — a dup-dense crawl where the
+    * candidate-class set is unbounded — the join falls back to a
+    * plain shuffleable equi-join on sig instead of a driver OOM.
+    * 100k (sig, arr) class rows ≈ low hundreds of MB at crawl-shaped
+    * token-array sizes. */
+  private val IngestBcastClassCap = 100000L
+
   /** [[incrementalIngest]] against an ALREADY-BUILT class registry
     * ([[classesOf]] output, possibly maintained across days by
     * [[appendRegistry]]) — the form a production daily-crawl job
-    * runs, where the registry is at rest and only the delta is new. */
+    * runs, where the registry is at rest and only the delta is new.
+    * `bcastClassCap` = the measured-broadcast bound
+    * ([[IngestBcastClassCap]]); 0 disables the hint entirely
+    * (X86PlanSpec pins both branches). */
   private[graft] def ingestAgainstClasses(regClasses: DataFrame,
-      bat: DataFrame, jacThresholdPct: Long = 90L): DataFrame = {
+      bat: DataFrame, jacThresholdPct: Long = 90L,
+      bcastClassCap: Long = IngestBcastClassCap): DataFrame = {
     val sigOf = md5(array_join(col("arr"), " "))
     val regC = regClasses.persist()
     regC.count()
@@ -6085,23 +6101,28 @@ object Extensions {
       .distinct().persist()
     cand.count()
     // Verify sides restrict to classes that appear in a candidate
-    // pair (x04's candidate-semi-join pattern) — and deliberately
-    // carry NO broadcast hint: both joins are plain equi-joins on
-    // sig, and while the batch side is delta-bounded, the REGISTRY
-    // side is every history class a candidate pair touches — on a
-    // dup-dense crawl that set is unbounded (this corpus already
-    // yields 3.6M verified links at sf1), and a forced broadcast of
-    // millions of token arrays kills the driver. Size-gated AQE
-    // still picks a broadcast when a side genuinely fits
-    // (X86PlanSpec asserts no forced broadcast survives anywhere in
-    // the chain).
-    val aArr = batC.join(
-      cand.select(col("bsig").as("sig")).distinct(), "sig")
-      .select(col("sig").as("bsig"), col("arr").as("arr_a"))
-    val bArr = regC.join(
-      cand.select(col("rsig").as("sig")).distinct(), "sig")
+    // pair (x04's candidate-semi-join pattern). An UNCONDITIONAL
+    // broadcast hint here is a scale bug: the batch side is
+    // delta-bounded, but the REGISTRY side is every history class a
+    // candidate pair touches — unbounded on a dup-dense crawl (this
+    // corpus already yields 3.6M verified links at sf1), and a
+    // forced broadcast of millions of token arrays kills the driver.
+    // AQE alone is not enough either: its 10MB default never
+    // broadcasts these sides, and the shuffle fallback measured
+    // 13.9→35.5 s at sf1. So the hint is MEASURED (see
+    // IngestBcastClassCap): candidate-class counts are two tiny
+    // distinct jobs over the persisted candidate table, and only a
+    // side that provably fits gets hinted.
+    val aSigs = cand.select(col("bsig").as("sig")).distinct().persist()
+    val bSigs = cand.select(col("rsig").as("sig")).distinct().persist()
+    def gated(side: DataFrame, classes: Long): DataFrame =
+      if (bcastClassCap > 0L && classes <= bcastClassCap) broadcast(side)
+      else side
+    val aArr = gated(batC.join(aSigs, "sig")
+      .select(col("sig").as("bsig"), col("arr").as("arr_a")), aSigs.count())
+    val bArr = gated(regC.join(bSigs, "sig")
       .select(col("sig").as("rsig"), col("arr").as("arr_b"),
-        col("cnt"), col("min_id"))
+        col("cnt"), col("min_id")), bSigs.count())
     val inter = size(array_intersect(col("arr_a"), col("arr_b"))).cast("long")
     val uni = (size(col("arr_a")) + size(col("arr_b"))).cast("long") - inter
     val dups = cand.join(aArr, "bsig").join(bArr, "rsig")
