@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
-import graft.functions.{FreqCandidatesAgg, LongCosine, MinHashAgg, MinHashArr, NfcNormalize, PqAdc, PqEncode, QuantizedCosine, SimHashAgg, SimHashArr, SpanHashes, SrpBands, TokenBigrams, TokenMask, TokenSetSig, ZValue}
+import graft.functions.{FreqCandidatesAgg, GramHashes, LongCosine, MinHashAgg, MinHashArr, NfcNormalize, PqAdc, PqEncode, QuantizedCosine, SimHashAgg, SimHashArr, SpanHashes, SrpBands, TokenBigrams, TokenMask, TokenSetSig, ZValue}
 
 /** SparkSessionExtensions entry point: makes graft's native
   * expressions available in any session via configuration —
@@ -54,6 +54,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       exprs => TokenBigrams(exprs.head))
     // span_hashes(text, w[, winnow]) — distinct w-token-window md5s
     inject(ext, "span_hashes", classOf[SpanHashes], SpanHashes.builder)
+    // gram_hashes(text, n | nMin, nMax) — positional window md5s
+    inject(ext, "gram_hashes", classOf[GramHashes], GramHashes.builder)
     // nfc_normalize(text) — UAX #15 canonical composition
     inject(ext, "nfc_normalize", classOf[NfcNormalize], NfcNormalize.builder)
     inject(ext, "token_mask", classOf[TokenMask],

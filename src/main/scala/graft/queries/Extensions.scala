@@ -6365,18 +6365,19 @@ object Extensions {
     * coverage merge, cross-doc-only triggering, and the short-doc
     * identity. */
   private[graft] def spanScrub(docs: DataFrame, w: Int = ScrubW): DataFrame = {
-    // hoist split() out of every lambda (HOF bodies re-evaluate per
-    // element); persisted: the span pass and the rebuild consume it
+    // persisted: the span pass and the rebuild consume it; text rides
+    // along for the fused native gram pass
     val tkd = docs
-      .select(col("doc_id"), split(col("text"), " ").as("tk"))
+      .select(col("doc_id"), col("text"), split(col("text"), " ").as("tk"))
       .persist()
     tkd.count()
-    val ps = tkd.select(col("doc_id"), posexplode(
-        when(size(col("tk")) >= w,
-          transform(sequence(lit(0), size(col("tk")) - w),
-            i => md5(concat_ws(" ", slice(col("tk"), i + 1, lit(w))))))
-          .otherwise(array().cast("array<string>")))
-        .as(Seq("i", "sh")))
+    // positional w-token hashes in ONE native pass (GramHashes — no
+    // per-window slice/join strings; bit-identical to the HOF
+    // formulation the oracle replays, GramHashesSpec)
+    val ps = tkd.select(col("doc_id"),
+        explode(graft.functions.GramHashes.gramHashes(col("text"), w, w))
+          .as("e"))
+      .select(col("doc_id"), col("e")("i").as("i"), col("e")("g").as("sh"))
       .persist() // dup-set agg + start-position join both consume it
     ps.count()
     val dup = ps.select(col("doc_id"), col("sh")).distinct()
@@ -7241,19 +7242,20 @@ object Extensions {
     * and batch/stream agreement. */
   private[graft] def gopherRepetition(docs: DataFrame): DataFrame = {
     val tkd = docs
-      .select(col("doc_id"), split(col("text"), " ").as("tk"))
+      .select(col("doc_id"), col("text"), split(col("text"), " ").as("tk"))
       .persist() // the gram pass and the coverage pass both consume it
     tkd.count()
-    // positional n-grams for every n in one pass: (doc_id, n, i, g)
+    // positional n-grams for every n in ONE fused native pass
+    // (graft.functions.GramHashes: tokens UTF-8-encoded once, digest
+    // fed incrementally — no per-window slice/join strings;
+    // GramHashesSpec pins bit-equality with the HOF formulation the
+    // oracle replays): (doc_id, n, i, g)
     val pos = tkd
-      .select(col("doc_id"), col("tk"),
-        explode(sequence(lit(GopherTopNs.min), lit(GopherDupNs.max)))
-          .as("n"))
-      .select(col("doc_id"), col("n"), posexplode(
-        when(size(col("tk")) >= col("n"), expr(
-          "transform(sequence(0, size(tk) - n), " +
-            "i -> md5(concat_ws(' ', slice(tk, i + 1, n))))"))
-          .otherwise(array().cast("array<string>"))).as(Seq("i", "g")))
+      .select(col("doc_id"), explode(graft.functions.GramHashes
+        .gramHashes(col("text"), GopherTopNs.min, GopherDupNs.max))
+        .as("e"))
+      .select(col("doc_id"), col("e")("n").as("n"),
+        col("e")("i").as("i"), col("e")("g").as("g"))
       .persist() // counts + both start-set joins consume it
     pos.count()
     val cnts = pos.groupBy(col("doc_id"), col("n"), col("g"))
