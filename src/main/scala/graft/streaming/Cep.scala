@@ -107,7 +107,13 @@ final class MatchedPrefix[E] private[streaming] (
   * `groupStart` is the index of the group's first inlined stage and
   * `groupWithinMs` bounds the time from the group's FIRST matched
   * event to any later event consumed by a group stage; MaxValue = no
-  * group window. */
+  * group window.
+  *
+  * `loopStart` (Flink `followedBy(Pattern).oneOrMore()`): set on a
+  * LOOPING group's last stage only — completing it also forks a
+  * sibling partial back at `loopStart` awaiting another repetition,
+  * so the pattern matches 1, 2, 3… repetitions (one match per count,
+  * Flink's reluctant multiplicity); -1 = no loop. */
 final case class PatternStep[E](
     name: String, pred: (E, MatchedPrefix[E]) => Boolean,
     kind: StepKind = StepKind.Relaxed,
@@ -117,7 +123,8 @@ final case class PatternStep[E](
     combinations: Boolean = false,
     greedy: Boolean = false,
     groupStart: Int = -1,
-    groupWithinMs: Long = Long.MaxValue)
+    groupWithinMs: Long = Long.MaxValue,
+    loopStart: Int = -1)
 
 /** Flink-CEP-style sequential event pattern
   * (`Pattern.begin(...).where(...).followedBy(...).within(...)`,
@@ -496,10 +503,12 @@ final case class EventPattern[E] private (
     * inner stage names, so the match merges every repetition's events
     * under those names, exactly FlinkCEP's GroupPattern exposure. A
     * sub-pattern `within()` bounds EACH REPETITION separately (every
-    * copy is its own group instance). Only exact counts are supported
-    * on groups: a range or one-or-more group would need
-    * optional/looping SEQUENCES, which this NFA's per-stage forward
-    * scan cannot express soundly. */
+    * copy is its own group instance). For unbounded counts use
+    * [[followedByOneOrMore]] (the loop-back fork); RANGE-counted
+    * groups remain unsupported — an optional SEQUENCE would need
+    * all-or-nothing skipping, which the per-stage forward scan
+    * cannot express soundly (a partially-consumed copy could skip
+    * its own tail). */
   def followedByTimes(sub: EventPattern[E], n: Int): EventPattern[E] = {
     require(n >= 1, "followedByTimes(sub, n) needs n >= 1")
     require(sub.steps.forall(st => st.kind == StepKind.Relaxed ||
@@ -510,6 +519,33 @@ final case class EventPattern[E] private (
     val copies = (0 until n).flatMap { i =>
       groupSteps(sub, steps.length + i * sub.steps.length) }
     copy(steps = steps ++ copies)
+  }
+
+  /** Append a LOOPING group sub-pattern (Flink
+    * `followedBy(Pattern).oneOrMore()`): the inner sequence must
+    * complete at least once; each completion ALSO forks a sibling
+    * awaiting another repetition, so the pattern matches every
+    * repetition count ≥ 1 — one match per count, merged under the
+    * inner stage names (Flink's reluctant quantifier multiplicity;
+    * there is no greedy form — every count is a distinct match).
+    * Relaxed contiguity between repetitions. The sub-pattern may
+    * contain plain followedBy/next stages only, and cannot carry its
+    * own `within()` (the loop-back makes "the group's first event"
+    * span repetitions; bound the match with the OUTER within — also
+    * the state bound: without it an open loop lingers forever, as in
+    * FlinkCEP). */
+  def followedByOneOrMore(sub: EventPattern[E]): EventPattern[E] = {
+    require(sub.withinMs == Long.MaxValue,
+      "a looping group cannot carry its own within() — bound the " +
+        "match with the outer within()")
+    require(sub.steps.forall(st => st.kind == StepKind.Relaxed ||
+      st.kind == StepKind.Strict),
+      "a looping group may contain plain followedBy/next stages only")
+    sub.steps.map(_.name).distinct.foreach { nm =>
+      require(!steps.exists(_.name == nm), s"duplicate step name: $nm") }
+    val start = steps.length
+    val gs = groupSteps(sub, start)
+    copy(steps = steps ++ gs.init :+ gs.last.copy(loopStart = start))
   }
 
   /** Append an absence stage (Flink `.notFollowedBy`): an event
@@ -660,11 +696,16 @@ object Cep {
     // SKIP_PAST_LAST_EVENT emits only the b1..bn run, not suffixes)
     var staged = List.empty[(Long, List[(Int, E)])]
     // advance `p` by consuming `e` into stage `into`, landing on
-    // `into + 1` (or staging a completion if that ends the pattern)
+    // `into + 1` (or staging a completion if that ends the pattern);
+    // completing a LOOPING group's last stage also forks a sibling
+    // back at the group head, awaiting another repetition
     def consume(kept: scala.collection.mutable.Builder[Partial[E], List[Partial[E]]],
                 t0: Long, acc: List[(Int, E)], into: Int, e: E): Unit = {
-      if (into + 1 == steps.length) staged ::= ((t0, (into, e) :: acc))
-      else kept += ((into + 1, t0, (into, e) :: acc))
+      val nacc = (into, e) :: acc
+      if (into + 1 == steps.length) staged ::= ((t0, nacc))
+      else kept += ((into + 1, t0, nacc))
+      val ls = steps(into).loopStart
+      if (ls >= 0) kept += ((ls, t0, nacc))
     }
     /** The emitted match's skip span as a drop-predicate over other
       * partials'/candidates' start times.
@@ -915,10 +956,14 @@ object Cep {
       else if (optionalTail) staged ::= ((t0, acc))
       else {
         // a timed-out partial reports what it DID match: satisfied
-        // stages only — include a repeated stage's partial run
-        val upTo =
+        // stages only — include a repeated stage's partial run, and
+        // for a LOOPING group partial (whose stage pointer sits back
+        // at the group head while the acc holds completed
+        // repetitions) every stage that actually matched events
+        val upTo0 =
           if (kind == StepKind.Repeated && acc.exists(_._1 == stage)) stage + 1
           else stage
+        val upTo = acc.foldLeft(upTo0)((m, t) => math.max(m, t._1 + 1))
         timedOut += emitSteps(upTo, acc)
       }
     }

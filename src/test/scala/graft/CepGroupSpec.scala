@@ -144,6 +144,66 @@ class CepGroupSpec extends AnyFunSuite {
     assert(run(pat, Seq(ev("b", 0), ev("c", 6), ev("a", 60))).isEmpty)
   }
 
+  test("looping group: every repetition count >= 1 matches, merged " +
+    "under the inner names") {
+    val pat = EventPattern.begin[Ev]("A").where(_.kind == "a")
+      .followedByOneOrMore(bc)
+      .followedBy("D").where(_.kind == "d")
+      .within(java.time.Duration.ofMillis(W))
+    val got = run(pat, Seq(ev("a", 0), ev("b", 1), ev("c", 2),
+      ev("b", 3), ev("c", 4), ev("d", 5)))
+      .map(m => (m("B").map(_.ts), m("C").map(_.ts), m("D").head.ts))
+      .sortBy(_._1.length)
+    // one match per completed repetition count: 1 rep and 2 reps
+    assert(got == Vector(
+      (Seq(1L), Seq(2L), 5L),
+      (Seq(1L, 3L), Seq(2L, 4L), 5L)))
+    // zero repetitions never match (one-or-more needs its one)
+    assert(run(pat, Seq(ev("a", 0), ev("d", 5))).isEmpty)
+    // an INCOMPLETE second repetition adds no match
+    val partial = run(pat, Seq(ev("a", 0), ev("b", 1), ev("c", 2),
+      ev("b", 3), ev("d", 5)))
+      .map(m => (m("B").map(_.ts), m("C").map(_.ts)))
+    assert(partial == Vector((Seq(1L), Seq(2L))))
+  }
+
+  test("terminal looping group emits a match per completed repetition") {
+    val pat = EventPattern.begin[Ev]("A").where(_.kind == "a")
+      .followedByOneOrMore(bc)
+      .within(java.time.Duration.ofMillis(W))
+    val got = run(pat, Seq(ev("a", 0), ev("b", 1), ev("c", 2),
+      ev("b", 3), ev("c", 4)))
+      .map(m => (m("B").map(_.ts), m("C").map(_.ts)))
+    assert(got == Vector(
+      (Seq(1L), Seq(2L)),
+      (Seq(1L, 3L), Seq(2L, 4L))))
+  }
+
+  test("a looping partial's timeout reports every matched repetition") {
+    val pat = EventPattern.begin[Ev]("A").where(_.kind == "a")
+      .followedByOneOrMore(bc)
+      .followedBy("D").where(_.kind == "d")
+      .within(java.time.Duration.ofMillis(20))
+    val (kept, matches, timeouts) = Cep.step(pat.steps, pat.withinMs,
+      (e: Ev) => e.ts, Nil,
+      Seq(ev("a", 0), ev("b", 1), ev("c", 2), ev("b", 3), ev("c", 4)), 99L)
+    assert(matches.isEmpty && kept.isEmpty)
+    // the richest timed-out sibling carries both repetitions
+    assert(timeouts.map(m => (m("B").map(_.ts), m("C").map(_.ts)))
+      .contains((Seq(1L, 3L), Seq(2L, 4L))))
+  }
+
+  test("looping-group misuse is rejected at build time") {
+    val outer = EventPattern.begin[Ev]("A").where(_.kind == "a")
+    intercept[IllegalArgumentException](
+      outer.followedByOneOrMore(
+        bc.within(java.time.Duration.ofMillis(5)))) // own within
+    intercept[IllegalArgumentException](
+      outer.followedByOneOrMore(EventPattern.begin[Ev]("B")
+        .where(_.kind == "b").oneOrMore
+        .until(_ => true))) // quantified stage inside
+  }
+
   test("group misuse is rejected at build time") {
     val outer = EventPattern.begin[Ev]("A").where(_.kind == "a")
     // a windowed group may not nest another windowed group
