@@ -11,6 +11,15 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// The round driver parses the LAST stdout line of `sbt runMain
+// graft.Bench` as JSON. Two things used to break that: sbt's logger
+// prefixed the forked program's output with "[info] ", and the
+// "[success] Total time" epilogue landed after our JSON line. Raw
+// stdout pass-through + no success banner make the bench's final
+// JSON line the last thing on stdout.
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
+Global / showSuccess := false
+Global / excludeLintKeys += showSuccess
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

@@ -123,6 +123,9 @@ object Bench {
     val shortQs = results.toSeq.sortBy(_._1)
       .map { case (k, v) => "\"" + k.takeWhile(_ != '_') + "\":" + r3(v) }
       .mkString("{", ",", "}")
-    println(s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$shortQs,"sf":"$sfDir","passes":$passes,"agg":"min-per-query","x19_over_x04":${r3(ratio)},"names":"qNN/xNN prefixes; full map in BENCH_SELF.json"}""")
+    // "abbrev":true distinguishes this record from the full-name
+    // "metric":"total" line above (same metric tag, different schema —
+    // a grep-based consumer must be able to tell them apart)
+    println(s"""{"metric":"total","value":${r3(total)},"unit":"sec","abbrev":true,"queries":$shortQs,"sf":"$sfDir","passes":$passes,"agg":"min-per-query","x19_over_x04":${r3(ratio)},"names":"qNN/xNN prefixes; full map in BENCH_SELF.json"}""")
   }
 }

@@ -23,11 +23,13 @@ object StepKind {
     * that stage's own contiguity. Consumes no event itself. */
   case object NegativeStrict extends StepKind
   /** One-or-more (`oneOrMore` on a relaxed stage): the stage absorbs
-    * every guard-matching event GREEDILY (absorb wins over advancing
-    * when an event matches both this and the next stage's guard);
-    * the run ends when an event matches the next stage but not this
-    * one. A terminal one-or-more emits its maximal run when the
-    * window closes (requires `within`). */
+    * every guard-matching event (absorb forks with advancing when an
+    * event matches both this and the next stage's guard; `greedy()`
+    * commits to absorbing); the run ends when an event matches the
+    * next stage but not this one. A TERMINAL one-or-more emits one
+    * match per prefix as events are absorbed (FlinkCEP's reluctant
+    * multiplicity) — or the maximal run at window close under
+    * `emitMaximalOnly` — and requires `within` as the state bound. */
   case object Repeated extends StepKind
   /** Zero-or-one (`optional` on a relaxed stage): taken greedily if
     * an event matches its guard before the next stage matches;
@@ -113,7 +115,10 @@ final class MatchedPrefix[E] private[streaming] (
   * LOOPING group's last stage only — completing it also forks a
   * sibling partial back at `loopStart` awaiting another repetition,
   * so the pattern matches 1, 2, 3… repetitions (one match per count,
-  * Flink's reluctant multiplicity); -1 = no loop. */
+  * Flink's reluctant multiplicity); -1 = no loop. `loopMax` caps the
+  * number of times the looped stage may complete (a RANGE-counted
+  * group `followedByTimes(sub, from, to)` loops its last copy up to
+  * `to - from + 1` completions); MaxValue = unbounded (oneOrMore). */
 final case class PatternStep[E](
     name: String, pred: (E, MatchedPrefix[E]) => Boolean,
     kind: StepKind = StepKind.Relaxed,
@@ -124,7 +129,8 @@ final case class PatternStep[E](
     greedy: Boolean = false,
     groupStart: Int = -1,
     groupWithinMs: Long = Long.MaxValue,
-    loopStart: Int = -1)
+    loopStart: Int = -1,
+    loopMax: Int = Int.MaxValue)
 
 /** Flink-CEP-style sequential event pattern
   * (`Pattern.begin(...).where(...).followedBy(...).within(...)`,
@@ -152,7 +158,20 @@ final case class PatternStep[E](
   */
 final case class EventPattern[E] private (
     steps: Vector[PatternStep[E]], withinMs: Long,
-    skip: SkipStrategy = SkipStrategy.NoSkip) {
+    skip: SkipStrategy = SkipStrategy.NoSkip,
+    maximalOnly: Boolean = false) {
+
+  /** Opt OUT of FlinkCEP's per-prefix multiplicity for a TERMINAL
+    * quantifier (oneOrMore / timesOrMore / times(from, to) tail): by
+    * default the engine matches FlinkCEP — every viable prefix of the
+    * run is its own match, emitted as soon as its last event is
+    * absorbed. With `emitMaximalOnly` the engine instead emits ONE
+    * match per run — the maximal absorption — when the window closes
+    * (or the `until` stop fires): fewer output rows, the right choice
+    * when downstream only wants the longest run. No effect on
+    * non-terminal quantifiers (their run length is decided by the
+    * following stage either way). */
+  def emitMaximalOnly: EventPattern[E] = copy(maximalOnly = true)
 
   /** Conjoin a guard onto the most recent LOGICAL step (Flink
     * `.where`): after [[times]], every clone of the repeated stage
@@ -396,10 +415,11 @@ final case class EventPattern[E] private (
     * viable absorption length. The modifier is observable only when
     * the two guards overlap; on disjoint guards (the common case)
     * default and greedy are identical, which CepModifiersSpec pins as
-    * a property. NOTE one documented divergence stands either way: a
-    * TERMINAL quantifier emits its maximal run at window close rather
-    * than Flink's one-match-per-prefix multiplicity (that enumeration
-    * is [[allowCombinations]]' job). */
+    * a property. On a TERMINAL quantifier greedy has no effect (as in
+    * FlinkCEP, where greedy is unsupported on the last element): the
+    * default emits one match per prefix as events are absorbed;
+    * [[emitMaximalOnly]] collapses that to the maximal run at window
+    * close in both modes. */
   def greedy: EventPattern[E] = {
     val (pre, grp) = lastGroup
     require(grp.last.kind == StepKind.Repeated ||
@@ -504,11 +524,8 @@ final case class EventPattern[E] private (
     * under those names, exactly FlinkCEP's GroupPattern exposure. A
     * sub-pattern `within()` bounds EACH REPETITION separately (every
     * copy is its own group instance). For unbounded counts use
-    * [[followedByOneOrMore]] (the loop-back fork); RANGE-counted
-    * groups remain unsupported — an optional SEQUENCE would need
-    * all-or-nothing skipping, which the per-stage forward scan
-    * cannot express soundly (a partially-consumed copy could skip
-    * its own tail). */
+    * [[followedByOneOrMore]] (the loop-back fork); for bounded ranges
+    * use `followedByTimes(sub, from, to)`. */
   def followedByTimes(sub: EventPattern[E], n: Int): EventPattern[E] = {
     require(n >= 1, "followedByTimes(sub, n) needs n >= 1")
     require(sub.steps.forall(st => st.kind == StepKind.Relaxed ||
@@ -519,6 +536,49 @@ final case class EventPattern[E] private (
     val copies = (0 until n).flatMap { i =>
       groupSteps(sub, steps.length + i * sub.steps.length) }
     copy(steps = steps ++ copies)
+  }
+
+  /** Append a group sub-pattern repeated a RANGE of times (Flink
+    * `followedBy(Pattern).times(from, to)`): the inner sequence must
+    * complete at least `from` and at most `to` times, relaxed
+    * contiguity between repetitions. Compiled as `from` inlined
+    * copies whose LAST copy loops back on itself (the
+    * [[followedByOneOrMore]] fork) capped at `to − from` extra
+    * completions — so each count in `[from, to]` advances its own
+    * partial past the group, one match per count (Flink's reluctant
+    * quantifier multiplicity), with every repetition's events merged
+    * under the inner stage names. This sidesteps the optional-SEQUENCE
+    * skipping problem a clone expansion would have: a repetition is
+    * all-or-nothing by construction — only a COMPLETED copy forks the
+    * next one. Like a looping group, the sub-pattern may contain
+    * plain followedBy/next stages only and cannot carry a `within()`
+    * (the loop-back reuses the last copy's stage indices, which would
+    * anchor later repetitions' group window to the first's events);
+    * bound the match with the outer `within()`. */
+  def followedByTimes(sub: EventPattern[E], from: Int, to: Int): EventPattern[E] = {
+    require(from >= 1 && to >= from,
+      s"followedByTimes(sub, from, to) needs 1 <= from <= to, got ($from, $to)")
+    if (from == to) followedByTimes(sub, from)
+    else {
+      require(sub.withinMs == Long.MaxValue,
+        "a range-counted group cannot carry its own within() — bound " +
+          "the match with the outer within()")
+      require(sub.steps.forall(_.groupWithinMs == Long.MaxValue),
+        "a range-counted group cannot nest a windowed group — the " +
+          "loop-back reuses the nested group's stage indices, which " +
+          "would anchor repetition >= 2's group window to repetition " +
+          "1's first event")
+      require(sub.steps.forall(st => st.kind == StepKind.Relaxed ||
+        st.kind == StepKind.Strict),
+        "a range-counted group may contain plain followedBy/next stages only")
+      sub.steps.map(_.name).distinct.foreach { nm =>
+        require(!steps.exists(_.name == nm), s"duplicate step name: $nm") }
+      val copies = (0 until from).flatMap { i =>
+        groupSteps(sub, steps.length + i * sub.steps.length) }
+      val loopHead = steps.length + (from - 1) * sub.steps.length
+      copy(steps = steps ++ copies.init :+
+        copies.last.copy(loopStart = loopHead, loopMax = to - from + 1))
+    }
   }
 
   /** Append a LOOPING group sub-pattern (Flink
@@ -538,6 +598,10 @@ final case class EventPattern[E] private (
     require(sub.withinMs == Long.MaxValue,
       "a looping group cannot carry its own within() — bound the " +
         "match with the outer within()")
+    require(sub.steps.forall(_.groupWithinMs == Long.MaxValue),
+      "a looping group cannot nest a windowed group — the loop-back " +
+        "reuses the nested group's stage indices, which would anchor " +
+        "repetition >= 2's group window to repetition 1's first event")
     require(sub.steps.forall(st => st.kind == StepKind.Relaxed ||
       st.kind == StepKind.Strict),
       "a looping group may contain plain followedBy/next stages only")
@@ -644,7 +708,22 @@ object Cep {
 
   /** A partial's effective deadline: the outer window, tightened by
     * an in-progress group window (first group event + groupWithinMs).
-    * MaxValue = never expires. */
+    * MaxValue = never expires.
+    *
+    * The group window bounds only events CONSUMED by group stages —
+    * so it tightens the deadline only while the group still NEEDS an
+    * event. A partial sitting on an Optional/Negative group stage
+    * whose remaining group stages are all skippable (e.g. the
+    * `times(1, 2).within(...)` expansion after its required element
+    * matched) stays viable past the group close: the in-event
+    * forward scan already skips the closed optionals to the
+    * post-group stage, and expiring it here would drop a match whose
+    * completion never needed another group event (the outcome would
+    * then depend on watermark timing, not data). Exception: when the
+    * group's skippable tail IS the pattern's tail, the group close is
+    * the emission trigger (terminal notFollowedBy / optional-tail /
+    * one-or-more emissions fire at expiry), so the group deadline
+    * stands. */
   private def partialDeadline[E](steps: Vector[PatternStep[E]],
       withinMs: Long, eventTimeMs: E => Long)(p: Partial[E]): Long = {
     val (stage, t0, acc) = p
@@ -654,7 +733,27 @@ object Cep {
     else {
       val g0 = groupT0(steps, eventTimeMs, stage, acc)
       if (g0 == Long.MaxValue) base
-      else math.min(base, g0 + st.groupWithinMs)
+      else {
+        val gs = st.groupStart
+        var i = stage
+        var needsEvent = false
+        while (i < steps.length && steps(i).groupStart == gs &&
+               steps(i).groupWithinMs != Long.MaxValue) {
+          steps(i).kind match {
+            case StepKind.Optional | StepKind.Negative |
+                 StepKind.NegativeStrict => ()
+            case StepKind.Repeated =>
+              // a one-or-more with a non-empty run can resolve on the
+              // next stage's match; an empty run still needs its one
+              if (!(i == stage && acc.exists(_._1 == i))) needsEvent = true
+            case _ => needsEvent = true
+          }
+          i += 1
+        }
+        val groupIsTail = i >= steps.length
+        if (!needsEvent && !groupIsTail) base
+        else math.min(base, g0 + st.groupWithinMs)
+      }
     }
   }
 
@@ -669,7 +768,8 @@ object Cep {
       eventTimeMs: E => Long,
       partials0: List[Partial[E]], events: Seq[E],
       watermarkMs: Long,
-      skip: SkipStrategy = SkipStrategy.NoSkip
+      skip: SkipStrategy = SkipStrategy.NoSkip,
+      maximalOnly: Boolean = false
   ): (List[Partial[E]], Vector[Map[String, Seq[E]]],
       Vector[Map[String, Seq[E]]]) = {
     // group the tagged events under their stage's name, match order;
@@ -698,14 +798,26 @@ object Cep {
     // advance `p` by consuming `e` into stage `into`, landing on
     // `into + 1` (or staging a completion if that ends the pattern);
     // completing a LOOPING group's last stage also forks a sibling
-    // back at the group head, awaiting another repetition
+    // back at the group head, awaiting another repetition (capped at
+    // loopMax completions for a range-counted group)
     def consume(kept: scala.collection.mutable.Builder[Partial[E], List[Partial[E]]],
                 t0: Long, acc: List[(Int, E)], into: Int, e: E): Unit = {
       val nacc = (into, e) :: acc
       if (into + 1 == steps.length) staged ::= ((t0, nacc))
-      else kept += ((into + 1, t0, nacc))
+      else {
+        kept += ((into + 1, t0, nacc))
+        // FlinkCEP per-prefix multiplicity: landing where every
+        // remaining stage is Optional (the times(from, to) tail after
+        // its required minimum) means the pattern is ALREADY satisfied
+        // — the prefix is its own match, emitted now, while the
+        // partial keeps absorbing toward longer ones
+        if (!maximalOnly && (into + 1 until steps.length).forall(i =>
+          steps(i).kind == StepKind.Optional))
+          staged ::= ((t0, nacc))
+      }
       val ls = steps(into).loopStart
-      if (ls >= 0) kept += ((ls, t0, nacc))
+      if (ls >= 0 && nacc.count(_._1 == into) < steps(into).loopMax)
+        kept += ((ls, t0, nacc))
     }
     /** The emitted match's skip span as a drop-predicate over other
       * partials'/candidates' start times.
@@ -829,9 +941,17 @@ object Cep {
             val matchesLoop = inWindow && st.pred(e, ctx) && groupOk(stage)
             val matchesNext = stage + 1 < steps.length && inWindow &&
               steps(stage + 1).pred(e, ctx) && groupOk(stage + 1)
+            // a TERMINAL quantifier emits per-prefix (FlinkCEP's
+            // reluctant multiplicity): every absorption completes a
+            // match of its own, emitted immediately, while the partial
+            // keeps absorbing — so the window close / until stop /
+            // consecutive freeze below have nothing left to emit.
+            // emitMaximalOnly restores the one-maximal-run-per-close
+            // behavior.
+            val terminalHere = stage + 1 == steps.length
             if (stopped) {
               if (hasRun) {
-                if (stage + 1 == steps.length) staged ::= ((t0, acc))
+                if (terminalHere) { if (maximalOnly) staged ::= ((t0, acc)) }
                 else kept += ((stage + 1, t0, acc))
               } // else: drop p (one-or-more never got its one)
             }
@@ -839,12 +959,18 @@ object Cep {
               // non-deterministic (`allowCombinations`): fork every
               // applicable option — absorb, advance, and skip all
               // coexist, enumerating the run's subsequences
-              if (matchesLoop) kept += ((stage, t0, (stage, e) :: acc))
+              if (matchesLoop) {
+                val nacc = (stage, e) :: acc
+                kept += ((stage, t0, nacc))
+                if (terminalHere && !maximalOnly) staged ::= ((t0, nacc))
+              }
               if (hasRun && matchesNext) consume(kept, t0, acc, stage + 1, e)
               kept += p // skip fork: absorb later events instead
             }
             else if (matchesLoop) {
-              kept += ((stage, t0, (stage, e) :: acc))
+              val nacc = (stage, e) :: acc
+              kept += ((stage, t0, nacc))
+              if (terminalHere && !maximalOnly) staged ::= ((t0, nacc))
               // AMBIGUOUS event (matches the loop AND the next
               // stage): the default is Flink's reluctant fork — a
               // sibling advances with the run as-is; greedy() commits
@@ -860,9 +986,10 @@ object Cep {
             else if (st.consecutive) {
               if (hasRun) {
                 // `consecutive()`: a non-matching event FREEZES the
-                // run — terminal emits now (the maximal consecutive
-                // run is known), non-terminal awaits the next stage
-                if (stage + 1 == steps.length) staged ::= ((t0, acc))
+                // run — non-terminal awaits the next stage; a frozen
+                // TERMINAL run already emitted its prefixes (or, under
+                // emitMaximalOnly, emits its maximal run now)
+                if (terminalHere) { if (maximalOnly) staged ::= ((t0, acc)) }
                 else kept += ((stage + 1, t0, acc))
               } else if (stage > 0 && steps(stage - 1).name == st.name) {
                 // strict gap INSIDE a timesOrMore repetition group:
@@ -913,8 +1040,12 @@ object Cep {
           case StepKind.Repeated =>
             // a head run OPENS on its first event and stays on stage 0
             // to absorb the rest (one partial per run start — Flink's
-            // no-skip multiplicity, suffix runs open their own)
-            partials = (0, t, List((0, e))) :: partials
+            // no-skip multiplicity, suffix runs open their own); a
+            // single-stage pattern (terminal head quantifier) emits
+            // the 1-run now under per-prefix multiplicity
+            val nacc = List((0, e))
+            partials = (0, t, nacc) :: partials
+            if (steps.length == 1 && !maximalOnly) staged ::= ((t, nacc))
           case _ =>
             if (steps.length == 1) staged ::= ((t, List((0, e))))
             else partials = (1, t, List((0, e))) :: partials
@@ -952,8 +1083,15 @@ object Cep {
         (stage until steps.length).forall(i => steps(i).kind == StepKind.Optional)
       if (terminal && kind == StepKind.Negative) staged ::= ((t0, acc))
       else if (terminal && kind == StepKind.Repeated &&
-        acc.exists(_._1 == stage)) staged ::= ((t0, acc))
-      else if (optionalTail) staged ::= ((t0, acc))
+        acc.exists(_._1 == stage)) {
+        // per-prefix multiplicity already emitted every prefix of the
+        // run (including the maximal) as it was absorbed — the close
+        // emits only under emitMaximalOnly
+        if (maximalOnly) staged ::= ((t0, acc))
+      }
+      else if (optionalTail) {
+        if (maximalOnly) staged ::= ((t0, acc))
+      }
       else {
         // a timed-out partial reports what it DID match: satisfied
         // stages only — include a repeated stage's partial run, and
@@ -1026,15 +1164,15 @@ object Cep {
       pattern.withinMs != Long.MaxValue ||
       steps.last.groupWithinMs != Long.MaxValue,
       "a terminal optional stage (times(from, to) range) requires " +
-        "within() — its greedy-maximal match is emitted when the " +
-        "window closes")
+        "within() — the window bounds the open run's state and " +
+        "triggers emitMaximalOnly's close emission")
     require(steps.last.kind != StepKind.Repeated ||
       pattern.withinMs != Long.MaxValue ||
       steps.last.groupWithinMs != Long.MaxValue ||
       steps.last.until.isDefined,
-      "a terminal oneOrMore requires within() or until() — its " +
-        "maximal run is emitted when the window closes or the stop " +
-        "condition fires")
+      "a terminal oneOrMore requires within() or until() — the " +
+        "window (or stop) bounds the open run's state and triggers " +
+        "emitMaximalOnly's close emission")
     steps.sliding(2).foreach {
       case Vector(a, b) if a.kind == StepKind.Negative ||
         a.kind == StepKind.NegativeStrict ||
@@ -1052,6 +1190,7 @@ object Cep {
     }
     val withinMs = pattern.withinMs
     val skip = pattern.skip
+    val maximalOnly = pattern.maximalOnly
 
     events.groupByKey(keyFn)
       .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
@@ -1061,7 +1200,7 @@ object Cep {
           // where terminal-notFollowedBy matches emit
           val (partials, matches, timeouts) = step(steps, withinMs, eventTimeMs,
             state.getOption.getOrElse(Nil), in.toVector,
-            state.getCurrentWatermarkMs(), skip)
+            state.getCurrentWatermarkMs(), skip, maximalOnly)
           if (partials.isEmpty) state.remove()
           else {
             state.update(partials)

@@ -219,6 +219,168 @@ class CepGroupSpec extends AnyFunSuite {
         .until(_ => true), 2)) // quantified stage inside a repeated group
   }
 
+  test("range-counted group: one match per repetition count in [from, to]") {
+    val pat = EventPattern.begin[Ev]("A").where(_.kind == "a")
+      .followedByTimes(bc, 1, 2)
+      .followedBy("D").where(_.kind == "d")
+      .within(java.time.Duration.ofMillis(W))
+    val got = run(pat, Seq(ev("a", 0), ev("b", 1), ev("c", 2),
+      ev("b", 3), ev("c", 4), ev("d", 5)))
+      .map(m => (m("B").map(_.ts), m("C").map(_.ts), m("D").head.ts))
+      .sortBy(_._1.length)
+    assert(got == Vector(
+      (Seq(1L), Seq(2L), 5L),
+      (Seq(1L, 3L), Seq(2L, 4L), 5L)))
+    // zero repetitions never match (from = 1)
+    assert(run(pat, Seq(ev("a", 0), ev("d", 5))).isEmpty)
+  }
+
+  test("range-counted group caps the repetitions at `to`") {
+    val pat = EventPattern.begin[Ev]("A").where(_.kind == "a")
+      .followedByTimes(bc, 2, 3)
+      .followedBy("D").where(_.kind == "d")
+      .within(java.time.Duration.ofMillis(W))
+    // four full repetitions available: only counts 2 and 3 match
+    val evs = Seq(ev("a", 0)) ++ (0 until 4).flatMap(i =>
+      Seq(ev("b", 1 + 2 * i), ev("c", 2 + 2 * i))) :+ ev("d", 20)
+    val got = run(pat, evs)
+      .map(m => (m("B").map(_.ts), m("C").map(_.ts)))
+      .sortBy(_._1.length)
+    assert(got == Vector(
+      (Seq(1L, 3L), Seq(2L, 4L)),
+      (Seq(1L, 3L, 5L), Seq(2L, 4L, 6L))))
+    // only one full repetition: below the minimum, no match
+    assert(run(pat, Seq(ev("a", 0), ev("b", 1), ev("c", 2),
+      ev("d", 5))).isEmpty)
+  }
+
+  test("terminal range-counted group emits a match per completed in-range count") {
+    val pat = EventPattern.begin[Ev]("A").where(_.kind == "a")
+      .followedByTimes(bc, 1, 2)
+      .within(java.time.Duration.ofMillis(W))
+    val got = run(pat, Seq(ev("a", 0), ev("b", 1), ev("c", 2),
+      ev("b", 3), ev("c", 4), ev("b", 5), ev("c", 6)))
+      .map(m => (m("B").map(_.ts), m("C").map(_.ts)))
+    // the third repetition is beyond `to` and never consumed
+    assert(got == Vector(
+      (Seq(1L), Seq(2L)),
+      (Seq(1L, 3L), Seq(2L, 4L))))
+  }
+
+  test("followedByTimes(sub, n, n) is exactly followedByTimes(sub, n)") {
+    val range = EventPattern.begin[Ev]("A").where(_.kind == "a")
+      .followedByTimes(bc, 2, 2)
+      .within(java.time.Duration.ofMillis(W))
+    val exact = EventPattern.begin[Ev]("A").where(_.kind == "a")
+      .followedByTimes(bc, 2)
+      .within(java.time.Duration.ofMillis(W))
+    check("range-eq-exact", Prop.forAll(genEvents) { evs =>
+      run(range, evs) == run(exact, evs)
+    })
+  }
+
+  test("range-counted group misuse is rejected at build time") {
+    val outer = EventPattern.begin[Ev]("A").where(_.kind == "a")
+    intercept[IllegalArgumentException](
+      outer.followedByTimes(bc, 0, 2)) // from < 1
+    intercept[IllegalArgumentException](
+      outer.followedByTimes(bc, 3, 2)) // to < from
+    intercept[IllegalArgumentException](
+      outer.followedByTimes(
+        bc.within(java.time.Duration.ofMillis(5)), 1, 2)) // own within
+    intercept[IllegalArgumentException](
+      outer.followedByTimes(EventPattern.begin(
+        bc.within(java.time.Duration.ofMillis(5)))
+        .followedBy("D").where(_.kind == "d"), 1, 2)) // nested windowed group
+    intercept[IllegalArgumentException](
+      outer.followedByTimes(EventPattern.begin[Ev]("B")
+        .where(_.kind == "b").oneOrMore
+        .until(_ => true), 1, 2)) // quantified stage inside
+    // the same nested-window guard holds for the unbounded loop
+    intercept[IllegalArgumentException](
+      outer.followedByOneOrMore(EventPattern.begin(
+        bc.within(java.time.Duration.ofMillis(5)))
+        .followedBy("D").where(_.kind == "d")))
+  }
+
+  test("fuzz: range-group matches equal the greedy scan at every count in range") {
+    val pat = EventPattern.begin[Ev]("A").where(_.kind == "a")
+      .followedByTimes(bc, 1, 2)
+      .followedBy("D").where(_.kind == "d")
+      .within(java.time.Duration.ofMillis(W))
+    val genWithD: Gen[List[Ev]] = for {
+      n <- Gen.choose(0, 14)
+      ts <- Gen.pick(n, 0L until 300L)
+      kinds <- Gen.listOfN(n, Gen.oneOf("a", "b", "c", "d", "noise"))
+    } yield ts.sorted.zip(kinds).map { case (t, k) => Ev(k, t) }.toList
+    // reference: from each `a`, for each count k in [1, 2], greedily
+    // walk k (b, c) pairs then the first d — each viable count is its
+    // own match (the reluctant group-quantifier multiplicity)
+    def brute(evs: Seq[Ev]): Seq[(Long, Seq[Long], Seq[Long], Long)] = {
+      val sorted = evs.sortBy(_.ts)
+      sorted.zipWithIndex.filter(_._1.kind == "a").flatMap { case (a, ai) =>
+        def walk(kinds: List[String], from: Int,
+            acc: List[Long]): Option[List[Long]] = kinds match {
+          case Nil => Some(acc.reverse)
+          case k :: rest =>
+            val j = sorted.indexWhere(e =>
+              e.kind == k && e.ts <= a.ts + W, from + 1)
+            if (j < 0) None else walk(rest, j, sorted(j).ts :: acc)
+        }
+        (1 to 2).flatMap { k =>
+          val kinds = List.fill(k)(List("b", "c")).flatten :+ "d"
+          walk(kinds, ai, Nil).map { ts =>
+            val reps = ts.init
+            val bs = reps.zipWithIndex.collect { case (t, i) if i % 2 == 0 => t }
+            val cs = reps.zipWithIndex.collect { case (t, i) if i % 2 == 1 => t }
+            (a.ts, bs, cs, ts.last)
+          }
+        }
+      }
+    }
+    check("range-group-vs-greedy", Prop.forAll(genWithD) { evs =>
+      val got = run(pat, evs).map(m =>
+        (m("A").head.ts, m("B").map(_.ts), m("C").map(_.ts),
+          m("D").head.ts)).sorted
+      got == brute(evs).sorted
+    })
+  }
+
+  test("group close does NOT expire a partial whose remaining group " +
+    "stages are all skippable (optional tail, required post-group stage)") {
+    // times(1, 2).within(5): after the required b matched, the
+    // remaining group stage is the OPTIONAL clone — the group needs no
+    // further event, so the watermark passing the group deadline must
+    // not kill the viable b-then-d match (the outcome must not depend
+    // on whether d arrives before or after the watermark does)
+    val pat = EventPattern.begin[Ev]("A").where(_.kind == "a")
+      .followedBy(EventPattern.begin[Ev]("B").where(_.kind == "b")
+        .times(1, 2).within(java.time.Duration.ofMillis(5)))
+      .followedBy("D").where(_.kind == "d")
+      .within(java.time.Duration.ofMillis(W))
+    // batch 1: a, b; watermark advances PAST the group close (15)
+    val (kept, m1, _) = Cep.step(pat.steps, pat.withinMs,
+      (e: Ev) => e.ts, Nil, Seq(ev("a", 0), ev("b", 10)), 50L)
+    assert(m1.isEmpty)
+    assert(kept.nonEmpty,
+      "the partial needs no further group event — it must survive the group close")
+    // batch 2: d arrives after the group closed — the match completes
+    // with the single-b group (the optional clone can no longer take)
+    val (_, m2, _) = Cep.step(pat.steps, pat.withinMs,
+      (e: Ev) => e.ts, kept, Seq(ev("d", 60)), 50L)
+    assert(m2.map(m => (m("B").map(_.ts), m("D").head.ts)) ==
+      Vector((Seq(10L), 60L)))
+    // contrast: a group whose REQUIRED stage is still pending expires
+    // at the group close exactly as before (the existing timeout test)
+    val req = EventPattern.begin[Ev]("A").where(_.kind == "a")
+      .followedBy(bc.within(java.time.Duration.ofMillis(5)))
+      .followedBy("D").where(_.kind == "d")
+      .within(java.time.Duration.ofMillis(W))
+    val (kept2, _, _) = Cep.step(req.steps, req.withinMs,
+      (e: Ev) => e.ts, Nil, Seq(ev("a", 0), ev("b", 10)), 50L)
+    assert(kept2.isEmpty, "a pending required group stage still expires")
+  }
+
   test("fuzz: repeated-group matches equal the greedy in-order scan") {
     val pat = EventPattern.begin[Ev]("A").where(_.kind == "a")
       .followedByTimes(bc, 2)

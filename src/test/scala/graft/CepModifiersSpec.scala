@@ -34,11 +34,13 @@ class CepModifiersSpec extends AnyFunSuite {
   private def run(pattern: EventPattern[Ev], evs: Seq[Ev],
       flush: Boolean = false): Vector[Map[String, Seq[Ev]]] = {
     val (p1, m1, _) = Cep.step(pattern.steps, pattern.withinMs,
-      (e: Ev) => e.ts, Nil, evs, Long.MinValue)
+      (e: Ev) => e.ts, Nil, evs, Long.MinValue, pattern.skip,
+      pattern.maximalOnly)
     if (!flush) m1
     else {
       val (_, m2, _) = Cep.step(pattern.steps, pattern.withinMs,
-        (e: Ev) => e.ts, p1, Nil, Long.MaxValue / 4)
+        (e: Ev) => e.ts, p1, Nil, Long.MaxValue / 4, pattern.skip,
+        pattern.maximalOnly)
       m1 ++ m2
     }
   }
@@ -78,17 +80,23 @@ class CepModifiersSpec extends AnyFunSuite {
 
   // ------------------------------------------------------- timesOrMore
 
-  test("timesOrMore(2) needs two B's and then absorbs the rest greedily") {
+  test("timesOrMore(2): every prefix with >= 2 B's is its own match (FlinkCEP parity)") {
     val pat = EventPattern.begin[Ev]("A").where(_.kind == "a")
       .followedBy("B").where(_.kind == "b").timesOrMore(2)
       .within(java.time.Duration.ofMillis(W))
     // one b only -> no match
     assert(run(pat, Seq(ev("a", 1), ev("b", 5)), flush = true).isEmpty)
-    // three b's -> one maximal match with all three
-    val got = run(pat,
-      Seq(ev("a", 1), ev("b", 5), ev("noise", 6), ev("b", 9), ev("b", 12)),
-      flush = true)
+    // three b's -> a match per prefix of length >= 2, emitted as the
+    // b's arrive (the flush adds nothing)
+    val evs = Seq(ev("a", 1), ev("b", 5), ev("noise", 6), ev("b", 9), ev("b", 12))
+    val got = run(pat, evs)
     assert(got.map(m => (m("A").head.ts, m("B").map(_.ts))) ==
+      Vector((1L, Seq(5L, 9L)), (1L, Seq(5L, 9L, 12L))))
+    assert(run(pat, evs, flush = true) == got, "window close adds nothing")
+    // emitMaximalOnly: one maximal match, at the window close
+    assert(run(pat.emitMaximalOnly, evs).isEmpty)
+    assert(run(pat.emitMaximalOnly, evs, flush = true)
+      .map(m => (m("A").head.ts, m("B").map(_.ts))) ==
       Vector((1L, Seq(5L, 9L, 12L))))
   }
 
@@ -107,12 +115,25 @@ class CepModifiersSpec extends AnyFunSuite {
     })
   }
 
-  test("timesOrMore(2) fuzz: per A, the full in-window b run iff it has >= 2") {
+  test("timesOrMore(2) fuzz: per A, every b-run prefix of length >= 2; maximal-only the full run") {
     val pat = EventPattern.begin[Ev]("A").where(_.kind == "a")
       .followedBy("B").where(_.kind == "b").timesOrMore(2)
       .within(java.time.Duration.ofMillis(W))
     check("tom-vs-brute", Prop.forAll(genEvents) { evs =>
       val got = run(pat, evs, flush = true)
+        .map(m => (m("A").head.ts, m("B").map(_.ts))).sorted
+      // FlinkCEP parity: one match per prefix of the in-window run
+      // with at least 2 elements
+      val want = (for {
+        a <- evs if a.kind == "a"
+        bs = evs.filter(e => e.kind == "b" && e.ts >= a.ts && e.ts <= a.ts + W)
+          .map(_.ts).sorted
+        k <- 2 to bs.size
+      } yield (a.ts, bs.take(k))).sorted
+      got == want
+    })
+    check("tom-maximal-vs-brute", Prop.forAll(genEvents) { evs =>
+      val got = run(pat.emitMaximalOnly, evs, flush = true)
         .map(m => (m("A").head.ts, m("B").map(_.ts))).sorted
       val want = (for {
         a <- evs if a.kind == "a"

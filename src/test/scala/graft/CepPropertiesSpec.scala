@@ -45,7 +45,8 @@ class CepPropertiesSpec extends AnyFunSuite {
     val out = Vector.newBuilder[Map[String, Seq[Ev]]]
     batches.foreach { batch =>
       val (p2, matches, _) = Cep.step(pattern.steps, pattern.withinMs,
-        (e: Ev) => e.ts, partials, batch, wm)
+        (e: Ev) => e.ts, partials, batch, wm, pattern.skip,
+        pattern.maximalOnly)
       partials = p2
       out ++= matches
       if (batch.nonEmpty) wm = math.max(wm, batch.map(_.ts).max)

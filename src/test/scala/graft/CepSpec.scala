@@ -384,7 +384,7 @@ class CepSpec extends AnyFunSuite {
     q.stop()
   }
 
-  test("terminal oneOrMore emits the maximal run when the window closes") {
+  test("terminal oneOrMore emits one match per prefix as events are absorbed (FlinkCEP parity)") {
     val pat = EventPattern.begin[Sensor]("spike").where(_.kind == "spike")
       .followedBy("beat").where(_.kind == "beat").oneOrMore
       .within(java.time.Duration.ofMinutes(10))
@@ -401,12 +401,39 @@ class CepSpec extends AnyFunSuite {
       Sensor("d1", "beat", t("2019-06-26T10:02:00Z")),
       Sensor("d1", "beat", t("2019-06-26T10:04:00Z")))
     q.processAllAvailable()
-    assert(spark.table("cepOom3").count() == 0,
-      "the run is still open — nothing may emit before the window closes")
-    // advance the watermark past the window deadline
+    val eager = spark.table("cepOom3").as[(String, Int)].collect().toSet
+    assert(eager == Set(("d1", 1), ("d1", 2)),
+      s"each absorbed beat completes its own prefix match immediately: $eager")
+    // closing the window adds NOTHING — every prefix already emitted
     in.addData(Sensor("d1", "noise", t("2019-06-26T11:00:00Z")))
     q.processAllAvailable()
-    val got = spark.table("cepOom3").as[(String, Int)].collect().toSet
+    assert(spark.table("cepOom3").count() == 2)
+    q.stop()
+  }
+
+  test("emitMaximalOnly: the terminal run emits once, maximal, at window close") {
+    val pat = EventPattern.begin[Sensor]("spike").where(_.kind == "spike")
+      .followedBy("beat").where(_.kind == "beat").oneOrMore
+      .within(java.time.Duration.ofMinutes(10))
+      .emitMaximalOnly
+    val in = MemoryStream[Sensor]
+    val q = Cep.detect(
+        in.toDS().withWatermark("ets", "0 seconds"),
+        (e: Sensor) => e.device, (e: Sensor) => e.ets.getTime, pat) { m =>
+        (m("spike").head.device, m("beat").size)
+      }.toDF("device", "n_beats")
+      .writeStream.format("memory").queryName("cepOom3max")
+      .outputMode(OutputMode.Append).start()
+    in.addData(
+      Sensor("d1", "spike", t("2019-06-26T10:00:00Z")),
+      Sensor("d1", "beat", t("2019-06-26T10:02:00Z")),
+      Sensor("d1", "beat", t("2019-06-26T10:04:00Z")))
+    q.processAllAvailable()
+    assert(spark.table("cepOom3max").count() == 0,
+      "the run is still open — nothing may emit before the window closes")
+    in.addData(Sensor("d1", "noise", t("2019-06-26T11:00:00Z")))
+    q.processAllAvailable()
+    val got = spark.table("cepOom3max").as[(String, Int)].collect().toSet
     assert(got == Set(("d1", 2)))
     q.stop()
   }
@@ -438,38 +465,51 @@ class CepSpec extends AnyFunSuite {
     q.stop()
   }
 
-  test("terminal times(from, to): full absorption emits at max, partial at window close") {
-    val pat = EventPattern.begin[Sensor]("spike").where(_.kind == "spike")
+  test("terminal times(from, to): every count in range emits eagerly (FlinkCEP parity); emitMaximalOnly waits") {
+    val base = EventPattern.begin[Sensor]("spike").where(_.kind == "spike")
       .followedBy("beat").where(_.kind == "beat").times(1, 2)
       .within(java.time.Duration.ofMinutes(10))
-    val in = MemoryStream[Sensor]
-    val q = Cep.detect(
-        in.toDS().withWatermark("ets", "0 seconds"),
-        (e: Sensor) => e.device, (e: Sensor) => e.ets.getTime, pat) { m =>
-        (m("spike").head.device, m("beat").size)
-      }.toDF("device", "n_beats")
-      .writeStream.format("memory").queryName("cepRange2")
-      .outputMode(OutputMode.Append).start()
-    in.addData(
-      // d1 fills the range: emits IMMEDIATELY on the 2nd beat
+    val feed = Seq(
+      // d1 fills the range: a match per count — {1 beat} then {2 beats}
       Sensor("d1", "spike", t("2019-06-26T10:00:00Z")),
       Sensor("d1", "beat", t("2019-06-26T10:01:00Z")),
       Sensor("d1", "beat", t("2019-06-26T10:02:00Z")),
-      // d2 reaches only the min: emits at window close
+      // d2 reaches only the min: its one prefix emits on the beat
       Sensor("d2", "spike", t("2019-06-26T10:00:00Z")),
       Sensor("d2", "beat", t("2019-06-26T10:01:00Z")),
       // d3 never reaches the min: times out silently
       Sensor("d3", "spike", t("2019-06-26T10:00:00Z")))
-    q.processAllAvailable()
-    val early = spark.table("cepRange2").as[(String, Int)].collect().toSet
-    assert(early == Set(("d1", 2)), s"max absorption emits eagerly: $early")
-    in.addData(
+    val close = Seq(
+      Sensor("d1", "noise", t("2019-06-26T11:00:00Z")),
       Sensor("d2", "noise", t("2019-06-26T11:00:00Z")),
       Sensor("d3", "noise", t("2019-06-26T11:00:00Z")))
-    q.processAllAvailable()
-    val got = spark.table("cepRange2").as[(String, Int)].collect().toSet
-    assert(got == Set(("d1", 2), ("d2", 1)))
-    q.stop()
+    def drive(pat: graft.streaming.EventPattern[Sensor], name: String)
+        : (Set[(String, Int)], Set[(String, Int)]) = {
+      val in = MemoryStream[Sensor]
+      val q = Cep.detect(
+          in.toDS().withWatermark("ets", "0 seconds"),
+          (e: Sensor) => e.device, (e: Sensor) => e.ets.getTime, pat) { m =>
+          (m("spike").head.device, m("beat").size)
+        }.toDF("device", "n_beats")
+        .writeStream.format("memory").queryName(name)
+        .outputMode(OutputMode.Append).start()
+      in.addData(feed); q.processAllAvailable()
+      val early = spark.table(name).as[(String, Int)].collect().toSet
+      in.addData(close); q.processAllAvailable()
+      val all = spark.table(name).as[(String, Int)].collect().toSet
+      q.stop()
+      (early, all)
+    }
+    val (early, all) = drive(base, "cepRange2")
+    assert(early == Set(("d1", 1), ("d1", 2), ("d2", 1)),
+      s"every satisfied count emits as its beat arrives: $early")
+    assert(all == early, "the window close adds nothing — all prefixes emitted")
+    val (earlyM, allM) = drive(base.emitMaximalOnly, "cepRange2max")
+    // maximal-only: d1's FULL absorption still emits eagerly (the max
+    // is known the moment the range fills); d2's partial absorption
+    // waits for the close; d3 still times out silently
+    assert(earlyM == Set(("d1", 2)), s"only the full range emits early: $earlyM")
+    assert(allM == Set(("d1", 2), ("d2", 1)))
   }
 
   test("terminal times(from, to) without within() is rejected") {
@@ -486,34 +526,45 @@ class CepSpec extends AnyFunSuite {
     assert(ex.getMessage.contains("within"))
   }
 
-  test("until() terminates a terminal oneOrMore immediately, stop event not absorbed") {
-    val pat = EventPattern.begin[Sensor]("spike").where(_.kind == "spike")
+  test("until() terminates a terminal oneOrMore, stop event not absorbed") {
+    def base = EventPattern.begin[Sensor]("spike").where(_.kind == "spike")
       .followedBy("beat").where(_.kind == "beat").oneOrMore
       .until(_.kind == "stop")
       .within(java.time.Duration.ofHours(1))
-    val in = MemoryStream[Sensor]
-    val q = Cep.detect(
-        in.toDS().withWatermark("ets", "0 seconds"),
-        (e: Sensor) => e.device, (e: Sensor) => e.ets.getTime, pat) { m =>
-        (m("spike").head.device, m("beat").size)
-      }.toDF("device", "n_beats")
-      .writeStream.format("memory").queryName("cepUntil1")
-      .outputMode(OutputMode.Append).start()
-    in.addData(
+    val feed = Seq(
       Sensor("d1", "spike", t("2019-06-26T10:00:00Z")),
       Sensor("d1", "beat", t("2019-06-26T10:01:00Z")),
       Sensor("d1", "beat", t("2019-06-26T10:02:00Z")),
       Sensor("d1", "stop", t("2019-06-26T10:03:00Z")),
+      Sensor("d1", "beat", t("2019-06-26T10:04:00Z")), // after stop: dead
       // d2's stop arrives before any beat: the partial dies
       Sensor("d2", "spike", t("2019-06-26T10:00:00Z")),
       Sensor("d2", "stop", t("2019-06-26T10:01:00Z")),
       Sensor("d2", "beat", t("2019-06-26T10:02:00Z")))
-    q.processAllAvailable()
-    // no watermark advance needed — until() emitted d1 directly
-    val got = spark.table("cepUntil1").as[(String, Int)].collect().toSet
-    assert(got == Set(("d1", 2)),
-      s"stop ends the run without being absorbed; empty runs die: $got")
-    q.stop()
+    def drive(pat: graft.streaming.EventPattern[Sensor], name: String)
+        : Set[(String, Int)] = {
+      val in = MemoryStream[Sensor]
+      val q = Cep.detect(
+          in.toDS().withWatermark("ets", "0 seconds"),
+          (e: Sensor) => e.device, (e: Sensor) => e.ets.getTime, pat) { m =>
+          (m("spike").head.device, m("beat").size)
+        }.toDF("device", "n_beats")
+        .writeStream.format("memory").queryName(name)
+        .outputMode(OutputMode.Append).start()
+      in.addData(feed)
+      q.processAllAvailable()
+      val got = spark.table(name).as[(String, Int)].collect().toSet
+      q.stop()
+      got
+    }
+    // parity default: each beat emitted its prefix when absorbed; the
+    // stop closes the run (the post-stop beat adds nothing), and no
+    // watermark advance is needed for any of it
+    assert(drive(base, "cepUntil1") == Set(("d1", 1), ("d1", 2)),
+      "prefixes emit on absorption; stop kills the run unabsorbed; empty runs die")
+    // emitMaximalOnly: the stop fires the single maximal emission
+    assert(drive(base.emitMaximalOnly, "cepUntil1max") == Set(("d1", 2)),
+      "maximal-only: the stop emits the run once, maximal")
   }
 
   test("until() on a non-terminal oneOrMore: stopped run advances to the next stage") {
@@ -704,9 +755,9 @@ class CepSpec extends AnyFunSuite {
 
   test("untilIterative(): the stop condition reads the absorbed run (budgeted one-or-more)") {
     // stop the loop once the matched run's sum reaches 10 — the stop
-    // event is NOT absorbed, and a terminal stopped run emits NOW
+    // event is NOT absorbed
     case class V(kind: String, lvl: Int, ts: Long)
-    val pat = EventPattern.begin[V]("start").where(_.kind == "s")
+    def pat = EventPattern.begin[V]("start").where(_.kind == "s")
       .followedBy("run").where(_.kind == "v").oneOrMore
       .untilIterative((e, ctx) =>
         e.kind == "v" && ctx.eventsFor("run").map(_.lvl).sum >= 10)
@@ -718,9 +769,17 @@ class CepSpec extends AnyFunSuite {
       V("v", 3, 30),   // run sum 9: absorbed
       V("v", 2, 40),   // run sum 12 >= 10: STOP, not absorbed
       V("v", 9, 50))   // after the stop: a fresh partial would need a new 's'
+    // parity default: every prefix emitted as absorbed; the stop
+    // closes the run without a further emission
     val (_, matches, _) = Cep.step(pat.steps, pat.withinMs,
       (e: V) => e.ts, List.empty[Cep.Partial[V]], events, Long.MinValue)
-    assert(matches.map(_("run").map(_.lvl).toList) == Vector(List(4, 5, 3)))
+    assert(matches.map(_("run").map(_.lvl).toList) ==
+      Vector(List(4), List(4, 5), List(4, 5, 3)))
+    // emitMaximalOnly: the stop fires the one maximal emission
+    val (_, maxm, _) = Cep.step(pat.steps, pat.withinMs,
+      (e: V) => e.ts, List.empty[Cep.Partial[V]], events, Long.MinValue,
+      maximalOnly = true)
+    assert(maxm.map(_("run").map(_.lvl).toList) == Vector(List(4, 5, 3)))
   }
 
   test("whereIterative() on a times(n) stage sees the run absorbed so far (strictly increasing)") {

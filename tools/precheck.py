@@ -252,8 +252,10 @@ def main(sf_dir: str, out_dir: str) -> int:
     print(f"== {n_ok} ok, {n_bad} fail{skip}{filt} ==")
     json_out = os.environ.get("GRAFT_JSON_OUT")
     if json_out:
-        if only is not None:
-            results["_graft_only"] = sorted(only)
+        # per-gate values stay homogeneous dicts (a filtered run is
+        # already visible per-gate via err="filtered (GRAFT_ONLY)");
+        # run-level metadata must not be injected into the gate map
+        # where a consumer iterating results.values() would trip on it
         with open(json_out, "w") as f:
             json.dump(results, f, indent=2)
     return 1 if n_bad else 0
