@@ -1,0 +1,144 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.execution.FileSourceScanExec
+import org.apache.parquet.hadoop.ParquetFileReader
+import org.apache.parquet.hadoop.util.HadoopInputFile
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.Path
+import scala.jdk.CollectionConverters._
+
+/** The executable registry-storage story ([[RegistryStore]]): the
+  * class registry written band-partitioned, per-day deltas appended
+  * as small per-band files, the merged read-back equal to the
+  * in-memory [[graft.queries.Extensions.appendRegistry]] math, a
+  * band probe PROVEN (from the physical scan) to read one partition
+  * directory, a band-key range PROVEN (from real parquet footers) to
+  * touch a strict subset of that partition's files losslessly, and
+  * x82's compaction planner composing over the store's own file
+  * inventory. */
+class RegistryStoreSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+
+  private def docArrs = Tables.documents(spark, "/root/testdata/sf0.001")
+    .selectExpr("doc_id",
+      "array_sort(array_distinct(split(text, ' '))) AS arr")
+
+  private def classesKey(df: org.apache.spark.sql.DataFrame) =
+    df.select(col("sig"), col("cnt"), col("min_id"),
+        array_join(col("arr"), " ").as("a"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getString(3))).sortBy(_._1).toSeq
+
+  test("append + read-time merge equals the in-memory appendRegistry") {
+    val d = docArrs.persist()
+    val day0 = d.filter(col("doc_id") % 4 === 1 || col("doc_id") % 4 === 2)
+    val day1 = d.filter(col("doc_id") % 4 === 3)
+    val root = java.nio.file.Files
+      .createTempDirectory("graft_regstore_merge").toString
+    RegistryStore.write(graft.queries.Extensions.classesOf(day0), root)
+    RegistryStore.append(graft.queries.Extensions.classesOf(day1), root)
+    val got = classesKey(RegistryStore.readClasses(spark, root))
+    val want = classesKey(graft.queries.Extensions.appendRegistry(
+      graft.queries.Extensions.classesOf(day0), day1))
+    assert(got == want)
+    d.unpersist()
+  }
+
+  test("a band probe's scan selects exactly one of the band partitions") {
+    val root = java.nio.file.Files
+      .createTempDirectory("graft_regstore_prune").toString
+    RegistryStore.write(graft.queries.Extensions.classesOf(docArrs), root)
+    val probe = RegistryStore.readBands(spark, root)
+      .filter(col("band") === 2)
+    val scan = probe.queryExecution.executedPlan.collectLeaves()
+      .collectFirst { case f: FileSourceScanExec => f }
+      .getOrElse(fail("no file scan in the probe plan"))
+    val selected = scan.selectedPartitions
+    val allParts = new java.io.File(s"$root/bands").listFiles()
+      .filter(f => f.isDirectory && f.getName.startsWith("band="))
+    assert(allParts.length == graft.queries.Extensions.NumBands)
+    assert(selected.partitionCount == 1,
+      s"partition pruning must select 1 of ${allParts.length} partitions, " +
+        s"got ${selected.partitionCount}")
+    assert(selected.toPartitionArray.forall(
+      _.filePath.toString.contains("band=2")))
+    // lossless: the pruned scan returns exactly band 2's rows
+    val want = graft.queries.Extensions
+      .bandTableArr(graft.queries.Extensions.classesOf(docArrs)
+        .select(col("sig").as("rep"), col("arr")), "t:")
+      .filter(col("band") === 2).count()
+    assert(probe.count() == want && want > 0)
+  }
+
+  /** Per-file (min, max) of an INT64 column from the parquet footer —
+    * the statistic any file-skipping layer consults. */
+  private def footerRange(file: String, column: String): (Long, Long) = {
+    val in = HadoopInputFile.fromPath(new Path(file), new Configuration())
+    val rd = ParquetFileReader.open(in)
+    try {
+      val ranges = rd.getFooter.getBlocks.asScala.map { block =>
+        val cc = block.getColumns.asScala
+          .find(_.getPath.toDotString == column)
+          .getOrElse(fail(s"column $column missing from footer of $file"))
+        val st = cc.getStatistics
+        assert(st != null && !st.isEmpty, s"no stats for $column in $file")
+        (st.genericGetMin.asInstanceOf[Long],
+          st.genericGetMax.asInstanceOf[Long])
+      }
+      (ranges.map(_._1).min, ranges.map(_._2).max)
+    } finally rd.close()
+  }
+
+  test("inside a band partition, a k0 range touches a strict subset " +
+    "of files by footer stats, losslessly") {
+    val root = java.nio.file.Files
+      .createTempDirectory("graft_regstore_footer").toString
+    RegistryStore.write(graft.queries.Extensions.classesOf(docArrs), root,
+      filesPerBand = 4)
+    val bandDir = new java.io.File(s"$root/bands/band=1")
+    val files = bandDir.listFiles().filter(_.getName.endsWith(".parquet"))
+      .map(_.getPath).sorted
+    assert(files.length >= 3, s"want several files per band, got ${files.length}")
+    // probe the middle eighth of k0's POPULATION (quantile window, so
+    // the probe is non-vacuous however the values spread)
+    val all = spark.read.parquet(files: _*)
+    val k0s = all.select(col("k0")).collect().map(_.getLong(0)).sorted
+    val s = k0s(k0s.length * 7 / 16)
+    val e = k0s(k0s.length * 9 / 16)
+    val survivors = files.filter { f =>
+      val (mn, mx) = footerRange(f, "k0"); mx >= s && mn <= e
+    }
+    assert(survivors.length < files.length,
+      s"k0 probe [$s,$e] touches all ${files.length} files — no pruning")
+    val full = all.filter(col("k0").between(s, e)).count()
+    val viaSurvivors = spark.read.parquet(survivors: _*)
+      .filter(col("k0").between(s, e)).count()
+    assert(full > 0 && viaSurvivors == full, "pruned file set lost rows")
+  }
+
+  test("x82's planner bins the store's accumulated delta files") {
+    val root = java.nio.file.Files
+      .createTempDirectory("graft_regstore_compact").toString
+    val d = docArrs.persist()
+    RegistryStore.write(graft.queries.Extensions.classesOf(
+      d.filter(col("doc_id") % 4 === 0)), root)
+    (1L to 3L).foreach { day =>
+      RegistryStore.append(graft.queries.Extensions.classesOf(
+        d.filter(col("doc_id") % 4 === day)), root)
+    }
+    val plan = RegistryStore.compactionPlanOf(spark, root).collect()
+    assert(plan.length >= 4, "one inventory row per band-index file")
+    val bins = plan.map(_.getAs[Long]("bin")).distinct
+    assert(bins.length < plan.length,
+      "compaction must merge small delta files into fewer bins")
+    // every file assigned exactly one bin, byte totals consistent
+    val byBin = plan.groupBy(_.getAs[Long]("bin"))
+    byBin.foreach { case (_, rows) =>
+      val want = rows.map(_.getAs[Long]("bytes")).sum
+      assert(rows.forall(_.getAs[Long]("bin_bytes") == want))
+    }
+    d.unpersist()
+  }
+}

@@ -5,19 +5,21 @@ import org.scalatest.funsuite.AnyFunSuite
 /** IVF-PQ (x80): the gate's oracle replays the same construction in
   * DuckDB, so a shared formula bug would stay green. This spec is the
   * third implementation: a plain-Scala driver-side IVFADC over the
-  * collected sf0.001 vectors — coarse argmin-L2² assignment, residual
-  * PQ encode against the first-16-residuals codebook, 2-cell probe,
-  * ADC top-5 — compared row-for-row to the DataFrame result. Any
-  * divergence in tie-breaking, residual arithmetic, code layout or
+  * collected sf0.001 vectors — one Lloyd round on the coarse
+  * quantizer (floor-div integer means over the seed assignment),
+  * residual PQ encode against a one-Lloyd-round codebook, 6-cell
+  * probe, ADC shortlist R = max(3k, n/10), exact re-rank to top-5 —
+  * compared row-for-row to the DataFrame result. Any divergence in
+  * tie-breaking, mean flooring, residual arithmetic, code layout or
   * probe selection between the three implementations fails here.
   */
 class X80IvfPqSpec extends AnyFunSuite {
   lazy val spark = TestSpark.spark
 
   private val Cells = 8
-  private val Probe = 2
-  private val M = 4
-  private val Sub = 16
+  private val Probe = 6
+  private val M = 16
+  private val Sub = 4
   private val K = 16
   private val Dim = M * Sub
   private val NumQueries = 10
@@ -29,7 +31,32 @@ class X80IvfPqSpec extends AnyFunSuite {
     d
   }
 
-  test("gate output equals a driver-side IVFADC reference at sf0.001") {
+  /** argmin-L2² index into `cents`, tie -> smallest index. */
+  private def argmin(v: Array[Long], cents: IndexedSeq[Array[Long]]): Int = {
+    var best = -1; var bestd = Long.MaxValue; var c = 0
+    while (c < cents.length) {
+      val d = l2sq(v, cents(c))
+      if (d < bestd) { bestd = d; best = c }
+      c += 1
+    }
+    best
+  }
+
+  /** One Lloyd update: per cluster, the exact floor-div integer mean
+    * of its members; an empty cluster keeps its seed. */
+  private def lloydRound(vs: Seq[Array[Long]], seeds: IndexedSeq[Array[Long]])
+      : IndexedSeq[Array[Long]] = {
+    val asg = vs.map(v => argmin(v, seeds))
+    seeds.indices.map { c =>
+      val members = vs.zip(asg).collect { case (v, a) if a == c => v }
+      if (members.isEmpty) seeds(c)
+      else Array.tabulate(seeds(c).length) { i =>
+        math.floor(members.map(_(i)).sum.toDouble / members.size).toLong
+      }
+    }
+  }
+
+  test("gate output equals a driver-side trained-IVFADC reference at sf0.001") {
     val raw = Tables.embeddings(spark, "/root/testdata/sf0.001")
       .selectExpr("vec_id",
         "transform(embedding, x -> CAST(floor(x * 1000) AS LONG)) AS qv")
@@ -37,50 +64,39 @@ class X80IvfPqSpec extends AnyFunSuite {
       .map(r => (r.getLong(0), r.getSeq[Long](1).toArray))
       .sortBy(_._1)
     assert(raw.length >= K && raw.head._2.length == Dim)
-
+    val n = raw.length
     val byId = raw.toMap
-    val cents = (0 until Cells).map(c => c.toLong -> byId(c.toLong))
 
-    // coarse assignment: argmin L2², tie -> smallest cid
-    def assign(v: Array[Long]): Int = {
-      var best = -1; var bestd = Long.MaxValue
-      cents.foreach { case (cid, cv) =>
-        val d = l2sq(v, cv)
-        if (d < bestd) { bestd = d; best = cid.toInt }
-      }
-      best
-    }
-    val cellOf = raw.map { case (id, v) => id -> assign(v) }.toMap
+    // coarse quantizer: first-Cells seeds, ONE Lloyd round
+    val cents = lloydRound(raw.map(_._2),
+      (0 until Cells).map(c => byId(c.toLong)))
+    val cellOf = raw.map { case (id, v) => id -> argmin(v, cents) }.toMap
     def residOf(id: Long): Array[Long] = {
-      val v = byId(id); val cv = byId(cellOf(id).toLong)
+      val v = byId(id); val cv = cents(cellOf(id))
       Array.tabulate(Dim)(i => v(i) - cv(i))
     }
 
-    // residual codebook: (sub, code) -> slice of residual of vec code
-    val cb = Array.tabulate(M, K) { (s, c) =>
-      residOf(c.toLong).slice(s * Sub, s * Sub + Sub)
+    // residual codebook: first-K residual slices per sub, ONE Lloyd
+    // round per subspace
+    val cb = Array.tabulate(M) { s =>
+      val subs = raw.map { case (id, _) =>
+        residOf(id).slice(s * Sub, s * Sub + Sub) }
+      lloydRound(subs, (0 until K).map(c =>
+        residOf(c.toLong).slice(s * Sub, s * Sub + Sub)))
     }
     def encode(r: Array[Long]): Array[Int] = Array.tabulate(M) { s =>
-      val sl = r.slice(s * Sub, s * Sub + Sub)
-      var best = -1; var bestd = Long.MaxValue
-      var c = 0
-      while (c < K) {
-        val d = l2sq(sl, cb(s)(c))
-        if (d < bestd) { bestd = d; best = c }
-        c += 1
-      }
-      best
+      argmin(r.slice(s * Sub, s * Sub + Sub), cb(s))
     }
     val codesOf = raw.map { case (id, _) => id -> encode(residOf(id)) }.toMap
 
-    // probes + ADC top-R, then the exact re-rank to top-k
-    val RerankR = 3 * TopK
+    // probes + ADC shortlist (R scales with the corpus), exact re-rank
+    val RerankR = math.max(3L * TopK, n.toLong / 10).toInt
     val adcRanked = (0L until NumQueries.toLong).map { qid =>
       val qq = byId(qid)
-      val probed = cents.map { case (cid, cv) => (l2sq(qq, cv), cid.toInt) }
-        .sorted.take(Probe).map(_._2)
+      val probed = cents.zipWithIndex.map { case (cv, cid) =>
+        (l2sq(qq, cv), cid) }.sorted.take(Probe).map(_._2)
       val scored = probed.flatMap { cid =>
-        val cv = byId(cid.toLong)
+        val cv = cents(cid)
         val qr = Array.tabulate(Dim)(i => qq(i) - cv(i))
         raw.iterator
           .filter { case (id, _) => cellOf(id) == cid && id != qid }
