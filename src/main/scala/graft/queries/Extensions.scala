@@ -7502,6 +7502,90 @@ object Extensions {
           ORDER BY 1,2,3,4,5,6,7,8,9,10,11"""
     })
 
+  // ---------------------------------------------------------------- x97
+  // END-TO-END training-pipeline gate: the stage COMPOSITION a real
+  // user runs — [[graft.pipeline.TrainingPipeline.prepare]]'s
+  // redact → exact-dedup → decontaminate → quality-filter →
+  // stratified-sample → shuffle-into-shards → pack — over the
+  // documents table, oracle-gated by unrolling the SAME stages as
+  // CTEs (each stage's math is the per-stage gate's: x32, x01/x02,
+  // x24, x26, x25, x27, x23). The per-stage gates prove each operator
+  // alone; this gate proves their composition — ordering effects
+  // (redaction BEFORE any hashing changes the dedup classes and the
+  // placement keys), survivor-set plumbing, and the pipeline's
+  // single-checkpoint plan (three wide ops: the sig window, the
+  // stratum-count agg, the shard window — PipelineSpec pins the
+  // count).
+  //
+  // The benchmark set is a FIXED literal (benchmarks are KB-MB by
+  // nature — they ride with the plan, the corpus never shuffles for
+  // decontamination).
+  private val PipelineBenchBigrams =
+    Seq("join hash", "scan slow", "batch window")
+  private val x97 = GateQuery(
+    "x97_training_pipeline",
+    (s, d) => {
+      val out = graft.pipeline.TrainingPipeline.prepare(
+        Tables.documents(s, d)
+          .select(col("doc_id"), col("lang"), col("text")),
+        graft.pipeline.TrainingPipeline.Config(
+          benchBigrams = PipelineBenchBigrams))
+      ordered(out.select(col("doc_id"), col("lang"), col("shard"),
+        col("pos"), col("n_tok"), col("pack_seq"), col("pack_off")))
+    },
+    Some(s"""WITH red AS (
+              SELECT doc_id, lang,
+                regexp_replace(
+                  regexp_replace(
+                    regexp_replace(text, '$PiiEmail', '<EMAIL>', 'g'),
+                    '$PiiUrl', '<URL>', 'g'),
+                  '$PiiNum', '<NUM>', 'g') AS text
+              FROM documents),
+            tks AS (
+              SELECT doc_id, lang, string_split(text, ' ') AS tk,
+                md5(array_to_string(list_sort(list_distinct(
+                  string_split(text, ' '))), ' ')) AS sig
+              FROM red),
+            ded AS (
+              SELECT doc_id, lang, tk FROM (
+                SELECT *, row_number() OVER (PARTITION BY sig
+                  ORDER BY doc_id) AS rn
+                FROM tks) WHERE rn = 1),
+            bgd AS (
+              SELECT doc_id, lang, tk, $duckBigrams AS bgs FROM ded),
+            surv AS (
+              SELECT doc_id, lang, CAST(len(tk) AS BIGINT) AS n_tok
+              FROM bgd
+              WHERE len(list_intersect(bgs,
+                      [${PipelineBenchBigrams.map(b => s"'$b'").mkString(", ")}])) = 0
+                AND len(tk) >= 2
+                AND 1.0 - CAST(len(bgs) AS DOUBLE) / (len(tk) - 1) <= 0.3),
+            rates AS (
+              SELECT lang, CAST(LEAST(1000, CAST(FLOOR(100000.0 / count(*))
+                AS BIGINT)) AS BIGINT) AS rate_pm
+              FROM surv GROUP BY 1),
+            sampled AS (
+              SELECT s.doc_id, s.lang, s.n_tok
+              FROM surv s JOIN rates r ON r.lang = s.lang
+              WHERE ${duckHex32("md5('s:' || CAST(s.doc_id AS VARCHAR))")}
+                % 1000 < r.rate_pm),
+            keyed AS (
+              SELECT doc_id, lang, n_tok,
+                ${duckHex32("md5('sh:' || CAST(doc_id AS VARCHAR))")} AS skey
+              FROM sampled),
+            placed AS (
+              SELECT doc_id, lang, CAST(skey % 32 AS BIGINT) AS shard, n_tok,
+                CAST(row_number() OVER (PARTITION BY skey % 32
+                  ORDER BY skey, doc_id) AS BIGINT) AS pos,
+                CAST(SUM(n_tok) OVER (PARTITION BY skey % 32
+                  ORDER BY skey, doc_id ROWS UNBOUNDED PRECEDING) AS BIGINT)
+                  - n_tok AS start
+              FROM keyed)
+            SELECT doc_id, lang, shard, pos, n_tok,
+                   CAST(start // 512 AS BIGINT) AS pack_seq,
+                   CAST(start % 512 AS BIGINT) AS pack_off
+            FROM placed ORDER BY 1,2,3,4,5,6,7"""))
+
   val all: Seq[GateQuery] = Seq(x01, x02, x03, x04, x05, x06, x07, x08, x09,
     x10, x11, x12, x13, x14, x15, x16, x17, x18, x19, x20, x21, x22, x23,
     x24, x25, x26, x27, x28, x29, x30, x31, x32, x33, x34, x35, x36, x37,
@@ -7509,5 +7593,5 @@ object Extensions {
     x52, x53, x54, x55, x56, x57, x58, x59, x60, x61, x62, x63, x64, x65, x66,
     x67, x68, x69, x70, x71, x72, x73, x74, x75, x76, x77, x78, x79, x80,
     x81, x82, x83, x84, x85, x86, x87, x88, x89, x90, x91, x92, x93, x94,
-    x95, x96)
+    x95, x96, x97)
 }
