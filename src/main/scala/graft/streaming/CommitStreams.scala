@@ -152,19 +152,53 @@ object CommitStreams {
     * is strictly reference-faithful. */
   def weeklyContinentChanges(commits: DataFrame, geo: DataFrame): DataFrame = {
     // Watermark divergence from Flink: Flink propagates watermarks
-    // through filters as control events, so a commit stream with no
-    // java files still closes windows. Spark derives the watermark
-    // from event rows observed at the watermark node after plan
-    // optimization, so only rows surviving the explode+filter advance
-    // it — a fully-filtered stream stalls downstream windows. The
-    // watermark is declared ahead of the explode/filter to keep as
-    // many rows as possible contributing.
+    // through filters as control events; Spark derives the watermark
+    // from event rows observed at the watermark node AFTER plan
+    // optimization — a predicate that can be pushed below the
+    // watermark node starves the clock on fully-filtered stretches
+    // (CommitStreamsSpec demonstrates the stall on the scalar-filter
+    // shape). THIS form is safe by placement: the watermark sits
+    // ahead of the explode, and the filename predicate depends on
+    // the generated column, so it cannot cross the Generate — every
+    // commit row reaches the clock. The structural (placement-
+    // independent) fix is [[weeklyContinentChangesTicked]] /
+    // [[WatermarkTicks]]: same output, no Filter node below the
+    // clock at all.
     val javaFiles = commits
       .select(col("sha"), ts.as("c_ts"), col("files"))
       .withWatermark("c_ts", "0 seconds")
       .select(col("sha"), col("c_ts"), explode(col("files")).as("file"))
       .filter(col("file.filename").endsWith(".java"))
       .select(col("sha"), col("c_ts"), col("file.changes").as("changes"))
+    val geoW = geo.withWatermark("createdAt", "0 seconds")
+    javaFiles.join(geoW,
+        javaFiles("sha") === geoW("sha") &&
+          geoW("createdAt") >= col("c_ts") - expr("INTERVAL 1 HOUR") &&
+          geoW("createdAt") <= col("c_ts") + expr("INTERVAL 30 MINUTE"))
+      .groupBy(window(col("c_ts"), "7 days"), col("continent"))
+      .agg(sum(col("changes")).as("changes"))
+      .select(col("window.start").as("week"), col("continent"), col("changes"))
+  }
+
+  /** [[weeklyContinentChanges]] with the watermark-stall fix: the
+    * `.java` drop runs as [[WatermarkTicks.explodeFiltered]] — no
+    * `Filter` node exists above the watermark node, and a commit
+    * whose files ALL miss the predicate emits one zero-payload
+    * heartbeat (null file ⇒ null join key) that advances the event
+    * clock but joins to nothing. Output rows are identical to the
+    * plain form whenever both emit; the difference is purely that a
+    * fully-filtered stretch of commits still closes the open weekly
+    * windows (CommitStreamsSpec drives the exact feed that stalls
+    * the plain form and not this one). */
+  def weeklyContinentChangesTicked(commits: DataFrame,
+                                   geo: DataFrame): DataFrame = {
+    val javaFiles = WatermarkTicks.explodeFiltered(
+        commits.select(col("sha"), ts.as("c_ts"), col("files")),
+        "files", "file", f => f.getField("filename").endsWith(".java"))
+      .select(
+        WatermarkTicks.keyed(col("file"), col("sha")).as("sha"),
+        col("c_ts"), col("file.changes").as("changes"))
+      .withWatermark("c_ts", "0 seconds")
     val geoW = geo.withWatermark("createdAt", "0 seconds")
     javaFiles.join(geoW,
         javaFiles("sha") === geoW("sha") &&

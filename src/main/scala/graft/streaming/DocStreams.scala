@@ -120,6 +120,16 @@ object DocStreams {
     docs.select(col("source"), explode(split(col("text"), " ")).as("term"))
       .groupBy(col("source"), col("term")).agg(count(lit(1)).as("tf"))
 
+  /** Hard per-document token bound for [[gopherRepetitionStream]]'s
+    * O(len²) per-row scans: a doc beyond it is scored on its first
+    * `GopherStreamMaxTokens` tokens and FLAGGED (`truncated`), the
+    * x54 cap discipline applied to length — bounded work per row, the
+    * decision auditable downstream. 4096² gram compares ≈ 17M cheap
+    * ops is the worst case per pathological row; without the cap one
+    * adversarial multi-MB document stalls its executor core at
+    * ingest. */
+  val GopherStreamMaxTokens = 4096
+
   /** Streaming twin of x96's Gopher repetition panel: every signal is
     * an IN-DOC statistic (frequencies of a doc's own n-grams), so the
     * ingest form needs no corpus state at all — one stateless per-row
@@ -128,11 +138,18 @@ object DocStreams {
     * pins it on the real corpus). The trade vs the batch shape: the
     * per-row top/dup frequency scans are O(len²) per document (each
     * gram counted by filtering the doc's own gram list), the right
-    * price at ingest grain for bounded-length documents; corpus-scale
-    * backfills use the batch `gopherRepetition`, whose explode +
-    * count + coverage chain is linear in tokens. */
-  def gopherRepetitionStream(docs: DataFrame): DataFrame = {
-    val tk = split(col("text"), " ")
+    * price at ingest grain for BOUNDED-length documents — and the
+    * bound is enforced, not assumed: a doc over `maxTokens` is scored
+    * on its prefix and flagged `truncated` (X96GopherSpec drives the
+    * adversarial long-doc fixture). Corpus-scale backfills use the
+    * batch `gopherRepetition`, whose explode + count + coverage chain
+    * is linear in tokens and needs no cap. */
+  def gopherRepetitionStream(docs: DataFrame,
+      maxTokens: Int = GopherStreamMaxTokens): DataFrame = {
+    require(maxTokens >= 1, "maxTokens >= 1")
+    val tkAll = split(col("text"), " ")
+    val tk = when(size(tkAll) > maxTokens, slice(tkAll, 1, maxTokens))
+      .otherwise(tkAll)
     def gramsOf(n: Int) =
       when(size(col("tk")) >= n, expr(
         s"transform(sequence(0, size(tk) - $n), " +
@@ -154,7 +171,8 @@ object DocStreams {
            |  s -> sequence(s, s + $n - 1)))),
            |  0L, (acc, p) -> acc + length(element_at(tk, p + 1)))
            |  * 1000 div n_chars END""".stripMargin)
-    val staged = docs.select(col("doc_id"), tk.as("tk"))
+    val staged = docs.select(col("doc_id"), tk.as("tk"),
+        (size(tkAll) > maxTokens).as("truncated"))
       .withColumn("n_chars",
         expr("aggregate(tk, 0L, (acc, t) -> acc + length(t))"))
     val withGrams = graft.queries.Extensions.GopherTopNs
@@ -185,9 +203,9 @@ object DocStreams {
               n)))
       }
     withDup.select(col("doc_id") +: col("n_chars") +:
-      (graft.queries.Extensions.GopherTopNs ++
+      ((graft.queries.Extensions.GopherTopNs ++
         graft.queries.Extensions.GopherDupNs)
-        .map(k => col(s"rep_$k")): _*)
+        .map(k => col(s"rep_$k")) :+ col("truncated")): _*)
   }
 
   /** Streaming heavy-hitter CANDIDATES — x46's bounded-memory pass

@@ -131,6 +131,85 @@ class CommitStreamsSpec extends AnyFunSuite {
     q.stop()
   }
 
+  test("a 100%-filtered stretch stalls a post-watermark scalar filter " +
+    "(pushdown moves it below the clock); WatermarkTicks heartbeats " +
+    "close the window with identical output") {
+    import graft.streaming.WatermarkTicks
+    import org.apache.spark.sql.functions.{col, window => twindow}
+    // the genuinely-stalling shape: filter AFTER withWatermark on a
+    // predicate that does not reference the event-time column —
+    // predicate pushdown moves the Filter below the watermark node,
+    // so a fully-filtered stretch advances nothing and the open
+    // window never closes
+    def feed(mk: DataFrame => DataFrame): Set[(String, Long)] = {
+      val in = MemoryStream[Commit]
+      val (q, sink) = startQuery(
+        mk(in.toDF().select(col("sha"),
+          col("commit.committer.date").as("ets")))
+          .groupBy(twindow(col("ets"), "1 day"), col("sha")).count()
+          .select(col("sha"), col("count")),
+        OutputMode.Append)
+      in.addData(commit("keep1", t("2019-06-26T10:00:00Z")))
+      q.processAllAvailable()
+      in.addData(commit("drop1", t("2019-07-05T00:00:00Z")))
+      q.processAllAvailable()
+      in.addData(commit("drop2", t("2019-07-20T00:00:00Z")))
+      q.processAllAvailable()
+      val got = spark.table(sink).as[(String, Long)].collect().toSet
+      q.stop()
+      got
+    }
+    val keep = col("sha").startsWith("keep")
+    val plain = feed(df =>
+      df.withWatermark("ets", "0 seconds").filter(keep))
+    assert(plain.isEmpty,
+      s"pinning today's engine behavior: the filter is pushed below " +
+        s"the watermark node and the window must stall — $plain")
+    // the structural fix: no Filter node exists below the clock —
+    // dropped rows become sentinel heartbeats, the watermark node
+    // observes them, dropTicks removes them just above it
+    val ticked = feed { df =>
+      val hb = WatermarkTicks.filterTicked(df, keep, "ets", Seq("sha"))
+        .withWatermark("ets", "0 seconds")
+      WatermarkTicks.dropTicks(hb, "sha", "ets")
+    }
+    assert(ticked == Set(("keep1", 1L)),
+      s"heartbeats must close the day-1 window and add NO spurious rows: $ticked")
+  }
+
+  test("the ticked weekly join emits exactly the plain form's rows " +
+    "when data flows (heartbeats are output-invisible)") {
+    val commits = MemoryStream[Commit]
+    val geos = MemoryStream[CommitGeo]
+    val (q, sink) = startQuery(
+      CommitStreams.weeklyContinentChangesTicked(commits.toDF(), geos.toDF()),
+      OutputMode.Append)
+    commits.addData(commit("s1", t("2019-06-26T12:00:00Z"), files = Seq(
+      file(Some("A.java"), Some("modified"), changes = 5),
+      file(Some("skip.md"), Some("modified"), changes = 99)))) // dropped, not a heartbeat (a java sibling survives)
+    geos.addData(
+      geo("s1", t("2019-06-26T11:00:00Z"), "Europe"),  // -1h inclusive: in
+      geo("s1", t("2019-06-26T12:30:00Z"), "Asia"),    // +30m inclusive: in
+      geo("s1", t("2019-06-26T10:59:59Z"), "Africa"))  // out
+    q.processAllAvailable()
+    commits.addData(commit("s2", t("2019-07-05T00:00:00Z"),
+      files = Seq(file(Some("closer.txt"), Some("modified"), changes = 1))))
+    geos.addData(geo("s2", t("2019-07-05T00:00:00Z"), "Europe"))
+    q.processAllAvailable()
+    commits.addData(commit("s3", t("2019-07-20T00:00:00Z"),
+      files = Seq(file(Some("closer2.txt"), Some("modified"), changes = 1))))
+    geos.addData(geo("s3", t("2019-07-20T00:00:00Z"), "Europe"))
+    q.processAllAvailable()
+    val firstWeek = t("2019-06-20T00:00:00Z")
+    val got = spark.table(sink)
+      .as[(java.sql.Timestamp, String, Long)].collect()
+      .filter(_._1 == firstWeek).map(r => r._2 -> r._3).toSet
+    // same rows the plain-form bounds test pins — the .md file and the
+    // heartbeat closers contribute nothing
+    assert(got == Set("Europe" -> 5L, "Asia" -> 5L))
+    q.stop()
+  }
+
   test("streaming Q7 twin equals batch q7 on the tie fixture (chained stateful aggs)") {
     // 22 commits on one (repo, day): georgios 11, jeroen 11 — passes
     // the >20 / <=2-committers gate with a tie-joined mode. Same

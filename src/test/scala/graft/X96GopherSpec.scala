@@ -72,6 +72,7 @@ class X96GopherSpec extends AnyFunSuite {
     val in = MemoryStream[(Long, String)]
     val q = DocStreams.gopherRepetitionStream(
         in.toDF().toDF("doc_id", "text"))
+      .drop("truncated")
       .writeStream.format("memory").queryName("gop1").outputMode("append")
       .start()
     in.addData((1L, text))
@@ -88,8 +89,9 @@ class X96GopherSpec extends AnyFunSuite {
     val expected = run(d)
     val rows = d.as[(Long, String)].collect()
     val in = MemoryStream[(Long, String)]
-    val q = DocStreams.gopherRepetitionStream(
-        in.toDF().toDF("doc_id", "text"))
+    val stream = DocStreams.gopherRepetitionStream(
+      in.toDF().toDF("doc_id", "text"))
+    val q = stream.drop("truncated")
       .writeStream.format("memory").queryName("gop2").outputMode("append")
       .start()
     in.addData(rows.take(250).toIndexedSeq: _*)
@@ -100,6 +102,51 @@ class X96GopherSpec extends AnyFunSuite {
       .map(r => r._1 -> r).toMap
     assert(got == expected)
     q.stop()
+    // no real-corpus doc is anywhere near the ingest cap
+    val in2 = MemoryStream[(Long, String)]
+    val q2 = DocStreams.gopherRepetitionStream(
+        in2.toDF().toDF("doc_id", "text"))
+      .filter(org.apache.spark.sql.functions.col("truncated"))
+      .writeStream.format("memory").queryName("gop2t").outputMode("append")
+      .start()
+    in2.addData(rows.toIndexedSeq: _*)
+    q2.processAllAvailable()
+    assert(spark.table("gop2t").count() == 0)
+    q2.stop()
+  }
+
+  test("ingest cap: an adversarial long doc is scored on its prefix " +
+    "and flagged, never scanned whole") {
+    // a pathological document far over the cap — with maxTokens = 64
+    // the per-row work is bounded at 64² gram compares regardless of
+    // the document's true length
+    val longText = (0 until 20000).map(i => s"t${i % 7}").mkString(" ")
+    val cap = 64
+    val prefix = longText.split(" ").take(cap).mkString(" ")
+    val expected = run(docs(1L -> prefix, 2L -> "a b a b"))
+    val in = MemoryStream[(Long, String)]
+    val q = DocStreams.gopherRepetitionStream(
+        in.toDF().toDF("doc_id", "text"), maxTokens = cap)
+      .writeStream.format("memory").queryName("gopCap").outputMode("append")
+      .start()
+    in.addData((1L, longText), (2L, "a b a b"))
+    q.processAllAvailable()
+    val got = spark.table("gopCap")
+      .as[(Long, Long, Long, Long, Long, Long, Long, Long, Long, Long,
+        Long, Boolean)].collect().map(r => r._1 -> r).toMap
+    q.stop()
+    // the long doc: flagged, and its signals are EXACTLY the batch
+    // engine's answer for the capped prefix (truncate-and-flag, not
+    // truncate-and-guess)
+    assert(got(1L)._12, "over-cap doc must be flagged truncated")
+    val wantPrefix = expected(1L)
+    assert((2 to 11).forall(i =>
+      got(1L).productElement(i - 1) == wantPrefix.productElement(i - 1)),
+      s"capped signals must equal batch-on-prefix: ${got(1L)} vs $wantPrefix")
+    // the normal doc: unflagged, untouched
+    assert(!got(2L)._12)
+    assert((2 to 11).forall(i =>
+      got(2L).productElement(i - 1) == expected(2L).productElement(i - 1)))
   }
 
   test("short docs: no grams of a given n report 0, never error") {
