@@ -3,6 +3,7 @@ package graft
 import org.scalatest.funsuite.AnyFunSuite
 import org.scalacheck.{Gen, Prop, Test => SCTest}
 import graft.streaming.{Cep, EventPattern, SkipStrategy}
+import scala.math.Ordering.Implicits.seqOrdering
 
 /** Fuzzes the pure NFA batch step ([[Cep.step]]) that
   * [[Cep.detect]] executes per key per micro-batch:
@@ -160,6 +161,29 @@ class CepPropertiesSpec extends AnyFunSuite {
         val split = run(pat, batches)
           .map(m => (m("A").head.ts, m("B").head.ts)).sorted
         whole == split
+    })
+  }
+
+  test("terminal-quantifier per-prefix emission is batching-invariant") {
+    // per-prefix matches emit at absorption time, so micro-batch
+    // boundaries (with the 0s-delay watermark advancing between them)
+    // must not change the emitted prefix set
+    val pat = EventPattern.begin[Ev]("A").where(_.kind == "a")
+      .followedBy("B").where(_.kind == "b").oneOrMore
+      .within(java.time.Duration.ofMillis(W))
+    val genSplit = for {
+      evs <- genEvents
+      sorted = evs.sortBy(_.ts)
+      cuts <- Gen.listOfN(3, Gen.choose(0, math.max(0, sorted.length)))
+    } yield (sorted, cuts.sorted)
+    check("prefix-batching-invariance", Prop.forAll(genSplit) {
+      case (sorted, cuts) =>
+        val bounds = (0 +: cuts :+ sorted.length).distinct.sorted
+        val batches = bounds.zip(bounds.tail).map { case (i, j) =>
+          sorted.slice(i, j) }
+        def key(v: Vector[Map[String, Seq[Ev]]]) =
+          v.map(m => (m("A").head.ts, m("B").map(_.ts))).sorted
+        key(run(pat, Seq(sorted))) == key(run(pat, batches))
     })
   }
 
