@@ -5462,9 +5462,17 @@ object Extensions {
     * (qid, vec_id, rn, adist), top [[ivfPqRerankR]] per query (the
     * re-rank shortlist; filter rn ≤ TopK for the ADC-only answer). */
   private[graft] def ivfPqAdcRanked(v: DataFrame): DataFrame = {
-      val cents = ivfPqCentModel(v)
+      // each model row is tiny, but DERIVING it costs a corpus pass
+      // (the Lloyd update's assign-and-mean); unpersisted, every
+      // consumer (assignment, probes, codebook, encode) re-runs that
+      // subtree — measured 2 extra corpus passes in the x80 plan.
+      // Persist + eager count so the passes run once (the x14 cold-
+      // cache race discipline).
+      val cents = ivfPqCentModel(v).persist()
+      cents.count()
       val assigned = ivfPqAssign(v, cents)
-      val rcb = ivfPqCodebook(assigned)
+      val rcb = ivfPqCodebook(assigned).persist()
+      rcb.count()
       val enc = ivfPqEncodeDf(assigned, rcb)
       // query probes: IvfPqProbe nearest cells, one residual query per
       // probed cell (queries × cells rows — window over a tiny table)
