@@ -2,7 +2,6 @@ package graft.ops
 
 import graft.functions.QuantizedCosine.quantizedCosine
 import org.apache.spark.sql.DataFrame
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** IVF layout for vector search at rest: assign every vector to its
@@ -18,17 +17,23 @@ import org.apache.spark.sql.functions._
 object Ivf {
 
   /** Nearest-centroid cell per vector under the same quantized
-    * cosine as the kNN queries; deterministic tie-break on cid.
+    * cosine as the kNN queries; deterministic tie-break on cid
+    * (max of struct(cos, -cid) = ORDER BY cos DESC, cid ASC rn=1).
+    * The centroid table collapses to ONE broadcast model row and the
+    * assignment is a per-row argmax — ZERO corpus shuffles (the
+    * previous row_number formulation shuffled corpus×cells rows,
+    * which stops being free once cells scales with the corpus).
     * @param v     (vec_id, embedding)
-    * @param cents (cid, cv) — small, broadcast. */
+    * @param cents (cid, cv) — small, collapsed to one model row. */
   def assignCells(v: DataFrame, cents: DataFrame): DataFrame = {
-    val w = Window.partitionBy(col("vec_id"))
-      .orderBy(col("ccos").desc, col("cid"))
-    v.crossJoin(broadcast(cents))
-      .withColumn("ccos", quantizedCosine(col("embedding"), col("cv")))
-      .withColumn("crn", row_number().over(w))
-      .filter(col("crn") === 1)
-      .select(col("vec_id"), col("embedding"), col("cid").as("cell"))
+    val cmodel = cents
+      .agg(sort_array(collect_list(struct(col("cid"), col("cv")))).as("cm"))
+    v.crossJoin(broadcast(cmodel))
+      .withColumn("best", array_max(transform(col("cm"),
+        c => struct(quantizedCosine(col("embedding"), c("cv")).as("ccos"),
+          (-c("cid")).as("ncid")))))
+      .select(col("vec_id"), col("embedding"),
+        (-col("best")("ncid")).as("cell"))
   }
 
   /** Materialize the cell-partitioned layout (one directory per

@@ -580,26 +580,45 @@ object Extensions {
             WHERE rn <= $TopK ORDER BY 1,2,3,4"""))
 
   // ---------------------------------------------------------------- x07
-  // IVF-style ANN (the scale path): 8 deterministic seed centroids
-  // (vec_id < 8); every vector is assigned to its nearest centroid;
-  // a query probes its 2 nearest cells and ranks only those vectors.
-  // Approximate by construction but fully deterministic, so it is
-  // still oracle-checkable in SQL.
+  // IVF-style ANN (the scale path), SCALE-HONEST parameterization:
+  // the cell count GROWS with the corpus — cells = max(8,
+  // floor(sqrt(n))), the standard nlist ≈ √n sizing — while the probe
+  // count stays FIXED, so the scanned fraction probe/cells = 2/√n
+  // VANISHES as the corpus grows and per-query cost ≈ probe·n/cells
+  // = 2·√n is sublinear: an index, not a partitioned scan (the
+  // round-11 constants, 2 probes of 8 fixed cells, scanned a constant
+  // 25% of ANY corpus). Centroids are the first `cells` vectors
+  // (deterministic); assignment is a PER-ROW argmax over ONE
+  // broadcast centroid-model row — zero corpus shuffles at build (the
+  // previous row_number formulation shuffled corpus×cells rows); a
+  // query probes its IvfProbe nearest cells and ranks only those
+  // cells' vectors. Approximate by construction but fully
+  // deterministic, so it is still oracle-checkable in SQL — the
+  // oracle derives the same cells count from its own count(*).
+  private val IvfProbe = 2
   private val x07 = GateQuery(
     "x07_knn_ivf",
     (s, d) => {
       val v = Tables.embeddings(s, d).select(col("vec_id"), col("embedding").as("qv"))
-      val cents = v.filter(col("vec_id") < 8)
+      // cells = max(8, floor(sqrt(n))), computed IN-PLAN (a one-row
+      // agg cross-joined into the seed filter — no driver-side count)
+      val ncells = v.agg(greatest(lit(8L),
+        floor(sqrt(count(lit(1)).cast("double"))).cast("long")).as("ncells"))
+      val cents = v.crossJoin(broadcast(ncells))
+        .filter(col("vec_id") < col("ncells"))
         .select(col("vec_id").as("cid"), col("qv").as("cv"))
-      // cell assignment: nearest centroid, tie-break on cid
-      val wAssign = Window.partitionBy(col("vec_id"))
-        .orderBy(col("ccos").desc, col("cid"))
-      val assigned = v.crossJoin(broadcast(cents))
-        .withColumn("ccos", cosCol(col("qv"), col("cv")))
-        .withColumn("crn", row_number().over(wAssign))
-        .filter(col("crn") === 1)
-        .select(col("vec_id"), col("qv"), col("cid"))
-      // query probes: 2 nearest cells
+      // cell assignment: nearest centroid (ties -> smallest cid) as a
+      // per-row argmax against the broadcast model row — the max of
+      // struct(cos, -cid) is exactly ORDER BY cos DESC, cid ASC rn=1
+      val cmodel = cents
+        .agg(sort_array(collect_list(struct(col("cid"), col("cv")))).as("cm"))
+      val assigned = v.crossJoin(broadcast(cmodel))
+        .withColumn("best", array_max(transform(col("cm"),
+          c => struct(cosCol(col("qv"), c("cv")).as("ccos"),
+            (-c("cid")).as("ncid")))))
+        .select(col("vec_id"), col("qv"), (-col("best")("ncid")).as("cid"))
+      // query probes: IvfProbe nearest cells (window over the tiny
+      // queries×cells table, never the corpus)
       val q = v.filter(col("vec_id") < NumQueries)
         .select(col("vec_id").as("qid"), col("qv").as("qq"))
       val wProbe = Window.partitionBy(col("qid"))
@@ -607,9 +626,9 @@ object Extensions {
       val probes = q.crossJoin(broadcast(cents))
         .withColumn("pcos", cosCol(col("qq"), col("cv")))
         .withColumn("prn", row_number().over(wProbe))
-        .filter(col("prn") <= 2)
+        .filter(col("prn") <= IvfProbe)
         .select(col("qid"), col("qq"), col("cid"))
-      val scored = probes.join(assigned, "cid")
+      val scored = broadcast(probes).join(assigned, "cid")
         .filter(col("qid") =!= col("vec_id"))
         .withColumn("cos", cosCol(col("qq"), col("qv")))
       val w = Window.partitionBy(col("qid"))
@@ -622,7 +641,9 @@ object Extensions {
               SELECT vec_id, list_transform(embedding,
                 x -> CAST(FLOOR(x * 1000) AS BIGINT)) AS qv
               FROM embeddings),
-            cents AS (SELECT vec_id AS cid, qv AS cv FROM v WHERE vec_id < 8),
+            cents AS (SELECT vec_id AS cid, qv AS cv FROM v
+              WHERE vec_id < (SELECT GREATEST(8,
+                CAST(FLOOR(SQRT(count(*))) AS BIGINT)) FROM v)),
             assigned AS (
               SELECT vec_id, qv, cid FROM (
                 SELECT v.vec_id, v.qv, c.cid,
@@ -640,7 +661,7 @@ object Extensions {
                       (sqrt(list_dot_product(q.qv, q.qv)) * sqrt(list_dot_product(c.cv, c.cv))) DESC,
                     c.cid) AS prn
                 FROM v q CROSS JOIN cents c WHERE q.vec_id < $NumQueries)
-              WHERE prn <= 2),
+              WHERE prn <= $IvfProbe),
             scored AS (
               SELECT p.qid, a.vec_id,
                 list_dot_product(p.qq, a.qv) /
