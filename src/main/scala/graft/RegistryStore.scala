@@ -1,5 +1,6 @@
 package graft
 
+import org.apache.hadoop.fs.{FileSystem, Path}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -80,15 +81,79 @@ object RegistryStore {
     * partition. Metadata-scale: one row per file. */
   def compactionPlanOf(spark: SparkSession, root: String,
                        targetBytes: Long = 1L << 20): DataFrame = {
-    import scala.jdk.CollectionConverters._
-    import java.nio.file.{Files, Paths}
-    val files = Files.walk(Paths.get(s"$root/bands")).iterator().asScala
-      .filter(p => p.toString.endsWith(".parquet") && Files.isRegularFile(p))
-      .map(p => (p.toString, Files.size(p)))
-      .toSeq
-    val inv = spark.createDataFrame(files)
+    val inv = spark.createDataFrame(
+      listParquet(spark, s"$root/bands").map(f =>
+        (f.getPath.toString, f.getLen)))
       .toDF("file_id", "bytes")
     graft.queries.Extensions.compactionPlan(inv, targetBytes)
+  }
+
+  /** Recursive parquet-file inventory via the Hadoop FileSystem API —
+    * works on any supported store (local, HDFS, object stores), not
+    * just local paths (the 100 TB deployment reads the same code). */
+  private def listParquet(spark: SparkSession, dir: String)
+      : Seq[org.apache.hadoop.fs.FileStatus] = {
+    val p = new Path(dir)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val out = Seq.newBuilder[org.apache.hadoop.fs.FileStatus]
+    val it = fs.listFiles(p, true)
+    while (it.hasNext) {
+      val f = it.next()
+      if (f.getPath.getName.endsWith(".parquet")) out += f
+    }
+    out.result()
+  }
+
+  /** EXECUTE the compaction the planner bins: per band partition,
+    * fold the accumulated small per-day delta files into
+    * target-sized ones, re-laid as CONTIGUOUS k0 ranges (each output
+    * file covers a disjoint k0 slice, so the footer-stat pruning the
+    * store relies on is strict again after the rewrite — merging
+    * bins as-is would union overlapping day ranges per file). The
+    * output file count per band is the planner's bin count for that
+    * band's inventory, i.e. ⌈bytes/target⌉-sized files. The classes
+    * side folds too: the read-time sig-merge is materialized once,
+    * so later reads aggregate pre-merged rows (idempotent — the
+    * merge is associative, which is what makes the LSM shape legal).
+    *
+    * The rewrite unit is ONE BAND PARTITION, never the table: at
+    * 100 TB each band folds independently (and can be scheduled
+    * independently); readers are unaffected because the swap is
+    * per-directory. Readback equality and post-compaction pruning
+    * are pinned by RegistryStoreSpec; x95 stays hash-green reading a
+    * compacted store. */
+  def compact(spark: SparkSession, root: String,
+              targetBytes: Long = 1L << 20): Unit = {
+    val bandsRoot = new Path(s"$root/bands")
+    val fs = bandsRoot.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.listStatus(bandsRoot)
+      .filter(s => s.isDirectory && s.getPath.getName.startsWith("band="))
+      .foreach { part =>
+        val files = listParquet(spark, part.getPath.toString)
+        if (files.length > 1) {
+          val inv = spark.createDataFrame(files.map(f =>
+            (f.getPath.toString, f.getLen))).toDF("file_id", "bytes")
+          val nOut = graft.queries.Extensions
+            .compactionPlan(inv, targetBytes)
+            .select(col("bin")).distinct().count().toInt
+          val tmp = new Path(s"${part.getPath}__compact_tmp")
+          spark.read.parquet(part.getPath.toString)
+            .repartitionByRange(nOut, col("k0"))
+            .sortWithinPartitions(col("k0"))
+            .write.mode("overwrite").parquet(tmp.toString)
+          // swap: drop the old delta files, move the folded ones in
+          files.foreach(f => fs.delete(f.getPath, false))
+          listParquet(spark, tmp.toString).foreach(f =>
+            fs.rename(f.getPath, new Path(part.getPath, f.getPath.getName)))
+          fs.delete(tmp, true)
+        }
+      }
+    // fold the classes LSM: materialize the read-time merge once
+    val merged = readClasses(spark, root)
+    val tmpC = new Path(s"$root/classes__compact_tmp")
+    merged.write.mode("overwrite").parquet(tmpC.toString)
+    fs.delete(new Path(s"$root/classes"), true)
+    fs.rename(tmpC, new Path(s"$root/classes"))
   }
 
   /** Band rows of a class table, ranged on (band, k0) so each written

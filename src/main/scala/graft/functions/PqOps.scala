@@ -17,11 +17,20 @@ import org.apache.spark.sql.types.{ArrayType, DataType, IntegerType, LongType}
   * the m·k·subDim multiply-adds per row were x44's dominant encode
   * cost at sf1 (the "last hot interpreted HOF" of the round-6
   * verdict). Exact long arithmetic throughout; returns array<int>
-  * of `m` codes. */
+  * of `m` codes.
+  *
+  * `k` may be the sentinel [[PqEncode.DerivedK]] (−1): the codeword
+  * count is then derived PER ROW from the codebook length as
+  * `cb.length / (m·subDim)` — the shape a DATA-SIZED codebook needs
+  * (the IVF coarse quantizer sizes its cell count ∝ √n, which is not
+  * a plan-time constant; the codebook column still comes from one
+  * broadcast model row, so the division is against a loop-invariant
+  * length and HotSpot hoists it). */
 case class PqEncode(qv: Expression, cb: Expression,
                     m: Int, k: Int, subDim: Int)
     extends BinaryExpression {
-  require(m >= 1 && k >= 1 && subDim >= 1, "pq_encode: m,k,subDim >= 1")
+  require(m >= 1 && subDim >= 1 && (k >= 1 || k == PqEncode.DerivedK),
+    "pq_encode: m,subDim >= 1 and k >= 1 or DerivedK")
 
   override def left: Expression = qv
   override def right: Expression = cb
@@ -38,6 +47,7 @@ case class PqEncode(qv: Expression, cb: Expression,
   override def nullSafeEval(q0: Any, c0: Any): Any = {
     val q = q0.asInstanceOf[ArrayData]
     val c = c0.asInstanceOf[ArrayData]
+    val k = if (this.k > 0) this.k else c.numElements() / (m * subDim)
     val codes = new Array[Int](m)
     var mi = 0
     while (mi < m) {
@@ -71,13 +81,16 @@ case class PqEncode(qv: Expression, cb: Expression,
       val best = ctx.freshName("best"); val bestd = ctx.freshName("bestd")
       val d = ctx.freshName("d"); val diff = ctx.freshName("diff")
       val base = ctx.freshName("base"); val qbase = ctx.freshName("qbase")
+      val kk = ctx.freshName("kk")
+      val kInit = if (k > 0) s"$k" else s"$c.numElements() / ${m * subDim}"
       s"""
+        int $kk = $kInit;
         int[] $codes = new int[$m];
         for (int $mi = 0; $mi < $m; $mi++) {
           int $best = -1; long $bestd = Long.MAX_VALUE;
           int $qbase = $mi * $subDim;
-          for (int $ki = 0; $ki < $k; $ki++) {
-            int $base = ($mi * $k + $ki) * $subDim;
+          for (int $ki = 0; $ki < $kk; $ki++) {
+            int $base = ($mi * $kk + $ki) * $subDim;
             long $d = 0L;
             for (int $j = 0; $j < $subDim; $j++) {
               long $diff = $q.getLong($qbase + $j) - $c.getLong($base + $j);
@@ -97,6 +110,10 @@ case class PqEncode(qv: Expression, cb: Expression,
 }
 
 object PqEncode {
+  /** Sentinel `k`: derive the codeword count per row from the
+    * codebook length (`cb.length / (m·subDim)`). */
+  val DerivedK: Int = -1
+
   /** Column-API face. */
   def pqEncode(qv: Column, cb: Column, m: Int, k: Int, subDim: Int): Column =
     GraftBridge.column(PqEncode(

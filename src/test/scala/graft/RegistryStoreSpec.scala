@@ -118,6 +118,58 @@ class RegistryStoreSpec extends AnyFunSuite {
     assert(full > 0 && viaSurvivors == full, "pruned file set lost rows")
   }
 
+  test("compact executes the plan: readback bit-identical, delta files " +
+    "folded, k0 ranges disjoint so footer pruning is strict") {
+    val root = java.nio.file.Files
+      .createTempDirectory("graft_regstore_exec").toString
+    val d = docArrs.persist()
+    RegistryStore.write(graft.queries.Extensions.classesOf(
+      d.filter(col("doc_id") % 4 === 0)), root)
+    (1L to 3L).foreach { day =>
+      RegistryStore.append(graft.queries.Extensions.classesOf(
+        d.filter(col("doc_id") % 4 === day)), root)
+    }
+    val wantClasses = classesKey(RegistryStore.readClasses(spark, root))
+    def bandRows() = RegistryStore.readBands(spark, root)
+      .select(col("sig"), col("band"), col("k0"), col("k1"), col("k2"),
+        col("k3"))
+      .collect().map(r => (r.getString(0), r.getInt(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5))).sortBy(identity).toSeq
+    val wantBands = bandRows()
+    def bandFiles(b: Int) = new java.io.File(s"$root/bands/band=$b")
+      .listFiles().filter(_.getName.endsWith(".parquet")).map(_.getPath)
+      .sorted
+    val before = bandFiles(1)
+    assert(before.length == 4, s"4 delta files expected, got ${before.length}")
+    // target = half of band-1's accumulated bytes: the fold must
+    // still yield >= 2 files so the post-compaction pruning
+    // assertion is non-vacuous
+    val target = math.max(1L,
+      before.map(f => java.nio.file.Files.size(
+        java.nio.file.Paths.get(f))).sum / 2)
+
+    RegistryStore.compact(spark, root, target)
+
+    // readback bit-identical on BOTH sides of the store
+    assert(classesKey(RegistryStore.readClasses(spark, root)) == wantClasses)
+    assert(bandRows() == wantBands)
+    // the per-day delta files are folded
+    val after = bandFiles(1)
+    assert(after.length < before.length && after.length >= 2,
+      s"fold expected 2..3 files from 4, got ${after.length}")
+    // the rewrite re-lays rows as CONTIGUOUS k0 ranges: per-file
+    // footer ranges are pairwise disjoint, so ANY k0 probe prunes
+    // strictly (the append-era files all spanned the full key range)
+    val ranges = after.map(f => footerRange(f, "k0")).sortBy(_._1)
+    ranges.sliding(2).foreach {
+      case Array((_, mx), (mn, _)) =>
+        assert(mx <= mn, s"overlapping k0 ranges after compaction: " +
+          s"${ranges.mkString(", ")}")
+      case _ =>
+    }
+    d.unpersist()
+  }
+
   test("x82's planner bins the store's accumulated delta files") {
     val root = java.nio.file.Files
       .createTempDirectory("graft_regstore_compact").toString
