@@ -72,26 +72,86 @@ object Bench {
     val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY").map(_.split(",").toSet)
     val names = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (n, _) => only.forall(_.contains(n)) }
-    var results = Map.empty[String, Double]
+    // STARVATION GUARD: min-of-sweeps cannot help when EVERY pass of
+    // a query lands in a contention window (round-11's driver
+    // artifact read x95 at 42.6s on sf0.1 vs 24.9s on sf1 — 10x the
+    // data — which is physically impossible as steady state). Each
+    // pass therefore also measures what the machine actually gave
+    // us: the JVM's process-CPU delta and /proc/stat's steal ticks.
+    // A pass is STARVED when its wall time is non-trivial and either
+    // the whole 32-thread process averaged under half of ONE core
+    // (it wanted CPU and didn't get it — even a single-stream stage
+    // keeps one core busy) or the hypervisor stole >25% of the
+    // window. Starved passes never set a query's reported minimum
+    // unless NO clean pass exists; queries left with only starved
+    // readings get dedicated retries after the sweeps, and any that
+    // STILL report a starved reading are named in the `starved`
+    // field of the artifact so a consumer can discount them.
+    val osBean = java.lang.management.ManagementFactory
+      .getOperatingSystemMXBean
+      .asInstanceOf[com.sun.management.OperatingSystemMXBean]
+    def stealTicks: Long =
+      try {
+        val line = scala.io.Source.fromFile("/proc/stat").getLines()
+          .find(_.startsWith("cpu ")).getOrElse("")
+        val f = line.trim.split("\\s+")
+        if (f.length > 8) f(8).toLong else 0L // field 8 = steal
+      } catch { case _: Throwable => 0L }
+    val hz = 100.0 // USER_HZ: Linux fixes the /proc/stat tick at 100
+    def timedPass(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame)
+        : (Double, Boolean) = {
+      val w0 = System.nanoTime(); val c0 = osBean.getProcessCpuTime
+      val st0 = stealTicks
+      try { fn(spark, sfDir).count() } catch { case _: Throwable => () }
+      val dt = (System.nanoTime() - w0) / 1e9
+      val cpuSec = (osBean.getProcessCpuTime - c0) / 1e9
+      val stealSec = (stealTicks - st0) / hz
+      val starved = dt > 0.5 &&
+        (cpuSec < dt * 0.5 || stealSec > dt * 0.25)
+      (dt, starved)
+    }
+    var minClean = Map.empty[String, Double]
+    var minAny = Map.empty[String, Double]
+    var starvedPasses = Map.empty[String, Int]
     var runs = Map.empty[String, Int]
+    def record(name: String,
+               fn: (SparkSession, String) => org.apache.spark.sql.DataFrame)
+        : Unit = {
+      val (dt, starved) = timedPass(fn)
+      if (dt < minAny.getOrElse(name, Double.MaxValue))
+        minAny = minAny.updated(name, dt)
+      if (!starved && dt < minClean.getOrElse(name, Double.MaxValue))
+        minClean = minClean.updated(name, dt)
+      if (starved)
+        starvedPasses = starvedPasses.updated(
+          name, starvedPasses.getOrElse(name, 0) + 1)
+      runs = runs.updated(name, runs.getOrElse(name, 0) + 1)
+      // the dedup queries persist() intermediates they never
+      // unpersist (the returned plan still references them); once
+      // this pass's count() is done the entries are dead weight —
+      // dropping them keeps storage memory from polluting every
+      // later query's measurement (x19 read 10.3s vs 4s isolated)
+      spark.catalog.clearCache()
+    }
     var sweep = 0
     while (sweep < reps && (sweep < 2 || elapsed < budgetSec)) {
-      names.foreach { case (name, fn) =>
-        val s0 = System.nanoTime()
-        try { fn(spark, sfDir).count() } catch { case _: Throwable => () }
-        val dt = (System.nanoTime() - s0) / 1e9
-        if (dt < results.getOrElse(name, Double.MaxValue))
-          results = results.updated(name, dt)
-        runs = runs.updated(name, runs.getOrElse(name, 0) + 1)
-        // the dedup queries persist() intermediates they never
-        // unpersist (the returned plan still references them); once
-        // this pass's count() is done the entries are dead weight —
-        // dropping them keeps storage memory from polluting every
-        // later query's measurement (x19 read 10.3s vs 4s isolated)
-        spark.catalog.clearCache()
-      }
+      names.foreach { case (name, fn) => record(name, fn) }
       sweep += 1
     }
+    // dedicated retries (one extra attempt each, up to twice) for
+    // queries every sweep starved — the guard's whole point
+    var retry = 0
+    while (retry < 2 && elapsed < budgetSec &&
+        names.exists { case (n, _) => !minClean.contains(n) }) {
+      names.filter { case (n, _) => !minClean.contains(n) }
+        .foreach { case (name, fn) => record(name, fn) }
+      retry += 1
+    }
+    val results = names.map { case (n, _) =>
+      n -> minClean.getOrElse(n, minAny.getOrElse(n, -1.0)) }.toMap
+    // queries whose REPORTED reading is still a starved pass
+    val starvedFinal = names.collect {
+      case (n, _) if !minClean.contains(n) && minAny.contains(n) => n }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
@@ -102,7 +162,10 @@ object Bench {
       case (Some(a), Some(b)) if b > 0 => a / b
       case _ => -1.0
     }
-    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","passes":$passes,"agg":"min-per-query","x19_over_x04":$ratio}"""
+    val starvedJson = starvedFinal.sorted
+      .map("\"" + _ + "\"").mkString("[", ",", "]")
+    val totalStarved = starvedPasses.values.sum
+    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","passes":$passes,"agg":"min-per-clean-pass","starved":$starvedJson,"starved_passes":$totalStarved,"x19_over_x04":$ratio}"""
     println(json)
     // Write the full-name JSON to a file: the round driver captures
     // only the last ~2000 chars of stdout, which truncated the
@@ -126,6 +189,8 @@ object Bench {
     // "abbrev":true distinguishes this record from the full-name
     // "metric":"total" line above (same metric tag, different schema —
     // a grep-based consumer must be able to tell them apart)
-    println(s"""{"metric":"total","value":${r3(total)},"unit":"sec","abbrev":true,"queries":$shortQs,"sf":"$sfDir","passes":$passes,"agg":"min-per-query","x19_over_x04":${r3(ratio)},"names":"qNN/xNN prefixes; full map in BENCH_SELF.json"}""")
+    val shortStarved = starvedFinal.map(_.takeWhile(_ != '_')).sorted
+      .map("\"" + _ + "\"").mkString("[", ",", "]")
+    println(s"""{"metric":"total","value":${r3(total)},"unit":"sec","abbrev":true,"queries":$shortQs,"sf":"$sfDir","passes":$passes,"agg":"min-per-clean-pass","starved":$shortStarved,"starved_passes":$totalStarved,"x19_over_x04":${r3(ratio)},"names":"qNN/xNN prefixes; full map in BENCH_SELF.json"}""")
   }
 }
