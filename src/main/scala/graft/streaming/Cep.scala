@@ -1113,7 +1113,21 @@ object Cep {
   /** Run `pattern` over `events` keyed by `keyFn`, event time from
     * `eventTimeMs` (the stream must carry a watermark on that time).
     * `select` maps a complete match (step name → matched events, one
-    * per positive step; empty for a negative step) to an output row. */
+    * per positive step; empty for a negative step) to an output row.
+    *
+    * WATERMARK-STALL caveat: the NFA's `within` expiries (and the
+    * timeout side output) fire off the stream watermark, which Spark
+    * derives from rows OBSERVED at the watermark node — an upstream
+    * filter whose predicate ignores the event-time column is pushed
+    * below that node, so a fully-filtered stretch of input freezes
+    * the clock and every open partial lingers (the windowed-agg
+    * stall, manifest in the NFA). Compose with
+    * [[WatermarkTicks.filterTicked]] BEFORE `withWatermark`: dropped
+    * rows become sentinel-keyed heartbeats that advance the clock,
+    * then enter the NFA under their own key where they match no
+    * guard, open no partial, and leave no state — no
+    * [[WatermarkTicks.dropTicks]] pass needed (CepSpec pins the
+    * stall and its closure). */
   def detect[E, K, O](
       events: Dataset[E],
       keyFn: E => K,

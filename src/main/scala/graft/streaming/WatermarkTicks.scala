@@ -69,7 +69,15 @@ object WatermarkTicks {
     * measured: null-keyed heartbeats were dropped before the clock
     * saw them and the watermark re-froze. The sentinel survives the
     * inferred filter, advances the clock, and equi-matches nothing
-    * (the other side never carries it). */
+    * (the other side never carries it).
+    *
+    * `c` must be STRING-typed: the sentinel is a string, and on any
+    * other key type Spark's when/otherwise coercion silently widens
+    * the column to string (or fails under ANSI), changing the output
+    * schema and downstream join-key comparison semantics.
+    * [[filterTicked]] asserts this from the schema; this Column-level
+    * form cannot, so the caller owns the check (cast the key, or
+    * build a same-type sentinel by hand for numeric/binary keys). */
   def keyed(elem: Column, c: Column): Column =
     when(elem.isNotNull, c).otherwise(lit(Tick))
 
@@ -79,14 +87,33 @@ object WatermarkTicks {
     * column nulls, the event-time column passes through untouched.
     * Declare the watermark on the result, then remove the heartbeats
     * with [[dropTicks]] (a bare `filter` would be pushed below the
-    * watermark node and re-freeze the clock — measured). */
+    * watermark node and re-freeze the clock — measured).
+    *
+    * `keyCols` must be STRING-typed (asserted from the schema): the
+    * [[Tick]] sentinel is a string, and on any other key type the
+    * when/otherwise coercion would silently widen the column to
+    * string (or fail under ANSI), changing the output schema and the
+    * downstream join-key comparison semantics. Non-string keys: cast
+    * them to string first, or pick a same-type sentinel by hand (see
+    * [[keyed]]'s scaladoc — binary keys have the same caveat). */
   def filterTicked(df: DataFrame, keep: Column, eventCol: String,
-                   keyCols: Seq[String]): DataFrame =
+                   keyCols: Seq[String]): DataFrame = {
+    keyCols.foreach { k =>
+      val f = df.schema.fields.find(_.name == k).getOrElse(
+        throw new IllegalArgumentException(
+          s"filterTicked: key column '$k' not in ${df.columns.mkString(",")}"))
+      require(f.dataType == org.apache.spark.sql.types.StringType,
+        s"filterTicked: key column '$k' is ${f.dataType.simpleString}, " +
+          "but the Tick sentinel is a string — when/otherwise would " +
+          "silently widen the column (cast the key or use a same-type " +
+          "sentinel)")
+    }
     df.select(df.columns.toIndexedSeq.map { c =>
       if (c == eventCol) col(c)
       else if (keyCols.contains(c)) when(keep, col(c)).otherwise(lit(Tick)).as(c)
       else when(keep, col(c)).as(c)
     }: _*)
+  }
 
   /** Drop heartbeat rows AFTER the watermark node. A plain
     * `filter(key =!= Tick)` is pushed below the watermark node by

@@ -803,4 +803,65 @@ class CepSpec extends AnyFunSuite {
     // partials stay open
     assert(got == Set(List(5, 7, 9), List(3, 7, 9)))
   }
+
+  test("a 100%-filtered stretch stalls detect's within-timeouts when " +
+    "the filter sits below the clock; WatermarkTicks heartbeats fire " +
+    "them through a sentinel key the NFA ignores") {
+    import graft.streaming.WatermarkTicks
+    import org.apache.spark.sql.DataFrame
+    import org.apache.spark.sql.functions.col
+    // the stalling shape (the q09 stream's filter-to-relevant-events
+    // move, with the predicate landing BELOW the clock): watermark
+    // first, then a plain Filter on a non-event-time column —
+    // predicate pushdown moves the Filter below the watermark node,
+    // so a noise-only stretch advances nothing and an open partial's
+    // within-deadline never passes: no timeout side output, and the
+    // partial's state lingers (exactly the windowed-agg stall
+    // CommitStreamsSpec pins, manifest in the NFA)
+    def feed(prep: DataFrame => org.apache.spark.sql.Dataset[Sensor])
+        : Set[(String, String, String)] = {
+      val in = MemoryStream[Sensor]
+      val name = s"cepTick${in.hashCode().abs}"
+      val q = Cep.detectWithTimeouts(
+          prep(in.toDF()),
+          (e: Sensor) => e.device, (e: Sensor) => e.ets.getTime, pattern)(
+          m => ("match", m("spike").head.device,
+            m.keySet.toSeq.sorted.mkString(",")),
+          m => ("timeout", m("spike").head.device,
+            m.keySet.toSeq.sorted.mkString(",")))
+        .toDF("tag", "device", "stages")
+        .writeStream.format("memory").queryName(name)
+        .outputMode(OutputMode.Append).start()
+      in.addData(Sensor("d1", "spike", t("2019-06-26T10:00:00Z")))
+      q.processAllAvailable()
+      // a fully-filtered stretch, hours past d1's 1h deadline
+      in.addData(Sensor("d7", "noise", t("2019-06-26T13:00:00Z")))
+      q.processAllAvailable()
+      in.addData(Sensor("d8", "noise", t("2019-06-26T14:00:00Z")))
+      q.processAllAvailable()
+      val got = spark.table(name)
+        .as[(String, String, String)].collect().toSet
+      q.stop()
+      got
+    }
+    val keep = col("kind") =!= "noise"
+    val plain = feed(df => df.withWatermark("ets", "0 seconds")
+      .filter(keep).as[Sensor])
+    assert(plain.isEmpty,
+      s"pinning today's engine behavior: the Filter is pushed below " +
+        s"the watermark node and the NFA clock must stall — $plain")
+    // the structural fix, composed with detect: dropped rows become
+    // sentinel-KEYED heartbeats (device = Tick, kind nulled) that
+    // flow through the watermark node — the clock advances — and
+    // then into the NFA under their own key, where they match no
+    // guard (the head guard wants kind == "spike"), open no partial,
+    // and leave no state: the same watermark pass that would prune
+    // them fires d1's timeout
+    val ticked = feed { df =>
+      WatermarkTicks.filterTicked(df, keep, "ets", Seq("device"))
+        .withWatermark("ets", "0 seconds").as[Sensor]
+    }
+    assert(ticked == Set(("timeout", "d1", "spike")),
+      s"heartbeats must fire the within-timeout and add NOTHING else: $ticked")
+  }
 }
