@@ -359,21 +359,24 @@ final case class EventPattern[E] private (
     * `oneOrMore().consecutive()` / `timesOrMore(n).consecutive()`):
     * the repetition's matching events must be adjacent in the key's
     * event-time order — a non-matching event between them kills (for
-    * exact counts) or freezes (for a one-or-more run) the repetition.
-    * The gap BEFORE the first repetition element keeps the stage's
-    * own relaxed contiguity, as in FlinkCEP. Not supported on a
-    * `times(from, to)` range (strict optionals are unexpressible in
-    * this NFA). */
+    * exact counts) or freezes (for a one-or-more run, or a
+    * `times(from, to)` range past its required minimum) the
+    * repetition. The gap BEFORE the first repetition element keeps
+    * the stage's own relaxed contiguity, as in FlinkCEP. On a range,
+    * the required clones become strict and the optional tail freezes
+    * on the first gap: the absorption count is fixed there and the
+    * partial awaits the next stage (or, terminal, emits under
+    * [[emitMaximalOnly]] / has already emitted its prefixes). */
   def consecutive: EventPattern[E] = {
     val (pre, grp) = lastGroup
-    require(grp.forall(_.kind != StepKind.Optional),
-      "consecutive() is not supported on a times(from, to) range stage")
     require(grp.forall(!_.combinations),
       "consecutive() and allowCombinations() are mutually exclusive")
     require(grp.last.kind == StepKind.Repeated || grp.length > 1,
-      "consecutive() applies to a times(n)/timesOrMore/oneOrMore stage")
+      "consecutive() applies to a times(n)/times(from,to)/timesOrMore/" +
+        "oneOrMore stage")
     val rewritten = grp.zipWithIndex.map { case (st, i) =>
       if (st.kind == StepKind.Repeated) st.copy(consecutive = true)
+      else if (st.kind == StepKind.Optional) st.copy(consecutive = true)
       else if (i == 0) st // first element is found with relaxed contiguity
       else st.copy(kind = StepKind.Strict)
     }
@@ -391,15 +394,20 @@ final case class EventPattern[E] private (
   def allowCombinations: EventPattern[E] = {
     val (pre, grp) = lastGroup
     require(grp.forall(st =>
-      st.kind == StepKind.Relaxed || st.kind == StepKind.Repeated),
-      "allowCombinations() applies to a times(n)/timesOrMore/oneOrMore " +
-        "quantifier on relaxed stages")
+      st.kind == StepKind.Relaxed || st.kind == StepKind.Repeated ||
+        st.kind == StepKind.Optional),
+      "allowCombinations() applies to a times(n)/times(from,to)/" +
+        "timesOrMore/oneOrMore quantifier on relaxed stages")
     require(grp.forall(!_.consecutive),
       "consecutive() and allowCombinations() are mutually exclusive")
+    require(grp.forall(!_.greedy),
+      "greedy() and allowCombinations() are mutually exclusive — " +
+        "combinations already enumerates every alternative")
     require(grp.last.kind == StepKind.Repeated || grp.length > 1,
       "allowCombinations() needs a quantified stage (times/oneOrMore)")
     val rewritten = grp.map { st =>
-      if (st.kind == StepKind.Repeated) st.copy(combinations = true)
+      if (st.kind == StepKind.Repeated || st.kind == StepKind.Optional)
+        st.copy(combinations = true)
       else st.copy(any = true)
     }
     copy(steps = pre ++ rewritten)
@@ -551,23 +559,19 @@ final case class EventPattern[E] private (
     * skipping problem a clone expansion would have: a repetition is
     * all-or-nothing by construction — only a COMPLETED copy forks the
     * next one. Like a looping group, the sub-pattern may contain
-    * plain followedBy/next stages only and cannot carry a `within()`
-    * (the loop-back reuses the last copy's stage indices, which would
-    * anchor later repetitions' group window to the first's events);
-    * bound the match with the outer `within()`. */
+    * plain followedBy/next stages only. A sub-pattern `within()`
+    * becomes a PER-REPETITION group window: each copy — and each
+    * loop-back completion of the last copy — anchors the bound at
+    * its OWN first matched event (the instance-aware groupT0 stops
+    * its scan at the previous completion's boundary, so the index
+    * reuse no longer leaks repetition 1's anchor into later ones);
+    * still bound the whole match with the outer `within()` (the
+    * state bound). */
   def followedByTimes(sub: EventPattern[E], from: Int, to: Int): EventPattern[E] = {
     require(from >= 1 && to >= from,
       s"followedByTimes(sub, from, to) needs 1 <= from <= to, got ($from, $to)")
     if (from == to) followedByTimes(sub, from)
     else {
-      require(sub.withinMs == Long.MaxValue,
-        "a range-counted group cannot carry its own within() — bound " +
-          "the match with the outer within()")
-      require(sub.steps.forall(_.groupWithinMs == Long.MaxValue),
-        "a range-counted group cannot nest a windowed group — the " +
-          "loop-back reuses the nested group's stage indices, which " +
-          "would anchor repetition >= 2's group window to repetition " +
-          "1's first event")
       require(sub.steps.forall(st => st.kind == StepKind.Relaxed ||
         st.kind == StepKind.Strict),
         "a range-counted group may contain plain followedBy/next stages only")
@@ -589,19 +593,17 @@ final case class EventPattern[E] private (
     * inner stage names (Flink's reluctant quantifier multiplicity;
     * there is no greedy form — every count is a distinct match).
     * Relaxed contiguity between repetitions. The sub-pattern may
-    * contain plain followedBy/next stages only, and cannot carry its
-    * own `within()` (the loop-back makes "the group's first event"
-    * span repetitions; bound the match with the OUTER within — also
-    * the state bound: without it an open loop lingers forever, as in
-    * FlinkCEP). */
+    * contain plain followedBy/next stages only. A sub-pattern
+    * `within()` becomes a PER-REPETITION group window: each
+    * completion anchors the bound at the repetition's OWN first
+    * matched event (the instance-aware groupT0 scan stops at the
+    * previous completion's boundary — "the group's first event" no
+    * longer spans repetitions) — an in-progress repetition that
+    * outlives its window expires, while the completed-count sibling
+    * survives on the outer bound. Still declare the OUTER within:
+    * it is the state bound (without it an open loop lingers forever,
+    * as in FlinkCEP). */
   def followedByOneOrMore(sub: EventPattern[E]): EventPattern[E] = {
-    require(sub.withinMs == Long.MaxValue,
-      "a looping group cannot carry its own within() — bound the " +
-        "match with the outer within()")
-    require(sub.steps.forall(_.groupWithinMs == Long.MaxValue),
-      "a looping group cannot nest a windowed group — the loop-back " +
-        "reuses the nested group's stage indices, which would anchor " +
-        "repetition >= 2's group window to repetition 1's first event")
     require(sub.steps.forall(st => st.kind == StepKind.Relaxed ||
       st.kind == StepKind.Strict),
       "a looping group may contain plain followedBy/next stages only")
@@ -695,14 +697,45 @@ object Cep {
   private def deadline(withinMs: Long, t0: Long): Long =
     if (withinMs == Long.MaxValue) Long.MaxValue else t0 + withinMs
 
-  /** First matched event time of the group stage `idx` belongs to
-    * (MaxValue when the group hasn't matched anything yet). */
+  /** First matched event time of the CURRENT INSTANCE of the group
+    * stage `idx` belongs to (MaxValue when that instance hasn't
+    * matched anything yet).
+    *
+    * Instance-aware for LOOPING groups (`followedByOneOrMore` /
+    * `followedByTimes(sub, from, to)`, whose loop-back reuses the
+    * group's stage indices): consuming the group's LAST stage
+    * completes a repetition, so the current instance's events are
+    * exactly the acc entries (newest-first) tagged with a group
+    * stage index and NEWER than the most recent last-stage entry —
+    * the walk stops at that boundary, anchoring each repetition's
+    * window to its OWN first event instead of repetition 1's. For a
+    * non-looping group the boundary entry cannot coexist with a
+    * stage pointer still inside the group, so the walk sees every
+    * group entry — the original semantics. Entries PAST the group's
+    * last index (outer stages a loop body ran through in an earlier
+    * repetition) are excluded for the same reason. */
   private def groupT0[E](steps: Vector[PatternStep[E]],
       eventTimeMs: E => Long, idx: Int, acc: List[(Int, E)]): Long = {
     val gs = steps(idx).groupStart
+    val gw = steps(idx).groupWithinMs
+    // the group's extent: the contiguous block sharing (gs, gw)
+    var lastIdx = idx
+    while (lastIdx + 1 < steps.length &&
+           steps(lastIdx + 1).groupStart == gs &&
+           steps(lastIdx + 1).groupWithinMs == gw) lastIdx += 1
     var g0 = Long.MaxValue
-    acc.foreach { case (i, ev) =>
-      if (i >= gs) { val ts = eventTimeMs(ev); if (ts < g0) g0 = ts } }
+    var rest = acc
+    var stop = false
+    while (!stop && rest.nonEmpty) {
+      val (i, ev) = rest.head
+      if (i == lastIdx) stop = true // previous repetition's completion
+      else {
+        if (i >= gs && i < lastIdx) {
+          val ts = eventTimeMs(ev); if (ts < g0) g0 = ts
+        }
+        rest = rest.tail
+      }
+    }
     g0
   }
 
@@ -1002,6 +1035,12 @@ object Cep {
             // taken if its guard matches first…
             if (inWindow && steps(stage).pred(e, ctx) && groupOk(stage)) {
               consume(kept, t0, acc, stage, e)
+              // non-deterministic range (`times(from, to)
+              // .allowCombinations()`): fork the SKIP alternative too
+              // — the original stays at this clone so any LATER
+              // qualifying event is an alternative absorption,
+              // enumerating the tail's subsequences
+              if (steps(stage).combinations) kept += p
               // AMBIGUOUS event: it may instead resolve this
               // quantifier short and satisfy a later stage — the
               // default forks that interpretation too (skipping this
@@ -1030,6 +1069,20 @@ object Cep {
               if (j < steps.length && inWindow && steps(j).pred(e, ctx) &&
                 groupOk(j))
                 consume(kept, t0, acc, j, e)
+              else if (steps(stage).consecutive) {
+                // `times(from, to).consecutive()`: the adjacency gap
+                // is broken — the absorption count FREEZES here for
+                // good: skip past the remaining optional clones to
+                // await the next stage under its own contiguity; a
+                // frozen TERMINAL tail already emitted its prefixes
+                // (or, under emitMaximalOnly, emits its fixed
+                // absorption now)
+                var k = stage
+                while (k < steps.length &&
+                  steps(k).kind == StepKind.Optional) k += 1
+                if (k < steps.length) kept += ((k, t0, acc))
+                else if (maximalOnly) staged ::= ((t0, acc))
+              }
               else kept += p
             }
         }

@@ -196,12 +196,73 @@ class CepGroupSpec extends AnyFunSuite {
   test("looping-group misuse is rejected at build time") {
     val outer = EventPattern.begin[Ev]("A").where(_.kind == "a")
     intercept[IllegalArgumentException](
-      outer.followedByOneOrMore(
-        bc.within(java.time.Duration.ofMillis(5)))) // own within
-    intercept[IllegalArgumentException](
       outer.followedByOneOrMore(EventPattern.begin[Ev]("B")
         .where(_.kind == "b").oneOrMore
         .until(_ => true))) // quantified stage inside
+  }
+
+  test("windowed looping group: each repetition anchors its own window") {
+    // inner within 5ms: rep 1 = b(1) c(4) (span 3), rep 2 = b(10) c(12)
+    // (span 2 — but 11ms from rep 1's first event, so the pre-fix
+    // anchoring at repetition 1 would wrongly reject it)
+    val pat = EventPattern.begin[Ev]("A").where(_.kind == "a")
+      .followedByOneOrMore(bc.within(java.time.Duration.ofMillis(5)))
+      .followedBy("D").where(_.kind == "d")
+      .within(java.time.Duration.ofMillis(W))
+    val got = run(pat, Seq(ev("a", 0), ev("b", 1), ev("c", 4),
+      ev("b", 10), ev("c", 12), ev("d", 20)))
+      .map(m => (m("B").map(_.ts), m("C").map(_.ts), m("D").head.ts))
+      .sortBy(_._1.length)
+    assert(got == Vector(
+      (Seq(1L), Seq(4L), 20L),
+      (Seq(1L, 10L), Seq(4L, 12L), 20L)))
+    // a repetition that OVERRUNS its own window never completes: only
+    // the 1-repetition count survives
+    val slow = run(pat, Seq(ev("a", 0), ev("b", 1), ev("c", 4),
+      ev("b", 10), ev("c", 17), ev("d", 20)))
+      .map(m => (m("B").map(_.ts), m("C").map(_.ts)))
+    assert(slow == Vector((Seq(1L), Seq(4L))))
+  }
+
+  test("windowed range-counted group: the loop copy's window is " +
+    "per-completion too") {
+    val pat = EventPattern.begin[Ev]("A").where(_.kind == "a")
+      .followedByTimes(bc.within(java.time.Duration.ofMillis(5)), 1, 2)
+      .followedBy("D").where(_.kind == "d")
+      .within(java.time.Duration.ofMillis(W))
+    val got = run(pat, Seq(ev("a", 0), ev("b", 1), ev("c", 4),
+      ev("b", 10), ev("c", 12), ev("d", 20)))
+      .map(m => (m("B").map(_.ts), m("C").map(_.ts), m("D").head.ts))
+      .sortBy(_._1.length)
+    assert(got == Vector(
+      (Seq(1L), Seq(4L), 20L),
+      (Seq(1L, 10L), Seq(4L, 12L), 20L)))
+  }
+
+  test("a nested windowed group inside a looping group re-anchors per " +
+    "repetition") {
+    // loop body = [B C (windowed 5ms), E]: the nested bc window must
+    // re-anchor at each repetition's own b, and the E stage (outside
+    // the nested group, inside the loop) must not pollute the scan
+    val sub = EventPattern.begin(
+        bc.within(java.time.Duration.ofMillis(5)))
+      .followedBy("E").where(_.kind == "e")
+    val pat = EventPattern.begin[Ev]("A").where(_.kind == "a")
+      .followedByOneOrMore(sub)
+      .followedBy("F").where(_.kind == "f")
+      .within(java.time.Duration.ofMillis(W))
+    val got = run(pat, Seq(ev("a", 0), ev("b", 1), ev("c", 4),
+      ev("e", 8), ev("b", 10), ev("c", 12), ev("e", 15), ev("f", 20)))
+      .map(m => (m("B").map(_.ts), m("C").map(_.ts), m("E").map(_.ts)))
+      .sortBy(_._1.length)
+    assert(got == Vector(
+      (Seq(1L), Seq(4L), Seq(8L)),
+      (Seq(1L, 10L), Seq(4L, 12L), Seq(8L, 15L))))
+    // rep 2's c beyond ITS OWN 5ms window: rep 2 never completes
+    val slow = run(pat, Seq(ev("a", 0), ev("b", 1), ev("c", 4),
+      ev("e", 8), ev("b", 10), ev("c", 17), ev("e", 18), ev("f", 20)))
+      .map(m => m("B").map(_.ts))
+    assert(slow == Vector(Seq(1L)))
   }
 
   test("group misuse is rejected at build time") {
@@ -286,21 +347,16 @@ class CepGroupSpec extends AnyFunSuite {
     intercept[IllegalArgumentException](
       outer.followedByTimes(bc, 3, 2)) // to < from
     intercept[IllegalArgumentException](
-      outer.followedByTimes(
-        bc.within(java.time.Duration.ofMillis(5)), 1, 2)) // own within
-    intercept[IllegalArgumentException](
-      outer.followedByTimes(EventPattern.begin(
-        bc.within(java.time.Duration.ofMillis(5)))
-        .followedBy("D").where(_.kind == "d"), 1, 2)) // nested windowed group
-    intercept[IllegalArgumentException](
       outer.followedByTimes(EventPattern.begin[Ev]("B")
         .where(_.kind == "b").oneOrMore
         .until(_ => true), 1, 2)) // quantified stage inside
-    // the same nested-window guard holds for the unbounded loop
+    // one group window per stage: a windowed sub cannot ALSO nest a
+    // windowed group (each stage carries a single (start, bound) pair)
     intercept[IllegalArgumentException](
-      outer.followedByOneOrMore(EventPattern.begin(
+      outer.followedByTimes(EventPattern.begin(
         bc.within(java.time.Duration.ofMillis(5)))
-        .followedBy("D").where(_.kind == "d")))
+        .followedBy("D").where(_.kind == "d")
+        .within(java.time.Duration.ofMillis(9)), 1, 2))
   }
 
   test("fuzz: range-group matches equal the greedy scan at every count in range") {

@@ -268,6 +268,116 @@ class CepModifiersSpec extends AnyFunSuite {
     })
   }
 
+  // ------------------------------------- range-stage modifier corners
+
+  test("times(from, to).consecutive: required clones strict, the " +
+    "optional tail freezes at the first gap") {
+    val pat = EventPattern.begin[Ev]("A").where(_.kind == "a")
+      .followedBy("B").where(_.kind == "b").times(2, 4).consecutive
+      .followedBy("C").where(_.kind == "c")
+      .within(java.time.Duration.ofMillis(W))
+    // b b [gap] b: the count freezes at 2; the post-gap b is NOT
+    // absorbed, c completes the frozen count
+    val got = run(pat, Seq(ev("a", 0), ev("b", 1), ev("b", 2),
+      ev("noise", 3), ev("b", 4), ev("c", 5)))
+    assert(got.map(m => (m("B").map(_.ts), m("C").head.ts)) ==
+      Vector((Seq(1L, 2L), 5L)))
+    // the plain range would absorb the post-gap b too
+    val plain = EventPattern.begin[Ev]("A").where(_.kind == "a")
+      .followedBy("B").where(_.kind == "b").times(2, 4)
+      .followedBy("C").where(_.kind == "c")
+      .within(java.time.Duration.ofMillis(W))
+    assert(run(plain, Seq(ev("a", 0), ev("b", 1), ev("b", 2),
+      ev("noise", 3), ev("b", 4), ev("c", 5)))
+      .map(m => m("B").map(_.ts)) == Vector(Seq(1L, 2L, 4L)))
+    // a gap INSIDE the required minimum kills (strict clones)
+    assert(run(pat, Seq(ev("a", 0), ev("b", 1), ev("noise", 2),
+      ev("b", 3), ev("b", 4), ev("c", 5))).isEmpty)
+    // a full adjacent run absorbs up to `to`, then c completes
+    assert(run(pat, Seq(ev("a", 0), ev("b", 1), ev("b", 2), ev("b", 3),
+      ev("b", 4), ev("b", 5), ev("c", 6)))
+      .map(m => m("B").map(_.ts)) == Vector(Seq(1L, 2L, 3L, 4L)))
+  }
+
+  test("terminal times(from, to).consecutive: prefixes emit until the " +
+    "gap fixes the count; emitMaximalOnly emits the frozen run once") {
+    val pat = EventPattern.begin[Ev]("A").where(_.kind == "a")
+      .followedBy("B").where(_.kind == "b").times(2, 3).consecutive
+      .within(java.time.Duration.ofMillis(W))
+    val evs = Seq(ev("a", 0), ev("b", 1), ev("b", 2), ev("noise", 3),
+      ev("b", 4))
+    assert(run(pat, evs, flush = true)
+      .map(m => m("B").map(_.ts)) == Vector(Seq(1L, 2L)))
+    assert(run(pat.emitMaximalOnly, evs, flush = true)
+      .map(m => m("B").map(_.ts)) == Vector(Seq(1L, 2L)))
+    // unbroken: per-prefix default emits count 2 then count 3
+    val full = Seq(ev("a", 0), ev("b", 1), ev("b", 2), ev("b", 3))
+    assert(run(pat, full, flush = true)
+      .map(m => m("B").map(_.ts)) ==
+      Vector(Seq(1L, 2L), Seq(1L, 2L, 3L)))
+  }
+
+  test("times(from, to).allowCombinations: every subsequence with a " +
+    "length in [from, to]") {
+    val pat = EventPattern.begin[Ev]("A").where(_.kind == "a")
+      .followedBy("B").where(_.kind == "b").times(2, 3).allowCombinations
+      .within(java.time.Duration.ofMillis(W))
+    val got = run(pat, Seq(ev("a", 0), ev("b", 1), ev("b", 2), ev("b", 3)),
+      flush = true)
+      .map(m => m("B").map(_.ts)).sortBy(v => (v.length, v.mkString(",")))
+    assert(got == Vector(Seq(1L, 2L), Seq(1L, 3L), Seq(2L, 3L),
+      Seq(1L, 2L, 3L)).sortBy(v => (v.length, v.mkString(","))))
+  }
+
+  test("fuzz: times(from, to).consecutive equals the adjacent-run " +
+    "reference (freeze at gap, absorb to cap, first c completes)") {
+    val (from, to) = (2, 4)
+    val pat = EventPattern.begin[Ev]("A").where(_.kind == "a")
+      .followedBy("B").where(_.kind == "b").times(from, to).consecutive
+      .followedBy("C").where(_.kind == "c")
+      .within(java.time.Duration.ofMillis(W))
+    check("range-consecutive-vs-brute", Prop.forAll(genEvents) { evs =>
+      val got = run(pat, evs, flush = true)
+        .map(m => (m("A").head.ts, m("B").map(_.ts), m("C").head.ts))
+        .sorted
+      val want = (for {
+        a <- evs if a.kind == "a"
+        win = (e: Ev) => e.ts >= a.ts && e.ts <= a.ts + W
+        after = evs.filter(_.ts > a.ts)
+        i0 = after.indexWhere(e => e.kind == "b" && win(e))
+        if i0 >= 0
+        // maximal adjacent in-window b-run from the first b
+        bRun = after.drop(i0).takeWhile(e => e.kind == "b" && win(e))
+        if bRun.length >= from // strict required clones
+        n = math.min(bRun.length, to)
+        // the first in-window c at/after the freeze (or cap) point
+        c <- after.drop(i0 + n).find(_.kind == "c").filter(win).toSeq
+      } yield (a.ts, bRun.take(n).map(_.ts), c.ts)).sorted
+      got == want
+    })
+  }
+
+  test("fuzz: times(from, to).allowCombinations equals in-range " +
+    "subsequence enumeration per A") {
+    val (from, to) = (2, 3)
+    val pat = EventPattern.begin[Ev]("A").where(_.kind == "a")
+      .followedBy("B").where(_.kind == "b").times(from, to).allowCombinations
+      .within(java.time.Duration.ofMillis(W))
+    val gen = genEvents.map(_.take(9)) // combinatorial match count
+    check("range-combinations-vs-brute", Prop.forAll(gen) { evs =>
+      val got = run(pat, evs, flush = true)
+        .map(m => (m("A").head.ts, m("B").map(_.ts))).sorted
+      val want = (for {
+        a <- evs if a.kind == "a"
+        bs = evs.filter(e => e.kind == "b" && e.ts > a.ts &&
+          e.ts <= a.ts + W).map(_.ts).sorted
+        sub <- bs.toSet.subsets.toSeq
+        if sub.size >= from && sub.size <= to
+      } yield (a.ts, sub.toSeq.sorted)).sorted
+      got == want
+    })
+  }
+
   // --------------------------------------------------------- notNext
 
   test("notNext forbids only the IMMEDIATE event; notFollowedBy the whole gap") {
@@ -456,7 +566,6 @@ class CepModifiersSpec extends AnyFunSuite {
       .followedBy("B").where(_.kind == "b")
     intercept[IllegalArgumentException](base.consecutive)
     intercept[IllegalArgumentException](base.allowCombinations)
-    intercept[IllegalArgumentException](base.times(1, 3).consecutive)
     intercept[IllegalArgumentException](
       base.oneOrMore.consecutive.allowCombinations)
     intercept[IllegalArgumentException](
