@@ -7573,12 +7573,31 @@ object Extensions {
   private[graft] val GopherTopNs = Seq(2, 3, 4)
   private[graft] val GopherDupNs = Seq(5, 6, 7, 8, 9, 10)
 
+  /** Mod-k winnow on the DUP side (n ∈ 5..10) — the x10/spanDedup row
+    * reducer applied to x96's dominant cost (the six dup-n explode
+    * rows are 2/3 of the 9×tokens positional table, and the sf1 sweep
+    * read 58.9 s): keep only grams whose 32-bit hash ≡ 0 (mod k),
+    * BEFORE the count/join/coverage chain. CONTENT-keyed and
+    * all-or-nothing per gram identity (every occurrence of a gram
+    * shares its hash), so a kept gram's in-doc count — and therefore
+    * its duplicate status — is EXACT; what is sampled is which gram
+    * identities contribute coverage. rep_5..rep_10 are therefore
+    * deterministic 1/k-identity-sample LOWER BOUNDS of the full
+    * coverage (kept starts ⊆ all dup starts, and positional union is
+    * monotone — X96GopherSpec pins both the monotonicity and
+    * flag-agreement with the full run on the corpus). The top side
+    * (n ≤ 4) is never winnowed: its statistic is a per-doc argmax,
+    * not a union, and sampling would change WHICH gram wins. */
+  private[graft] val GopherDupWinnow = 4
+
   /** x96's engine, parameterized for fixtures: (doc_id, text) in;
     * (doc_id, n_chars, rep_2..rep_4, rep_5..rep_10) out — permille of
     * token characters covered by the top-(2..4)-gram / duplicated-
     * (5..10)-grams. X96GopherSpec pins coverage union, tie-breaks,
     * and batch/stream agreement. */
-  private[graft] def gopherRepetition(docs: DataFrame): DataFrame = {
+  private[graft] def gopherRepetition(docs: DataFrame,
+      dupWinnow: Int = GopherDupWinnow): DataFrame = {
+    require(dupWinnow >= 1, "dupWinnow >= 1")
     val tkd = docs
       .select(col("doc_id"), col("text"), split(col("text"), " ").as("tk"))
       .persist() // the gram pass and the coverage pass both consume it
@@ -7587,13 +7606,18 @@ object Extensions {
     // (graft.functions.GramHashes: tokens UTF-8-encoded once, digest
     // fed incrementally — no per-window slice/join strings;
     // GramHashesSpec pins bit-equality with the HOF formulation the
-    // oracle replays): (doc_id, n, i, g)
-    val pos = tkd
+    // oracle replays): (doc_id, n, i, g). The dup side (n ≥ 5) is
+    // mod-k winnowed HERE, before anything is persisted or counted —
+    // see [[GopherDupWinnow]] (1 = exact full run, the spec knob).
+    val posAll = tkd
       .select(col("doc_id"), explode(graft.functions.GramHashes
         .gramHashes(col("text"), GopherTopNs.min, GopherDupNs.max))
         .as("e"))
       .select(col("doc_id"), col("e")("n").as("n"),
         col("e")("i").as("i"), col("e")("g").as("g"))
+    val pos = (if (dupWinnow == 1) posAll
+      else posAll.filter(col("n") <= GopherTopNs.max ||
+        pmod(hex32(col("g")), lit(dupWinnow.toLong)) === 0))
       .persist() // counts + both start-set joins consume it
     pos.count()
     val cnts = pos.groupBy(col("doc_id"), col("n"), col("g"))
@@ -7640,13 +7664,17 @@ object Extensions {
       }.mkString(",\n                 ")
       s"""WITH tkc AS (
               SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
-            pos AS MATERIALIZED (
+            pos0 AS (
               SELECT doc_id, u.n, v.i,
                      md5(array_to_string(tk[v.i+1 : v.i+u.n], ' ')) AS g
               FROM tkc,
                    unnest(range(${GopherTopNs.min}, ${GopherDupNs.max + 1}))
                      AS u(n),
                    unnest(range(0, GREATEST(len(tk) - u.n + 1, 0))) AS v(i)),
+            pos AS MATERIALIZED (
+              SELECT * FROM pos0
+              WHERE n <= ${GopherTopNs.max}
+                 OR ${duckHex32("g")} % $GopherDupWinnow = 0),
             cnts AS (
               SELECT doc_id, n, g, count(*) AS cnt
               FROM pos GROUP BY 1, 2, 3),

@@ -145,8 +145,10 @@ object DocStreams {
     * batch `gopherRepetition`, whose explode + count + coverage chain
     * is linear in tokens and needs no cap. */
   def gopherRepetitionStream(docs: DataFrame,
-      maxTokens: Int = GopherStreamMaxTokens): DataFrame = {
+      maxTokens: Int = GopherStreamMaxTokens,
+      dupWinnow: Int = graft.queries.Extensions.GopherDupWinnow): DataFrame = {
     require(maxTokens >= 1, "maxTokens >= 1")
+    require(dupWinnow >= 1, "dupWinnow >= 1")
     val tkAll = split(col("text"), " ")
     val tk = when(size(tkAll) > maxTokens, slice(tkAll, 1, maxTokens))
       .otherwise(tkAll)
@@ -193,12 +195,23 @@ object DocStreams {
                  |    i -> element_at(g$n, i + 1) = tg)))""".stripMargin,
               n)))
       }
+    // batch parity: the dup side replays the SAME mod-k gram-identity
+    // winnow as Extensions.gopherRepetition (a kept gram's in-doc
+    // count is exact — every occurrence shares its hash — so only
+    // WHICH identities contribute coverage is sampled). The cheap
+    // winnow predicate short-circuits BEFORE the O(len) occurrence
+    // count, cutting the dup side's per-row quadratic scan ~k× too.
+    def winnowPred(arr: String): String =
+      if (dupWinnow == 1) ""
+      else s"CAST(conv(substring(element_at($arr, i + 1), 1, 8), 16, 10) " +
+        s"AS BIGINT) % $dupWinnow = 0 AND "
     val withDup = graft.queries.Extensions.GopherDupNs
       .foldLeft(withGrams) { (d, n) =>
         d.withColumn(s"gd$n", gramsOf(n))
           .withColumn(s"rep_$n", when(size(col(s"gd$n")) === 0, lit(0L))
             .otherwise(coverPm(
               s"filter(sequence(0, size(gd$n) - 1), i -> " +
+                winnowPred(s"gd$n") +
                 s"size(filter(gd$n, y -> y = element_at(gd$n, i + 1))) >= 2)",
               n)))
       }

@@ -23,8 +23,12 @@ class X96GopherSpec extends AnyFunSuite {
   private type Row11 =
     (Long, Long, Long, Long, Long, Long, Long, Long, Long, Long, Long)
 
-  private def run(d: DataFrame): Map[Long, Row11] =
-    Extensions.gopherRepetition(d).as[Row11].collect()
+  /** `winnow = 1` = the exact full run (the coverage-semantics
+    * fixtures below pin THAT); the shipped gate default is the
+    * mod-[[Extensions.GopherDupWinnow]] dup-side winnow, pinned
+    * against the full run in its own test. */
+  private def run(d: DataFrame, winnow: Int = 1): Map[Long, Row11] =
+    Extensions.gopherRepetition(d, dupWinnow = winnow).as[Row11].collect()
       .map(r => r._1 -> r).toMap
 
   test("an alternating doc is fully covered by its top 2-gram") {
@@ -86,7 +90,9 @@ class X96GopherSpec extends AnyFunSuite {
   test("streaming twin equals batch on the real corpus") {
     val d = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
       .select("doc_id", "text")
-    val expected = run(d)
+    // both sides at the SHIPPED default (the winnowed dup side) —
+    // the twins must replay the same mod-k gram-identity sample
+    val expected = run(d, Extensions.GopherDupWinnow)
     val rows = d.as[(Long, String)].collect()
     val in = MemoryStream[(Long, String)]
     val stream = DocStreams.gopherRepetitionStream(
@@ -123,7 +129,9 @@ class X96GopherSpec extends AnyFunSuite {
     val longText = (0 until 20000).map(i => s"t${i % 7}").mkString(" ")
     val cap = 64
     val prefix = longText.split(" ").take(cap).mkString(" ")
-    val expected = run(docs(1L -> prefix, 2L -> "a b a b"))
+    // like-for-like: the stream runs the shipped winnow default
+    val expected = run(docs(1L -> prefix, 2L -> "a b a b"),
+      Extensions.GopherDupWinnow)
     val in = MemoryStream[(Long, String)]
     val q = DocStreams.gopherRepetitionStream(
         in.toDF().toDF("doc_id", "text"), maxTokens = cap)
@@ -154,5 +162,41 @@ class X96GopherSpec extends AnyFunSuite {
     assert(got(1L)._3 == 0L && got(1L)._6 == 0L)
     assert(got(2L)._3 == 1000L) // the single 2-gram is its own top
     assert(got(2L)._8 == 0L)
+  }
+
+  test("dup-side winnow vs the full run: top side untouched, dup side " +
+    "a monotone lower bound, Gopher flags agree on the real corpus") {
+    val d = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select("doc_id", "text")
+    val full = run(d, winnow = 1)
+    val win = run(d, Extensions.GopherDupWinnow)
+    assert(win.keySet == full.keySet)
+    // a duplicated gram's hash is shared by all its occurrences, so
+    // the winnow keeps or drops whole gram identities: kept starts ⊆
+    // all dup starts, and the positional union is monotone — the
+    // winnowed coverage NEVER exceeds the full one, and the top side
+    // (argmax, never winnowed) is bit-identical
+    full.keys.foreach { id =>
+      val (f, w) = (full(id), win(id))
+      assert(w._2 == f._2) // n_chars
+      assert((3 to 5).forall(i =>     // rep_2..rep_4
+        w.productElement(i - 1) == f.productElement(i - 1)))
+      (6 to 11).foreach { i =>        // rep_5..rep_10
+        val (fw, ww) = (f.productElement(i - 1).asInstanceOf[Long],
+          w.productElement(i - 1).asInstanceOf[Long])
+        assert(ww <= fw, s"doc $id rep index $i: winnowed $ww > full $fw")
+      }
+    }
+    // the Gopher Table A1 quality FLAGS (permille thresholds: top
+    // 2/3/4-gram > 200/180/160, dup 5..10-gram > 150/140/130/120/
+    // 110/100) agree between the winnowed run and the full run on
+    // this corpus — the downstream filter decision is winnow-stable
+    val thresholds = Seq(200L, 180L, 160L, 150L, 140L, 130L, 120L, 110L, 100L)
+    def flags(r: Row11): Seq[Boolean] =
+      (3 to 11).map(i => r.productElement(i - 1).asInstanceOf[Long] >
+        thresholds(i - 3))
+    val flips = full.keys.filter(id => flags(full(id)) != flags(win(id)))
+    assert(flips.isEmpty,
+      s"winnow flipped Gopher flags for docs: ${flips.toSeq.sorted.take(5)}")
   }
 }
