@@ -1214,11 +1214,19 @@ object Extensions {
   // missed) but fully deterministic, so the oracle replays the
   // identical assignment. At 100 TB the cell id is also the storage
   // partition key (IvfPartitionSpec), making the join co-located.
+  //
+  // cells = max(8, ⌊√n⌋) DERIVED IN-PLAN (the x07/x80 ivfPqNcells
+  // one-row agg broadcast into the centroid filter): cell occupancy
+  // is O(√n), so the same-cell pair join carries O(n·√n) candidates
+  // — the round-12 fixed-8-cell form was n²/8 and measured 22× on
+  // 10× data (0.55 → 12.3 s, sf0.1 → sf1), a quadratic scan wearing
+  // an index costume at the 100 TB target.
   private val x21 = GateQuery(
     "x21_dedup_ivf",
     (s, d) => {
       val v = Tables.embeddings(s, d).select(col("vec_id"), col("embedding"))
-      val cents = v.filter(col("vec_id") < 8)
+      val cents = v.crossJoin(broadcast(ivfPqNcells(v)))
+        .filter(col("vec_id") < col("ncells"))
         .select(col("vec_id").as("cid"), col("embedding").as("cv"))
       val assigned = graft.ops.Ivf.assignCells(v, cents).persist()
       assigned.count() // eager: both join sides consume it (see x14)
@@ -1227,9 +1235,9 @@ object Extensions {
       val b = assigned.select(col("cell").as("cell_b"), col("vec_id").as("id_b"),
                               col("embedding").as("eb"))
       // 0.4, not x13's 0.5: same-cell pairs are the candidate set the
-      // prune admits; at sf0.01 the only >=0.5 pair is cross-cell
-      // (the recall cost of 8 cells on 64-dim noise), while >=0.4
-      // keeps a 21-pair result that exercises the pruned join
+      // prune admits; >=0.4 keeps a non-trivial pair result that
+      // exercises the pruned join on 64-dim noise (cross-cell
+      // near-dups are the documented recall cost of the prune)
       ordered(a.join(b,
           col("cell") === col("cell_b") && col("id_a") < col("id_b") &&
             cosCol(col("ea"), col("eb")) >= 0.4)
@@ -1237,11 +1245,12 @@ object Extensions {
         .select(col("id_a"), col("id_b"), col("cell").cast("long").as("cell"),
                 col("cos")))
     },
-    Some("""WITH v AS (
+    Some(s"""WITH v AS (
               SELECT vec_id, list_transform(embedding,
                 x -> CAST(FLOOR(x * 1000) AS BIGINT)) AS qv
               FROM embeddings),
-            cents AS (SELECT vec_id AS cid, qv AS cv FROM v WHERE vec_id < 8),
+            cents AS (SELECT vec_id AS cid, qv AS cv FROM v
+                      WHERE vec_id < $SqlDerivedK),
             assigned AS (
               SELECT vec_id, qv, cid AS cell FROM (
                 SELECT v.vec_id, v.qv, c.cid,
@@ -2389,15 +2398,34 @@ object Extensions {
   // dependent. (Real pipelines run this to cluster embeddings, then
   // near-dup WITHIN clusters — x21/x29 are those within-bucket
   // joins; x39 supplies the bucketing a learned layout would use.)
-  private val KmK = 8
-  private[graft] def kmeansCluster(v: DataFrame, k: Int = KmK): DataFrame = {
-    val seeds = v.filter(col("vec_id") < k)
-      .select(col("vec_id").cast("int").as("clabel"), col("qv").as("cv"))
+  //
+  // k is NOT fixed: the production default derives k = max(8, ⌊√n⌋)
+  // IN-PLAN (the x07/x80 `ivfPqNcells` machinery — a one-row count
+  // agg broadcast into the seed filter, no driver-side action), so
+  // the within-cluster pair joins built on this bucketing (x47) stay
+  // O(n·√n), never n²/k with a constant k. The round-12 fixed-8 form
+  // measured 22× wall-clock on 10× data in the x21 family — the
+  // quadratic disease this derivation cures. `k = Some(const)` is
+  // the fixture-only override (DerivedKSpec pins that the derived
+  // form is assignment-identical to the explicit form at the same k).
+  private[graft] def kmeansCluster(v: DataFrame,
+                                   k: Option[Int] = None): DataFrame = {
+    val seeds = (k match {
+      case Some(kk) => v.filter(col("vec_id") < kk)
+      case None => v.crossJoin(broadcast(ivfPqNcells(v)))
+        .filter(col("vec_id") < col("ncells"))
+    }).select(col("vec_id").cast("int").as("clabel"), col("qv").as("cv"))
     val a1 = nearestCentroid(v, seeds)
       .select(col("pred").as("clabel"), col("qv"))
     ordered(nearestCentroid(v, sumCentroids(a1))
       .select(col("vec_id"), col("pred").as("cluster"), col("cos")))
   }
+  /** The √n-derived-k oracle clause: DuckDB replays the same
+    * max(8, ⌊√n⌋) derivation (IEEE sqrt is correctly rounded and
+    * n < 2^52, so both engines floor the same value). A def, not a
+    * val: gate vals earlier in this object (x21) interpolate it. */
+  private def SqlDerivedK: String =
+    "(SELECT GREATEST(8, CAST(FLOOR(SQRT(COUNT(*))) AS BIGINT)) FROM v)"
   private val x39 = GateQuery(
     "x39_kmeans_cluster",
     (s, d) => {
@@ -2415,7 +2443,7 @@ object Extensions {
               FROM embeddings),
             seeds AS (
               SELECT CAST(vec_id AS INT) AS clabel, qv AS cv
-              FROM v WHERE vec_id < $KmK),
+              FROM v WHERE vec_id < $SqlDerivedK),
             s1 AS (
               SELECT v.vec_id, v.qv, c.clabel,
                 list_dot_product(v.qv, c.cv) /
@@ -2971,13 +2999,17 @@ object Extensions {
   //
   // Scale shape: assignment is x39's broadcast-model HOF (corpus
   // never shuffles); the pair join shuffles (vec_id, cluster, qv)
-  // rows on a key whose bucket size is corpus/k — k grows with the
-  // corpus so buckets stay bounded; the keep-list join is a distinct
-  // on dup ids + one equi-join back.
+  // rows on a key whose bucket size is corpus/k — k = max(8, ⌊√n⌋)
+  // derived in-plan (see kmeansCluster), so buckets are O(√n) and
+  // the within-cluster pair join is O(n·√n), never n²/const; the
+  // keep-list join is a distinct on dup ids + one equi-join back.
   private val SemCos = 0.5
 
-  /** (vec_id, cluster, keep) over a persisted (vec_id, qv) table. */
-  private[graft] def semDedupKeep(v: DataFrame, k: Int = KmK): DataFrame = {
+  /** (vec_id, cluster, keep) over a persisted (vec_id, qv) table.
+    * k = None (production) derives k = max(8, ⌊√n⌋) in-plan;
+    * Some(const) is the fixture override. */
+  private[graft] def semDedupKeep(v: DataFrame,
+                                  k: Option[Int] = None): DataFrame = {
     // both pair-join sides and the final output consume the
     // assignment — materialize it once or the whole k-means pipeline
     // (two scoring passes + centroid shuffle) runs three times
@@ -3016,7 +3048,7 @@ object Extensions {
               FROM embeddings),
             seeds AS (
               SELECT CAST(vec_id AS INT) AS clabel, qv AS cv
-              FROM v WHERE vec_id < $KmK),
+              FROM v WHERE vec_id < $SqlDerivedK),
             s1 AS (
               SELECT v.vec_id, v.qv, c.clabel,
                 list_dot_product(v.qv, c.cv) /

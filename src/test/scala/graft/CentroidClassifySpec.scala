@@ -42,7 +42,7 @@ class CentroidClassifySpec extends AnyFunSuite {
       (30L, Seq(0L, 800L, 200L)),
       (40L, Seq(600L, 500L, 0L)))
       .toDF("vec_id", "qv")
-    val got = Extensions.kmeansCluster(v, k = 2)
+    val got = Extensions.kmeansCluster(v, k = Some(2))
       .select("vec_id", "cluster").as[(Long, Int)].collect().toMap
     assert(got === Map(0L -> 0, 1L -> 1, 20L -> 0, 30L -> 1, 40L -> 0))
   }

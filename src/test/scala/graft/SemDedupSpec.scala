@@ -12,7 +12,7 @@ class SemDedupSpec extends AnyFunSuite {
 
   // quantized 4-dim vectors; k=2 seeds are vec_id 0 and 1
   private def run(vs: Seq[(Long, Seq[Long])]) =
-    Extensions.semDedupKeep(vs.toDF("vec_id", "qv"), k = 2)
+    Extensions.semDedupKeep(vs.toDF("vec_id", "qv"), k = Some(2))
       .as[(Long, Int, Long)].collect()
       .map { case (id, c, keep) => id -> (c, keep) }.toMap
 
