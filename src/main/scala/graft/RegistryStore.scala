@@ -9,20 +9,48 @@ import org.apache.spark.sql.functions._
   * dedup maintenance over an ever-growing corpus; the engine-side
   * layout follows Delta/Iceberg table-maintenance practice).
   *
-  * Layout under one root:
-  *  - `<root>/classes`: the class rows `(sig, cnt, min_id, arr)`,
-  *    append-only — a sig may appear once per appended day; readers
+  * Layout under one root (round 13: generation dirs + an atomic
+  * manifest pointer — every mutation is CRASH-SAFE and readers see
+  * exactly old-or-new, never a partial):
+  *  - `<root>/_manifests/v<NNNNN>.txt`: versioned manifests; the
+  *    highest version is the live one. A manifest names, per
+  *    component, the generation dirs that hold its data:
+  *    `classes` → a list of class generations (the LSM levels),
+  *    `band K` → the generations holding band K's index files.
+  *  - `<root>/classes_g<NNNNN>`: class rows `(sig, cnt, min_id,
+  *    arr)`; a sig may appear once per appended generation; readers
   *    merge (cnt sums, min_id takes the least, arr is functionally
-  *    determined by sig). This is the LSM move: appends are cheap
-  *    per-day files, the merge is read-time (or folded at rest by a
-  *    compaction pass over [[compactionPlanOf]]).
-  *  - `<root>/bands`: the probe index `(sig, k0..k3)` PARTITIONED BY
-  *    `band` and range-laid on `k0` inside each partition — a band
-  *    probe's equi-join touches exactly ONE of the NumBands partition
-  *    directories (Spark partition pruning, proven from the plan in
-  *    RegistryStoreSpec), and a band-key range touches a strict
-  *    subset of that partition's files by parquet footer min/max
-  *    (the ZOrderPruneSpec statistic, proven from real footers).
+  *    determined by sig). Appends add a generation; compaction folds
+  *    all levels into one.
+  *  - `<root>/bands_g<NNNNN>/band=K/`: the probe index
+  *    `(sig, k0..k3)` PARTITIONED BY `band` and range-laid on `k0`
+  *    inside each partition — a band probe's equi-join touches
+  *    exactly ONE band directory per generation (Spark partition
+  *    pruning, proven from the plan in RegistryStoreSpec), and a
+  *    band-key range touches a strict subset of that partition's
+  *    files by parquet footer min/max (the ZOrderPruneSpec
+  *    statistic, proven from real footers).
+  *
+  * Commit protocol (the Iceberg/Delta move, RegistryStoreSpec pins
+  * each property):
+  *  1. every write lands in a FRESH generation dir no manifest
+  *     references — invisible to all readers;
+  *  2. the commit is ONE atomic `rename` of the next manifest
+  *     version into `_manifests/` (rename-to-fresh-path is atomic on
+  *     HDFS and POSIX; no manifest file is ever overwritten);
+  *  3. stale generations are reaped only AFTER the commit, and only
+  *     those unreferenced by the latest [[ReapKeepVersions]] manifest
+  *     versions — an in-flight reader that resolved the previous
+  *     manifest keeps its files until two further commits land.
+  * A crash before (2) leaves orphan generation dirs the next
+  * `compact` reaps — readers never see them; a crash after (2)
+  * leaves stale-but-unreferenced generations — readers already see
+  * the new state. At NO instant is the store unreadable.
+  *
+  * Writer concurrency is single-writer (the maintenance scheduler's
+  * job, as in Delta without a commit service); the protocol protects
+  * READERS against a concurrent writer and the store against a
+  * writer crash at any point.
   *
   * At 100 TB the registry is the piece that must NOT be rescanned
   * per day: the delta's probe reads only the band partitions (1/4 of
@@ -33,57 +61,210 @@ import org.apache.spark.sql.functions._
   * rewrite whose unit is a band partition, never the table. */
 object RegistryStore {
 
+  /** Reader protection window: generations referenced by this many
+    * latest manifest versions survive reaping. */
+  private val ReapKeepVersions = 2
+
+  /** The live file inventory: which generations hold the classes LSM
+    * levels and each band's index files. */
+  private[graft] case class Manifest(version: Int, classes: Seq[Int],
+                                     bands: Map[Int, Seq[Int]])
+
+  private def fsOf(spark: SparkSession, root: String): FileSystem =
+    new Path(root).getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  private def classesDir(root: String, g: Int): String =
+    f"$root/classes_g$g%05d"
+  private def bandsDir(root: String, g: Int): String =
+    f"$root/bands_g$g%05d"
+
+  // ---------------------------------------------------------- manifest io
+  private def manifestDir(root: String) = new Path(s"$root/_manifests")
+
+  private def manifestVersions(fs: FileSystem, root: String): Seq[Int] = {
+    val dir = manifestDir(root)
+    if (!fs.exists(dir)) Seq.empty
+    else fs.listStatus(dir).toSeq.map(_.getPath.getName)
+      .filter(n => n.startsWith("v") && n.endsWith(".txt"))
+      .flatMap(n => n.stripPrefix("v").stripSuffix(".txt").toIntOption)
+      .sorted
+  }
+
+  /** The live manifest = highest committed version. */
+  private[graft] def currentManifest(spark: SparkSession,
+                                     root: String): Manifest = {
+    val fs = fsOf(spark, root)
+    val v = manifestVersions(fs, root).lastOption.getOrElse(
+      throw new IllegalStateException(s"no committed manifest under $root"))
+    readManifest(fs, root, v)
+  }
+
+  private def readManifest(fs: FileSystem, root: String, v: Int): Manifest = {
+    val in = fs.open(new Path(manifestDir(root), f"v$v%05d.txt"))
+    val text = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+               finally in.close()
+    var classes = Seq.empty[Int]
+    var bands = Map.empty[Int, Seq[Int]]
+    text.linesIterator.map(_.trim).filter(_.nonEmpty).foreach { line =>
+      line.split("\\s+").toSeq match {
+        case "classes" +: gens => classes = gens.map(_.toInt)
+        case "band" +: k +: gens => bands += (k.toInt -> gens.map(_.toInt))
+        case _ => // version header / unknown line: ignore
+      }
+    }
+    Manifest(v, classes, bands)
+  }
+
+  /** Atomic commit: write the next version to a dot-tmp file, then
+    * ONE rename to its final (fresh, never-overwritten) name. */
+  private def commitManifest(fs: FileSystem, root: String,
+                             m: Manifest): Unit = {
+    val dir = manifestDir(root)
+    fs.mkdirs(dir)
+    val body = new StringBuilder(s"v${m.version}\n")
+    body ++= m.classes.mkString("classes ", " ", "\n")
+    m.bands.toSeq.sortBy(_._1).foreach { case (k, gens) =>
+      body ++= gens.mkString(s"band $k ", " ", "\n")
+    }
+    val tmp = new Path(dir, f".tmp_v${m.version}%05d")
+    val out = fs.create(tmp, true)
+    try {
+      out.write(body.toString.getBytes("UTF-8"))
+      // durability fence where the FS supports it (HDFS/object stores);
+      // the local checksum FS is not Syncable — close() flushes there
+      try out.hsync() catch { case _: UnsupportedOperationException => () }
+    } finally out.close()
+    val fin = new Path(dir, f"v${m.version}%05d.txt")
+    if (!fs.rename(tmp, fin))
+      throw new IllegalStateException(
+        s"manifest commit lost the race for $fin (single-writer violated)")
+  }
+
+  /** Next unused generation id: one past every id any manifest
+    * references or any on-disk dir carries (crashed writers leave
+    * dirs without manifest entries — their ids stay burned). */
+  private def nextGen(fs: FileSystem, root: String): Int = {
+    val onDisk =
+      if (!fs.exists(new Path(root))) Seq.empty
+      else fs.listStatus(new Path(root)).toSeq.map(_.getPath.getName)
+        .collect {
+          case n if n.startsWith("classes_g") =>
+            n.stripPrefix("classes_g").toIntOption
+          case n if n.startsWith("bands_g") =>
+            n.stripPrefix("bands_g").toIntOption
+        }.flatten
+    (0 +: onDisk).max + 1
+  }
+
+  // ------------------------------------------------------------- writes
   /** Write a class registry (sig, cnt, min_id, arr) as a fresh store
-    * at `root`. `filesPerBand` sizes the band index's file count per
-    * partition (range-split on k0, so per-file footer stats carve the
-    * key space). */
+    * at `root` (generation 1, manifest v1). `filesPerBand` sizes the
+    * band index's file count per partition (range-split on k0, so
+    * per-file footer stats carve the key space). */
   def write(classes: DataFrame, root: String, filesPerBand: Int = 1): Unit = {
+    val spark = classes.sparkSession
+    val fs = fsOf(spark, root)
+    fs.delete(new Path(root), true)
+    val g = 1
     classes.select(col("sig"), col("cnt"), col("min_id"), col("arr"))
-      .write.mode("overwrite").parquet(s"$root/classes")
+      .write.parquet(classesDir(root, g))
     bandsFor(classes, filesPerBand)
-      .write.partitionBy("band").mode("overwrite").parquet(s"$root/bands")
+      .write.partitionBy("band").parquet(bandsDir(root, g))
+    commitManifest(fs, root,
+      Manifest(1, Seq(g), bandsIn(fs, root, g).map(_ -> Seq(g)).toMap))
   }
 
   /** Append one day's ALREADY-CLASSED delta (a
     * [[graft.queries.Extensions.classesOf]] output) to an existing
-    * store: new per-day files land in `classes` and in each band
-    * partition — history is never rewritten. Read-time merge makes
-    * the result equal [[graft.queries.Extensions.appendRegistry]]
-    * over the same days (RegistryStoreSpec pins the equality). */
+    * store: the delta lands in a fresh generation (one new classes
+    * LSM level + new per-band delta files) made live by one atomic
+    * manifest commit — history is never rewritten, and a reader
+    * NEVER sees a partially-appended day (the pre-generation layout
+    * appended files in place, so a concurrent reader could). Read-
+    * time merge makes the result equal
+    * [[graft.queries.Extensions.appendRegistry]] over the same days
+    * (RegistryStoreSpec pins the equality). */
   def append(deltaClasses: DataFrame, root: String,
              filesPerBand: Int = 1): Unit = {
+    val spark = deltaClasses.sparkSession
+    val fs = fsOf(spark, root)
+    val m = currentManifest(spark, root)
+    val g = nextGen(fs, root)
     deltaClasses.select(col("sig"), col("cnt"), col("min_id"), col("arr"))
-      .write.mode("append").parquet(s"$root/classes")
+      .write.parquet(classesDir(root, g))
     bandsFor(deltaClasses, filesPerBand)
-      .write.partitionBy("band").mode("append").parquet(s"$root/bands")
+      .write.partitionBy("band").parquet(bandsDir(root, g))
+    val bands = bandsIn(fs, root, g).foldLeft(m.bands) { (acc, k) =>
+      acc + (k -> (acc.getOrElse(k, Seq.empty) :+ g))
+    }
+    commitManifest(fs, root, Manifest(m.version + 1, m.classes :+ g, bands))
   }
 
+  /** band ids present in one bands generation dir. */
+  private def bandsIn(fs: FileSystem, root: String, g: Int): Seq[Int] = {
+    val dir = new Path(bandsDir(root, g))
+    if (!fs.exists(dir)) Seq.empty
+    else fs.listStatus(dir).toSeq.filter(_.isDirectory)
+      .flatMap(_.getPath.getName.split("=") match {
+        case Array("band", v) => v.toIntOption
+        case _ => None // tmp/garbage dirs never parse as a partition
+      })
+  }
+
+  /** Absolute band-partition dirs of the LIVE manifest, per band —
+    * the physical paths file-level tooling (and the spec's footer
+    * probes) should resolve through, never by globbing the root. */
+  private[graft] def bandDirs(spark: SparkSession,
+                              root: String): Map[Int, Seq[String]] = {
+    val m = currentManifest(spark, root)
+    m.bands.map { case (k, gens) =>
+      k -> gens.map(g => s"${bandsDir(root, g)}/band=$k")
+    }
+  }
+
+  // -------------------------------------------------------------- reads
   /** The merged class view of a store: per sig, cnt sums and min_id
-    * takes the least across the appended days (arr is functionally
-    * determined by sig — any representative is the value-
-    * deterministic one). One hash agg keyed by sig; cost ∝ class
-    * rows, never raw history docs. */
-  def readClasses(spark: SparkSession, root: String): DataFrame =
-    spark.read.parquet(s"$root/classes")
+    * takes the least across the appended generations (arr is
+    * functionally determined by sig — any representative is the
+    * value-deterministic one). One hash agg keyed by sig; cost ∝
+    * class rows, never raw history docs. */
+  def readClasses(spark: SparkSession, root: String): DataFrame = {
+    val m = currentManifest(spark, root)
+    spark.read.parquet(m.classes.map(classesDir(root, _)): _*)
       .groupBy(col("sig"))
       .agg(sum(col("cnt")).as("cnt"), min(col("min_id")).as("min_id"),
         first(col("arr")).as("arr"))
+  }
 
-  /** The band probe index (sig, band, k0..k3). Filter on `band`
-    * before joining: the filter is a partition predicate, so the scan
-    * reads one partition directory per probed band. */
-  def readBands(spark: SparkSession, root: String): DataFrame =
-    spark.read.parquet(s"$root/bands")
+  /** The band probe index (sig, band, k0..k3), resolved through the
+    * live manifest: one partition-pruned scan per generation, each
+    * restricted to the bands that still live in that generation (a
+    * compacted band's old rows stay on disk until reap but are never
+    * read). Filter on `band` before joining: the filter is a
+    * partition predicate on every generation's scan, so the probe
+    * reads one partition directory per generation. */
+  def readBands(spark: SparkSession, root: String): DataFrame = {
+    val m = currentManifest(spark, root)
+    val byGen = m.bands.toSeq
+      .flatMap { case (k, gens) => gens.map(_ -> k) }
+      .groupBy(_._1).view.mapValues(_.map(_._2).sorted).toSeq.sortBy(_._1)
+    byGen.map { case (g, ks) =>
+      spark.read.parquet(bandsDir(root, g))
+        .filter(col("band").isin(ks: _*))
+    }.reduce(_ unionByName _)
+  }
 
   /** x82's sorted-fill compaction plan over THIS store's band-index
-    * file inventory — the maintenance pass that folds small per-day
-    * delta files back into `targetBytes`-sized files, per band
-    * partition. Metadata-scale: one row per file. */
+    * file inventory (live-manifest files only) — the maintenance
+    * pass that folds small per-day delta files back into
+    * `targetBytes`-sized files, per band partition. Metadata-scale:
+    * one row per file. */
   def compactionPlanOf(spark: SparkSession, root: String,
                        targetBytes: Long = 1L << 20): DataFrame = {
     val inv = spark.createDataFrame(
-      listParquet(spark, s"$root/bands").map(f =>
-        (f.getPath.toString, f.getLen)))
+      bandDirs(spark, root).values.flatten.toSeq.sorted
+        .flatMap(d => listParquet(spark, d))
+        .map(f => (f.getPath.toString, f.getLen)))
       .toDF("file_id", "bytes")
     graft.queries.Extensions.compactionPlan(inv, targetBytes)
   }
@@ -95,6 +276,7 @@ object RegistryStore {
       : Seq[org.apache.hadoop.fs.FileStatus] = {
     val p = new Path(dir)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) return Seq.empty
     val out = Seq.newBuilder[org.apache.hadoop.fs.FileStatus]
     val it = fs.listFiles(p, true)
     while (it.hasNext) {
@@ -118,42 +300,74 @@ object RegistryStore {
     *
     * The rewrite unit is ONE BAND PARTITION, never the table: at
     * 100 TB each band folds independently (and can be scheduled
-    * independently); readers are unaffected because the swap is
-    * per-directory. Readback equality and post-compaction pruning
-    * are pinned by RegistryStoreSpec; x95 stays hash-green reading a
-    * compacted store. */
+    * independently); a band already at one file is carried by
+    * manifest reference, its bytes untouched. All folded output
+    * lands in a fresh generation and goes live in ONE atomic
+    * manifest commit (see the object doc's crash-safety protocol);
+    * generations the last [[ReapKeepVersions]] manifests no longer
+    * reference are reaped after the commit. Readback equality,
+    * post-compaction pruning, old-or-new reader isolation and
+    * crash-window readability are pinned by RegistryStoreSpec; x95
+    * stays hash-green reading a compacted store.
+    * @param reap disable only to inspect the post-commit/pre-reap
+    *             crash window (tests); production always reaps. */
   def compact(spark: SparkSession, root: String,
-              targetBytes: Long = 1L << 20): Unit = {
-    val bandsRoot = new Path(s"$root/bands")
-    val fs = bandsRoot.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    fs.listStatus(bandsRoot)
-      .filter(s => s.isDirectory && s.getPath.getName.startsWith("band="))
-      .foreach { part =>
-        val files = listParquet(spark, part.getPath.toString)
-        if (files.length > 1) {
-          val inv = spark.createDataFrame(files.map(f =>
-            (f.getPath.toString, f.getLen))).toDF("file_id", "bytes")
-          val nOut = graft.queries.Extensions
-            .compactionPlan(inv, targetBytes)
-            .select(col("bin")).distinct().count().toInt
-          val tmp = new Path(s"${part.getPath}__compact_tmp")
-          spark.read.parquet(part.getPath.toString)
-            .repartitionByRange(nOut, col("k0"))
-            .sortWithinPartitions(col("k0"))
-            .write.mode("overwrite").parquet(tmp.toString)
-          // swap: drop the old delta files, move the folded ones in
-          files.foreach(f => fs.delete(f.getPath, false))
-          listParquet(spark, tmp.toString).foreach(f =>
-            fs.rename(f.getPath, new Path(part.getPath, f.getPath.getName)))
-          fs.delete(tmp, true)
+              targetBytes: Long = 1L << 20, reap: Boolean = true): Unit = {
+    val fs = fsOf(spark, root)
+    val m = currentManifest(spark, root)
+    val g = nextGen(fs, root)
+    // classes LSM fold: materialize the read-time merge once
+    readClasses(spark, root).write.parquet(classesDir(root, g))
+    // per-band fold of multi-file bands into the fresh generation
+    val bands = m.bands.map { case (k, gens) =>
+      val files = gens.flatMap(gi =>
+        listParquet(spark, s"${bandsDir(root, gi)}/band=$k"))
+      if (files.length > 1) {
+        val inv = spark.createDataFrame(files.map(f =>
+          (f.getPath.toString, f.getLen))).toDF("file_id", "bytes")
+        val nOut = graft.queries.Extensions
+          .compactionPlan(inv, targetBytes)
+          .select(col("bin")).distinct().count().toInt
+        spark.read.parquet(files.map(_.getPath.toString): _*)
+          .repartitionByRange(nOut, col("k0"))
+          .sortWithinPartitions(col("k0"))
+          .write.parquet(s"${bandsDir(root, g)}/band=$k")
+        k -> Seq(g)
+      } else k -> gens
+    }
+    commitManifest(fs, root, Manifest(m.version + 1, Seq(g), bands))
+    if (reap) reapStaleGens(spark, root)
+  }
+
+  /** Post-commit garbage collection: delete generation dirs (and
+    * manifest versions) unreferenced by the latest
+    * [[ReapKeepVersions]] manifests, with ids strictly below the
+    * newest committed generation — so an in-flight reader on the
+    * previous manifest keeps its files, and crashed writers' orphan
+    * generations (dirs with no manifest entry) get reclaimed.
+    * Idempotent; safe to run any time. */
+  private[graft] def reapStaleGens(spark: SparkSession, root: String): Unit = {
+    val fs = fsOf(spark, root)
+    val versions = manifestVersions(fs, root)
+    val kept = versions.takeRight(ReapKeepVersions)
+    val manifests = kept.map(readManifest(fs, root, _))
+    val live: Set[Int] = manifests
+      .flatMap(mm => mm.classes ++ mm.bands.values.flatten).toSet
+    val ceiling = if (live.isEmpty) 0 else live.max
+    if (fs.exists(new Path(root))) {
+      fs.listStatus(new Path(root)).foreach { st =>
+        val n = st.getPath.getName
+        val gid =
+          if (n.startsWith("classes_g")) n.stripPrefix("classes_g").toIntOption
+          else if (n.startsWith("bands_g")) n.stripPrefix("bands_g").toIntOption
+          else None
+        gid.foreach { id =>
+          if (!live.contains(id) && id < ceiling) fs.delete(st.getPath, true)
         }
       }
-    // fold the classes LSM: materialize the read-time merge once
-    val merged = readClasses(spark, root)
-    val tmpC = new Path(s"$root/classes__compact_tmp")
-    merged.write.mode("overwrite").parquet(tmpC.toString)
-    fs.delete(new Path(s"$root/classes"), true)
-    fs.rename(tmpC, new Path(s"$root/classes"))
+    }
+    versions.dropRight(ReapKeepVersions).foreach(v =>
+      fs.delete(new Path(manifestDir(root), f"v$v%05d.txt"), false))
   }
 
   /** Band rows of a class table, ranged on (band, k0) so each written

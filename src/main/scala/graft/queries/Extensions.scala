@@ -2893,7 +2893,7 @@ object Extensions {
     *   spans (the k×-scaled estimator). winnow=1 keeps every span —
     *   byte-identical to the exact construction (SpanDedupSpec). */
   private[graft] def spanDedupCounts(docs: DataFrame, w: Int = SpanW,
-                                     winnow: Int = 1): DataFrame = {
+      winnow: Int = graft.Knobs.SpanWinnowDefault): DataFrame = {
     require(winnow >= 1, s"winnow must be >= 1, got $winnow")
     // distinct span hashes per doc, built row-locally in ONE fused
     // native pass (split + rolling window + incremental md5 + winnow
@@ -5395,7 +5395,7 @@ object Extensions {
   // carries little margin, and NO sublinear shortlist can hold
   // recall (the x83 audit exposes exactly this) — so the GATES run
   // with the knob on and x83 reports the honest number; the DEFAULT
-  // (fixed R) is what ships, and IvfPqClusteredSpec + the x98 gate
+  // (fixed R) is what ships, and X80IvfPqSpec + the x98 gate
   // prove it holds recall@5 ≥ 90% on a clustered corpus (the regime
   // real embeddings live in; x39's construction). m=16 subquantizers
   // over 4 dims (vs x44's 4×16) cut the per-sub distortion enough
@@ -5543,7 +5543,7 @@ object Extensions {
 
   /** The DEFAULT re-rank shortlist: R = 8·k exact distances per
     * query — O(k), corpus-independent, the production IVFADC setting
-    * (IvfPqClusteredSpec + x98 prove it holds recall@5 ≥ 90% on a
+    * (X80IvfPqSpec + x98 prove it holds recall@5 ≥ 90% on a
     * clustered corpus). */
   private[graft] val IvfPqRerankFixed = 8L * TopK
 
@@ -6101,7 +6101,7 @@ object Extensions {
   // 64 × (the j-th vector), point i = center(i mod 8) + vector i —
   // so clusters are separated by ~64× the intra-cluster spread and
   // the oracle replays the construction exactly (pure integer ops:
-  // %, ×, + — no engine-divergent division). IvfPqClusteredSpec
+  // %, ×, + — no engine-divergent division). X80IvfPqSpec
   // floor-asserts mean recall@5 ≥ 90% on this gate's output; a
   // quantizer regression that stayed hash-green (both engines
   // replaying the same broken construction) fails there.
@@ -6415,7 +6415,7 @@ object Extensions {
     * plain shuffleable equi-join on sig instead of a driver OOM.
     * 100k (sig, arr) class rows ≈ low hundreds of MB at crawl-shaped
     * token-array sizes. */
-  private val IngestBcastClassCap = 100000L
+  private val IngestBcastClassCap = graft.Knobs.IngestBcastClassCapDefault
 
   /** [[incrementalIngest]] against an ALREADY-BUILT class registry
     * ([[classesOf]] output, possibly maintained across days by
@@ -6941,7 +6941,7 @@ object Extensions {
     * (candidates per bucket ≤ C(cap, 2)), the recall loss is the
     * documented trade (X90CapSpec measures it on a saturating
     * fixture), and the oracle replays the identical two-stage cap. */
-  private val FpBandCap = 64
+  private val FpBandCap = graft.Knobs.FpBandCapDefault
 
   /** Class-level banded Hamming near-dup over (doc_id, ah) 64-bit
     * fingerprint rows — the x01-collapse + x04-banding composition
@@ -7561,13 +7561,12 @@ object Extensions {
       val root = java.nio.file.Files
         .createTempDirectory("graft_x95_registry")
       // scratch store: reclaim at JVM exit (readClasses is lazy — the
-      // files must outlive this builder fn, not the process)
-      Runtime.getRuntime.addShutdownHook(new Thread(() =>
-        try {
-          java.nio.file.Files.walk(root)
-            .sorted(java.util.Comparator.reverseOrder())
-            .forEach(p => { java.nio.file.Files.deleteIfExists(p); () })
-        } catch { case _: Throwable => () }))
+      // files must outlive this builder fn, not the process). ONE
+      // shared hook drains a queue of roots: bench sweeps invoke this
+      // builder dozens of times, and a hook-per-pass both leaks
+      // threads and throws IllegalStateException if a pass races
+      // JVM shutdown (TempReaper registers its hook once, lazily).
+      TempReaper.register(root)
       graft.RegistryStore.write(classesOf(day0), root.toString)
       graft.RegistryStore.append(classesOf(day1), root.toString)
       graft.RegistryStore.compact(s, root.toString)
@@ -7619,8 +7618,14 @@ object Extensions {
     * monotone — X96GopherSpec pins both the monotonicity and
     * flag-agreement with the full run on the corpus). The top side
     * (n ≤ 4) is never winnowed: its statistic is a per-doc argmax,
-    * not a union, and sampling would change WHICH gram wins. */
-  private[graft] val GopherDupWinnow = 4
+    * not a union, and sampling would change WHICH gram wins.
+    *
+    * Round 13: the PUBLIC API default is EXACT
+    * ([[graft.Knobs.GopherDupWinnowExact]] = 1) — a consumer reading
+    * rep_n gets the true Gopher Table A1 permilles unless they opt
+    * into the estimator; the x96 GATE runs the documented mod-4
+    * estimator explicitly (its oracle replays the same winnow). */
+  private[graft] val GopherDupWinnow = graft.Knobs.GopherDupWinnowGate
 
   /** x96's engine, parameterized for fixtures: (doc_id, text) in;
     * (doc_id, n_chars, rep_2..rep_4, rep_5..rep_10) out — permille of
@@ -7628,7 +7633,7 @@ object Extensions {
     * (5..10)-grams. X96GopherSpec pins coverage union, tie-breaks,
     * and batch/stream agreement. */
   private[graft] def gopherRepetition(docs: DataFrame,
-      dupWinnow: Int = GopherDupWinnow): DataFrame = {
+      dupWinnow: Int = graft.Knobs.GopherDupWinnowExact): DataFrame = {
     require(dupWinnow >= 1, "dupWinnow >= 1")
     val tkd = docs
       .select(col("doc_id"), col("text"), split(col("text"), " ").as("tk"))
@@ -7689,7 +7694,11 @@ object Extensions {
 
   private val x96 = GateQuery(
     "x96_gopher_repetition",
-    (s, d) => gopherRepetition(Tables.documents(s, d)),
+    // the gate runs the documented mod-4 dup-side estimator (the
+    // oracle's pos CTE replays the same winnow); the public API
+    // default is exact — see GopherDupWinnow's scaladoc
+    (s, d) => gopherRepetition(Tables.documents(s, d),
+      dupWinnow = GopherDupWinnow),
     Some {
       val repSelects = (GopherTopNs ++ GopherDupNs).map { k =>
         s"coalesce(max(CASE WHEN c.n = $k THEN (c.chars * 1000) // nc.n_chars END), 0) AS rep_$k"

@@ -146,7 +146,7 @@ object DocStreams {
     * is linear in tokens and needs no cap. */
   def gopherRepetitionStream(docs: DataFrame,
       maxTokens: Int = GopherStreamMaxTokens,
-      dupWinnow: Int = graft.queries.Extensions.GopherDupWinnow): DataFrame = {
+      dupWinnow: Int = graft.Knobs.GopherDupWinnowExact): DataFrame = {
     require(maxTokens >= 1, "maxTokens >= 1")
     require(dupWinnow >= 1, "dupWinnow >= 1")
     val tkAll = split(col("text"), " ")

@@ -1,0 +1,43 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Pins every [[Knobs]] default (a drive-by change must break a test,
+  * not a hash gate) and the conf-or-default resolution path. */
+class KnobsSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+
+  test("pinned defaults: the exactness contracts in Knobs' table") {
+    assert(Knobs.GopherDupWinnowExact == 1)
+    assert(Knobs.GopherDupWinnowGate == 4)
+    assert(Knobs.SpanWinnowDefault == 1)
+    assert(Knobs.FpBandCapDefault == 64)
+    assert(Knobs.IngestBcastClassCapDefault == 100000L)
+  }
+
+  test("public API defaults are the EXACT forms; the gate estimator " +
+    "setting is explicit opt-in") {
+    // gopherRepetition's default must equal the exact knob — the x96
+    // gate passes GopherDupWinnowGate explicitly
+    import org.apache.spark.sql.functions.col
+    import spark.implicits._
+    val d = Seq((1L, "p q r s t u p q r s t u")).toDF("doc_id", "text")
+    val exact = graft.queries.Extensions.gopherRepetition(d)
+      .select(col("rep_5")).as[Long].collect().head
+    val explicit1 = graft.queries.Extensions
+      .gopherRepetition(d, dupWinnow = Knobs.GopherDupWinnowExact)
+      .select(col("rep_5")).as[Long].collect().head
+    assert(exact == explicit1, "default must be the exact (winnow=1) form")
+    assert(exact > 0L, "fixture premise: the doc has duplicated 5-grams")
+  }
+
+  test("conf-or-default resolution") {
+    val key = Knobs.GopherDupWinnowKey
+    assert(Knobs.resolveInt(spark, key, Knobs.GopherDupWinnowExact) == 1)
+    spark.conf.set(key, "8")
+    try assert(Knobs.resolveInt(spark, key, 1) == 8)
+    finally spark.conf.unset(key)
+    assert(Knobs.resolveLong(spark, Knobs.IngestBcastClassCapKey,
+      Knobs.IngestBcastClassCapDefault) == 100000L)
+  }
+}

@@ -17,9 +17,26 @@ import scala.jdk.CollectionConverters._
   * directory, a band-key range PROVEN (from real parquet footers) to
   * touch a strict subset of that partition's files losslessly, and
   * x82's compaction planner composing over the store's own file
-  * inventory. */
+  * inventory.
+  *
+  * Round 13 adds the crash-safety pins for the generation+manifest
+  * commit protocol: uncommitted generations are invisible, a reader
+  * in flight across a compaction keeps reading the old state, the
+  * post-commit/pre-reap crash window leaves a readable store, and
+  * reaping reclaims exactly the generations outside the retention
+  * window. */
 class RegistryStoreSpec extends AnyFunSuite {
   lazy val spark = TestSpark.spark
+
+  /** All live parquet files of one band, resolved via the manifest
+    * (the only sanctioned way to reach the store's physical files). */
+  private def bandFilesOf(root: String, b: Int): Seq[String] =
+    RegistryStore.bandDirs(spark, root)(b).flatMap { d =>
+      val f = new java.io.File(d)
+      if (!f.isDirectory) Seq.empty
+      else f.listFiles().filter(_.getName.endsWith(".parquet"))
+        .map(_.getPath).toSeq
+    }.sorted
 
   private def docArrs = Tables.documents(spark, "/root/testdata/sf0.001")
     .selectExpr("doc_id",
@@ -56,11 +73,10 @@ class RegistryStoreSpec extends AnyFunSuite {
       .collectFirst { case f: FileSourceScanExec => f }
       .getOrElse(fail("no file scan in the probe plan"))
     val selected = scan.selectedPartitions
-    val allParts = new java.io.File(s"$root/bands").listFiles()
-      .filter(f => f.isDirectory && f.getName.startsWith("band="))
-    assert(allParts.length == graft.queries.Extensions.NumBands)
+    val allParts = RegistryStore.bandDirs(spark, root)
+    assert(allParts.size == graft.queries.Extensions.NumBands)
     assert(selected.partitionCount == 1,
-      s"partition pruning must select 1 of ${allParts.length} partitions, " +
+      s"partition pruning must select 1 of ${allParts.size} partitions, " +
         s"got ${selected.partitionCount}")
     assert(selected.toPartitionArray.forall(
       _.filePath.toString.contains("band=2")))
@@ -97,9 +113,7 @@ class RegistryStoreSpec extends AnyFunSuite {
       .createTempDirectory("graft_regstore_footer").toString
     RegistryStore.write(graft.queries.Extensions.classesOf(docArrs), root,
       filesPerBand = 4)
-    val bandDir = new java.io.File(s"$root/bands/band=1")
-    val files = bandDir.listFiles().filter(_.getName.endsWith(".parquet"))
-      .map(_.getPath).sorted
+    val files = bandFilesOf(root, 1)
     assert(files.length >= 3, s"want several files per band, got ${files.length}")
     // probe the middle eighth of k0's POPULATION (quantile window, so
     // the probe is non-vacuous however the values spread)
@@ -136,9 +150,7 @@ class RegistryStoreSpec extends AnyFunSuite {
       .collect().map(r => (r.getString(0), r.getInt(1), r.getLong(2),
         r.getLong(3), r.getLong(4), r.getLong(5))).sortBy(identity).toSeq
     val wantBands = bandRows()
-    def bandFiles(b: Int) = new java.io.File(s"$root/bands/band=$b")
-      .listFiles().filter(_.getName.endsWith(".parquet")).map(_.getPath)
-      .sorted
+    def bandFiles(b: Int) = bandFilesOf(root, b)
     val before = bandFiles(1)
     assert(before.length == 4, s"4 delta files expected, got ${before.length}")
     // target = half of band-1's accumulated bytes: the fold must
@@ -162,7 +174,7 @@ class RegistryStoreSpec extends AnyFunSuite {
     // strictly (the append-era files all spanned the full key range)
     val ranges = after.map(f => footerRange(f, "k0")).sortBy(_._1)
     ranges.sliding(2).foreach {
-      case Array((_, mx), (mn, _)) =>
+      case Seq((_, mx), (mn, _)) =>
         assert(mx <= mn, s"overlapping k0 ranges after compaction: " +
           s"${ranges.mkString(", ")}")
       case _ =>
@@ -191,6 +203,94 @@ class RegistryStoreSpec extends AnyFunSuite {
       val want = rows.map(_.getAs[Long]("bytes")).sum
       assert(rows.forall(_.getAs[Long]("bin_bytes") == want))
     }
+    d.unpersist()
+  }
+
+  // ------------------------------------------------- crash-safety pins
+
+  private def genDirs(root: String): Seq[String] =
+    new java.io.File(root).listFiles().toSeq.map(_.getName)
+      .filter(n => n.startsWith("classes_g") || n.startsWith("bands_g"))
+      .sorted
+
+  test("uncommitted generations (a writer crash before the manifest " +
+    "commit) are invisible to readers and reaped by the next compact") {
+    val root = java.nio.file.Files
+      .createTempDirectory("graft_regstore_orphan").toString
+    val classes = graft.queries.Extensions.classesOf(docArrs).persist()
+    RegistryStore.write(classes, root)
+    val want = classesKey(RegistryStore.readClasses(spark, root))
+    val wantBands = RegistryStore.readBands(spark, root).count()
+    // simulate a crashed append: data files land in fresh generation
+    // dirs, but the process dies before the manifest commit
+    classes.select(col("sig"), col("cnt"), col("min_id"), col("arr"))
+      .write.parquet(s"$root/classes_g00002")
+    classes.limit(1).select(col("sig"), col("cnt"))
+      .write.parquet(s"$root/bands_g00002/band=0")
+    assert(classesKey(RegistryStore.readClasses(spark, root)) == want,
+      "orphan generation leaked into the class read")
+    assert(RegistryStore.readBands(spark, root).count() == wantBands,
+      "orphan generation leaked into the band read")
+    // the next maintenance pass reclaims the orphan (it is below the
+    // newly-committed generation and no kept manifest references it)
+    RegistryStore.compact(spark, root)
+    assert(!genDirs(root).contains("classes_g00002") &&
+           !genDirs(root).contains("bands_g00002"),
+      s"orphan generation survived reaping: ${genDirs(root)}")
+    assert(classesKey(RegistryStore.readClasses(spark, root)) == want)
+    classes.unpersist()
+  }
+
+  test("a reader in flight across a compaction keeps its snapshot: " +
+    "old-generation files survive one commit (retention window)") {
+    val root = java.nio.file.Files
+      .createTempDirectory("graft_regstore_inflight").toString
+    val d = docArrs.persist()
+    RegistryStore.write(graft.queries.Extensions.classesOf(
+      d.filter(col("doc_id") % 2 === 0)), root)
+    RegistryStore.append(graft.queries.Extensions.classesOf(
+      d.filter(col("doc_id") % 2 === 1)), root)
+    val want = classesKey(RegistryStore.readClasses(spark, root))
+    // the in-flight reader: plans (and pins its file listing) BEFORE
+    // the compaction lands, collects AFTER
+    val inFlight = RegistryStore.readClasses(spark, root)
+    inFlight.queryExecution.executedPlan // force file-index resolution
+    RegistryStore.compact(spark, root)
+    assert(classesKey(inFlight) == want,
+      "in-flight reader lost its snapshot across a compaction commit")
+    assert(classesKey(RegistryStore.readClasses(spark, root)) == want,
+      "post-compaction reader diverged")
+    d.unpersist()
+  }
+
+  test("crash between commit and reap leaves a readable store; a later " +
+    "pass reclaims exactly the out-of-retention generations") {
+    val root = java.nio.file.Files
+      .createTempDirectory("graft_regstore_reap").toString
+    val d = docArrs.persist()
+    RegistryStore.write(graft.queries.Extensions.classesOf(
+      d.filter(col("doc_id") % 2 === 0)), root)
+    RegistryStore.append(graft.queries.Extensions.classesOf(
+      d.filter(col("doc_id") % 2 === 1)), root)
+    val want = classesKey(RegistryStore.readClasses(spark, root))
+    val preGens = genDirs(root)
+    // crash window: manifest committed, reap never ran
+    RegistryStore.compact(spark, root, reap = false)
+    assert(genDirs(root).toSet.intersect(preGens.toSet) == preGens.toSet,
+      "reap=false must leave every pre-compaction generation on disk")
+    assert(classesKey(RegistryStore.readClasses(spark, root)) == want,
+      "store unreadable in the post-commit crash window")
+    // a second maintenance commit pushes gens 1-2 out of the 2-version
+    // retention window; reap then reclaims them
+    RegistryStore.compact(spark, root)
+    val left = genDirs(root)
+    assert(!left.contains("classes_g00001") && !left.contains("classes_g00002"),
+      s"out-of-retention class generations survived: $left")
+    assert(!left.exists(_.startsWith("bands_g00001")) &&
+           !left.exists(_.startsWith("bands_g00002")),
+      s"out-of-retention band generations survived: $left")
+    assert(classesKey(RegistryStore.readClasses(spark, root)) == want,
+      "store diverged after reap")
     d.unpersist()
   }
 }

@@ -90,13 +90,15 @@ class X96GopherSpec extends AnyFunSuite {
   test("streaming twin equals batch on the real corpus") {
     val d = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
       .select("doc_id", "text")
-    // both sides at the SHIPPED default (the winnowed dup side) —
-    // the twins must replay the same mod-k gram-identity sample
+    // both sides at the GATE setting (the winnowed dup side) — the
+    // twins must replay the same mod-k gram-identity sample; the
+    // public default on both sides is exact (Knobs)
     val expected = run(d, Extensions.GopherDupWinnow)
     val rows = d.as[(Long, String)].collect()
     val in = MemoryStream[(Long, String)]
     val stream = DocStreams.gopherRepetitionStream(
-      in.toDF().toDF("doc_id", "text"))
+      in.toDF().toDF("doc_id", "text"),
+      dupWinnow = Extensions.GopherDupWinnow)
     val q = stream.drop("truncated")
       .writeStream.format("memory").queryName("gop2").outputMode("append")
       .start()
@@ -129,12 +131,13 @@ class X96GopherSpec extends AnyFunSuite {
     val longText = (0 until 20000).map(i => s"t${i % 7}").mkString(" ")
     val cap = 64
     val prefix = longText.split(" ").take(cap).mkString(" ")
-    // like-for-like: the stream runs the shipped winnow default
+    // like-for-like: both sides at the gate's winnow setting
     val expected = run(docs(1L -> prefix, 2L -> "a b a b"),
       Extensions.GopherDupWinnow)
     val in = MemoryStream[(Long, String)]
     val q = DocStreams.gopherRepetitionStream(
-        in.toDF().toDF("doc_id", "text"), maxTokens = cap)
+        in.toDF().toDF("doc_id", "text"), maxTokens = cap,
+        dupWinnow = Extensions.GopherDupWinnow)
       .writeStream.format("memory").queryName("gopCap").outputMode("append")
       .start()
     in.addData((1L, longText), (2L, "a b a b"))
