@@ -491,7 +491,12 @@ final case class EventPattern[E] private (
     else {
       require(sub.steps.forall(_.groupWithinMs == Long.MaxValue),
         "a windowed group cannot nest another windowed group — one " +
-          "group window per stage")
+          "group window per stage. FlinkCEP cannot express this shape " +
+          "either: every Flink within() folds into ONE global window " +
+          "(the min across stages), so any FlinkCEP program maps onto " +
+          "this builder. Decompose: keep the INNER group window and " +
+          "move the outer bound to the whole-pattern within() " +
+          "(CepGroupSpec's parity cases run both decompositions)")
       shifted.map(_.copy(groupStart = base, groupWithinMs = sub.withinMs))
     }
   }
@@ -665,7 +670,9 @@ object EventPattern {
     else {
       require(sub.steps.forall(_.groupWithinMs == Long.MaxValue),
         "a windowed group cannot nest another windowed group — one " +
-          "group window per stage")
+          "group window per stage (see followedBy(sub): FlinkCEP " +
+          "cannot express stacked scoped windows either; decompose " +
+          "via the whole-pattern within())")
       EventPattern(sub.steps.map(
         _.copy(groupStart = 0, groupWithinMs = sub.withinMs)), Long.MaxValue)
     }

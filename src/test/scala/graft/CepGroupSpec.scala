@@ -280,6 +280,54 @@ class CepGroupSpec extends AnyFunSuite {
         .until(_ => true), 2)) // quantified stage inside a repeated group
   }
 
+  test("one-group-window-per-stage limit: the FlinkCEP parity pin — " +
+    "the rejected stacked shape exceeds FlinkCEP, and both legal " +
+    "decompositions run") {
+    // The rejected shape wants TWO scoped windows on one stage:
+    // [[B C].within(5) D].within(9). FlinkCEP cannot express it —
+    // every Flink within() folds into ONE global window (the NFA
+    // compiler takes the min across stages), so no FlinkCEP program
+    // produces stacked scoped windows; nothing expressible in
+    // FlinkCEP is rejected by this builder. The message names the
+    // decomposition:
+    val err = intercept[IllegalArgumentException](
+      EventPattern.begin[Ev]("A").where(_.kind == "a")
+        .followedBy(
+          EventPattern.begin(bc.within(java.time.Duration.ofMillis(5)))
+            .followedBy("D").where(_.kind == "d")
+            .within(java.time.Duration.ofMillis(9)))
+        .within(java.time.Duration.ofMillis(W)))
+    assert(err.getMessage.contains("one group window per stage") &&
+      err.getMessage.contains("FlinkCEP"))
+
+    // Decomposition 1 (strictly MORE expressive than Flink's fold):
+    // keep the inner group window scoped, express the outer group's
+    // bound as the whole-pattern within — legal here, inexpressible
+    // in FlinkCEP (which would fold 5 into the global window).
+    val scoped = EventPattern.begin[Ev]("A").where(_.kind == "a")
+      .followedBy(EventPattern.begin(
+          bc.within(java.time.Duration.ofMillis(5)))
+        .followedBy("D").where(_.kind == "d"))
+      .within(java.time.Duration.ofMillis(9))
+    // Decomposition 2 (the exact FlinkCEP semantics of the stacked
+    // declaration): one global window = min(9, 5).
+    val flinkFold = EventPattern.begin[Ev]("A").where(_.kind == "a")
+      .followedBy("B").where(_.kind == "b")
+      .followedBy("C").where(_.kind == "c")
+      .followedBy("D").where(_.kind == "d")
+      .within(java.time.Duration.ofMillis(5))
+    // a@0 b@2 c@6 d@8: B→C spans 4 ≤ 5 (inner window holds), whole
+    // match spans 8 ≤ 9 — the scoped form matches; Flink's folded
+    // global-5 window kills it at c@6. The scoped builder loses
+    // nothing FlinkCEP could express and gains the scoped shape.
+    val evs = Seq(ev("a", 0), ev("b", 2), ev("c", 6), ev("d", 8))
+    assert(run(scoped, evs).map(m => m("D").head.ts) == Vector(8L))
+    assert(run(flinkFold, evs).isEmpty)
+    // and on a tight trace both agree
+    val tight = Seq(ev("a", 0), ev("b", 1), ev("c", 2), ev("d", 3))
+    assert(run(scoped, tight).nonEmpty && run(flinkFold, tight).nonEmpty)
+  }
+
   test("range-counted group: one match per repetition count in [from, to]") {
     val pat = EventPattern.begin[Ev]("A").where(_.kind == "a")
       .followedByTimes(bc, 1, 2)

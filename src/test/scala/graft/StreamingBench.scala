@@ -3,12 +3,22 @@ package graft
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
-import graft.streaming.EventStreams
+import org.apache.spark.sql.functions.{col, explode, split}
+import graft.streaming.{Cep, DocStreams, EventPattern, EventStreams}
+
+/** One (repo, filename) file event for the q09-shaped CEP bench. */
+case class FEv(repo: String, filename: String, status: String,
+               ets: java.sql.Timestamp)
+/** One token row for the heavy-hitter bench. */
+case class Tok(tok: String)
 
 /** Dev tool: throughput of the streaming operators over the real
-  * sf events table, fed through MemoryStream in micro-batches and
-  * written to the noop sink — isolates pipeline + state-store cost
-  * from source/sink IO. Reports rows/s per operator. */
+  * sf events/documents/embeddings tables, fed through MemoryStream
+  * in micro-batches and written to the noop sink — isolates
+  * pipeline + state-store cost from source/sink IO. Reports rows/s
+  * per operator under BOTH state-store providers, prints one JSON
+  * line, and (when `STREAM_BENCH_OUT` is set) writes the
+  * BENCH_STREAM artifact. */
 object StreamingBench {
   def main(args: Array[String]): Unit = {
     val sfDir = if (args.length > 0) args(0) else "/root/testdata/sf0.1"
@@ -31,6 +41,15 @@ object StreamingBench {
       .collect().sortBy(_.ts.getTime).toSeq
     println(s"events: ${events.length} rows, batch=$batchRows")
 
+    // name -> (unit rows/s, seconds, fed rows); insertion-ordered for
+    // the artifact
+    val results = scala.collection.mutable
+      .LinkedHashMap[String, (Double, Double, Long, String)]()
+    def report(name: String, n: Long, sec: Double, unit: String): Unit = {
+      results(name) = (n / sec, sec, n, unit)
+      println(f"$name%-26s ${n / sec}%,10.0f $unit%s  ($sec%.2f s, $n rows)")
+    }
+
     def run(name: String, q: DataFrame => DataFrame,
             mode: String): Unit = {
       val in = MemoryStream[Ev]
@@ -43,7 +62,7 @@ object StreamingBench {
       }
       val sec = (System.nanoTime() - t0) / 1e9
       sq.stop()
-      println(f"$name%-22s ${events.length / sec}%,10.0f rows/s  ($sec%.2f s, ${events.length / batchRows} batches)")
+      report(name, events.length.toLong, sec, "rows/s")
     }
 
     def runJoin(name: String): Unit = {
@@ -58,7 +77,7 @@ object StreamingBench {
       }
       val sec = (System.nanoTime() - t0) / 1e9
       sq.stop()
-      println(f"$name%-22s ${events.length / sec}%,10.0f rows/s  ($sec%.2f s, ${events.length / batchRows} batches)")
+      report(name, events.length.toLong, sec, "rows/s/side")
     }
 
     // Same operator set under each state-store provider (the
@@ -68,28 +87,149 @@ object StreamingBench {
     // the scale path once per-partition state outgrows memory.
     val providers = sys.env.get("SPARK_GRAFT_STATE_STORE")
       .map(f => Seq(f.toLowerCase)).getOrElse(Seq("hdfs", "rocksdb"))
+    // dev filter: STREAM_ONLY=neardup_srp,cep_q09 restricts the twin
+    // set (prefix match, provider suffix excluded)
+    val only = sys.env.get("STREAM_ONLY").map(_.split(",").toSet)
+    def sel(twin: String): Boolean = only.forall(_.exists(twin.startsWith))
     providers.foreach { p =>
       spark.conf.set("spark.sql.streaming.stateStore.providerClass",
         Sessions.stateStoreProviders(p))
       println(s"-- state store: $p --")
       // warm once (JIT + state store init) then measure
       run("warmup", EventStreams.runningTypeCounts, "update")
-      run(s"running_counts[$p]", EventStreams.runningTypeCounts, "update")
-      run(s"daily_revenue[$p]", EventStreams.dailyTypeRevenue, "append")
-      run(s"dedup_1h[$p]", EventStreams.dedupStream(_, "1 hour", Seq("event_id")), "append")
-      run(s"sessions_30m[$p]", EventStreams.userSessions, "append")
-      runJoin(s"interval_join[$p]")
-      runNearDup(s"neardup_lsh[$p]")
+      results.remove("warmup")
+      if (sel("running_counts"))
+        run(s"running_counts[$p]", EventStreams.runningTypeCounts, "update")
+      if (sel("daily_revenue"))
+        run(s"daily_revenue[$p]", EventStreams.dailyTypeRevenue, "append")
+      if (sel("dedup_1h"))
+        run(s"dedup_1h[$p]", EventStreams.dedupStream(_, "1 hour", Seq("event_id")), "append")
+      if (sel("sessions_30m"))
+        run(s"sessions_30m[$p]", EventStreams.userSessions, "append")
+      if (sel("interval_join")) runJoin(s"interval_join[$p]")
+      if (sel("cep_q09")) runCepQ09(s"cep_q09[$p]")
+      if (sel("exact_dedup_docs")) runExactDedup(s"exact_dedup_docs[$p]")
+      if (sel("heavy_hitters")) runHeavyHitters(s"heavy_hitters[$p]")
+      if (sel("ccnet_bucket")) runCcnet(s"ccnet_bucket[$p]")
+      if (sel("neardup_lsh")) runNearDup(s"neardup_lsh[$p]")
       // 10x state: corpus replicated with per-copy token salts (each
       // copy gets fresh signatures → fresh band buckets) under a
       // horizon long enough that nothing expires — the memory-bounded
       // claim for RocksDB is measured, not asserted
-      runNearDupScaled(s"neardup_lsh_10x[$p]", mult = 10, horizon = "24 hours")
-      runSrpNearDup(s"neardup_srp[$p]")
+      if (sel("neardup_lsh_10x"))
+        runNearDupScaled(s"neardup_lsh_10x[$p]", mult = 10, horizon = "24 hours")
+      if (sel("neardup_srp")) runSrpNearDup(s"neardup_srp[$p]")
     }
     // stateless ops once (no state store involved)
-    runRedact("pii_redact[stateless]")
+    if (sel("pii_redact")) runRedact("pii_redact[stateless]")
+
+    emitArtifact()
     spark.stop()
+
+    // one-line artifact (the BENCH_r* discipline for the stream half)
+    def emitArtifact(): Unit = {
+      val twinsJson = results.map { case (n, (rps, sec, rows, unit)) =>
+        f""""$n":{"rate":$rps%.1f,"unit":"$unit%s","sec":$sec%.3f,"rows":$rows}"""
+      }.mkString("{", ",", "}")
+      val slowest = results.minByOption(_._2._1).map(_._1).getOrElse("")
+      val json = s"""{"metric":"stream_throughput","unit":"rows_per_s",""" +
+        s""""sf":"$sfDir","batch_rows":$batchRows,"state_parts":$parts,""" +
+        s""""slowest":"$slowest","twins":$twinsJson}"""
+      println(json)
+      sys.env.get("STREAM_BENCH_OUT").foreach { p =>
+        java.nio.file.Files.writeString(java.nio.file.Paths.get(p), json + "\n")
+      }
+    }
+
+    // q09's CEP shape (added followedBy removed within 1 day, keyed
+    // by (repo, filename)) over the real event feed: statuses
+    // alternate by event id, ~10k live keys, watermark-timed NFA
+    // state. Measures Cep.detect's flatMapGroupsWithState path — the
+    // one streaming operator family the earlier bench never priced.
+    def runCepQ09(name: String): Unit = {
+      val evs = events.map(e => FEv(s"r${e.user_id % 200}",
+        s"f${e.event_id % 50}",
+        if (e.event_id % 2 == 0) "added" else "removed", e.ts))
+      val pattern = EventPattern.begin[FEv]("added")
+        .where(_.status == "added")
+        .followedBy("removed").where(_.status == "removed")
+        .within(java.time.Duration.ofDays(1))
+      val in = MemoryStream[FEv]
+      val sq = Cep.detect(
+          in.toDS().withWatermark("ets", "0 seconds"),
+          (e: FEv) => (e.repo, e.filename), (e: FEv) => e.ets.getTime,
+          pattern) { m =>
+          val a = m("added").head
+          (a.repo, a.filename)
+        }.writeStream.format("noop").outputMode("append").start()
+      val t0 = System.nanoTime()
+      evs.grouped(batchRows).foreach { c => in.addData(c); sq.processAllAvailable() }
+      val sec = (System.nanoTime() - t0) / 1e9
+      sq.stop()
+      report(name, evs.length.toLong, sec, "rows/s")
+    }
+
+    // x01's streaming twin over the real documents corpus:
+    // dropDuplicatesWithinWatermark on content hash
+    def runExactDedup(name: String): Unit = {
+      val docs = Tables.documents(spark, sfDir)
+        .select($"doc_id", $"text").as[(Long, String)].collect()
+        .map { case (id, tx) =>
+          SDoc(id, tx, new java.sql.Timestamp(1700000000000L + id * 1000)) }
+        .sortBy(_.ts.getTime).toSeq
+      val in = MemoryStream[SDoc]
+      val sq = DocStreams.exactDedupStream(in.toDF(), "1 hour")
+        .writeStream.format("noop").outputMode("append").start()
+      val t0 = System.nanoTime()
+      docs.grouped(1000).foreach { c => in.addData(c); sq.processAllAvailable() }
+      val sec = (System.nanoTime() - t0) / 1e9
+      sq.stop()
+      report(name, docs.length.toLong, sec, "docs/s")
+    }
+
+    // x46's Misra-Gries heavy hitters over the corpus token stream
+    // (bucket-sharded flatMapGroupsWithState, bounded k counters per
+    // bucket); tokens/s — the unit of arriving work
+    def runHeavyHitters(name: String): Unit = {
+      val toks = Tables.documents(spark, sfDir)
+        .select(explode(split($"text", " ")).as("tok"))
+        .as[String].collect().map(Tok(_)).toSeq
+      val in = MemoryStream[Tok]
+      val sq = DocStreams.heavyHitterStream(in.toDF())
+        .writeStream.format("noop").outputMode("update").start()
+      val t0 = System.nanoTime()
+      toks.grouped(50000).foreach { c => in.addData(c); sq.processAllAvailable() }
+      val sec = (System.nanoTime() - t0) / 1e9
+      sq.stop()
+      report(name, toks.length.toLong, sec, "toks/s")
+    }
+
+    // x87's streaming CCNet bucketer with a frozen model learned from
+    // the same corpus (per-bigram bits broadcast in-plan, per-lang
+    // tercile thresholds as a broadcast join)
+    def runCcnet(name: String): Unit = {
+      val training = Tables.documents(spark, sfDir)
+        .select($"doc_id", $"text", $"lang")
+      val bits = graft.queries.Extensions.lmBigramBits(training)
+        .as[(String, Long)].collect().toMap
+      val thr = graft.queries.Extensions.ccnetThresholds(
+        graft.queries.Extensions.ccnetBuckets(training)
+          .select(col("lang"),
+            org.apache.spark.sql.functions.expr(
+              s"spb div ${graft.queries.Extensions.CcnetHb}").as("hb")))
+        .persist()
+      thr.count()
+      val docs = training.as[(Long, String, String)].collect()
+        .map { case (id, tx, lg) => Doc(id, tx, lg) }.toSeq
+      val in = MemoryStream[Doc]
+      val sq = DocStreams.ccnetBucketStream(in.toDF(), bits, 99L, thr)
+        .writeStream.format("noop").outputMode("append").start()
+      val t0 = System.nanoTime()
+      docs.grouped(1000).foreach { c => in.addData(c); sq.processAllAvailable() }
+      val sec = (System.nanoTime() - t0) / 1e9
+      sq.stop(); thr.unpersist()
+      report(name, docs.length.toLong, sec, "docs/s")
+    }
 
     // streaming near-dup over the real documents corpus (synthetic
     // ascending timestamps): per-row minhash projection + band-state
@@ -107,7 +247,7 @@ object StreamingBench {
       docs.grouped(1000).foreach { c => in.addData(c); sq.processAllAvailable() }
       val sec = (System.nanoTime() - t0) / 1e9
       sq.stop()
-      println(f"$name%-22s ${docs.length / sec}%,10.0f docs/s  ($sec%.2f s, ${docs.length} docs)")
+      report(name, docs.length.toLong, sec, "docs/s")
     }
 
     // the near-dup band-state workload at `mult`x the state volume:
@@ -131,7 +271,7 @@ object StreamingBench {
       docs.grouped(1000).foreach { c => in.addData(c); sq.processAllAvailable() }
       val sec = (System.nanoTime() - t0) / 1e9
       sq.stop()
-      println(f"$name%-22s ${docs.length / sec}%,10.0f docs/s  ($sec%.2f s, ${docs.length} docs)")
+      report(name, docs.length.toLong, sec, "docs/s")
     }
 
     // streaming SRP near-dup over the real embeddings (synthetic
@@ -144,13 +284,14 @@ object StreamingBench {
           SVec(id, v, new java.sql.Timestamp(1700000000000L + id * 1000)) }
         .sortBy(_.ts.getTime).toSeq
       val in = MemoryStream[SVec]
+      val srpBatch = sys.env.getOrElse("STREAM_SRP_BATCH", "500").toInt
       val sq = graft.streaming.NearDup.srpNearDupStream(in.toDF(), "1 hour")
         .writeStream.format("noop").outputMode("append").start()
       val t0 = System.nanoTime()
-      vecs.grouped(500).foreach { c => in.addData(c); sq.processAllAvailable() }
+      vecs.grouped(srpBatch).foreach { c => in.addData(c); sq.processAllAvailable() }
       val sec = (System.nanoTime() - t0) / 1e9
       sq.stop()
-      println(f"$name%-22s ${vecs.length / sec}%,10.0f vecs/s  ($sec%.2f s, ${vecs.length} vecs)")
+      report(name, vecs.length.toLong, sec, "vecs/s")
     }
 
     // stateless PII redaction over customer-shaped records
@@ -168,7 +309,7 @@ object StreamingBench {
       recs.grouped(5000).foreach { c => in.addData(c); sq.processAllAvailable() }
       val sec = (System.nanoTime() - t0) / 1e9
       sq.stop()
-      println(f"$name%-22s ${recs.length / sec}%,10.0f recs/s  ($sec%.2f s, ${recs.length} recs)")
+      report(name, recs.length.toLong, sec, "recs/s")
     }
   }
 }

@@ -49,6 +49,20 @@ object X35Probe {
         .filter(jac >= t).count()
     }
 
+    // corpus shape stats: how adversarial is the prefix-token df curve
+    val nSets = otab.count()
+    val prefStats = otab
+      .select(posexplode(expr("slice(otoks, 1, plen)")).as(Seq("pos", "tok")))
+      .join(dfTab, "tok")
+      .agg(count(lit(1)).as("pref_toks"),
+        expr("percentile(df, 0.5)").as("df_p50"),
+        expr("percentile(df, 0.9)").as("df_p90"),
+        max(col("df")).as("df_max"))
+      .collect()(0)
+    println(s"SETS=$nSets PREF_TOKS=${prefStats.get(0)} " +
+      s"PREF_DF_P50=${prefStats.get(1)} PREF_DF_P90=${prefStats.get(2)} " +
+      s"PREF_DF_MAX=${prefStats.get(3)}")
+
     Seq(false, true).foreach { positional =>
       val t0 = System.nanoTime()
       val cand = Extensions.ssjoinCandidates(otab, positional).persist()
@@ -58,6 +72,18 @@ object X35Probe {
       val v = verified(cand)
       val verMs = (System.nanoTime() - t1) / 1e6
       println(f"POSITIONAL=$positional candidates=$n verified=$v candMs=$candMs%.0f verifyMs=$verMs%.0f")
+      cand.unpersist()
+    }
+    // the SHIPPED k=2 pair-prefix stage (the x35 gate's form)
+    locally {
+      val t0 = System.nanoTime()
+      val cand = Extensions.ssjoinCandidates2(otab).persist()
+      val n = cand.count()
+      val candMs = (System.nanoTime() - t0) / 1e6
+      val t1 = System.nanoTime()
+      val v = verified(cand)
+      val verMs = (System.nanoTime() - t1) / 1e6
+      println(f"PAIRK2 candidates=$n verified=$v candMs=$candMs%.0f verifyMs=$verMs%.0f")
       cand.unpersist()
     }
     spark.stop()
