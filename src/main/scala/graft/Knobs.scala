@@ -3,12 +3,19 @@ package graft
 import org.apache.spark.sql.SparkSession
 
 /** EVERY estimator / cap / winnow scale knob of the engine, in one
-  * place, each with its exactness contract and a `spark.graft.*`
-  * conf key for user code ([[resolveInt]]/[[resolveLong]]). The
-  * oracle-gated queries pin EXPLICIT constants (a conf-dependent
-  * gate could silently diverge from its replayed oracle); KnobsSpec
-  * pins these defaults so a drive-by change breaks a test, not a
-  * hash gate.
+  * place, each with its exactness contract.
+  *
+  * Resolution contract (what the `spark.graft.*` keys mean): the
+  * ENGINE binds the pinned default CONSTANTS below — the oracle-gated
+  * queries must stay conf-independent (a conf-dependent gate could
+  * silently diverge from its replayed oracle), and the library
+  * functions take the knob as an explicit parameter for the same
+  * reason. The conf keys are honored through the per-knob RESOLVERS
+  * ([[spanWinnow]], [[gopherDupWinnow]], [[fpBandCap]],
+  * [[ingestBcastClassCap]]): caller code reads the session value
+  * with one call and passes it into the explicit parameter. Setting
+  * a key changes nothing unless the caller routes it — KnobsSpec
+  * pins both the defaults and the resolver path.
   *
   * | knob | key | default | contract |
   * |---|---|---|---|
@@ -18,6 +25,7 @@ import org.apache.spark.sql.SparkSession
   * | Ingest broadcast class cap | `spark.graft.ingest.bcastClassCap` | 100000 | x86 incremental-ingest: registry classes ≤ cap broadcast (measured, not hinted); above it the probe falls back to a shuffle equi-join — pure execution-strategy switch, result identical |
   * | IVF-PQ re-rank depth R | (constant [[queries.Extensions.IvfPqRerankFixed]]) | 8·k | ADC short-list depth re-ranked exactly; recall floor proven by the x98 gate + X80IvfPqSpec on clustered data. `corpusScaledR = true` is the FIXTURE-ONLY escape hatch for isotropic-noise corpora (x80/x66/x83 gates), never the production default |
   * | Range-join bin size | `spark.graft.rangeJoin.binSize` | off | opt-in Catalyst rewrite of inequality range joins into bucketed equi-joins ([[plans.RangeJoinRule]]); result-identical, plan-level only |
+  * | Streaming state partitions | (derived, [[streamStateParts]]) | state_rows / 4096, clamped [1, cores] | stateful-query shuffle partitions sized to STATE VOLUME, never core count — see the rule's scaladoc |
   *
   * Derived (not settable) scale parameters, for completeness: IVF /
   * k-means cluster counts are max(8, ⌊√n⌋) computed in-plan
@@ -46,9 +54,54 @@ object Knobs {
   val IngestBcastClassCapDefault = 100000L
   val IngestBcastClassCapKey = "spark.graft.ingest.bcastClassCap"
 
+  // ------------------------------------------------- per-knob resolvers
+  // The sanctioned conf path: read the session value here, pass it
+  // into the function's EXPLICIT knob parameter. The engine never
+  // reads these keys ambiently (gates stay conf-independent).
+  def spanWinnow(spark: SparkSession): Int =
+    resolveInt(spark, SpanWinnowKey, SpanWinnowDefault)
+  def gopherDupWinnow(spark: SparkSession): Int =
+    resolveInt(spark, GopherDupWinnowKey, GopherDupWinnowExact)
+  def fpBandCap(spark: SparkSession): Int =
+    resolveInt(spark, FpBandCapKey, FpBandCapDefault)
+  def ingestBcastClassCap(spark: SparkSession): Long =
+    resolveLong(spark, IngestBcastClassCapKey, IngestBcastClassCapDefault)
+
   /** Conf-or-default resolution for user code. */
   def resolveInt(spark: SparkSession, key: String, default: Int): Int =
     spark.conf.getOption(key).map(_.toInt).getOrElse(default)
   def resolveLong(spark: SparkSession, key: String, default: Long): Long =
     spark.conf.getOption(key).map(_.toLong).getOrElse(default)
+
+  // -------------------------------------- streaming state-store sizing
+  /** Target state rows per streaming state-store partition.
+    *
+    * THE RULE (measured, PERF.md "streaming sizing"): a stateful
+    * streaming query pays a per-PARTITION state-store load+commit
+    * constant on EVERY micro-batch — with RocksDB that constant is a
+    * store open + WAL commit per partition per trigger — so the
+    * partition count must be sized to the STATE VOLUME the query
+    * actually holds, never to the core count that batch shuffles
+    * want. Oversharding small state buys no parallelism (each
+    * partition's work is already sub-millisecond) and multiplies the
+    * commit constant: the SRP near-dup twin measured 282 vecs/s at 8
+    * partitions vs 745 vecs/s at state-sized partitions + amortizing
+    * feed batches — 2.6× from sizing alone. At 100 TB the same rule
+    * reads: partitions = state_rows / [[StreamStateRowsPerPartition]],
+    * clamped to the executor-core budget, revisited as the horizon's
+    * live state grows. */
+  val StreamStateRowsPerPartition = 4096L
+
+  /** Shuffle-partition count for a stateful streaming query holding
+    * ~`expectedStateRows` live rows: one partition per
+    * [[StreamStateRowsPerPartition]] state rows, clamped to
+    * [1, maxParts] (maxParts = the core budget; local[32] default).
+    * Set it per query before `start()`:
+    * `spark.conf.set("spark.sql.shuffle.partitions",
+    * Knobs.streamStateParts(expectedRows))` — the value binds at
+    * query start, so one session can size each query separately. */
+  def streamStateParts(expectedStateRows: Long, maxParts: Int = 32): Int =
+    math.max(1L, math.min(maxParts.toLong,
+      (expectedStateRows + StreamStateRowsPerPartition - 1) /
+        StreamStateRowsPerPartition)).toInt
 }

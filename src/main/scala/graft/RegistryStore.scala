@@ -50,7 +50,13 @@ import org.apache.spark.sql.functions._
   * Writer concurrency is single-writer (the maintenance scheduler's
   * job, as in Delta without a commit service); the protocol protects
   * READERS against a concurrent writer and the store against a
-  * writer crash at any point.
+  * writer crash at any point. A double-fired writer LOSES LOUDLY:
+  * the second commit of the same manifest version throws at the
+  * atomic rename (existence-guarded on stores whose rename
+  * overwrites), the live manifest is untouched, and the loser's
+  * staged generation is reclaimed as an ordinary orphan —
+  * RegistryStoreSpec drives an append racing an append and an append
+  * racing a compact.
   *
   * At 100 TB the registry is the piece that must NOT be rescanned
   * per day: the delta's probe reads only the band partitions (1/4 of
@@ -116,9 +122,11 @@ object RegistryStore {
   }
 
   /** Atomic commit: write the next version to a dot-tmp file, then
-    * ONE rename to its final (fresh, never-overwritten) name. */
-  private def commitManifest(fs: FileSystem, root: String,
-                             m: Manifest): Unit = {
+    * ONE rename to its final (fresh, never-overwritten) name.
+    * (private[graft] so RegistryStoreSpec can drive the concurrent-
+    * writer race at exactly this boundary.) */
+  private[graft] def commitManifest(fs: FileSystem, root: String,
+                                    m: Manifest): Unit = {
     val dir = manifestDir(root)
     fs.mkdirs(dir)
     val body = new StringBuilder(s"v${m.version}\n")
@@ -135,15 +143,25 @@ object RegistryStore {
       try out.hsync() catch { case _: UnsupportedOperationException => () }
     } finally out.close()
     val fin = new Path(dir, f"v${m.version}%05d.txt")
-    if (!fs.rename(tmp, fin))
+    // Concurrent-writer guard: on HDFS/object stores rename-to-
+    // existing FAILS atomically (the protocol's backbone); POSIX
+    // local rename silently REPLACES, so the existence check makes a
+    // lost race fail loudly there too (check-then-rename narrows but
+    // cannot close the window on such stores — single-writer remains
+    // the documented contract, this guard turns a double-fired
+    // scheduler into an exception instead of silent last-writer-wins;
+    // RegistryStoreSpec drives both race shapes).
+    if (fs.exists(fin) || !fs.rename(tmp, fin)) {
+      fs.delete(tmp, false) // the loser reclaims its own staging file
       throw new IllegalStateException(
         s"manifest commit lost the race for $fin (single-writer violated)")
+    }
   }
 
   /** Next unused generation id: one past every id any manifest
     * references or any on-disk dir carries (crashed writers leave
     * dirs without manifest entries — their ids stay burned). */
-  private def nextGen(fs: FileSystem, root: String): Int = {
+  private[graft] def nextGen(fs: FileSystem, root: String): Int = {
     val onDisk =
       if (!fs.exists(new Path(root))) Seq.empty
       else fs.listStatus(new Path(root)).toSeq.map(_.getPath.getName)
@@ -157,21 +175,32 @@ object RegistryStore {
   }
 
   // ------------------------------------------------------------- writes
-  /** Write a class registry (sig, cnt, min_id, arr) as a fresh store
-    * at `root` (generation 1, manifest v1). `filesPerBand` sizes the
-    * band index's file count per partition (range-split on k0, so
-    * per-file footer stats carve the key space). */
+  /** Write a class registry (sig, cnt, min_id, arr) as a store at
+    * `root`. Over an EXISTING store this is a full rebuild under the
+    * same crash-safety protocol as append/compact: the new contents
+    * stage into a fresh generation no reader can see, go live in one
+    * atomic manifest commit (version+1, referencing ONLY the new
+    * generation), and the superseded generations are reaped under
+    * the usual two-version reader-protection window — at no instant
+    * is the store unreadable, and a writer crash anywhere leaves the
+    * prior store fully live (the pre-round-14 form deleted the root
+    * first, so a crash before the commit destroyed the history).
+    * `filesPerBand` sizes the band index's file count per partition
+    * (range-split on k0, so per-file footer stats carve the key
+    * space). */
   def write(classes: DataFrame, root: String, filesPerBand: Int = 1): Unit = {
     val spark = classes.sparkSession
     val fs = fsOf(spark, root)
-    fs.delete(new Path(root), true)
-    val g = 1
+    val prior = manifestVersions(fs, root).lastOption
+    val g = nextGen(fs, root)
     classes.select(col("sig"), col("cnt"), col("min_id"), col("arr"))
       .write.parquet(classesDir(root, g))
     bandsFor(classes, filesPerBand)
       .write.partitionBy("band").parquet(bandsDir(root, g))
     commitManifest(fs, root,
-      Manifest(1, Seq(g), bandsIn(fs, root, g).map(_ -> Seq(g)).toMap))
+      Manifest(prior.getOrElse(0) + 1, Seq(g),
+        bandsIn(fs, root, g).map(_ -> Seq(g)).toMap))
+    if (prior.nonEmpty) reapStaleGens(spark, root)
   }
 
   /** Append one day's ALREADY-CLASSED delta (a
@@ -251,7 +280,24 @@ object RegistryStore {
     byGen.map { case (g, ks) =>
       spark.read.parquet(bandsDir(root, g))
         .filter(col("band").isin(ks: _*))
-    }.reduce(_ unionByName _)
+    }.reduceOption(_ unionByName _)
+      // a store written from an EMPTY classes frame has no band
+      // generations at all (bandsFor of zero rows writes no partition
+      // dirs): the probe index is legitimately empty, not an error
+      .getOrElse(spark.createDataFrame(
+        java.util.Collections.emptyList[org.apache.spark.sql.Row](),
+        emptyBandSchema))
+  }
+
+  /** Schema of the band probe index as parquet reads it back (data
+    * columns, then the `band` partition column) — the zero-bands
+    * fallback shape of [[readBands]]. */
+  private val emptyBandSchema: org.apache.spark.sql.types.StructType = {
+    import org.apache.spark.sql.types._
+    StructType(Seq(
+      StructField("sig", StringType), StructField("k0", LongType),
+      StructField("k1", LongType), StructField("k2", LongType),
+      StructField("k3", LongType), StructField("band", IntegerType)))
   }
 
   /** x82's sorted-fill compaction plan over THIS store's band-index
@@ -368,6 +414,20 @@ object RegistryStore {
     }
     versions.dropRight(ReapKeepVersions).foreach(v =>
       fs.delete(new Path(manifestDir(root), f"v$v%05d.txt"), false))
+    // a writer crash between fs.create(tmp) and the rename strands a
+    // .tmp_v* file; reclaim any whose version a committed manifest
+    // already covers (a live writer's in-flight tmp is always at
+    // version latest+1, so it survives)
+    versions.lastOption.foreach { latest =>
+      val dir = manifestDir(root)
+      if (fs.exists(dir)) fs.listStatus(dir).foreach { st =>
+        val n = st.getPath.getName
+        if (n.startsWith(".tmp_v"))
+          n.stripPrefix(".tmp_v").toIntOption.foreach { v =>
+            if (v <= latest) fs.delete(st.getPath, false)
+          }
+      }
+    }
   }
 
   /** Band rows of a class table, ranged on (band, k0) so each written

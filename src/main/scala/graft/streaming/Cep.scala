@@ -58,6 +58,15 @@ object SkipStrategy {
   /** Discard partials that started after the match's first event and
     * strictly before the LAST event matched to stage `name`. */
   final case class SkipToLast(name: String) extends SkipStrategy
+  /** FlinkCEP AFTER_MATCH_SKIP_TO_NEXT: discard every OTHER partial
+    * that started at the match's own start event — matching resumes
+    * at the next distinct start, so at most one match emits per start
+    * event (`b+` over b1 b2 b3 emits exactly b1, b2, b3). Under this
+    * engine's time-keyed pruning "same start event" means the same
+    * start TIMESTAMP (see the equal-timestamp caveat on the skip
+    * predicate); within one timestamp the earliest-staged match
+    * wins deterministically. */
+  case object SkipToNext extends SkipStrategy
 }
 
 /** Read-only view of a partial match's already-accepted events — the
@@ -295,8 +304,8 @@ final case class EventPattern[E] private (
     * `Pattern.begin(name, AfterMatchSkipStrategy...)`): controls
     * which other open partials are discarded when a match emits —
     * [[SkipStrategy.NoSkip]] (default: every possible match emits),
-    * [[SkipStrategy.SkipPastLastEvent]], [[SkipStrategy.SkipToFirst]],
-    * [[SkipStrategy.SkipToLast]]. */
+    * [[SkipStrategy.SkipToNext]], [[SkipStrategy.SkipPastLastEvent]],
+    * [[SkipStrategy.SkipToFirst]], [[SkipStrategy.SkipToLast]]. */
   def afterMatchSkip(s: SkipStrategy): EventPattern[E] = {
     s match {
       case SkipStrategy.SkipToFirst(nm) =>
@@ -882,6 +891,10 @@ object Cep {
       }
       skip match {
         case SkipStrategy.NoSkip => _ => false
+        case SkipStrategy.SkipToNext =>
+          // same start as the emitted match (the emitting partial is
+          // already off the open list, so only true siblings die)
+          t0 => t0 == t0m
         case SkipStrategy.SkipPastLastEvent =>
           val tLast = eventTimeMs(accFull.head._2)
           t0 => t0 > t0m && t0 <= tLast

@@ -127,7 +127,8 @@ class CepPropertiesSpec extends AnyFunSuite {
 
   test("AFTER_MATCH skip strategies emit a sub-multiset of noSkip") {
     val strategies = Seq[SkipStrategy](SkipStrategy.SkipPastLastEvent,
-      SkipStrategy.SkipToFirst("B"), SkipStrategy.SkipToLast("B"))
+      SkipStrategy.SkipToFirst("B"), SkipStrategy.SkipToLast("B"),
+      SkipStrategy.SkipToNext)
     check("skip-subset", Prop.forAll(genEvents) { evs =>
       val all = run(ab, Seq(evs)).map(m => (m("A").head.ts, m("B").head.ts))
       strategies.forall { s =>

@@ -646,6 +646,65 @@ class CepSpec extends AnyFunSuite {
         graft.streaming.SkipStrategy.SkipToFirst("crash")), "cepSkip3", evs) ==
       Set((t0, 3)),
       "skipToFirst(crash): the span reaches the crash — suffixes die")
+    // SKIP_TO_NEXT discards only SAME-START siblings; the b+ c suffix
+    // runs all start at distinct events, so (matching FlinkCEP's
+    // documented semantics) it behaves like noSkip on this chain
+    assert(runPattern(base.afterMatchSkip(
+        graft.streaming.SkipStrategy.SkipToNext), "cepSkip4", evs) ==
+      Set((t0, 3), (t1, 2), (t2, 1)),
+      "skipToNext: distinct-start suffix runs all survive")
+  }
+
+  test("SKIP_TO_NEXT: at most one match per start event (terminal b+ " +
+    "and followedByAny)") {
+    // FlinkCEP's own SKIP_TO_NEXT example: pattern b+ over b1 b2 b3
+    // emits exactly b1, b2, b3 — every longer run shares an already-
+    // emitted match's start and dies with it
+    val beats = EventPattern.begin[Sensor]("beat").where(_.kind == "beat")
+      .oneOrMore
+      .within(java.time.Duration.ofHours(1))
+    val evs = Seq(
+      Sensor("d1", "beat", t("2019-06-26T10:00:00Z")),
+      Sensor("d1", "beat", t("2019-06-26T10:01:00Z")),
+      Sensor("d1", "beat", t("2019-06-26T10:02:00Z")))
+    val t0 = t("2019-06-26T10:00:00Z").getTime
+    val t1 = t("2019-06-26T10:01:00Z").getTime
+    val t2 = t("2019-06-26T10:02:00Z").getTime
+    assert(runPattern(beats, "cepStn0", evs) ==
+      Set((t0, 1), (t0, 2), (t0, 3), (t1, 1), (t1, 2), (t2, 1)),
+      "noSkip baseline: every (start, prefix) run emits")
+    assert(runPattern(beats.afterMatchSkip(
+        graft.streaming.SkipStrategy.SkipToNext), "cepStn1", evs) ==
+      Set((t0, 1), (t1, 1), (t2, 1)),
+      "skipToNext: one match per start event")
+    // followedByAny: both matches share the start event a1 — the
+    // first completion consumes the start, the alternative dies
+    val anyPat = EventPattern.begin[Sensor]("beat").where(_.kind == "beat")
+      .followedByAny("crash").where(_.kind == "crash")
+      .within(java.time.Duration.ofHours(1))
+    def runCrash(pat: EventPattern[Sensor], name: String): Set[Long] = {
+      val in = MemoryStream[Sensor]
+      val q = Cep.detect(
+          in.toDS().withWatermark("ets", "0 seconds"),
+          (e: Sensor) => e.device, (e: Sensor) => e.ets.getTime, pat) { m =>
+          m("crash").head.ets.getTime
+        }.toDF("crash_ts")
+        .writeStream.format("memory").queryName(name)
+        .outputMode(OutputMode.Append).start()
+      in.addData(Seq(
+        Sensor("d1", "beat", t("2019-06-26T10:00:00Z")),
+        Sensor("d1", "crash", t("2019-06-26T10:01:00Z")),
+        Sensor("d1", "crash", t("2019-06-26T10:02:00Z"))))
+      q.processAllAvailable()
+      val got = spark.table(name).as[Long].collect().toSet
+      q.stop()
+      got
+    }
+    assert(runCrash(anyPat, "cepStn2") == Set(t1, t2),
+      "noSkip baseline: followedByAny emits both alternatives")
+    assert(runCrash(anyPat.afterMatchSkip(
+        graft.streaming.SkipStrategy.SkipToNext), "cepStn3") == Set(t1),
+      "skipToNext: the same-start alternative dies with the first match")
   }
 
   test("optional: taken when present, skipped when the next stage matches first") {

@@ -40,4 +40,40 @@ class KnobsSpec extends AnyFunSuite {
     assert(Knobs.resolveLong(spark, Knobs.IngestBcastClassCapKey,
       Knobs.IngestBcastClassCapDefault) == 100000L)
   }
+
+  test("per-knob resolvers: session conf reaches the caller, never " +
+    "the engine's ambient defaults") {
+    // without conf: the pinned defaults
+    assert(Knobs.spanWinnow(spark) == Knobs.SpanWinnowDefault)
+    assert(Knobs.gopherDupWinnow(spark) == Knobs.GopherDupWinnowExact)
+    assert(Knobs.fpBandCap(spark) == Knobs.FpBandCapDefault)
+    assert(Knobs.ingestBcastClassCap(spark) ==
+      Knobs.IngestBcastClassCapDefault)
+    // with conf: the resolver carries the session value (the caller
+    // passes it into the explicit parameter)
+    spark.conf.set(Knobs.SpanWinnowKey, "4")
+    spark.conf.set(Knobs.FpBandCapKey, "32")
+    try {
+      assert(Knobs.spanWinnow(spark) == 4)
+      assert(Knobs.fpBandCap(spark) == 32)
+    } finally {
+      spark.conf.unset(Knobs.SpanWinnowKey)
+      spark.conf.unset(Knobs.FpBandCapKey)
+    }
+  }
+
+  test("streaming state-partition sizing: one partition per " +
+    "StreamStateRowsPerPartition rows, clamped to [1, maxParts]") {
+    assert(Knobs.StreamStateRowsPerPartition == 4096L)
+    assert(Knobs.streamStateParts(0L) == 1, "empty state still needs a partition")
+    assert(Knobs.streamStateParts(1L) == 1)
+    assert(Knobs.streamStateParts(4096L) == 1)
+    assert(Knobs.streamStateParts(4097L) == 2)
+    // the measured SRP case: ~8k state rows (4 bands x ~2k vectors)
+    // sizes to 2 partitions — the 745 vecs/s configuration, not the
+    // 282 vecs/s core-count default
+    assert(Knobs.streamStateParts(8000L) == 2)
+    assert(Knobs.streamStateParts(Long.MaxValue / 2) == 32, "core clamp")
+    assert(Knobs.streamStateParts(100000L, maxParts = 8) == 8)
+  }
 }
