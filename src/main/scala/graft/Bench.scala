@@ -114,14 +114,21 @@ object Bench {
     var minAny = Map.empty[String, Double]
     var starvedPasses = Map.empty[String, Int]
     var runs = Map.empty[String, Int]
+    // queries whose FIRST clean reading came from a dedicated
+    // isolated retry (not a sweep pass) — named in the artifact so a
+    // consumer knows the value was measured outside sweep order
+    var isolatedClean = Set.empty[String]
+    var inRetryPhase = false
     def record(name: String,
                fn: (SparkSession, String) => org.apache.spark.sql.DataFrame)
         : Unit = {
       val (dt, starved) = timedPass(fn)
       if (dt < minAny.getOrElse(name, Double.MaxValue))
         minAny = minAny.updated(name, dt)
-      if (!starved && dt < minClean.getOrElse(name, Double.MaxValue))
+      if (!starved && dt < minClean.getOrElse(name, Double.MaxValue)) {
+        if (inRetryPhase && !minClean.contains(name)) isolatedClean += name
         minClean = minClean.updated(name, dt)
+      }
       if (starved)
         starvedPasses = starvedPasses.updated(
           name, starvedPasses.getOrElse(name, 0) + 1)
@@ -138,11 +145,20 @@ object Bench {
       names.foreach { case (name, fn) => record(name, fn) }
       sweep += 1
     }
-    // dedicated retries (one extra attempt each, up to twice) for
-    // queries every sweep starved — the guard's whole point
+    // dedicated ISOLATED retries for queries every sweep starved —
+    // the guard's whole point, and the primary artifact's own
+    // BENCH_SF1_FOCUS move: each retry round runs ONLY the
+    // still-starved queries, one at a time, after a short settle
+    // pause that lets a multi-second contention window pass (round-13
+    // measured the same query at 51.6 s inside a window and 19.6 s
+    // isolated). Queries that first go clean here are named in the
+    // artifact's `isolated` field; only those that starve through
+    // every retry remain in `starved`.
+    inRetryPhase = true
     var retry = 0
-    while (retry < 2 && elapsed < budgetSec &&
+    while (retry < 6 && elapsed < budgetSec &&
         names.exists { case (n, _) => !minClean.contains(n) }) {
+      if (retry > 0) Thread.sleep(3000) // let the contention window pass
       names.filter { case (n, _) => !minClean.contains(n) }
         .foreach { case (name, fn) => record(name, fn) }
       retry += 1
@@ -164,8 +180,10 @@ object Bench {
     }
     val starvedJson = starvedFinal.sorted
       .map("\"" + _ + "\"").mkString("[", ",", "]")
+    val isolatedJson = isolatedClean.toSeq.sorted
+      .map("\"" + _ + "\"").mkString("[", ",", "]")
     val totalStarved = starvedPasses.values.sum
-    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","passes":$passes,"agg":"min-per-clean-pass","starved":$starvedJson,"starved_passes":$totalStarved,"x19_over_x04":$ratio}"""
+    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","passes":$passes,"agg":"min-per-clean-pass","starved":$starvedJson,"isolated":$isolatedJson,"starved_passes":$totalStarved,"x19_over_x04":$ratio}"""
     println(json)
     // Write the full-name JSON to a file: the round driver captures
     // only the last ~2000 chars of stdout, which truncated the
@@ -191,6 +209,8 @@ object Bench {
     // a grep-based consumer must be able to tell them apart)
     val shortStarved = starvedFinal.map(_.takeWhile(_ != '_')).sorted
       .map("\"" + _ + "\"").mkString("[", ",", "]")
-    println(s"""{"metric":"total","value":${r3(total)},"unit":"sec","abbrev":true,"queries":$shortQs,"sf":"$sfDir","passes":$passes,"agg":"min-per-clean-pass","starved":$shortStarved,"starved_passes":$totalStarved,"x19_over_x04":${r3(ratio)},"names":"qNN/xNN prefixes; full map in BENCH_SELF.json"}""")
+    val shortIsolated = isolatedClean.toSeq.map(_.takeWhile(_ != '_')).sorted
+      .map("\"" + _ + "\"").mkString("[", ",", "]")
+    println(s"""{"metric":"total","value":${r3(total)},"unit":"sec","abbrev":true,"queries":$shortQs,"sf":"$sfDir","passes":$passes,"agg":"min-per-clean-pass","starved":$shortStarved,"isolated":$shortIsolated,"starved_passes":$totalStarved,"x19_over_x04":${r3(ratio)},"names":"qNN/xNN prefixes; full map in BENCH_SELF.json"}""")
   }
 }

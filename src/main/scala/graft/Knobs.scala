@@ -25,7 +25,7 @@ import org.apache.spark.sql.SparkSession
   * | Ingest broadcast class cap | `spark.graft.ingest.bcastClassCap` | 100000 | x86 incremental-ingest: registry classes ≤ cap broadcast (measured, not hinted); above it the probe falls back to a shuffle equi-join — pure execution-strategy switch, result identical |
   * | IVF-PQ re-rank depth R | (constant [[queries.Extensions.IvfPqRerankFixed]]) | 8·k | ADC short-list depth re-ranked exactly; recall floor proven by the x98 gate + X80IvfPqSpec on clustered data. `corpusScaledR = true` is the FIXTURE-ONLY escape hatch for isotropic-noise corpora (x80/x66/x83 gates), never the production default |
   * | Range-join bin size | `spark.graft.rangeJoin.binSize` | off | opt-in Catalyst rewrite of inequality range joins into bucketed equi-joins ([[plans.RangeJoinRule]]); result-identical, plan-level only |
-  * | Streaming state partitions | (derived, [[streamStateParts]]) | state_rows / 4096, clamped [1, cores] | stateful-query shuffle partitions sized to STATE VOLUME, never core count — see the rule's scaladoc |
+  * | Streaming state partitions | (derived, [[streamStateParts]]) | max(⌈√(state_rows/4096)⌉, ⌈√(trigger_rows/1024)⌉), clamped [1, cores] | stateful-query shuffle partitions sized to the query's own STATE + TRIGGER volumes, never core count — see the rule's scaladoc |
   *
   * Derived (not settable) scale parameters, for completeness: IVF /
   * k-means cluster counts are max(8, ⌊√n⌋) computed in-plan
@@ -74,34 +74,47 @@ object Knobs {
     spark.conf.getOption(key).map(_.toLong).getOrElse(default)
 
   // -------------------------------------- streaming state-store sizing
-  /** Target state rows per streaming state-store partition.
-    *
-    * THE RULE (measured, PERF.md "streaming sizing"): a stateful
-    * streaming query pays a per-PARTITION state-store load+commit
-    * constant on EVERY micro-batch — with RocksDB that constant is a
-    * store open + WAL commit per partition per trigger — so the
-    * partition count must be sized to the STATE VOLUME the query
-    * actually holds, never to the core count that batch shuffles
-    * want. Oversharding small state buys no parallelism (each
-    * partition's work is already sub-millisecond) and multiplies the
-    * commit constant: the SRP near-dup twin measured 282 vecs/s at 8
-    * partitions vs 745 vecs/s at state-sized partitions + amortizing
-    * feed batches — 2.6× from sizing alone. At 100 TB the same rule
-    * reads: partitions = state_rows / [[StreamStateRowsPerPartition]],
-    * clamped to the executor-core budget, revisited as the horizon's
-    * live state grows. */
+  /** State-row unit of the streaming partition-sizing rule (the
+    * denominator of the STATE term in [[streamStateParts]]). */
   val StreamStateRowsPerPartition = 4096L
+  /** Per-trigger input-row unit of the sizing rule (the denominator
+    * of the WORK term in [[streamStateParts]]) — finer than the state
+    * unit because trigger rows carry per-row processing cost but no
+    * per-partition load/commit constant of their own. */
+  val StreamTriggerRowsPerPartition = 1024L
 
   /** Shuffle-partition count for a stateful streaming query holding
-    * ~`expectedStateRows` live rows: one partition per
-    * [[StreamStateRowsPerPartition]] state rows, clamped to
-    * [1, maxParts] (maxParts = the core budget; local[32] default).
-    * Set it per query before `start()`:
-    * `spark.conf.set("spark.sql.shuffle.partitions",
-    * Knobs.streamStateParts(expectedRows))` — the value binds at
-    * query start, so one session can size each query separately. */
-  def streamStateParts(expectedStateRows: Long, maxParts: Int = 32): Int =
+    * ~`expectedStateRows` live rows and processing ~`triggerRows`
+    * input rows per micro-batch:
+    *
+    *   parts = clamp(1, maxParts,
+    *     max(⌈√(state_rows / 4096)⌉, ⌈√(trigger_rows / 1024)⌉))
+    *
+    * THE RULE (measured, PERF.md "round 14: streaming sizing"): a
+    * stateful query pays a per-PARTITION state-store load+commit
+    * constant on EVERY micro-batch — with RocksDB, a store open + WAL
+    * commit per partition per trigger — so partitions must be sized
+    * to the QUERY'S OWN volumes, never to the core count batch
+    * shuffles want. Per-trigger cost ≈ constant·parts + volume/parts,
+    * so each term's optimum grows with the SQUARE ROOT of its volume;
+    * the partition count takes the larger term. Measured A/B on the
+    * sf0.1 twins (all rocksdb): SRP near-dup (8k state, 2k-vector
+    * triggers) 282 vecs/s at the old 8-partition default → 1913 at
+    * the rule's 2; the 10× LSH twin (250k state) 707 docs/s at a
+    * LINEAR state rule's 32 partitions → 1434 at the sqrt rule's 8;
+    * session windows / dedup (tiny state, 10k-row triggers) 9.2k
+    * rows/s at the state term's 1 → 11.0k/16.4k at the work term's 4;
+    * pure-state tiny twins (heavy hitters) are flat 1..8. At 100 TB
+    * the clamp is the executor-core budget and both volumes are
+    * revisited as the horizon's live state and the trigger interval
+    * grow. `triggerRows = 0` (unknown) degrades to the state term
+    * alone. */
+  def streamStateParts(expectedStateRows: Long, maxParts: Int = 32,
+                       triggerRows: Long = 0L): Int = {
+    def term(rows: Long, unit: Long): Long =
+      math.ceil(math.sqrt(rows.toDouble / unit)).toLong
     math.max(1L, math.min(maxParts.toLong,
-      (expectedStateRows + StreamStateRowsPerPartition - 1) /
-        StreamStateRowsPerPartition)).toInt
+      math.max(term(expectedStateRows, StreamStateRowsPerPartition),
+        term(triggerRows, StreamTriggerRowsPerPartition)))).toInt
+  }
 }

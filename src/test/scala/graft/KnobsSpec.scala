@@ -62,18 +62,28 @@ class KnobsSpec extends AnyFunSuite {
     }
   }
 
-  test("streaming state-partition sizing: one partition per " +
-    "StreamStateRowsPerPartition rows, clamped to [1, maxParts]") {
+  test("streaming state-partition sizing: max of the ceil-sqrt state " +
+    "and trigger-work terms, clamped to [1, maxParts]") {
     assert(Knobs.StreamStateRowsPerPartition == 4096L)
+    assert(Knobs.StreamTriggerRowsPerPartition == 1024L)
     assert(Knobs.streamStateParts(0L) == 1, "empty state still needs a partition")
     assert(Knobs.streamStateParts(1L) == 1)
     assert(Knobs.streamStateParts(4096L) == 1)
-    assert(Knobs.streamStateParts(4097L) == 2)
-    // the measured SRP case: ~8k state rows (4 bands x ~2k vectors)
-    // sizes to 2 partitions — the 745 vecs/s configuration, not the
-    // 282 vecs/s core-count default
-    assert(Knobs.streamStateParts(8000L) == 2)
+    // the measured SRP case: ~8k state rows, 2k-vector triggers size
+    // to 2 partitions — the 1913 vecs/s configuration, not the 282
+    // vecs/s core-count default
+    assert(Knobs.streamStateParts(8000L, triggerRows = 2000L) == 2)
+    // the measured 10x-LSH case: ~250k state rows size to 8 (1434
+    // docs/s), where a LINEAR rows/unit rule said 32 (707 docs/s)
+    assert(Knobs.streamStateParts(250000L, triggerRows = 1000L) == 8)
+    // the measured session-window / dedup case: tiny state but
+    // 10k-row triggers — the WORK term lifts 1 -> 4 (9.2k -> 11.0k
+    // rows/s measured)
+    assert(Knobs.streamStateParts(1500L, triggerRows = 10000L) == 4)
+    assert(Knobs.streamStateParts(1000000L) == 16)
     assert(Knobs.streamStateParts(Long.MaxValue / 2) == 32, "core clamp")
-    assert(Knobs.streamStateParts(100000L, maxParts = 8) == 8)
+    assert(Knobs.streamStateParts(10000000L, maxParts = 8) == 8)
+    // unknown trigger volume degrades to the state term alone
+    assert(Knobs.streamStateParts(8000L) == 2)
   }
 }

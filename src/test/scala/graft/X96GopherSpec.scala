@@ -202,4 +202,77 @@ class X96GopherSpec extends AnyFunSuite {
     assert(flips.isEmpty,
       s"winnow flipped Gopher flags for docs: ${flips.toSeq.sorted.take(5)}")
   }
+
+  test("near-threshold adversarial fixture: flags at/below a Table A1 " +
+    "threshold are FLIP-PROOF, above-threshold slack is the documented " +
+    "identity-sample retention, and the rejected POSITIONAL winnow " +
+    "fails where the shipped content-keyed one holds") {
+    // ---- doc AT the rep_5 threshold (150 permille), EXACTLY --------
+    // two copies of a 5-token segment (20 covered chars) in a 133-char
+    // doc: 20000 div 133 = 150 — at the threshold, so NOT flagged
+    // (strict >). The winnow only LOWERS dup coverage (monotone
+    // identity sample), so a clean-at-threshold doc can NEVER flip to
+    // flagged: agreement below/at every threshold is structural, not
+    // empirical.
+    val seg5 = "da db dc dd de"
+    val fillA1 = (1 to 14).map(i => f"u$i%03d").mkString(" ")  // 14x4
+    val fillA2 = (15 to 28).map(i => f"u$i%03d").mkString(" ") // 14x4
+    val atDoc = s"$seg5 $fillA1 $seg5 $fillA2 z"               // +1 char
+    // ---- doc ABOVE the thresholds with a LONG duplicated run -------
+    // two copies of a 60-token segment; copy offsets differ by 1 mod 4
+    // (copy1 at token 0, copy2 at token 73), so a POSITIONAL mod-4
+    // start winnow never keeps both occurrences of any 5-gram — its
+    // duplicate detection collapses to zero on exactly the doc shape
+    // (repeated span at shifted offsets) the panel exists to catch.
+    val seg60 = (1 to 60).map(i => f"d$i%02d").mkString(" ")
+    val fillB1 = (1 to 13).map(i => f"v$i%03d").mkString(" ")   // 13 toks
+    val fillB2 = (14 to 140).map(i => f"v$i%03d").mkString(" ") // 127 toks
+    val aboveDoc = s"$seg60 $fillB1 $seg60 $fillB2"
+    val d = docs((1L, atDoc), (2L, aboveDoc))
+    val full = run(d, winnow = 1)
+    val win = run(d, Extensions.GopherDupWinnow)
+    val thresholds = Seq(200L, 180L, 160L, 150L, 140L, 130L, 120L, 110L, 100L)
+    def flags(r: Row11): Seq[Boolean] =
+      (3 to 11).map(i => r.productElement(i - 1).asInstanceOf[Long] >
+        thresholds(i - 3))
+    // fixture premises: doc 1 sits EXACTLY at the rep_5 threshold;
+    // doc 2 is flagged on the dup side with wide margin
+    assert(full(1L)._6 == 150L,
+      s"fixture drifted: full rep_5 of the at-threshold doc = ${full(1L)._6}")
+    assert(full(2L)._6 > 250L, s"fixture premise: ${full(2L)._6}")
+    // (1) at/below threshold: agreement, guaranteed by monotonicity
+    assert(flags(full(1L)) == flags(win(1L)),
+      "a clean at-threshold doc flipped under the winnow")
+    assert(win(1L)._6 <= 150L)
+    // (2) above threshold: the shipped content-keyed winnow keeps the
+    // flag, and the slack matches the documented identity-sample
+    // retention (a kept identity covers its interval in BOTH copies;
+    // expected coverage ~= 1 - (3/4)^5 ~= 76% of the full run — pin
+    // the deterministic measured value within the documented band)
+    assert(flags(full(2L)) == flags(win(2L)),
+      "the long-run above-threshold doc lost its flag under the winnow")
+    assert(win(2L)._6 * 2 >= full(2L)._6,
+      s"winnow retention fell out of the documented band: " +
+        s"${win(2L)._6} vs full ${full(2L)._6}")
+    // (3) the teeth: the REJECTED positional winnow (keep starts with
+    // i % 4 == 0 — a stride sample instead of a content-keyed identity
+    // sample), brute-forced over the same doc: copies at offsets
+    // differing mod 4 never keep both occurrences of an identity, so
+    // dup detection collapses and the flag FLIPS — the fixture
+    // distinguishes the designs, and the shipped one is the survivor
+    def positionalRep5(text: String): Long = {
+      val tk = text.split(" ")
+      val kept = (0 to tk.length - 5).filter(_ % 4 == 0)
+      val gram = (i: Int) => tk.slice(i, i + 5).mkString(" ")
+      val dupKept = kept.groupBy(gram).filter(_._2.length >= 2)
+        .values.flatten.toSet
+      val covered = dupKept.flatMap(i => i to i + 4)
+      val chars = tk.zipWithIndex
+        .collect { case (t, p) if covered(p) => t.length.toLong }.sum
+      chars * 1000 / tk.map(_.length.toLong).sum
+    }
+    val biased = positionalRep5(aboveDoc)
+    assert(biased <= 150L && biased < win(2L)._6,
+      s"the positional winnow should fail this fixture: rep_5=$biased")
+  }
 }
