@@ -229,6 +229,58 @@ object RegistryStore {
     commitManifest(fs, root, Manifest(m.version + 1, m.classes :+ g, bands))
   }
 
+  /** [[append]] with commit-collision RETRY — the daily-crawl answer
+    * to a double-fired scheduler. The delta's data stages into its
+    * generation ONCE; if the manifest commit then loses a race
+    * (another writer committed the same next version first), the
+    * live manifest is re-read and the commit retried referencing the
+    * already-staged generation — data is never rewritten, and the
+    * outcome equals the two appends running sequentially (the
+    * read-time sig-merge is associative, so generation order is
+    * immaterial; RegistryStoreSpec pins the equality under an
+    * injected mid-flight concurrent append). Scope: the retry covers
+    * the COMMIT window; two writers whose STAGING overlaps so tightly
+    * that they pick the same generation id still fail loudly at the
+    * parquet write (SaveMode.ErrorIfExists) and the caller re-runs
+    * the whole append — single-writer remains the recommended
+    * schedule, this makes the occasional double-fire self-heal.
+    * Rethrows the last collision after `maxAttempts` losses. */
+  def appendRetrying(deltaClasses: DataFrame, root: String,
+      filesPerBand: Int = 1, maxAttempts: Int = 5): Unit =
+    appendRetryingImpl(deltaClasses, root, filesPerBand, maxAttempts, () => ())
+
+  /** Test seam: `beforeCommit` runs before each commit attempt so a
+    * spec can inject a concurrent writer inside the commit window. */
+  private[graft] def appendRetryingImpl(deltaClasses: DataFrame,
+      root: String, filesPerBand: Int, maxAttempts: Int,
+      beforeCommit: () => Unit): Unit = {
+    require(maxAttempts >= 1, "maxAttempts >= 1")
+    val spark = deltaClasses.sparkSession
+    val fs = fsOf(spark, root)
+    val g = nextGen(fs, root)
+    deltaClasses.select(col("sig"), col("cnt"), col("min_id"), col("arr"))
+      .write.parquet(classesDir(root, g))
+    bandsFor(deltaClasses, filesPerBand)
+      .write.partitionBy("band").parquet(bandsDir(root, g))
+    var attempt = 1
+    var committed = false
+    while (!committed) {
+      val m = currentManifest(spark, root)
+      val bands = bandsIn(fs, root, g).foldLeft(m.bands) { (acc, k) =>
+        acc + (k -> (acc.getOrElse(k, Seq.empty) :+ g))
+      }
+      beforeCommit()
+      try {
+        commitManifest(fs, root, Manifest(m.version + 1, m.classes :+ g, bands))
+        committed = true
+      } catch {
+        case e: IllegalStateException =>
+          if (attempt >= maxAttempts) throw e
+          attempt += 1 // lost the race: re-read the manifest and retry
+      }
+    }
+  }
+
   /** band ids present in one bands generation dir. */
   private def bandsIn(fs: FileSystem, root: String, g: Int): Seq[Int] = {
     val dir = new Path(bandsDir(root, g))

@@ -401,6 +401,40 @@ class RegistryStoreSpec extends AnyFunSuite {
     d.unpersist()
   }
 
+  test("appendRetrying self-heals a lost commit race: the staged " +
+    "generation is committed on retry, result equals sequential appends") {
+    val root = java.nio.file.Files
+      .createTempDirectory("graft_regstore_retry").toString
+    val d = docArrs.persist()
+    val day0 = d.filter(col("doc_id") % 4 === 0)
+    val dayA = d.filter(col("doc_id") % 4 === 1)
+    val dayB = d.filter(col("doc_id") % 4 === 2)
+    RegistryStore.write(graft.queries.Extensions.classesOf(day0), root)
+    // inject writer B's append INSIDE writer A's commit window (first
+    // attempt only): A's first commit of v2 loses to B's, A re-reads
+    // the manifest (now v2) and lands v3 referencing its already-
+    // staged generation — no data is rewritten
+    var injected = false
+    RegistryStore.appendRetryingImpl(
+      graft.queries.Extensions.classesOf(dayA), root, 1, 5, () =>
+        if (!injected) {
+          injected = true
+          RegistryStore.append(
+            graft.queries.Extensions.classesOf(dayB), root)
+        })
+    assert(injected, "the race was never injected")
+    val got = classesKey(RegistryStore.readClasses(spark, root))
+    val want = classesKey(graft.queries.Extensions.appendRegistry(
+      graft.queries.Extensions.appendRegistry(
+        graft.queries.Extensions.classesOf(day0), dayB), dayA))
+    assert(got == want,
+      "retried commit diverged from the sequential-append result")
+    // the final manifest references all three generations
+    val m = RegistryStore.currentManifest(spark, root)
+    assert(m.classes.length == 3, s"manifest classes gens: ${m.classes}")
+    d.unpersist()
+  }
+
   test("append racing a compact: the stale appender's commit throws, " +
     "the compacted store is intact") {
     val root = java.nio.file.Files
