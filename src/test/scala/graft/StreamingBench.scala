@@ -217,6 +217,12 @@ object StreamingBench {
       if (sel("neardup_lsh_10x"))
         runNearDupScaled(s"neardup_lsh_10x[$p]", mult = 10, horizon = "24 hours")
       if (sel("neardup_srp")) runSrpNearDup(s"neardup_srp[$p]")
+      // 10x SRP state: per-copy dimension rotation gives each copy
+      // fresh signatures (band state really grows 10x) — proves the
+      // sizing rule's state term holds as the horizon's state grows
+      if (sel("neardup_srp_10x"))
+        runSrpNearDupScaled(s"neardup_srp_10x[$p]", mult = 10,
+          horizon = "24 hours")
     }
     // stateless ops once (no state store involved; partitions sized
     // to the feed's work, not to state)
@@ -460,6 +466,34 @@ object StreamingBench {
       val sec = (System.nanoTime() - t0) / 1e9
       sq.stop()
       report(name, vecs.length.toLong, sec, "vecs/s")
+    }
+
+    // the SRP band-state workload at `mult`x the state volume: each
+    // corpus copy's vectors are dimension-rotated so their SRP
+    // signatures (hence band buckets) are distinct, and the horizon
+    // outlives the feed so the store really holds mult x the reps
+    def runSrpNearDupScaled(name: String, mult: Int,
+                            horizon: String): Unit = {
+      val base = Tables.embeddings(spark, sfDir)
+        .select($"vec_id", $"embedding").as[(Long, Array[Float])].collect()
+      val n = base.length
+      val srpBatch = sys.env.getOrElse("STREAM_SRP_BATCH", "2000").toInt
+      setParts(n.toLong * mult * 4L, srpBatch.toLong)
+      val feed = (0 until mult).flatMap { r =>
+        base.map { case (id, v) =>
+          val rot = Array.tabulate(v.length)(i => v((i + r) % v.length))
+          SVec(id + r.toLong * n, rot,
+            new java.sql.Timestamp(1700000000000L + (id + r.toLong * n) * 1000))
+        }
+      }.sortBy(_.ts.getTime)
+      val in = MemoryStream[SVec]
+      val sq = graft.streaming.NearDup.srpNearDupStream(in.toDF(), horizon)
+        .writeStream.format("noop").outputMode("append").start()
+      val t0 = System.nanoTime()
+      feed.grouped(srpBatch).foreach { c => in.addData(c); sq.processAllAvailable() }
+      val sec = (System.nanoTime() - t0) / 1e9
+      sq.stop()
+      report(name, feed.length.toLong, sec, "vecs/s")
     }
 
     // stateless PII redaction over customer-shaped records
