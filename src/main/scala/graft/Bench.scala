@@ -1,6 +1,129 @@
 package graft
 import org.apache.spark.sql.SparkSession
+
 object Bench {
+
+  /** Outcome of the sweep+retry measurement loop ([[measure]]). */
+  private[graft] case class Measured(
+      results: Map[String, Double],
+      passes: Int,
+      starved: Seq[String],
+      isolated: Seq[String],
+      outliers: Seq[String],
+      starvedPasses: Int)
+
+  /** Cross-round outlier rule: a clean reading is SUSPECT when a
+    * prior committed artifact at the same SF read the query at less
+    * than half the value — min-of-sweeps cannot help when a host-
+    * contention window spans ALL sweep passes of one query without
+    * tripping the per-pass starvation guard (the driver's round-14
+    * artifact carried x87 at 9.49 s vs 3.56 s measured clean on the
+    * same binary; both its passes were contended). The absolute floor
+    * keeps the ambient band's sub-second swings (fixed overheads move
+    * 1.3-1.8x run to run) out of the retry path. */
+  private[graft] def isOutlier(value: Double, baseline: Double,
+      factor: Double = 2.0, floorSec: Double = 1.5): Boolean =
+    baseline > 0 && value > baseline * factor && value > floorSec
+
+  /** The prior committed artifact's per-query readings, or empty when
+    * the file is absent, unparseable, or measured a DIFFERENT SF (a
+    * baseline from another scale says nothing about this run). */
+  private[graft] def parseBaseline(json: String, sfDir: String)
+      : Map[String, Double] =
+    try {
+      val m = new com.fasterxml.jackson.databind.ObjectMapper()
+      val root = m.readTree(json)
+      if (root.path("sf").asText("") != sfDir) Map.empty
+      else {
+        val qs = root.path("queries")
+        import scala.jdk.CollectionConverters._
+        qs.properties().asScala
+          .map(e => e.getKey -> e.getValue.asDouble(-1.0))
+          .filter(_._2 > 0).toMap
+      }
+    } catch { case scala.util.control.NonFatal(_) => Map.empty }
+
+  /** The sweep + isolated-retry loop, seamed for the spec: `pass`
+    * runs one timed pass of a query and reports (wallSec, starved);
+    * `elapsed` is the wall budget clock; `settle` pauses between
+    * retry rounds so a multi-second contention window can pass.
+    *
+    * Sweeps are interleaved (pass 1 over every query, then pass 2, …)
+    * and each query reports its minimum CLEAN reading. Two guards
+    * then route queries through dedicated isolated retries:
+    *  - the per-pass STARVATION guard (a pass whose process-CPU or
+    *    steal ticks say the machine withheld CPU never sets the min);
+    *  - the CROSS-ROUND guard: a clean min that is >2x the prior
+    *    committed artifact's reading at the same SF is retried
+    *    isolated too — the round-14 blind spot, where contention hit
+    *    every sweep pass of one query without tripping the per-pass
+    *    guard and the artifact shipped a phantom 2.6x regression with
+    *    nothing marking it suspect.
+    * Any query whose REPORTED value was produced by a retry-phase
+    * pass is named in `isolated`; queries still starved after every
+    * retry are named in `starved`; queries still >2x baseline after
+    * the retries are named in `outliers` — either a real regression
+    * or an unresolved contention window, but never silent. */
+  private[graft] def measure(
+      names: Seq[String],
+      pass: String => (Double, Boolean),
+      reps: Int,
+      budgetSec: Double,
+      baseline: Map[String, Double],
+      elapsed: () => Double,
+      settle: () => Unit): Measured = {
+    var minClean = Map.empty[String, Double]
+    var minAny = Map.empty[String, Double]
+    var starvedPasses = Map.empty[String, Int]
+    var runs = Map.empty[String, Int]
+    // queries whose reported value came from a retry-phase pass (a
+    // first clean reading, or a retry beating a contended sweep min)
+    var isolated = Set.empty[String]
+    var inRetryPhase = false
+    def record(name: String): Unit = {
+      val (dt, starved) = pass(name)
+      if (dt < minAny.getOrElse(name, Double.MaxValue))
+        minAny = minAny.updated(name, dt)
+      if (!starved && dt < minClean.getOrElse(name, Double.MaxValue)) {
+        if (inRetryPhase) isolated += name
+        minClean = minClean.updated(name, dt)
+      }
+      if (starved)
+        starvedPasses = starvedPasses.updated(
+          name, starvedPasses.getOrElse(name, 0) + 1)
+      runs = runs.updated(name, runs.getOrElse(name, 0) + 1)
+    }
+    var sweep = 0
+    while (sweep < reps && (sweep < 2 || elapsed() < budgetSec)) {
+      names.foreach(record)
+      sweep += 1
+    }
+    // dedicated ISOLATED retries, one query at a time after a settle
+    // pause, for (a) queries every sweep starved and (b) clean-but-
+    // suspect cross-round outliers
+    def needsRetry(n: String): Boolean =
+      !minClean.contains(n) ||
+        baseline.get(n).exists(b => isOutlier(minClean(n), b))
+    inRetryPhase = true
+    var retry = 0
+    while (retry < 6 && elapsed() < budgetSec && names.exists(needsRetry)) {
+      if (retry > 0) settle()
+      names.filter(needsRetry).foreach(record)
+      retry += 1
+    }
+    val results = names.map { n =>
+      n -> minClean.getOrElse(n, minAny.getOrElse(n, -1.0)) }.toMap
+    val starvedFinal = names.filter(n =>
+      !minClean.contains(n) && minAny.contains(n))
+    val outliersFinal = names.filter(n =>
+      minClean.contains(n) &&
+        baseline.get(n).exists(b => isOutlier(minClean(n), b)))
+    Measured(results, if (runs.nonEmpty) runs.values.min else 0,
+      starvedFinal, isolated.toSeq.sorted.filter(n =>
+        results.get(n) == minClean.get(n)),
+      outliersFinal, starvedPasses.values.sum)
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -72,6 +195,15 @@ object Bench {
     val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY").map(_.split(",").toSet)
     val names = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (n, _) => only.forall(_.contains(n)) }
+    val fnOf = names.toMap
+    // CROSS-ROUND baseline: the previously committed artifact at the
+    // same SF. Read BEFORE the run — the run overwrites the file.
+    val baselinePath = sys.env.getOrElse(
+      "SPARK_GRAFT_BENCH_BASELINE", "BENCH_SELF.json")
+    val baseline =
+      try parseBaseline(new String(java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get(baselinePath)), "UTF-8"), sfDir)
+      catch { case scala.util.control.NonFatal(_) => Map.empty[String, Double] }
     // STARVATION GUARD: min-of-sweeps cannot help when EVERY pass of
     // a query lands in a contention window (round-11's driver
     // artifact read x95 at 42.6s on sf0.1 vs 24.9s on sf1 — 10x the
@@ -98,92 +230,40 @@ object Bench {
         if (f.length > 8) f(8).toLong else 0L // field 8 = steal
       } catch { case _: Throwable => 0L }
     val hz = 100.0 // USER_HZ: Linux fixes the /proc/stat tick at 100
-    def timedPass(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame)
-        : (Double, Boolean) = {
+    def timedPass(name: String): (Double, Boolean) = {
       val w0 = System.nanoTime(); val c0 = osBean.getProcessCpuTime
       val st0 = stealTicks
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => () }
+      try { fnOf(name)(spark, sfDir).count() } catch { case _: Throwable => () }
       val dt = (System.nanoTime() - w0) / 1e9
       val cpuSec = (osBean.getProcessCpuTime - c0) / 1e9
       val stealSec = (stealTicks - st0) / hz
       val starved = dt > 0.5 &&
         (cpuSec < dt * 0.5 || stealSec > dt * 0.25)
-      (dt, starved)
-    }
-    var minClean = Map.empty[String, Double]
-    var minAny = Map.empty[String, Double]
-    var starvedPasses = Map.empty[String, Int]
-    var runs = Map.empty[String, Int]
-    // queries whose FIRST clean reading came from a dedicated
-    // isolated retry (not a sweep pass) — named in the artifact so a
-    // consumer knows the value was measured outside sweep order
-    var isolatedClean = Set.empty[String]
-    var inRetryPhase = false
-    def record(name: String,
-               fn: (SparkSession, String) => org.apache.spark.sql.DataFrame)
-        : Unit = {
-      val (dt, starved) = timedPass(fn)
-      if (dt < minAny.getOrElse(name, Double.MaxValue))
-        minAny = minAny.updated(name, dt)
-      if (!starved && dt < minClean.getOrElse(name, Double.MaxValue)) {
-        if (inRetryPhase && !minClean.contains(name)) isolatedClean += name
-        minClean = minClean.updated(name, dt)
-      }
-      if (starved)
-        starvedPasses = starvedPasses.updated(
-          name, starvedPasses.getOrElse(name, 0) + 1)
-      runs = runs.updated(name, runs.getOrElse(name, 0) + 1)
       // the dedup queries persist() intermediates they never
       // unpersist (the returned plan still references them); once
       // this pass's count() is done the entries are dead weight —
       // dropping them keeps storage memory from polluting every
       // later query's measurement (x19 read 10.3s vs 4s isolated)
       spark.catalog.clearCache()
+      (dt, starved)
     }
-    var sweep = 0
-    while (sweep < reps && (sweep < 2 || elapsed < budgetSec)) {
-      names.foreach { case (name, fn) => record(name, fn) }
-      sweep += 1
-    }
-    // dedicated ISOLATED retries for queries every sweep starved —
-    // the guard's whole point, and the primary artifact's own
-    // BENCH_SF1_FOCUS move: each retry round runs ONLY the
-    // still-starved queries, one at a time, after a short settle
-    // pause that lets a multi-second contention window pass (round-13
-    // measured the same query at 51.6 s inside a window and 19.6 s
-    // isolated). Queries that first go clean here are named in the
-    // artifact's `isolated` field; only those that starve through
-    // every retry remain in `starved`.
-    inRetryPhase = true
-    var retry = 0
-    while (retry < 6 && elapsed < budgetSec &&
-        names.exists { case (n, _) => !minClean.contains(n) }) {
-      if (retry > 0) Thread.sleep(3000) // let the contention window pass
-      names.filter { case (n, _) => !minClean.contains(n) }
-        .foreach { case (name, fn) => record(name, fn) }
-      retry += 1
-    }
-    val results = names.map { case (n, _) =>
-      n -> minClean.getOrElse(n, minAny.getOrElse(n, -1.0)) }.toMap
-    // queries whose REPORTED reading is still a starved pass
-    val starvedFinal = names.collect {
-      case (n, _) if !minClean.contains(n) && minAny.contains(n) => n }
+    val m = measure(names.map(_._1), timedPass, reps, budgetSec,
+      baseline, () => elapsed,
+      // let the contention window pass between retry rounds
+      () => Thread.sleep(3000))
+    val results = m.results
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
-    val passes = if (runs.nonEmpty) runs.values.min else 0
     // the keep-list shares its signature/pair tables with the minhash
     // pair pass — the contract is x19 <= ~1.3x x04 (judged per round)
     val ratio = (results.get("x19_dedup_keep"), results.get("x04_dedup_minhash")) match {
       case (Some(a), Some(b)) if b > 0 => a / b
       case _ => -1.0
     }
-    val starvedJson = starvedFinal.sorted
-      .map("\"" + _ + "\"").mkString("[", ",", "]")
-    val isolatedJson = isolatedClean.toSeq.sorted
-      .map("\"" + _ + "\"").mkString("[", ",", "]")
-    val totalStarved = starvedPasses.values.sum
-    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","passes":$passes,"agg":"min-per-clean-pass","starved":$starvedJson,"isolated":$isolatedJson,"starved_passes":$totalStarved,"x19_over_x04":$ratio}"""
+    def jarr(xs: Seq[String]): String =
+      xs.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")
+    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","passes":${m.passes},"agg":"min-per-clean-pass","starved":${jarr(m.starved)},"isolated":${jarr(m.isolated)},"outliers":${jarr(m.outliers)},"starved_passes":${m.starvedPasses},"x19_over_x04":$ratio}"""
     println(json)
     // Write the full-name JSON to a file: the round driver captures
     // only the last ~2000 chars of stdout, which truncated the
@@ -207,10 +287,7 @@ object Bench {
     // "abbrev":true distinguishes this record from the full-name
     // "metric":"total" line above (same metric tag, different schema —
     // a grep-based consumer must be able to tell them apart)
-    val shortStarved = starvedFinal.map(_.takeWhile(_ != '_')).sorted
-      .map("\"" + _ + "\"").mkString("[", ",", "]")
-    val shortIsolated = isolatedClean.toSeq.map(_.takeWhile(_ != '_')).sorted
-      .map("\"" + _ + "\"").mkString("[", ",", "]")
-    println(s"""{"metric":"total","value":${r3(total)},"unit":"sec","abbrev":true,"queries":$shortQs,"sf":"$sfDir","passes":$passes,"agg":"min-per-clean-pass","starved":$shortStarved,"isolated":$shortIsolated,"starved_passes":$totalStarved,"x19_over_x04":${r3(ratio)},"names":"qNN/xNN prefixes; full map in BENCH_SELF.json"}""")
+    def short(xs: Seq[String]): String = jarr(xs.map(_.takeWhile(_ != '_')))
+    println(s"""{"metric":"total","value":${r3(total)},"unit":"sec","abbrev":true,"queries":$shortQs,"sf":"$sfDir","passes":${m.passes},"agg":"min-per-clean-pass","starved":${short(m.starved)},"isolated":${short(m.isolated)},"outliers":${short(m.outliers)},"starved_passes":${m.starvedPasses},"x19_over_x04":${r3(ratio)},"names":"qNN/xNN prefixes; full map in BENCH_SELF.json"}""")
   }
 }

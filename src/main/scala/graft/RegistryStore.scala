@@ -126,7 +126,15 @@ object RegistryStore {
     * (private[graft] so RegistryStoreSpec can drive the concurrent-
     * writer race at exactly this boundary.) */
   private[graft] def commitManifest(fs: FileSystem, root: String,
-                                    m: Manifest): Unit = {
+                                    m: Manifest): Unit =
+    commitManifestImpl(fs, root, m, () => ())
+
+  /** Test seam: `beforeRename` runs after the tmp body is durable and
+    * before the atomic rename, so a spec can land a full concurrent
+    * commit of the SAME version inside the publish window. */
+  private[graft] def commitManifestImpl(fs: FileSystem, root: String,
+                                        m: Manifest,
+                                        beforeRename: () => Unit): Unit = {
     val dir = manifestDir(root)
     fs.mkdirs(dir)
     val body = new StringBuilder(s"v${m.version}\n")
@@ -134,14 +142,25 @@ object RegistryStore {
     m.bands.toSeq.sortBy(_._1).foreach { case (k, gens) =>
       body ++= gens.mkString(s"band $k ", " ", "\n")
     }
-    val tmp = new Path(dir, f".tmp_v${m.version}%05d")
-    val out = fs.create(tmp, true)
+    // The tmp name is unique PER ATTEMPT, not per version: two writers
+    // committing the same next version must never share a staging
+    // path, or writer B's create(overwrite=true) replaces A's staged
+    // body and A's rename publishes B's manifest under A's success —
+    // A's generation is silently lost and B's retry then re-appends a
+    // generation the live manifest already references (double count).
+    // With a nonce the interleave is structurally impossible: each
+    // writer renames only bytes it wrote itself, and exactly one
+    // rename to the (fresh, never-overwritten) final name wins.
+    val nonce = java.util.UUID.randomUUID.toString.take(8)
+    val tmp = new Path(dir, f".tmp_v${m.version}%05d_$nonce")
+    val out = fs.create(tmp, false)
     try {
       out.write(body.toString.getBytes("UTF-8"))
       // durability fence where the FS supports it (HDFS/object stores);
       // the local checksum FS is not Syncable — close() flushes there
       try out.hsync() catch { case _: UnsupportedOperationException => () }
     } finally out.close()
+    beforeRename()
     val fin = new Path(dir, f"v${m.version}%05d.txt")
     // Concurrent-writer guard: on HDFS/object stores rename-to-
     // existing FAILS atomically (the protocol's backbone); POSIX
@@ -266,17 +285,27 @@ object RegistryStore {
     var committed = false
     while (!committed) {
       val m = currentManifest(spark, root)
-      val bands = bandsIn(fs, root, g).foldLeft(m.bands) { (acc, k) =>
-        acc + (k -> (acc.getOrElse(k, Seq.empty) :+ g))
-      }
-      beforeCommit()
-      try {
-        commitManifest(fs, root, Manifest(m.version + 1, m.classes :+ g, bands))
-        committed = true
-      } catch {
-        case e: IllegalStateException =>
-          if (attempt >= maxAttempts) throw e
-          attempt += 1 // lost the race: re-read the manifest and retry
+      // Double-publish guard: if the re-read live manifest ALREADY
+      // references our staged generation, some commit carrying g won
+      // (e.g. a racing writer folded our generation in, or our own
+      // earlier attempt's rename landed after its error surfaced) —
+      // committing again would reference g twice and double-count
+      // every sig in readClasses. The append is done; stop.
+      if (m.classes.contains(g)) { committed = true }
+      else {
+        val bands = bandsIn(fs, root, g).foldLeft(m.bands) { (acc, k) =>
+          acc + (k -> (acc.getOrElse(k, Seq.empty) :+ g))
+        }
+        beforeCommit()
+        try {
+          commitManifest(fs, root,
+            Manifest(m.version + 1, m.classes :+ g, bands))
+          committed = true
+        } catch {
+          case e: IllegalStateException =>
+            if (attempt >= maxAttempts) throw e
+            attempt += 1 // lost the race: re-read the manifest and retry
+        }
       }
     }
   }
@@ -309,13 +338,19 @@ object RegistryStore {
     * functionally determined by sig — any representative is the
     * value-deterministic one). One hash agg keyed by sig; cost ∝
     * class rows, never raw history docs. */
-  def readClasses(spark: SparkSession, root: String): DataFrame = {
-    val m = currentManifest(spark, root)
+  def readClasses(spark: SparkSession, root: String): DataFrame =
+    readClassesOf(spark, root, currentManifest(spark, root))
+
+  /** [[readClasses]] against an explicit manifest SNAPSHOT — the
+    * compaction fold must read exactly the generations whose band
+    * files it is folding, not whatever a concurrent append just made
+    * live (a mixed snapshot would double-fold the delta on retry). */
+  private def readClassesOf(spark: SparkSession, root: String,
+                            m: Manifest): DataFrame =
     spark.read.parquet(m.classes.map(classesDir(root, _)): _*)
       .groupBy(col("sig"))
       .agg(sum(col("cnt")).as("cnt"), min(col("min_id")).as("min_id"),
         first(col("arr")).as("arr"))
-  }
 
   /** The band probe index (sig, band, k0..k3), resolved through the
     * live manifest: one partition-pruned scan per generation, each
@@ -407,15 +442,34 @@ object RegistryStore {
     * post-compaction pruning, old-or-new reader isolation and
     * crash-window readability are pinned by RegistryStoreSpec; x95
     * stays hash-green reading a compacted store.
+    * Commit-collision RETRY (the [[appendRetrying]] move for the
+    * compactor): the fold stages into its generation ONCE against a
+    * manifest SNAPSHOT; if the commit then loses to a concurrent
+    * append, the live manifest is re-read and — because an append
+    * only ever EXTENDS the snapshot's generation list — the commit is
+    * retried referencing the fold PLUS the appended deltas, which the
+    * next compaction folds in turn. The full band rewrite is never
+    * thrown away. A concurrent COMPACT (live classes no longer extend
+    * the snapshot's) still fails loudly: two compactors is a schedule
+    * bug, and folding over a fold cannot be reconciled by reference.
     * @param reap disable only to inspect the post-commit/pre-reap
     *             crash window (tests); production always reaps. */
   def compact(spark: SparkSession, root: String,
-              targetBytes: Long = 1L << 20, reap: Boolean = true): Unit = {
+              targetBytes: Long = 1L << 20, reap: Boolean = true): Unit =
+    compactImpl(spark, root, targetBytes, reap, maxAttempts = 5, () => ())
+
+  /** Test seam: `beforeCommit` runs before each commit attempt so a
+    * spec can inject a concurrent append inside the commit window. */
+  private[graft] def compactImpl(spark: SparkSession, root: String,
+      targetBytes: Long, reap: Boolean, maxAttempts: Int,
+      beforeCommit: () => Unit): Unit = {
+    require(maxAttempts >= 1, "maxAttempts >= 1")
     val fs = fsOf(spark, root)
     val m = currentManifest(spark, root)
     val g = nextGen(fs, root)
-    // classes LSM fold: materialize the read-time merge once
-    readClasses(spark, root).write.parquet(classesDir(root, g))
+    // classes LSM fold: materialize the read-time merge once — over
+    // exactly the snapshot's generations (see readClassesOf)
+    readClassesOf(spark, root, m).write.parquet(classesDir(root, g))
     // per-band fold of multi-file bands into the fresh generation
     val bands = m.bands.map { case (k, gens) =>
       val files = gens.flatMap(gi =>
@@ -433,7 +487,37 @@ object RegistryStore {
         k -> Seq(g)
       } else k -> gens
     }
-    commitManifest(fs, root, Manifest(m.version + 1, Seq(g), bands))
+    var attempt = 1
+    var committed = false
+    while (!committed) {
+      val live = currentManifest(spark, root)
+      // Generations appended since our snapshot: an append commits
+      // `classes :+ gDelta`, so the live list must EXTEND ours (and
+      // never reference our staged g). Anything else means a foreign
+      // compact rewrote the store under us — unreconcilable, and two
+      // scheduled compactors is the bug the loud failure reports.
+      if (!live.classes.startsWith(m.classes) || live.classes.contains(g))
+        throw new IllegalStateException(
+          s"concurrent compaction detected under $root: live classes " +
+          s"${live.classes} do not extend snapshot ${m.classes}")
+      val extras = live.classes.drop(m.classes.length)
+      // carry the deltas' band files by reference, after the fold's
+      val mergedBands = (bands.keySet ++ live.bands.keySet).map { k =>
+        val extraGens =
+          live.bands.getOrElse(k, Seq.empty).filter(extras.contains)
+        k -> (bands.getOrElse(k, Seq.empty) ++ extraGens)
+      }.toMap
+      beforeCommit()
+      try {
+        commitManifest(fs, root,
+          Manifest(live.version + 1, g +: extras, mergedBands))
+        committed = true
+      } catch {
+        case e: IllegalStateException =>
+          if (attempt >= maxAttempts) throw e
+          attempt += 1 // lost the race: re-read the manifest and retry
+      }
+    }
     if (reap) reapStaleGens(spark, root)
   }
 
@@ -475,7 +559,8 @@ object RegistryStore {
       if (fs.exists(dir)) fs.listStatus(dir).foreach { st =>
         val n = st.getPath.getName
         if (n.startsWith(".tmp_v"))
-          n.stripPrefix(".tmp_v").toIntOption.foreach { v =>
+          // name shape: .tmp_v<NNNNN>_<nonce> (nonce per attempt)
+          n.stripPrefix(".tmp_v").takeWhile(_.isDigit).toIntOption.foreach { v =>
             if (v <= latest) fs.delete(st.getPath, false)
           }
       }

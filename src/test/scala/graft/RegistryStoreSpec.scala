@@ -459,4 +459,148 @@ class RegistryStoreSpec extends AnyFunSuite {
       "the stale appender's losing commit corrupted the compacted store")
     d.unpersist()
   }
+
+  test("same-version commit interleave: a concurrent writer landing a " +
+    "full commit inside another's publish window cannot hijack its " +
+    "staging file — the slower writer loses loudly, the winner's body " +
+    "is live, the loser's tmp is reclaimed") {
+    // The round-14 fixed tmp path (.tmp_vNNNNN, create(overwrite=true))
+    // let writer B overwrite writer A's staged body, after which A's
+    // rename published B's manifest under A's success. The per-attempt
+    // nonce makes each writer rename only bytes it wrote itself.
+    val root = java.nio.file.Files
+      .createTempDirectory("graft_regstore_tmprace").toString
+    val d = docArrs.persist()
+    val fs = new Path(root)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    RegistryStore.write(graft.queries.Extensions.classesOf(
+      d.filter(col("doc_id") % 4 === 0)), root)
+    val mA = RegistryStore.currentManifest(spark, root)
+    val gA = RegistryStore.nextGen(fs, root)
+    graft.queries.Extensions.classesOf(d.filter(col("doc_id") % 4 === 1))
+      .select(col("sig"), col("cnt"), col("min_id"), col("arr"))
+      .write.parquet(f"$root/classes_g$gA%05d")
+    // A enters commitManifest for version mA+1; B's FULL append (its
+    // own staging + commit of the same version) lands between A's tmp
+    // write and A's rename
+    val ex = intercept[IllegalStateException] {
+      RegistryStore.commitManifestImpl(fs, root,
+        RegistryStore.Manifest(mA.version + 1, mA.classes :+ gA, mA.bands),
+        () => RegistryStore.append(graft.queries.Extensions.classesOf(
+          d.filter(col("doc_id") % 4 === 2)), root))
+    }
+    assert(ex.getMessage.contains("single-writer"),
+      s"unexpected failure mode: ${ex.getMessage}")
+    // the LIVE manifest is B's, not A's (with the fixed tmp path A
+    // would have "succeeded" and published B's body while reporting
+    // its own generation committed — here the loser knows it lost)
+    val live = RegistryStore.currentManifest(spark, root)
+    assert(live.version == mA.version + 1 && !live.classes.contains(gA),
+      s"hijacked commit: live manifest $live references the loser's $gA")
+    // A's staged tmp is reclaimed; no stranded .tmp_v files remain
+    val tmps = new java.io.File(s"$root/_manifests").listFiles()
+      .map(_.getName).filter(_.startsWith(".tmp_v"))
+    assert(tmps.isEmpty, s"stranded tmp staging files: ${tmps.toSeq}")
+    d.unpersist()
+  }
+
+  test("appendRetrying skips its retry when the re-read manifest " +
+    "already references the staged generation (no double count)") {
+    val root = java.nio.file.Files
+      .createTempDirectory("graft_regstore_dblpub").toString
+    val d = docArrs.persist()
+    val fs = new Path(root)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val day0 = d.filter(col("doc_id") % 4 === 0)
+    val dayA = d.filter(col("doc_id") % 4 === 1)
+    RegistryStore.write(graft.queries.Extensions.classesOf(day0), root)
+    val gA = RegistryStore.nextGen(fs, root) // the id the append will stage
+    // inside A's commit window, a foreign commit publishes a manifest
+    // that ALREADY references A's staged generation (the shape a
+    // hijacked fixed-tmp race produced): A's own commit then loses,
+    // and the retry must detect g is live and NOT append it again
+    var injected = false
+    RegistryStore.appendRetryingImpl(
+      graft.queries.Extensions.classesOf(dayA), root, 1, 5, () =>
+        if (!injected) {
+          injected = true
+          val m = RegistryStore.currentManifest(spark, root)
+          RegistryStore.commitManifest(fs, root,
+            RegistryStore.Manifest(m.version + 1, m.classes :+ gA, m.bands))
+        })
+    assert(injected)
+    val m = RegistryStore.currentManifest(spark, root)
+    assert(m.classes.count(_ == gA) == 1,
+      s"staged generation referenced ${m.classes.count(_ == gA)}x: $m")
+    val got = classesKey(RegistryStore.readClasses(spark, root))
+    val want = classesKey(graft.queries.Extensions.appendRegistry(
+      graft.queries.Extensions.classesOf(day0), dayA))
+    assert(got == want, "double-published generation double-counted cnt")
+    d.unpersist()
+  }
+
+  test("compact self-heals a lost commit race: the staged fold is " +
+    "re-committed carrying the concurrently-appended delta, nothing " +
+    "is lost and the band rewrite is not thrown away") {
+    val root = java.nio.file.Files
+      .createTempDirectory("graft_regstore_cretry").toString
+    val d = docArrs.persist()
+    val day0 = d.filter(col("doc_id") % 4 === 0)
+    val day1 = d.filter(col("doc_id") % 4 === 1)
+    val dayX = d.filter(col("doc_id") % 4 === 2)
+    RegistryStore.write(graft.queries.Extensions.classesOf(day0), root)
+    RegistryStore.append(graft.queries.Extensions.classesOf(day1), root)
+    // inject a concurrent daily append INSIDE the compactor's commit
+    // window (first attempt only): the compact's v3 loses to the
+    // append's v3, the retry re-reads, sees live classes extend its
+    // snapshot by the delta generation, and commits fold+delta at v4
+    var injected = false
+    RegistryStore.compactImpl(spark, root, 1L << 20, reap = true, 5, () =>
+      if (!injected) {
+        injected = true
+        RegistryStore.append(
+          graft.queries.Extensions.classesOf(dayX), root)
+      })
+    assert(injected, "the race was never injected")
+    val got = classesKey(RegistryStore.readClasses(spark, root))
+    val want = classesKey(graft.queries.Extensions.appendRegistry(
+      graft.queries.Extensions.appendRegistry(
+        graft.queries.Extensions.classesOf(day0), day1), dayX))
+    assert(got == want,
+      "compact's retried commit lost the concurrent delta or the fold")
+    // manifest shape: the fold generation FIRST, then the carried
+    // delta — two class generations, not one (the delta folds next
+    // time) and not three (days 0-1 are folded)
+    val m = RegistryStore.currentManifest(spark, root)
+    assert(m.classes.length == 2, s"manifest classes gens: ${m.classes}")
+    // the carried delta's band files are still referenced
+    assert(RegistryStore.readBands(spark, root)
+      .select(col("sig")).distinct().count() == got.length)
+    d.unpersist()
+  }
+
+  test("compact racing a foreign compact fails loudly: a fold cannot " +
+    "be reconciled by reference") {
+    val root = java.nio.file.Files
+      .createTempDirectory("graft_regstore_ccrace").toString
+    val d = docArrs.persist()
+    RegistryStore.write(graft.queries.Extensions.classesOf(
+      d.filter(col("doc_id") % 2 === 0)), root)
+    RegistryStore.append(graft.queries.Extensions.classesOf(
+      d.filter(col("doc_id") % 2 === 1)), root)
+    val want = classesKey(RegistryStore.readClasses(spark, root))
+    var injected = false
+    val ex = intercept[IllegalStateException] {
+      RegistryStore.compactImpl(spark, root, 1L << 20, reap = true, 5, () =>
+        if (!injected) {
+          injected = true
+          RegistryStore.compact(spark, root) // the foreign compactor wins
+        })
+    }
+    assert(ex.getMessage.contains("concurrent compaction"),
+      s"unexpected failure mode: ${ex.getMessage}")
+    assert(classesKey(RegistryStore.readClasses(spark, root)) == want,
+      "the losing compactor corrupted the live store")
+    d.unpersist()
+  }
 }

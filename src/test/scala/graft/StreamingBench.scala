@@ -223,6 +223,25 @@ object StreamingBench {
       if (sel("neardup_srp_10x"))
         runSrpNearDupScaled(s"neardup_srp_10x[$p]", mult = 10,
           horizon = "24 hours")
+      // the lateness surface (round 15 closes the last unpriced
+      // streaming operators): Flink allowedLateness as a first-class
+      // operator, the per-bucket late tagger, and the ticked-filter
+      // composition under a windowed aggregation
+      if (sel("allowed_lateness")) runAllowedLateness(s"allowed_lateness[$p]")
+      if (sel("tag_late")) runTagLate(s"tag_late[$p]")
+      if (sel("filter_ticked"))
+        run(s"filter_ticked[$p]", { df =>
+          // filter-without-a-Filter-node, then the clock, then the
+          // heartbeat drop, then a daily windowed count — the
+          // CommitStreamsSpec composition at corpus rate
+          val hb = graft.streaming.WatermarkTicks.filterTicked(
+            df, col("value") > 50, "ts", Seq("event_type"))
+            .withWatermark("ts", "1 hour")
+          graft.streaming.WatermarkTicks.dropTicks(hb, "event_type", "ts")
+            .groupBy(org.apache.spark.sql.functions.window(col("ts"), "1 day"),
+              col("event_type"))
+            .count()
+        }, "append", spanHours / 24 * 8L) // one row per (day, type)
     }
     // stateless ops once (no state store involved; partitions sized
     // to the feed's work, not to state)
@@ -294,7 +313,11 @@ object StreamingBench {
       bands.unpersist()
     }
     if (sel("fingerprint_match")) runFingerprintMatch()
-    if (sel("classify")) runVecModelTwins()
+    // hosts three twins, each sel-gated inside — invoke when ANY is
+    // selected (selecting only proto_prune/ivfpq_encode used to run
+    // nothing)
+    if (sel("classify") || sel("proto_prune") || sel("ivfpq_encode"))
+      runVecModelTwins()
     if (sel("linkage")) runLinkage()
 
     emitArtifact()
@@ -319,6 +342,49 @@ object StreamingBench {
       sys.env.get("STREAM_BENCH_OUT").foreach { p =>
         java.nio.file.Files.writeString(java.nio.file.Paths.get(p), json + "\n")
       }
+    }
+
+    // Flink allowedLateness as a first-class operator over the event
+    // feed: daily windows per event type, 1h allowance, count fold.
+    // State = one (agg, fires) pair per OPEN (type, day) window —
+    // windows live one allowance past their end, so ~2 days of window
+    // keys per type are live at once.
+    def runAllowedLateness(name: String): Unit = {
+      setParts(8L * 2L, batchRows.toLong)
+      val in = MemoryStream[Ev]
+      val fires = graft.streaming.LateData
+        .allowedLatenessAgg[Ev, String, Long](
+          // contract: watermark = delay + allowance (= 0s + 1h)
+          in.toDS().withWatermark("ts", "1 hour"),
+          _.event_type, _.ts,
+          java.time.Duration.ofDays(1), java.time.Duration.ofHours(1),
+          0L, (n, _) => n + 1)
+      val sq = fires.toDF().writeStream.format("noop")
+        .outputMode("append").start()
+      val t0 = System.nanoTime()
+      events.grouped(batchRows).foreach { c =>
+        in.addData(c); sq.processAllAvailable() }
+      val sec = (System.nanoTime() - t0) / 1e9
+      sq.stop()
+      report(name, events.length.toLong, sec, "rows/s")
+    }
+
+    // the per-bucket bounded-out-of-orderness late tagger (Flink's
+    // per-split watermark + sideOutputLateData fused): 8 shuffle
+    // buckets, state = one max-ts long per bucket
+    def runTagLate(name: String): Unit = {
+      setParts(8L, batchRows.toLong)
+      val in = MemoryStream[Ev]
+      val sq = graft.streaming.LateData.tagLate(
+          in.toDS(), (e: Ev) => e.ts.getTime, 3600000L,
+          (e: Ev) => (e.user_id % 8).toInt)
+        .toDF().writeStream.format("noop").outputMode("append").start()
+      val t0 = System.nanoTime()
+      events.grouped(batchRows).foreach { c =>
+        in.addData(c); sq.processAllAvailable() }
+      val sec = (System.nanoTime() - t0) / 1e9
+      sq.stop()
+      report(name, events.length.toLong, sec, "rows/s")
     }
 
     // q09's CEP shape (added followedBy removed within 1 day, keyed
