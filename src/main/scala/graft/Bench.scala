@@ -233,7 +233,17 @@ object Bench {
     def timedPass(name: String): (Double, Boolean) = {
       val w0 = System.nanoTime(); val c0 = osBean.getProcessCpuTime
       val st0 = stealTicks
-      try { fnOf(name)(spark, sfDir).count() } catch { case _: Throwable => () }
+      // Evaluate the FULL contracted result (noop sink): a count()
+      // action lets Catalyst prune computed columns and eliminate the
+      // output sort, so projection-shaped gates measured scan-only
+      // (x08 read 0.106 s; the round-15 per-row x96 would have read
+      // 0.016 s at sf1 — pure fiction). The noop write produces every
+      // output row as Verify's parquet write does, minus encode+IO.
+      // NOT comparable to pre-round-15 artifacts for projection gates
+      // (PERF.md documents the re-baseline).
+      try {
+        fnOf(name)(spark, sfDir).write.format("noop").mode("overwrite").save()
+      } catch { case _: Throwable => () }
       val dt = (System.nanoTime() - w0) / 1e9
       val cpuSec = (osBean.getProcessCpuTime - c0) / 1e9
       val stealSec = (stealTicks - st0) / hz

@@ -117,4 +117,28 @@ object Knobs {
       math.max(term(expectedStateRows, StreamStateRowsPerPartition),
         term(triggerRows, StreamTriggerRowsPerPartition)))).toInt
   }
+
+  // ------------------------------------------------- codec task sizing
+  /** Rows-per-task unit of [[codecParts]]: enough per-row codec work
+    * (~50-200 µs per synthetic PNG/WAV encode+decode) that a task
+    * runs a few hundred ms and its scheduling cost disappears. */
+  val CodecRowsPerPartition = 2048L
+
+  /** Partition count for a per-row CODEC stage (mapPartitions
+    * encode/decode/hash — x37/x64/x90/x91/x93's shape) over `rows`
+    * input rows: ⌈rows / 2048⌉ clamped to [1, maxParts].
+    *
+    * THE RULE (measured, PERF.md "round 14: codec outliers"): these
+    * stages used a flat repartition(32) to spread work off the sf
+    * parquet's single split, which at bench scale yields 32 ~10 ms
+    * tasks per stage — per-task-wave SCHEDULING latency dominates and
+    * a contended host turns a 0.6 s query into 2-5 s (x37's round-14
+    * diagnosis; the work itself is milliseconds). Sizing tasks to a
+    * rows target instead amortizes the wave: fewer, larger tasks at
+    * small scale, the full core budget once rows/2048 exceeds it —
+    * at 100 TB the scan has many splits and the clamp is the
+    * executor-core budget, exactly as before. */
+  def codecParts(rows: Long, maxParts: Int = 32): Int =
+    math.max(1L, math.min(maxParts.toLong,
+      math.ceil(rows.toDouble / CodecRowsPerPartition).toLong)).toInt
 }

@@ -2262,9 +2262,12 @@ object Extensions {
     (s, d) => {
       import s.implicits._
       val decoded = Tables.documents(s, d).select(col("doc_id")).as[Long]
-        // the sf parquet is a single split: spread the codec work
-        // (at real scale the scan is already multi-split)
-        .repartition(32)
+        // the sf parquet is a single split: spread the codec work in
+        // row-sized tasks (graft.Knobs.codecParts — a flat 32 made
+        // ~10 ms tasks whose scheduling waves dominated on a
+        // contended host; at real scale the scan is already
+        // multi-split and the clamp is the core budget)
+        .repartition(graft.Knobs.codecParts(Tables.documents(s, d).count()))
         .map { id =>
           val w = 8 + (id % 9).toInt
           val h = 8 + ((id * 3) % 9).toInt
@@ -4043,7 +4046,7 @@ object Extensions {
     (s, d) => {
       import s.implicits._
       val decoded = Tables.documents(s, d).select(col("doc_id")).as[Long]
-        .repartition(32)
+        .repartition(graft.Knobs.codecParts(Tables.documents(s, d).count()))
         .map { id =>
           val n = 64 + (id % 33).toInt
           val samples = Array.tabulate(n)(i =>
@@ -7141,7 +7144,8 @@ object Extensions {
     (s, d) => {
       import s.implicits._
       val hashed = Tables.documents(s, d).select(col("doc_id")).as[Long]
-        .repartition(32) // spread codec work off the 1-split scan
+        .repartition(graft.Knobs.codecParts(
+          Tables.documents(s, d).count())) // row-sized codec tasks
         .map { id =>
           val off = ((id * 31) % 256).toInt
           val png = graft.multimodal.Media.encodePng(16, 16, (x, y) => {
@@ -7191,7 +7195,8 @@ object Extensions {
     (s, d) => {
       import s.implicits._
       val hashed = Tables.documents(s, d).select(col("doc_id")).as[Long]
-        .repartition(32) // spread codec work off the 1-split scan
+        .repartition(graft.Knobs.codecParts(
+          Tables.documents(s, d).count())) // row-sized codec tasks
         .map { id =>
           val off = ((id * 7) % 256).toInt
           val samples = Array.tabulate(128)(i =>
@@ -7300,11 +7305,11 @@ object Extensions {
       import s.implicits._
       val docs = Tables.documents(s, d).select(col("doc_id"), col("text"))
         .persist()
-      docs.count()
+      val nDocs = docs.count()
       val text = spanDedupCounts(docs)
         .select(col("doc_id"), (col("dup_spans") >= 1).as("text_dup"))
       val media = docs.select(col("doc_id")).as[Long]
-        .repartition(32)
+        .repartition(graft.Knobs.codecParts(nDocs))
         .map { id =>
           val ioff = ((id * 31) % 256).toInt
           val png = graft.multimodal.Media.encodePng(16, 16, (x, y) => {
@@ -7631,8 +7636,35 @@ object Extensions {
     * (doc_id, n_chars, rep_2..rep_4, rep_5..rep_10) out — permille of
     * token characters covered by the top-(2..4)-gram / duplicated-
     * (5..10)-grams. X96GopherSpec pins coverage union, tie-breaks,
-    * and batch/stream agreement. */
+    * and batch/stream agreement.
+    *
+    * Round 15: every panel signal is an IN-DOC statistic, so the
+    * engine is ONE native per-row pass
+    * ([[graft.functions.GopherPanel]] — linear in 9 × doc tokens,
+    * zero shuffle, zero exploded intermediate), replacing the
+    * round-14 explode + count-shuffle + start-set-join chain that
+    * made x96 the slowest sf1 gate. The exploded engine stays below
+    * as [[gopherRepetitionExploded]], the distributed cross-check
+    * the parity spec (GopherPanelSpec) runs against the same corpus;
+    * the DuckDB oracle replays the exploded form independently. */
   private[graft] def gopherRepetition(docs: DataFrame,
+      dupWinnow: Int = graft.Knobs.GopherDupWinnowExact): DataFrame = {
+    require(dupWinnow >= 1, "dupWinnow >= 1")
+    val p = graft.functions.GopherPanel.gopherPanel(col("text"), dupWinnow)
+    ordered(docs
+      .select(col("doc_id"), p.as("p"))
+      .select(col("doc_id") +: col("p")("n_chars").as("n_chars") +:
+        (GopherTopNs ++ GopherDupNs).map(k =>
+          col("p")(s"rep_$k").as(s"rep_$k")): _*))
+  }
+
+  /** The round-14 DISTRIBUTED form of [[gopherRepetition]] — 9-n
+    * positional explode, per-(doc,n,gram) counts, start-set joins,
+    * coverage HOF — kept as the cross-check engine GopherPanelSpec
+    * proves the native per-row panel against (same corpus, winnow 1
+    * and 4). Prefer the per-row engine: a per-doc statistic never
+    * needed the shuffle. */
+  private[graft] def gopherRepetitionExploded(docs: DataFrame,
       dupWinnow: Int = graft.Knobs.GopherDupWinnowExact): DataFrame = {
     require(dupWinnow >= 1, "dupWinnow >= 1")
     val tkd = docs
@@ -7684,8 +7716,11 @@ object Extensions {
     val nch = tkd.select(col("doc_id"),
       expr("aggregate(tk, 0L, (acc, t) -> acc + length(t))").as("n_chars"))
     val pivotCols = (GopherTopNs ++ GopherDupNs).map { k =>
+      // zero-character docs (empty/all-space text) report 0, matching
+      // the per-row panel — under ANSI a bare `div 0` would throw
       coalesce(max(when(col("n") === k,
-        expr(s"chars * 1000 div n_chars"))), lit(0L)).as(s"rep_$k")
+        expr(s"IF(n_chars = 0, 0L, chars * 1000 div n_chars)"))),
+        lit(0L)).as(s"rep_$k")
     }
     ordered(nch.join(covered, Seq("doc_id"), "left")
       .groupBy(col("doc_id"), col("n_chars"))

@@ -130,95 +130,31 @@ object DocStreams {
     * ingest. */
   val GopherStreamMaxTokens = 4096
 
-  /** Streaming twin of x96's Gopher repetition panel: every signal is
-    * an IN-DOC statistic (frequencies of a doc's own n-grams), so the
-    * ingest form needs no corpus state at all — one stateless per-row
-    * expression computes the same (n_chars, rep_2..rep_10) permilles,
-    * append mode, bit-identical to the batch engine (DocStreamsSpec
-    * pins it on the real corpus). The trade vs the batch shape: the
-    * per-row top/dup frequency scans are O(len²) per document (each
-    * gram counted by filtering the doc's own gram list), the right
-    * price at ingest grain for BOUNDED-length documents — and the
-    * bound is enforced, not assumed: a doc over `maxTokens` is scored
-    * on its prefix and flagged `truncated` (X96GopherSpec drives the
-    * adversarial long-doc fixture). Corpus-scale backfills use the
-    * batch `gopherRepetition`, whose explode + count + coverage chain
-    * is linear in tokens and needs no cap. */
+  /** Streaming twin of x96's Gopher repetition panel: every signal
+    * is an IN-DOC statistic (frequencies of a doc's own n-grams), so
+    * the ingest form needs no corpus state at all — one stateless
+    * per-row expression ([[graft.functions.GopherPanel]], the SAME
+    * native pass the batch engine runs, linear in 9 x doc tokens)
+    * computes (n_chars, rep_2..rep_10) permilles in append mode,
+    * bit-identical to batch (DocStreamsSpec pins it on the real
+    * corpus). Round 15 replaced the O(len^2)-per-doc HOF formulation
+    * with the shared native pass; the `maxTokens` ingest cap stays —
+    * bounded work per row is an ingest CONTRACT, not a workaround —
+    * a doc over it is scored on its prefix and flagged `truncated`
+    * (X96GopherSpec drives the adversarial long-doc fixture). */
   def gopherRepetitionStream(docs: DataFrame,
       maxTokens: Int = GopherStreamMaxTokens,
       dupWinnow: Int = graft.Knobs.GopherDupWinnowExact): DataFrame = {
     require(maxTokens >= 1, "maxTokens >= 1")
     require(dupWinnow >= 1, "dupWinnow >= 1")
-    val tkAll = split(col("text"), " ")
-    val tk = when(size(tkAll) > maxTokens, slice(tkAll, 1, maxTokens))
-      .otherwise(tkAll)
-    def gramsOf(n: Int) =
-      when(size(col("tk")) >= n, expr(
-        s"transform(sequence(0, size(tk) - $n), " +
-          s"i -> md5(concat_ws(' ', slice(tk, i + 1, $n))))"))
-        .otherwise(array().cast("array<string>"))
-    // REFERENCE DISCIPLINE: CollapseProject inlines single-use
-    // projected columns back into consumers, so an expensive
-    // sub-expression placed inside a HOF LAMBDA BODY re-evaluates per
-    // element no matter how it was "hoisted" (measured: the naive
-    // formulation went O(grams³) per doc and burned 15 CPU-minutes on
-    // 250 docs). Every expensive reference below therefore sits in
-    // HOF ARGUMENT position — evaluated once per row — and coverage
-    // is the interval-union of the start set (flatten/distinct),
-    // never a per-token exists over a recomputed array.
-    def coverPm(startsSql: String, n: Int): org.apache.spark.sql.Column =
-      expr(
-        s"""CASE WHEN n_chars = 0 THEN 0L ELSE
-           |aggregate(array_distinct(flatten(transform($startsSql,
-           |  s -> sequence(s, s + $n - 1)))),
-           |  0L, (acc, p) -> acc + length(element_at(tk, p + 1)))
-           |  * 1000 div n_chars END""".stripMargin)
-    val staged = docs.select(col("doc_id"), tk.as("tk"),
-        (size(tkAll) > maxTokens).as("truncated"))
-      .withColumn("n_chars",
-        expr("aggregate(tk, 0L, (acc, t) -> acc + length(t))"))
-    val withGrams = graft.queries.Extensions.GopherTopNs
-      .foldLeft(staged) { (d, n) =>
-        // the top gram = min over (-count, gram) structs, ties to the
-        // smallest hash — the batch tie-break exactly. The argmin is
-        // wrapped in a 1-element array and its occurrence scan runs
-        // inside transform over THAT array, so the O(grams²) argmin
-        // evaluates once (lambda variables are cheap references)
-        d.withColumn(s"g$n", gramsOf(n))
-          .withColumn(s"rep_$n", when(size(col(s"g$n")) === 0, lit(0L))
-            .otherwise(coverPm(
-              s"""flatten(transform(
-                 |  array(array_min(transform(g$n, x ->
-                 |    struct(-size(filter(g$n, y -> y = x)) AS nc,
-                 |           x AS g))).g),
-                 |  tg -> filter(sequence(0, size(g$n) - 1),
-                 |    i -> element_at(g$n, i + 1) = tg)))""".stripMargin,
-              n)))
-      }
-    // batch parity: the dup side replays the SAME mod-k gram-identity
-    // winnow as Extensions.gopherRepetition (a kept gram's in-doc
-    // count is exact — every occurrence shares its hash — so only
-    // WHICH identities contribute coverage is sampled). The cheap
-    // winnow predicate short-circuits BEFORE the O(len) occurrence
-    // count, cutting the dup side's per-row quadratic scan ~k× too.
-    def winnowPred(arr: String): String =
-      if (dupWinnow == 1) ""
-      else s"CAST(conv(substring(element_at($arr, i + 1), 1, 8), 16, 10) " +
-        s"AS BIGINT) % $dupWinnow = 0 AND "
-    val withDup = graft.queries.Extensions.GopherDupNs
-      .foldLeft(withGrams) { (d, n) =>
-        d.withColumn(s"gd$n", gramsOf(n))
-          .withColumn(s"rep_$n", when(size(col(s"gd$n")) === 0, lit(0L))
-            .otherwise(coverPm(
-              s"filter(sequence(0, size(gd$n) - 1), i -> " +
-                winnowPred(s"gd$n") +
-                s"size(filter(gd$n, y -> y = element_at(gd$n, i + 1))) >= 2)",
-              n)))
-      }
-    withDup.select(col("doc_id") +: col("n_chars") +:
-      ((graft.queries.Extensions.GopherTopNs ++
-        graft.queries.Extensions.GopherDupNs)
-        .map(k => col(s"rep_$k")) :+ col("truncated")): _*)
+    val p = graft.functions.GopherPanel.gopherPanel(
+      col("text"), dupWinnow, maxTokens)
+    docs.select(col("doc_id"), p.as("p"))
+      .select(col("doc_id") +: col("p")("n_chars").as("n_chars") +:
+        ((graft.queries.Extensions.GopherTopNs ++
+          graft.queries.Extensions.GopherDupNs)
+          .map(k => col("p")(s"rep_$k").as(s"rep_$k")) :+
+          col("p")("truncated").as("truncated")): _*)
   }
 
   /** Streaming heavy-hitter CANDIDATES — x46's bounded-memory pass

@@ -86,4 +86,20 @@ class KnobsSpec extends AnyFunSuite {
     // unknown trigger volume degrades to the state term alone
     assert(Knobs.streamStateParts(8000L) == 2)
   }
+
+  test("codec task sizing: rows/2048 partitions, clamped to [1, maxParts] " +
+    "— tasks big enough to amortize the scheduling wave") {
+    assert(Knobs.CodecRowsPerPartition == 2048L)
+    assert(Knobs.codecParts(0L) == 1, "empty input still needs a partition")
+    assert(Knobs.codecParts(1L) == 1)
+    assert(Knobs.codecParts(2048L) == 1)
+    assert(Knobs.codecParts(2049L) == 2)
+    // the sf0.1 bench corpus (5000 docs): 3 ~1.7k-row tasks, not 32
+    // ~10 ms ones — the round-14 x37 contention diagnosis
+    assert(Knobs.codecParts(5000L) == 3)
+    // a 60k-doc sf1 corpus saturates 30 of the 32 cores
+    assert(Knobs.codecParts(60000L) == 30)
+    assert(Knobs.codecParts(1000000L) == 32, "core clamp")
+    assert(Knobs.codecParts(1000000L, maxParts = 8) == 8)
+  }
 }
