@@ -144,4 +144,34 @@ object TrainingPipeline {
     shuffleAndPack(stratifiedSample(survivors, cfg.targetPerLang),
       cfg.numShards, cfg.packLen)
   }
+
+  /** The STREAMING-LEGAL prefix of [[prepare]] — redact → exact dedup
+    * → decontaminate → quality-filter → stratified sample — as one
+    * composed transform over a streaming (doc_id, lang, text) frame,
+    * preserving the batch pipeline's ORDERING effects (redact runs
+    * before any hashing, so dedup classes are computed over the text
+    * the trainer sees — two documents differing only in scrubbed PII
+    * are ONE class in both engines; DocStreamsSpec pins the composed
+    * equality on the real corpus across arbitrary batch splits).
+    *
+    * The SURVIVOR-SET CHECKPOINT is the batch/stream boundary:
+    *  - everything up to sampling is per-row or per-class
+    *    (dedup via [[graft.streaming.DocStreams.dedupFirstStream]],
+    *    batch-equal under id-ascending arrival) and runs at ingest;
+    *  - the stratum RATES are a marginal-global statistic of the
+    *    survivor set, so the stream applies them FROZEN (`rates` —
+    *    compute with [[graft.streaming.DocStreams.strataRates]] at
+    *    the last survivor checkpoint, exactly how the frozen-model
+    *    twins ship their models);
+    *  - shard placement ([[shuffleAndPack]]) ranks the COMPLETE
+    *    sampled set and stays batch — it runs when a training run is
+    *    cut, never at ingest. */
+  def streamingPrefix(docs: DataFrame, cfg: Config,
+                      rates: DataFrame): DataFrame = {
+    val scrubbed = if (cfg.redactPii) redact(docs) else docs
+    val filtered = qualityFilter(
+      decontaminate(DocStreams.dedupFirstStream(scrubbed), cfg.benchBigrams),
+      cfg.maxDupFrac)
+    DocStreams.stratifiedSample(filtered, rates).drop("bucket", "rate_pm")
+  }
 }

@@ -5477,6 +5477,31 @@ object Extensions {
       .select(col("cid"), coalesce(col("tcv"), col("cv")).as("cv")))
   }
 
+  /** LOUD guard for the Lloyd seeding convention [[ivfPqCentModel]]
+    * and [[ivfPqCodebook]] assume: cluster/codeword seeds are the
+    * rows with `vec_id < max(ncells, k)`, and the trained means join
+    * back to the seeds by the ENCODE INDEX — identical only when the
+    * seed ids form the DENSE prefix 0..max(ncells,k)−1. On a corpus
+    * violating that (sparse or re-keyed ids) the join mismatches and
+    * the codebook corrupts SILENTLY (AnnStoreSpec's race fixture
+    * found it: a %4 split built a 4-codeword book indexed as 16).
+    * The gate corpora are 0..n−1 by construction; [[graft.AnnStore]]
+    * validates arbitrary corpora here — re-key with dense ids when
+    * this throws. One metadata-cheap count + one filtered distinct
+    * count; only run on the BUILD path (train-time, not per-delta). */
+  private[graft] def ivfPqRequireDenseSeedPrefix(v: DataFrame): Unit = {
+    val n = v.count()
+    val ncells = math.max(IvfPqMinCells,
+      math.floor(math.sqrt(n.toDouble)).toLong)
+    val need = math.max(ncells, IvfPqK.toLong)
+    val present = v.filter(col("vec_id") >= 0 && col("vec_id") < need)
+      .select(col("vec_id")).distinct().count()
+    require(present == need,
+      s"IVF-PQ seed contract: vec_ids 0..${need - 1} must all be present " +
+        s"(found $present of $need); re-key the corpus with dense ids " +
+        "before building the index")
+  }
+
   /** Per-row cell assignment (coarse argmin-L2² = PqEncode with m=1)
     * and residual against a frozen one-row [[ivfPqCentModel]] — zero
     * shuffles, streaming-legal (stateless projection over a broadcast
@@ -5582,6 +5607,18 @@ object Extensions {
       val rcb = ivfPqCodebook(assigned).persist()
       rcb.count()
       val enc = ivfPqEncodeDf(assigned, rcb)
+      ivfPqAdcRankedWith(v, cents, enc, corpusScaledR)
+  }
+
+  /** The SERVING half of [[ivfPqAdcRanked]], parameterized on a
+    * frozen index: `cents` a one-row coarse model (cmodel, cflat),
+    * `enc` the encoded rows (vec_id, cid, codes, rflat) — exactly
+    * what [[graft.AnnStore]] stores at rest (readCodes + the model
+    * row's rflat), so the probe path over an APPENDED index is the
+    * same code the in-memory build runs. Queries (and the fixture
+    * re-rank knob's n) come from `v`. */
+  private[graft] def ivfPqAdcRankedWith(v: DataFrame, cents: DataFrame,
+      enc: DataFrame, corpusScaledR: Boolean): DataFrame = {
       // query probes: nprobe = max(6, ⌈√cells⌉) nearest cells, one
       // residual query per probed cell (queries × cells rows — a
       // window over a tiny table; nprobe is derived from the model
@@ -5644,6 +5681,13 @@ object Extensions {
   private[graft] def ivfPqTopK(v: DataFrame,
                                corpusScaledR: Boolean = false): DataFrame =
     ivfPqRerank(v, ivfPqAdcRanked(v, corpusScaledR))
+
+  /** [[ivfPqTopK]] served from a FROZEN index (see
+    * [[ivfPqAdcRankedWith]]) — the [[graft.AnnStore]] read path:
+    * ADC scan over the stored codes, exact re-rank against `v`. */
+  private[graft] def ivfPqTopKFrozen(v: DataFrame, cents: DataFrame,
+      enc: DataFrame, corpusScaledR: Boolean = false): DataFrame =
+    ivfPqRerank(v, ivfPqAdcRankedWith(v, cents, enc, corpusScaledR))
 
   /** Shared oracle core for x80/x83/x98: every CTE through `adcr`
     * (the ADC top-R candidates, rank kept) and `rer` (the exact
@@ -6147,6 +6191,157 @@ object Extensions {
       ivfPqRecallAudit(v, corpusScaledR = false)
     },
     Some(ivfPqRecallOracle(x98VCte, corpusScaledR = false)))
+
+  // ---------------------------------------------------------------- x99
+  // Incremental ANN-index maintenance — x86/x95's daily-crawl move
+  // applied to the IVF-PQ index (graft.AnnStore): the index is built
+  // once on HISTORY (models trained there), the day's delta is
+  // APPENDED by encoding per-row against the FROZEN coarse centroids
+  // and residual codebook (a stateless broadcast projection — cost ∝
+  // delta, no re-train, no history rescan), staged into a fresh
+  // cid-partitioned generation and committed atomically; a compaction
+  // folds the delta files. Hash-green proves the x95-shaped lemma END
+  // TO END through the at-rest lifecycle (build → append → compact →
+  // read): the stored index equals encoding the UNION against the
+  // history-frozen models — the oracle replays exactly that (train on
+  // the first half, encode everything). What append cannot fix —
+  // model drift vs a full re-train — is AnnStoreSpec's measured
+  // recall audit, not this equality gate.
+  //
+  // Scale shape: train cost is confined to build (history-sized, run
+  // when the drift audit says so); the daily path is per-row encode +
+  // one manifest commit, and the serving probe partition-prunes to
+  // nprobe/cells of each generation (AnnStoreSpec proves the pruning
+  // from the physical scan).
+  private val x99 = GateQuery(
+    "x99_ann_index_append",
+    (s, d) => {
+      val quant = transform(col("embedding"),
+        x => floor(x * lit(1000)).cast("long"))
+      val v = Tables.embeddings(s, d)
+        .select(col("vec_id"), quant.as("qv"))
+        .persist() // history build, delta encode and split all consume it
+      v.count()
+      val h = v.agg(expr("count(1) div 2").as("h"))
+      val hist = v.crossJoin(broadcast(h)).filter(col("vec_id") < col("h"))
+        .select(col("vec_id"), col("qv"))
+      val delta = v.crossJoin(broadcast(h)).filter(col("vec_id") >= col("h"))
+        .select(col("vec_id"), col("qv"))
+      val root = java.nio.file.Files
+        .createTempDirectory("graft_x99_annstore")
+      TempReaper.register(root) // scratch store: reclaim at JVM exit
+      graft.AnnStore.build(hist, root.toString)
+      graft.AnnStore.append(delta, root.toString)
+      graft.AnnStore.compact(s, root.toString)
+      ordered(graft.AnnStore.readCodes(s, root.toString)
+        .select(col("vec_id"), col("cid").cast("int").as("cid"),
+          concat_ws(" ", col("codes").cast("array<string>")).as("codes")))
+    },
+    Some(s"""WITH v AS (
+              $ivfPqVCte),
+            h AS (SELECT count(*) // 2 AS h FROM v),
+            hist AS (SELECT v.* FROM v, h WHERE v.vec_id < h.h),
+            seeds AS (
+              SELECT CAST(vec_id AS INT) AS cid, qv AS cv
+              FROM hist WHERE vec_id < (SELECT GREATEST($IvfPqMinCells,
+                CAST(FLOOR(SQRT(count(*))) AS BIGINT)) FROM hist)),
+            sasg0 AS (
+              SELECT hh.vec_id, hh.qv, c.cid,
+                CAST(list_dot_product(hh.qv, hh.qv)
+                  - 2*list_dot_product(hh.qv, c.cv)
+                  + list_dot_product(c.cv, c.cv) AS BIGINT) AS d
+              FROM hist hh CROSS JOIN seeds c),
+            sasg AS MATERIALIZED (
+              SELECT vec_id, qv, cid
+              FROM (SELECT *, row_number() OVER (PARTITION BY vec_id
+                      ORDER BY d, cid) AS rn
+                    FROM sasg0) WHERE rn = 1),
+            cmeans AS (
+              SELECT cid, u.i AS pos,
+                CAST(FLOOR(CAST(sum(qv[u.i + 1]) AS DOUBLE) / count(*))
+                  AS BIGINT) AS m
+              FROM sasg, unnest(range($IvfPqDim)) AS u(i)
+              GROUP BY 1, 2),
+            ctrained AS (
+              SELECT cid, list(m ORDER BY pos) AS tcv
+              FROM cmeans GROUP BY 1),
+            cents AS MATERIALIZED (
+              SELECT s.cid, COALESCE(t.tcv, s.cv) AS cv
+              FROM seeds s LEFT JOIN ctrained t USING (cid)),
+            hasg0 AS (
+              SELECT hh.vec_id, hh.qv, c.cid, c.cv,
+                CAST(list_dot_product(hh.qv, hh.qv)
+                  - 2*list_dot_product(hh.qv, c.cv)
+                  + list_dot_product(c.cv, c.cv) AS BIGINT) AS d
+              FROM hist hh CROSS JOIN cents c),
+            hassigned AS MATERIALIZED (
+              SELECT vec_id, cid,
+                list_transform(range($IvfPqDim), i -> qv[i+1] - cv[i+1]) AS rv
+              FROM (SELECT *, row_number() OVER (PARTITION BY vec_id
+                      ORDER BY d, cid) AS rn
+                    FROM hasg0) WHERE rn = 1),
+            subs AS (SELECT unnest(range($IvfPqM)) AS sub),
+            rcb0 AS (
+              SELECT s.sub, CAST(r.vec_id AS INT) AS code,
+                list_slice(r.rv, s.sub*$IvfPqSub + 1, s.sub*$IvfPqSub + $IvfPqSub) AS cv
+              FROM hassigned r CROSS JOIN subs s WHERE r.vec_id < $IvfPqK),
+            rdist0 AS (
+              SELECT r.vec_id, b.sub, b.code,
+                CAST(list_dot_product(list_slice(r.rv, b.sub*$IvfPqSub+1, b.sub*$IvfPqSub+$IvfPqSub),
+                                      list_slice(r.rv, b.sub*$IvfPqSub+1, b.sub*$IvfPqSub+$IvfPqSub))
+                  - 2*list_dot_product(list_slice(r.rv, b.sub*$IvfPqSub+1, b.sub*$IvfPqSub+$IvfPqSub), b.cv)
+                  + list_dot_product(b.cv, b.cv) AS BIGINT) AS d
+              FROM hassigned r CROSS JOIN rcb0 b),
+            enc0 AS MATERIALIZED (
+              SELECT vec_id, sub, code FROM (
+                SELECT vec_id, sub, code,
+                  row_number() OVER (PARTITION BY vec_id, sub
+                    ORDER BY d, code) AS rn
+                FROM rdist0) WHERE rn = 1),
+            cbmeans AS (
+              SELECT e.sub, e.code, u.i AS spos,
+                CAST(FLOOR(CAST(sum(r.rv[e.sub*$IvfPqSub + u.i + 1]) AS DOUBLE)
+                  / count(*)) AS BIGINT) AS m
+              FROM enc0 e JOIN hassigned r USING (vec_id),
+                   unnest(range($IvfPqSub)) AS u(i)
+              GROUP BY 1, 2, 3),
+            cbtrained AS (
+              SELECT sub, code, list(m ORDER BY spos) AS cv
+              FROM cbmeans GROUP BY 1, 2),
+            rcb AS MATERIALIZED (
+              SELECT s.sub, s.code, COALESCE(t.cv, s.cv) AS cv
+              FROM rcb0 s LEFT JOIN cbtrained t
+                ON t.sub = s.sub AND t.code = s.code),
+            uasg0 AS (
+              SELECT x.vec_id, x.qv, c.cid, c.cv,
+                CAST(list_dot_product(x.qv, x.qv)
+                  - 2*list_dot_product(x.qv, c.cv)
+                  + list_dot_product(c.cv, c.cv) AS BIGINT) AS d
+              FROM v x CROSS JOIN cents c),
+            uassigned AS MATERIALIZED (
+              SELECT vec_id, cid,
+                list_transform(range($IvfPqDim), i -> qv[i+1] - cv[i+1]) AS rv
+              FROM (SELECT *, row_number() OVER (PARTITION BY vec_id
+                      ORDER BY d, cid) AS rn
+                    FROM uasg0) WHERE rn = 1),
+            urdist AS (
+              SELECT r.vec_id, b.sub, b.code,
+                CAST(list_dot_product(list_slice(r.rv, b.sub*$IvfPqSub+1, b.sub*$IvfPqSub+$IvfPqSub),
+                                      list_slice(r.rv, b.sub*$IvfPqSub+1, b.sub*$IvfPqSub+$IvfPqSub))
+                  - 2*list_dot_product(list_slice(r.rv, b.sub*$IvfPqSub+1, b.sub*$IvfPqSub+$IvfPqSub), b.cv)
+                  + list_dot_product(b.cv, b.cv) AS BIGINT) AS d
+              FROM uassigned r CROSS JOIN rcb b),
+            uenc AS (
+              SELECT vec_id, sub, code FROM (
+                SELECT vec_id, sub, code,
+                  row_number() OVER (PARTITION BY vec_id, sub
+                    ORDER BY d, code) AS rn
+                FROM urdist) WHERE rn = 1)
+            SELECT u.vec_id, CAST(a.cid AS INT) AS cid,
+                   string_agg(CAST(u.code AS VARCHAR), ' ' ORDER BY u.sub) AS codes
+            FROM uenc u JOIN uassigned a USING (vec_id)
+            GROUP BY 1, 2
+            ORDER BY 1,2,3"""))
 
   // ---------------------------------------------------------------- x84
   // Out-of-vocabulary rate — the vocab-relative quality signal the
@@ -7883,5 +8078,5 @@ object Extensions {
     x52, x53, x54, x55, x56, x57, x58, x59, x60, x61, x62, x63, x64, x65, x66,
     x67, x68, x69, x70, x71, x72, x73, x74, x75, x76, x77, x78, x79, x80,
     x81, x82, x83, x84, x85, x86, x87, x88, x89, x90, x91, x92, x93, x94,
-    x95, x96, x97, x98)
+    x95, x96, x97, x98, x99)
 }

@@ -54,6 +54,40 @@ object DocStreams {
       .join(broadcast(rates), "lang")
       .filter(col("bucket") < col("rate_pm"))
 
+  /** Streaming EXACT token-set dedup with a DETERMINISTIC class
+    * representative — the composed-pipeline twin of
+    * [[graft.pipeline.TrainingPipeline.exactDedup]] (which keeps the
+    * min-doc_id member of every class). `dropDuplicates` keeps an
+    * ARBITRARY in-batch member, so a micro-batch carrying two class
+    * members would make the stream diverge from batch
+    * nondeterministically; this keeps the min-doc_id member WITHIN
+    * each batch and first-batch-wins ACROSS batches — equal to the
+    * batch rule whenever classes arrive id-ascending (the ingest
+    * contract: doc ids are assigned monotonically at intake).
+    * Column contract: (doc_id, lang, text) in, same out. State: one
+    * empty marker per distinct class signature — the corpus's class
+    * count, the same bound the batch dedup's shuffle carries;
+    * unbounded over an infinite stream, so horizon-bounded ingest
+    * should prefer [[exactDedupStream]] (watermark-evicted) and the
+    * registry probe (x86) for dedup against deep history. */
+  def dedupFirstStream(docs: DataFrame): DataFrame = {
+    import docs.sparkSession.implicits._
+    docs.select(col("doc_id"), col("lang"), col("text"),
+        graft.ops.Cols.tokenSetSig(col("text")).as("sig"))
+      .as[(Long, String, String, String)]
+      .groupByKey(_._4)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (_: String, in: Iterator[(Long, String, String, String)],
+         st: GroupState[Boolean]) =>
+          if (st.exists) Iterator.empty
+          else {
+            st.update(true)
+            Iterator.single(in.minBy(_._1))
+          }
+      }
+      .map(t => (t._1, t._2, t._3)).toDF("doc_id", "lang", "text")
+  }
+
   /** PII-scrub an ingest stream record-by-record: the x32 batch
     * projection (same regex constants, same replacement order —
     * bit-identical output) applied statelessly in append mode. Column

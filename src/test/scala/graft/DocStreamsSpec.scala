@@ -859,4 +859,66 @@ class DocStreamsSpec extends AnyFunSuite {
     assert(fin.size <= 2) // bounded state: at most k counters
     q.stop()
   }
+
+  test("composed pipeline twin: the streaming-legal prefix of x97 " +
+    "(redact -> dedup -> decontam -> quality -> sample) equals the " +
+    "batch pipeline through sampling on the real corpus, across " +
+    "arbitrary batch splits, including redact-before-hash classes") {
+    import graft.pipeline.TrainingPipeline
+    val base = Tables.documents(spark, "/root/testdata/sf0.001")
+      .select($"doc_id", $"lang", $"text")
+    // two fixtures DISTINCT raw but ONE dedup class after PII
+    // redaction — the ordering effect the composition must preserve
+    val mx = base.agg(max($"doc_id")).as[Long].head()
+    val fix = Seq(
+      (mx + 1, "en", "mail me at alice@example.com today ok"),
+      (mx + 2, "en", "mail me at bob@test.org today ok"))
+      .toDF("doc_id", "lang", "text")
+    val docs = base.unionByName(fix).persist()
+    docs.count()
+    // a decontamination set that really drops documents: the first
+    // doc's first bigram
+    val t0 = base.orderBy($"doc_id").select($"text").as[String].head()
+    val bgs = Seq(t0.split(" ").take(2).mkString(" "))
+    val cfg = TrainingPipeline.Config(benchBigrams = bgs)
+
+    // batch reference: prepare's stages up to (and including) the
+    // stratified sample — placement (shuffleAndPack) ranks the
+    // complete set and is batch-only
+    val survivors = TrainingPipeline.qualityFilter(
+      TrainingPipeline.decontaminate(
+        TrainingPipeline.exactDedup(TrainingPipeline.redact(docs)), bgs),
+      cfg.maxDupFrac).persist()
+    survivors.count()
+    // redact-before-hash: the PII twins collapsed to the min-id one
+    val survIds = survivors.select($"doc_id").as[Long].collect().toSet
+    assert(survIds.contains(mx + 1) && !survIds.contains(mx + 2),
+      s"PII twins must be one class: ${survIds.filter(_ > mx)}")
+    // the survivor-set checkpoint: stratum rates frozen here
+    val rates = DocStreams.strataRates(survivors, cfg.targetPerLang)
+      .persist()
+    rates.count()
+    val want = TrainingPipeline.stratifiedSample(survivors, cfg.targetPerLang)
+      .select($"doc_id", $"lang").as[(Long, String)].collect().toSet
+
+    // the stream: same docs, id-ascending, three uneven micro-batches
+    val rows = docs.as[(Long, String, String)].collect().sortBy(_._1)
+    val in = MemoryStream[(Long, String, String)]
+    val q = TrainingPipeline.streamingPrefix(
+        in.toDF().toDF("doc_id", "lang", "text"), cfg, rates)
+      .select($"doc_id", $"lang")
+      .writeStream.format("memory").queryName("pipeprefix")
+      .outputMode("append").start()
+    Seq(rows.take(7), rows.slice(7, 101), rows.drop(101)).foreach { c =>
+      in.addData(c.toIndexedSeq: _*); q.processAllAvailable()
+    }
+    val got = spark.table("pipeprefix").as[(Long, String)].collect().toSet
+    q.stop()
+    assert(want.nonEmpty && want.size < rows.length,
+      s"fixture is vacuous: ${want.size} of ${rows.length} sampled")
+    assert(got == want,
+      s"composed stream diverged from batch: only-stream=${got -- want}, " +
+        s"only-batch=${want -- got}")
+    docs.unpersist(); survivors.unpersist(); rates.unpersist()
+  }
 }
