@@ -728,12 +728,18 @@ object Extensions {
   // ---------------------------------------------------------------- x10
   // Document fingerprint: lexicographic min over all 8-gram md5s
   // (min-hash winnowing flavor; rolling window, shift 1).
+  // Round 15: the min-of-window-md5s runs as ONE native pass
+  // (graft.functions.RollingFp — text bytes encoded once, min
+  // tracked as raw digest bytes, only the winner hex-encoded). The
+  // HOF form it replaces (array_min over a transform materializing
+  // ~length(text) hex strings through an interpreted lambda) was the
+  // slowest sf1 gate (70.3 s) once the bench evaluated results for
+  // real; RollingFpSpec pins bit-equality against it.
   private val x10 = GateQuery(
     "x10_fingerprint",
     (s, d) =>
       ordered(Tables.documents(s, d).select(col("doc_id"),
-        expr("""array_min(transform(sequence(1, greatest(length(text) - 7, 1)),
-                  i -> md5(substring(text, i, 8))))""").as("fp"))),
+        graft.functions.RollingFp.rollingFp(col("text"), 8).as("fp"))),
     Some("""SELECT doc_id,
               list_aggregate(list_transform(range(1, greatest(length(text) - 7, 1) + 1),
                 i -> md5(substr(text, CAST(i AS INT), 8))), 'min') AS fp
@@ -6373,11 +6379,17 @@ object Extensions {
     * ingest — DocStreams.oovScoreStream). */
   private[graft] def oovScore(docs: DataFrame, voc: DataFrame): DataFrame = {
     val tk = split(col("text"), " ")
-    val oov = size(filter(tk, t => not(array_contains(col("varr"), t))))
+    // round 15: the per-token vocabulary probe is a native binary
+    // search over the sorted vocab (graft.functions.OovCount) — the
+    // former size(filter(tk, t -> !array_contains(varr, t))) scanned
+    // all V entries per token through an interpreted lambda
+    // (V·tokens compares; 41 s at sf1). varr IS sorted: oovVocab
+    // builds it with sort_array — OovCount's contract.
+    val oov = graft.functions.OovCount.oovCount(col("text"), col("varr"))
     docs.crossJoin(broadcast(voc))
       .select(col("doc_id"),
         size(tk).cast("long").as("n_tok"),
-        oov.cast("long").as("oov"))
+        oov.as("oov"))
       .withColumn("oov_permille", expr("oov * 1000 div n_tok"))
   }
 
