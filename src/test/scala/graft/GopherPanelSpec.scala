@@ -60,6 +60,16 @@ class GopherPanelSpec extends AnyFunSuite {
       s"12 identical tokens: every dup fraction is full coverage: ${byId(5L)}")
   }
 
+  test("the per-row engine's plan carries NO shuffle beyond the " +
+    "output sort's range partitioning") {
+    val plan = graft.queries.Extensions.gopherRepetition(docs)
+      .queryExecution.executedPlan
+    val exchanges = "Exchange ".r.findAllIn(plan.toString).length
+    assert(exchanges <= 1,
+      s"per-doc statistic must not shuffle (1 range exchange for the " +
+        s"ordered() output allowed), got $exchanges:\n$plan")
+  }
+
   test("streaming twin's truncation cap: a doc over maxTokens is " +
     "scored on its prefix and flagged") {
     val longText = (1 to 50).map(i => s"t$i").mkString(" ")
