@@ -34,12 +34,17 @@ class PropertiesSpec extends AnyFunSuite {
         .select(col("ts"), window(col("ts"), "48 hours", "12 hours").as("w"))
       val rows = df.select(col("ts"), col("w.start"), col("w.end")).collect()
       val perEvent = rows.groupBy(_.getTimestamp(0)).view.mapValues(_.length).toMap
+      // duplicate generated timestamps each contribute their own
+      // size/slide rows, so the expected count per DISTINCT value is
+      // multiplicity * (size/slide)
+      val multiplicity = tss.groupBy(identity).view.mapValues(_.length).toMap
       val allContain = rows.forall { r =>
         val ts = r.getTimestamp(0).getTime
         val s = r.getTimestamp(1).getTime; val e = r.getTimestamp(2).getTime
         ts >= s && ts < e && e - s == sizeMs && s % slideMs == 0
       }
-      perEvent.values.forall(_ == sizeMs / slideMs) && allContain
+      perEvent.forall { case (ts, n) =>
+        n == multiplicity(ts.getTime) * (sizeMs / slideMs) } && allContain
     }
     check("sliding-windows", p)
   }
