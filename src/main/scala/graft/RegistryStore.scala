@@ -212,10 +212,7 @@ object RegistryStore {
     val fs = fsOf(spark, root)
     val prior = manifestVersions(fs, root).lastOption
     val g = nextGen(fs, root)
-    classes.select(col("sig"), col("cnt"), col("min_id"), col("arr"))
-      .write.parquet(classesDir(root, g))
-    bandsFor(classes, filesPerBand)
-      .write.partitionBy("band").parquet(bandsDir(root, g))
+    stageGeneration(classes, root, g, filesPerBand)
     commitManifest(fs, root,
       Manifest(prior.getOrElse(0) + 1, Seq(g),
         bandsIn(fs, root, g).map(_ -> Seq(g)).toMap))
@@ -238,10 +235,7 @@ object RegistryStore {
     val fs = fsOf(spark, root)
     val m = currentManifest(spark, root)
     val g = nextGen(fs, root)
-    deltaClasses.select(col("sig"), col("cnt"), col("min_id"), col("arr"))
-      .write.parquet(classesDir(root, g))
-    bandsFor(deltaClasses, filesPerBand)
-      .write.partitionBy("band").parquet(bandsDir(root, g))
+    stageGeneration(deltaClasses, root, g, filesPerBand)
     val bands = bandsIn(fs, root, g).foldLeft(m.bands) { (acc, k) =>
       acc + (k -> (acc.getOrElse(k, Seq.empty) :+ g))
     }
@@ -277,10 +271,7 @@ object RegistryStore {
     val spark = deltaClasses.sparkSession
     val fs = fsOf(spark, root)
     val g = nextGen(fs, root)
-    deltaClasses.select(col("sig"), col("cnt"), col("min_id"), col("arr"))
-      .write.parquet(classesDir(root, g))
-    bandsFor(deltaClasses, filesPerBand)
-      .write.partitionBy("band").parquet(bandsDir(root, g))
+    stageGeneration(deltaClasses, root, g, filesPerBand)
     var attempt = 1
     var committed = false
     while (!committed) {
@@ -467,26 +458,56 @@ object RegistryStore {
     val fs = fsOf(spark, root)
     val m = currentManifest(spark, root)
     val g = nextGen(fs, root)
-    // classes LSM fold: materialize the read-time merge once — over
-    // exactly the snapshot's generations (see readClassesOf)
-    readClassesOf(spark, root, m).write.parquet(classesDir(root, g))
-    // per-band fold of multi-file bands into the fresh generation
-    val bands = m.bands.map { case (k, gens) =>
-      val files = gens.flatMap(gi =>
-        listParquet(spark, s"${bandsDir(root, gi)}/band=$k"))
-      if (files.length > 1) {
-        val inv = spark.createDataFrame(files.map(f =>
-          (f.getPath.toString, f.getLen))).toDF("file_id", "bytes")
-        val nOut = graft.queries.Extensions
-          .compactionPlan(inv, targetBytes)
-          .select(col("bin")).distinct().count().toInt
-        spark.read.parquet(files.map(_.getPath.toString): _*)
-          .repartitionByRange(nOut, col("k0"))
-          .sortWithinPartitions(col("k0"))
-          .write.parquet(s"${bandsDir(root, g)}/band=$k")
-        k -> Seq(g)
-      } else k -> gens
-    }
+    // The classes LSM fold and each band's fold are INDEPENDENT jobs
+    // writing to disjoint paths, and each is small (a band partition,
+    // never the table) — run them from a bounded thread pool so one
+    // fold's task tail back-fills with the next fold's tasks instead
+    // of leaving the cluster idle (optimization-guide §2.6; round-15:
+    // the sequential loop ran 1 + |bands| small jobs end to end).
+    // Job descriptions are thread-local, so each fold labels its own.
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(
+      math.min(4, m.bands.size + 1))
+    implicit val ec: scala.concurrent.ExecutionContext =
+      scala.concurrent.ExecutionContext.fromExecutor(pool)
+    val bands = try {
+      // classes LSM fold: materialize the read-time merge once — over
+      // exactly the snapshot's generations (see readClassesOf)
+      val classesF = scala.concurrent.Future {
+        readClassesOf(spark, root, m).write.parquet(classesDir(root, g))
+      }
+      // per-band fold of multi-file bands into the fresh generation
+      val bandFs = m.bands.toSeq.map { case (k, gens) =>
+        scala.concurrent.Future {
+          val files = gens.flatMap(gi =>
+            listParquet(spark, s"${bandsDir(root, gi)}/band=$k"))
+          if (files.length > 1) {
+            // sorted-fill fast path: when every file fits one bin by
+            // total size, the planner provably emits a single bin —
+            // skip the (driver-round-trip) planning job and only run
+            // x82's planner when the outcome could differ
+            val nOut = if (files.map(_.getLen).sum <= targetBytes) 1
+            else {
+              val inv = spark.createDataFrame(files.map(f =>
+                (f.getPath.toString, f.getLen))).toDF("file_id", "bytes")
+              graft.queries.Extensions
+                .compactionPlan(inv, targetBytes)
+                .select(col("bin")).distinct().count().toInt
+            }
+            spark.read.parquet(files.map(_.getPath.toString): _*)
+              .repartitionByRange(nOut, col("k0"))
+              .sortWithinPartitions(col("k0"))
+              .write.parquet(s"${bandsDir(root, g)}/band=$k")
+            k -> Seq(g)
+          } else k -> gens
+        }
+      }
+      val folded = scala.concurrent.Await.result(
+        scala.concurrent.Future.sequence(bandFs),
+        scala.concurrent.duration.Duration.Inf).toMap
+      scala.concurrent.Await.result(classesF,
+        scala.concurrent.duration.Duration.Inf)
+      folded
+    } finally pool.shutdown()
     var attempt = 1
     var committed = false
     while (!committed) {
@@ -567,15 +588,38 @@ object RegistryStore {
     }
   }
 
-  /** Band rows of a class table, ranged on (band, k0) so each written
-    * file covers a contiguous k0 slice of its band partition — the
-    * layout the footer-stat pruning relies on. */
-  private def bandsFor(classes: DataFrame, filesPerBand: Int): DataFrame =
-    graft.queries.Extensions
-      .bandTableArr(classes.select(col("sig").as("rep"), col("arr")), "t:")
-      .withColumnRenamed("rep", "sig")
-      .repartitionByRange(
-        graft.queries.Extensions.NumBands * filesPerBand,
-        col("band"), col("k0"))
-      .sortWithinPartitions(col("band"), col("k0"))
+  /** Stage one generation's data files — the classes parquet plus the
+    * band index, ranged on (band, k0) so each written file covers a
+    * contiguous k0 slice of its band partition (the layout the
+    * footer-stat pruning relies on).
+    *
+    * Both inputs are persisted for the staging window: the classes
+    * projection otherwise evaluates THREE times (the classes write,
+    * `repartitionByRange`'s range-boundary sampling pass, and the band
+    * shuffle itself), and for write/append it is a [[graft.queries
+    * .Extensions.classesOf]] aggregation whose every recompute is a
+    * full corpus shuffle; the band table is persisted too so the
+    * range sampler does not re-run the MinHash signature pass
+    * (round-15 measured on x95's lifecycle: 85 jobs → fewer, classes
+    * agg evaluated once instead of three times per staged
+    * generation). */
+  private def stageGeneration(classes: DataFrame, root: String, g: Int,
+                              filesPerBand: Int): Unit = {
+    val staged = classes
+      .select(col("sig"), col("cnt"), col("min_id"), col("arr")).persist()
+    try {
+      staged.write.parquet(classesDir(root, g))
+      val bt = graft.queries.Extensions
+        .bandTableArr(staged.select(col("sig").as("rep"), col("arr")), "t:")
+        .withColumnRenamed("rep", "sig")
+        .persist()
+      try {
+        bt.repartitionByRange(
+            graft.queries.Extensions.NumBands * filesPerBand,
+            col("band"), col("k0"))
+          .sortWithinPartitions(col("band"), col("k0"))
+          .write.partitionBy("band").parquet(bandsDir(root, g))
+      } finally bt.unpersist()
+    } finally staged.unpersist()
+  }
 }
