@@ -6965,56 +6965,16 @@ object Extensions {
         concat_ws(" ", col("kept")).as("clean")))
   }
 
-  /** [[spanScrub]] FUSED with the input corpus's [[spanDedupCounts]]
-    * (winnow = 1): one positional span pass feeds both the rewrite
-    * (dup set → start positions → covering-window filter) and the
-    * per-doc span statistics (n_spans / dup_spans of the INPUT docs) —
-    * the two consumers previously each ran their own explode +
-    * count-shuffle chain over the same corpus (round-15: x89's chain
-    * drops 3 positional passes → 2, x94's 5 → 3; the per-doc-distinct
-    * span set and the cross-doc n_docs aggregate are shared, so both
-    * outputs are bit-identical to the unfused forms by construction —
-    * X88ScrubSpec / SpanDedupSpec pin each engine, X89/X94 specs and
-    * the unchanged oracles pin the fusion).
-    *
-    * Output: (doc_id, n_tok, n_removed, clean, n_spans, dup_spans). */
-  private[graft] def spanScrubWithCounts(docs: DataFrame,
-      w: Int = ScrubW): DataFrame = {
-    val tkd = docs
-      .select(col("doc_id"), col("text"), split(col("text"), " ").as("tk"))
-      .persist()
-    tkd.count()
-    val ps = tkd.select(col("doc_id"),
-        explode(graft.functions.GramHashes.gramHashes(col("text"), w, w))
-          .as("e"))
-      .select(col("doc_id"), col("e")("i").as("i"), col("e")("g").as("sh"))
-      .persist() // dup-set agg, per-doc counts and start-position join
-    ps.count()
-    // per-doc-distinct spans: the grain BOTH consumers count at
-    val psd = ps.select(col("doc_id"), col("sh")).distinct().persist()
-    psd.count()
-    val perSpan = psd.groupBy(col("sh")).agg(count(lit(1)).as("n_docs"))
-      .persist() // the dup set and the per-doc flag join share it
-    val counts = psd.join(perSpan, Seq("sh"))
-      .groupBy(col("doc_id"))
-      .agg(count(lit(1)).as("n_spans"),
-        sum(when(col("n_docs") >= 2, lit(1L)).otherwise(lit(0L)))
-          .as("dup_spans"))
-    val dup = perSpan.filter(col("n_docs") >= 2).select(col("sh"))
-    val starts = ps.join(dup, "sh")
-      .groupBy(col("doc_id")).agg(collect_set(col("i")).as("starts"))
-    tkd.join(starts, Seq("doc_id"), "left")
-      .join(counts, Seq("doc_id"), "left")
-      .withColumn("st", coalesce(col("starts"), array().cast("array<int>")))
-      .withColumn("kept", filter(col("tk"), (t, p) =>
-        not(exists(col("st"), s => s <= p && p <= s + (w - 1)))))
-      .select(col("doc_id"),
-        size(col("tk")).cast("long").as("n_tok"),
-        (size(col("tk")) - size(col("kept"))).cast("long").as("n_removed"),
-        concat_ws(" ", col("kept")).as("clean"),
-        coalesce(col("n_spans"), lit(0L)).as("n_spans"),
-        coalesce(col("dup_spans"), lit(0L)).as("dup_spans"))
-  }
+  // Round-15 NEGATIVE A/B (kept out of the tree, evidence in
+  // tools/ScrubAbProbe + OPTIMIZATION_r15.md): fusing the scrub with
+  // its input's spanDedupCounts — one positional table serving both
+  // the rewrite and the per-doc statistics — measured 13.3 s vs the
+  // unfused 6.4 s at sf0.1, same session, min of 4 alternating
+  // passes. The "redundant" count pass rides the NATIVE per-row-
+  // distinct SpanHashes expression (no shuffle to dedup), while the
+  // fusion's shared per-doc-distinct table costs a corpus-wide
+  // distinct + two extra joins on the (bigger) positional table.
+  // Guide §1.1: the ideal-plan rewrite lost to the measured one.
 
   private val x88 = GateQuery(
     "x88_span_scrub",
@@ -7113,14 +7073,12 @@ object Extensions {
     "x89_scrub_audit",
     (s, d) => {
       val docs = Tables.documents(s, d)
-        .select(col("doc_id"), col("text"))
-      // ONE fused pass computes the scrub AND the before-counts
-      // (round-15, see spanScrubWithCounts: 3 positional passes → 2)
-      val sc = spanScrubWithCounts(docs).persist()
-      sc.count() // before-counts + the after-side corpus consume it
-      val before = sc.select(col("doc_id"),
-        col("n_spans").as("n_spans_before"), col("dup_spans").as("dup_before"))
-      val clean = sc.select(col("doc_id"), col("clean").as("text"))
+        .select(col("doc_id"), col("text")).persist()
+      docs.count() // scrub + before-counts both consume it
+      val before = spanDedupCounts(docs)
+        .withColumnRenamed("n_spans", "n_spans_before")
+        .withColumnRenamed("dup_spans", "dup_before")
+      val clean = spanScrub(docs).select(col("doc_id"), col("clean").as("text"))
       val after = spanDedupCounts(clean)
         .withColumnRenamed("n_spans", "n_spans_after")
         .withColumnRenamed("dup_spans", "dup_after")
@@ -7691,26 +7649,22 @@ object Extensions {
     * (doc_id, dup_r0, rm_r1, dup_r1, …, rm_rN, dup_rN). */
   private[graft] def scrubRoundAudit(docs0: DataFrame,
       rounds: Int = ScrubRounds, w: Int = ScrubW): DataFrame = {
-    // Round r's FUSED pass ([[spanScrubWithCounts]]) emits both the
-    // rewrite and the dup counts of its INPUT — which ARE round
-    // r−1's residual — so the audit runs `rounds + 1` positional
-    // passes instead of the former `2·rounds + 1` (round-15: x94's
-    // 5 explode+shuffle chains → 3; outputs column-for-column
-    // identical, the unchanged oracle replays the exact construction)
-    var cur = docs0.select(col("doc_id"), col("text"))
-    var outp: DataFrame = null
+    var cur = docs0.select(col("doc_id"), col("text")).persist()
+    cur.count()
+    var outp = spanDedupCounts(cur, w)
+      .select(col("doc_id"), col("dup_spans").as("dup_r0"))
     for (r <- 1 to rounds) {
-      val sc = spanScrubWithCounts(cur, w).persist()
-      sc.count() // next round's corpus + both audit columns consume it
-      val step = sc.select(col("doc_id"),
-        col("dup_spans").as(s"dup_r${r - 1}"),
-        col("n_removed").as(s"rm_r$r"))
-      outp = if (outp == null) step else outp.join(step, "doc_id")
-      cur = sc.select(col("doc_id"), col("clean").as("text"))
+      val sc = spanScrub(cur, w).persist()
+      sc.count() // next round's corpus + the rm column both consume it
+      val nxt = sc.select(col("doc_id"), col("clean").as("text"))
+      outp = outp
+        .join(sc.select(col("doc_id"), col("n_removed").as(s"rm_r$r")),
+          "doc_id")
+        .join(spanDedupCounts(nxt, w)
+          .select(col("doc_id"), col("dup_spans").as(s"dup_r$r")), "doc_id")
+      cur = nxt
     }
-    val last = spanDedupCounts(cur, w)
-      .select(col("doc_id"), col("dup_spans").as(s"dup_r$rounds"))
-    ordered(if (outp == null) last else outp.join(last, "doc_id"))
+    ordered(outp)
   }
 
   /** Iterate [[spanScrub]] until no cross-doc duplicated span remains
