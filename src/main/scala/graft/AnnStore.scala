@@ -158,11 +158,11 @@ object AnnStore {
     E.ivfPqRequireDenseSeedPrefix(v)
     val cents = E.ivfPqCentModel(v).persist()
     cents.count()
-    // persisted: the coarse assignment (a nearest-of-√n-centroids
-    // scan, the most expensive per-row step of the build) feeds BOTH
-    // the residual-codebook training and the encode — unpersisted it
-    // evaluates twice (round-15; materialized by rcb's training pass)
-    val assigned = E.ivfPqAssign(v, cents).persist()
+    // assignment deliberately unpersisted: a stateless per-row native
+    // encode over the (caller-persisted) input, cheaper to recompute
+    // than to cache (round-15 A/B, tools/LifecycleAbProbe — caching
+    // the wide assignment output measured slower than re-encoding)
+    val assigned = E.ivfPqAssign(v, cents)
     val rcb = E.ivfPqCodebook(assigned).persist()
     rcb.count()
     val g = nextGen(fs, root)
@@ -170,7 +170,7 @@ object AnnStore {
     E.ivfPqEncodeDf(assigned, rcb)
       .select(col("vec_id"), col("codes"), col("cid"))
       .write.partitionBy("cid").parquet(codesDir(root, g))
-    cents.unpersist(); rcb.unpersist(); assigned.unpersist()
+    cents.unpersist(); rcb.unpersist()
     commitManifest(fs, root, Manifest(prior.getOrElse(0) + 1, g, Seq(g)))
     if (prior.nonEmpty) reapStaleGens(spark, root)
   }

@@ -5609,11 +5609,13 @@ object Extensions {
       // cache race discipline).
       val cents = ivfPqCentModel(v).persist()
       cents.count()
-      // persisted too (round-15): the coarse assignment — a nearest-
-      // of-√n-centroids native encode per row — feeds BOTH the
-      // codebook training below and the encode; unpersisted it
-      // evaluates twice (rcb's count materializes it here)
-      val assigned = ivfPqAssign(v, cents).persist()
+      // the coarse assignment feeds both the codebook training and
+      // the encode UNPERSISTED on purpose: it is a stateless per-row
+      // native encode over the persisted v, and the round-15 A/B
+      // (tools/LifecycleAbProbe) measured caching its wide output
+      // SLOWER than recomputing it (3.38 s vs 3.17 s through the x80
+      // pipeline, min-of-3 same session)
+      val assigned = ivfPqAssign(v, cents)
       val rcb = ivfPqCodebook(assigned).persist()
       rcb.count()
       val enc = ivfPqEncodeDf(assigned, rcb)
@@ -6577,17 +6579,24 @@ object Extensions {
     * between a tractable join and a quadratic one (measured at sf1:
     * 24.0M doc-level distinct candidates collapse to class-level
     * pairs). */
-  private[graft] def classesOf(docs: DataFrame): DataFrame =
-    // ONE hash aggregation: arr is functionally determined by sig, so
-    // first(arr) is a value-deterministic representative — the same
-    // argument the former dropDuplicates("sig") + join form relied on,
-    // minus that form's second corpus shuffle of (sig, arr) and the
-    // class-level join exchange (round-15 plan diff: 3 Exchanges → 1;
-    // partial aggregation collapses to class grain map-side)
-    docs.withColumn("sig", md5(array_join(col("arr"), " ")))
+  // Round-15 NEGATIVE A/B (tools/LifecycleAbProbe, OPTIMIZATION_r15
+  // .md): collapsing this to ONE groupBy with first(arr) — "3
+  // exchanges → 1" on the plan — measured SLOWER through the full
+  // x86 ingest chain (5.16 s vs 4.24 s min-of-3, same session):
+  // first() over an array column can't ride the fixed-width
+  // HashAggregate fast path, while dropDuplicates' key-only dedup and
+  // the class-scale join are cheap. The two-step form stays.
+  private[graft] def classesOf(docs: DataFrame): DataFrame = {
+    val sigOf = md5(array_join(col("arr"), " "))
+    val cls = docs.withColumn("sig", sigOf)
       .groupBy(col("sig"))
-      .agg(count(lit(1)).as("cnt"), min(col("doc_id")).as("min_id"),
-        first(col("arr")).as("arr"))
+      .agg(count(lit(1)).as("cnt"), min(col("doc_id")).as("min_id"))
+    // arr is functionally determined by sig, so dropDuplicates picks
+    // a value-deterministic representative
+    cls.join(
+      docs.withColumn("sig", sigOf).select(col("sig"), col("arr"))
+        .dropDuplicates("sig"), "sig")
+  }
 
   /** Append one day's (doc_id, arr) docs into a frozen class
     * registry — the production append-only maintenance move the
