@@ -71,6 +71,13 @@ object RegistryStore {
     * latest manifest versions survive reaping. */
   private val ReapKeepVersions = 2
 
+  /** Upper bound on any concurrent fold/write await — generous (a
+    * fold is one band partition or the classes merge, never the
+    * table), but finite: a hung job must surface as a timeout, not
+    * block the writer forever (round-15 used Duration.Inf). */
+  private val FoldTimeout =
+    scala.concurrent.duration.Duration(6, java.util.concurrent.TimeUnit.HOURS)
+
   /** The live file inventory: which generations hold the classes LSM
     * levels and each band's index files. */
   private[graft] case class Manifest(version: Int, classes: Seq[Int],
@@ -464,7 +471,6 @@ object RegistryStore {
     // fold's task tail back-fills with the next fold's tasks instead
     // of leaving the cluster idle (optimization-guide §2.6; round-15:
     // the sequential loop ran 1 + |bands| small jobs end to end).
-    // Job descriptions are thread-local, so each fold labels its own.
     val pool = java.util.concurrent.Executors.newFixedThreadPool(
       math.min(4, m.bands.size + 1))
     implicit val ec: scala.concurrent.ExecutionContext =
@@ -473,11 +479,13 @@ object RegistryStore {
       // classes LSM fold: materialize the read-time merge once — over
       // exactly the snapshot's generations (see readClassesOf)
       val classesF = scala.concurrent.Future {
+        spark.sparkContext.setJobDescription(s"compact classes fold g=$g")
         readClassesOf(spark, root, m).write.parquet(classesDir(root, g))
       }
       // per-band fold of multi-file bands into the fresh generation
       val bandFs = m.bands.toSeq.map { case (k, gens) =>
         scala.concurrent.Future {
+          spark.sparkContext.setJobDescription(s"compact fold band=$k g=$g")
           val files = gens.flatMap(gi =>
             listParquet(spark, s"${bandsDir(root, gi)}/band=$k"))
           if (files.length > 1) {
@@ -501,13 +509,24 @@ object RegistryStore {
           } else k -> gens
         }
       }
-      val folded = scala.concurrent.Await.result(
-        scala.concurrent.Future.sequence(bandFs),
-        scala.concurrent.duration.Duration.Inf).toMap
-      scala.concurrent.Await.result(classesF,
-        scala.concurrent.duration.Duration.Inf)
-      folded
-    } finally pool.shutdown()
+      // settle EVERY fold before propagating any failure — a failed
+      // band fold must not leave the classes write (or another band's
+      // write) in flight when the exception surfaces, or the orphan
+      // write races a later compact's reapStaleGens — and bound the
+      // wait (a hung fold previously blocked compact forever under
+      // Duration.Inf)
+      val bandTries = scala.concurrent.Await.result(
+        scala.concurrent.Future.sequence(
+          bandFs.map(_.transform(scala.util.Success(_)))),
+        FoldTimeout)
+      val classesTry = scala.concurrent.Await.result(
+        classesF.transform(scala.util.Success(_)), FoldTimeout)
+      ((classesTry: scala.util.Try[Any]) +: bandTries).foreach(_.get)
+      bandTries.map(_.get).toMap
+    } finally {
+      pool.shutdown()
+      pool.awaitTermination(60, java.util.concurrent.TimeUnit.SECONDS)
+    }
     var attempt = 1
     var committed = false
     while (!committed) {
@@ -605,20 +624,52 @@ object RegistryStore {
     * generation). */
   private def stageGeneration(classes: DataFrame, root: String, g: Int,
                               filesPerBand: Int): Unit = {
+    val spark = classes.sparkSession
     val staged = classes
       .select(col("sig"), col("cnt"), col("min_id"), col("arr")).persist()
     try {
-      staged.write.parquet(classesDir(root, g))
+      // materialize the staged input ONCE before anything consumes it
+      // concurrently (racing consumers would each recompute the
+      // corpus-scale classesOf aggregation while the cache fills)
+      staged.count()
       val bt = graft.queries.Extensions
         .bandTableArr(staged.select(col("sig").as("rep"), col("arr")), "t:")
         .withColumnRenamed("rep", "sig")
         .persist()
       try {
-        bt.repartitionByRange(
-            graft.queries.Extensions.NumBands * filesPerBand,
-            col("band"), col("k0"))
-          .sortWithinPartitions(col("band"), col("k0"))
-          .write.partitionBy("band").parquet(bandsDir(root, g))
+        // The classes parquet write and the band-index write are
+        // independent sinks over the materialized staged input —
+        // submit them concurrently so the classes write (a cache
+        // read + encode + IO pass) back-fills the band side's
+        // sampling/shuffle tail (guide §2.6, the compact-fold move).
+        val pool = java.util.concurrent.Executors.newFixedThreadPool(2)
+        implicit val ec: scala.concurrent.ExecutionContext =
+          scala.concurrent.ExecutionContext.fromExecutor(pool)
+        try {
+          val cF = scala.concurrent.Future {
+            spark.sparkContext.setJobDescription(s"stage classes g=$g")
+            staged.write.parquet(classesDir(root, g))
+          }
+          val bF = scala.concurrent.Future {
+            spark.sparkContext.setJobDescription(s"stage bands g=$g")
+            bt.repartitionByRange(
+                graft.queries.Extensions.NumBands * filesPerBand,
+                col("band"), col("k0"))
+              .sortWithinPartitions(col("band"), col("k0"))
+              .write.partitionBy("band").parquet(bandsDir(root, g))
+          }
+          // settle BOTH sinks before propagating any failure (no
+          // write may be left in flight when the exception surfaces),
+          // under a generous bound instead of Duration.Inf
+          val settled = scala.concurrent.Await.result(
+            scala.concurrent.Future.sequence(
+              Seq(cF, bF).map(_.transform(scala.util.Success(_)))),
+            FoldTimeout)
+          settled.foreach(_.get)
+        } finally {
+          pool.shutdown()
+          pool.awaitTermination(60, java.util.concurrent.TimeUnit.SECONDS)
+        }
       } finally bt.unpersist()
     } finally staged.unpersist()
   }

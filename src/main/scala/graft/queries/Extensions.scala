@@ -58,8 +58,8 @@ object Extensions {
   // threshold (t* = (1/b)^(1/r) ≈ 0.71, recall ≈ 0.986 at s = 0.9).
   // 2-row bands admit ~4x the candidates on this high-similarity
   // corpus (22.5M vs 5.5M pairs at sf0.1) for negligible extra recall.
-  private val NumMinhash = 16
-  private val BandRows = 4
+  private[graft] val NumMinhash = 16
+  private[graft] val BandRows = 4
   private[graft] val NumBands = NumMinhash / BandRows
 
   /** 32-bit integer from the first 8 hex chars of an md5 column. */
@@ -127,7 +127,7 @@ object Extensions {
     * class key is the exact `sig`; `mask` is functionally dependent
     * on it (same token set ⇒ same mask), so grouping by both yields
     * exactly the `sig` classes while keeping the mask for scoring. */
-  private def sigTable(s: SparkSession, d: String): DataFrame =
+  private[graft] def sigTable(s: SparkSession, d: String): DataFrame =
     docMasks(s, d).groupBy(col("sig"), col("mask"))
       .agg(min(col("doc_id")).as("rep"), count(lit(1)).as("cnt"))
 
@@ -221,7 +221,7 @@ object Extensions {
 
   /** Slice a (`rep`, `mhs`) minhash table into the (band, k0..k3)
     * equi-join shape. */
-  private def bandsOf(mh: DataFrame): DataFrame = {
+  private[graft] def bandsOf(mh: DataFrame): DataFrame = {
     val bandStructs = (0 until NumBands).map { b =>
       struct((0 until BandRows).map(j =>
         element_at(col("mhs"), BandRows * b + j + 1).as(s"k$j")): _*)
@@ -2037,7 +2037,7 @@ object Extensions {
     * before any pair work, so identical sets never generate pairs.
     * Persisted (df/order/verify sides all consume it). Shared by x35
     * (whole corpus) and x69 (the non-benchmark slice). */
-  private def tokenSetReps(docs: DataFrame): DataFrame = {
+  private[graft] def tokenSetReps(docs: DataFrame): DataFrame = {
     val reps = docs
       .groupBy(tokenSetSig(col("text")).as("sig"))
       .agg(min(col("doc_id")).as("rep"))
@@ -2060,7 +2060,7 @@ object Extensions {
     * size-gated AQE still broadcasts when it genuinely fits. Shared
     * by x35 (Jaccard) and x69 (containment — same α = ceil(t·n)
     * overlap bound, so the same prefix length is lossless for both). */
-  private def orderedSetTable(reps: DataFrame, thr: Double): DataFrame = {
+  private[graft] def orderedSetTable(reps: DataFrame, thr: Double): DataFrame = {
     val toksE = reps.select(col("rep"), explode(col("toks")).as("tok"))
     val dfTab = toksE.groupBy(col("tok")).agg(count(lit(1)).as("df"))
     toksE.join(dfTab, "tok")
@@ -2115,6 +2115,12 @@ object Extensions {
           .as(Seq("j0", "t2")))
       .withColumn("i2", col("i1") + lit(1) + col("j0"))
       .select(col("rep"), col("n"), col("t1"), col("t2"), col("i2"))
+      .persist()
+    // both self-join sides consume the pair-prefix table, and (the
+    // lshCandidates rule) AQE stage reuse does NOT fire across the
+    // two identical InMemoryTableScan-rooted subtrees — without the
+    // persist the double posexplode chain evaluates once per side
+    pairs.count()
     val lenOk =
       col("b.n") >= ceil(col("a.n") * lit(PfJaccard)) &&
         col("a.n") >= ceil(col("b.n") * lit(PfJaccard))
@@ -4209,6 +4215,16 @@ object Extensions {
         .select(split(col("bg"), " ").getItem(0).as("w1"), col("tf"))
         .groupBy(col("w1")).agg(sum(col("tf")).as("c_w1"))
       val vCtx = cW1.agg(count(lit(1)).as("v_ctx"))
+      // Round-16 NEGATIVE A/B (tools/R16AbProbe "lm"): scoring a
+      // per-BIGRAM (bg, bits) table (the [[lmBigramBits]] shape) and
+      // attaching it with one bg join — "scorer runs per distinct
+      // bigram, one fewer corpus-side join" on paper — measured
+      // SLOWER at sf0.1 (1.50 vs 1.46 min-of-3) AND at sf1 (7.81 vs
+      // 6.86): on this corpus distinct bigrams ≈ (doc,bigram) rows,
+      // so the per-bigram saving is nil while the bits table's w1
+      // exchange is additive; the count tables broadcast at any SF
+      // measured, so the "second corpus-side join" costs one probe,
+      // not an exchange. The per-row form stays.
       val scored = docBg
         .withColumn("w1", split(col("bg"), " ").getItem(0))
         .join(cBg, "bg")
@@ -4591,8 +4607,19 @@ object Extensions {
     * bit-equal, the x86 pattern). */
   private[graft] def lshCalibration(s: SparkSession, d: String,
       bcastClassCap: Long = IngestBcastClassCap): DataFrame = {
-      val sigs = sigTable(s, d).persist()
-      sigs.count()
+      // sigTable has exactly one consumer here (the repTab join), so
+      // it needs no persist of its own — and each persisted stage
+      // below is materialized by the FIRST action that consumes it
+      // (cache fills on first evaluation), so the only explicit
+      // driver actions are the two whose timing matters: banded
+      // (its self-join consumes it twice — racing consumers would
+      // recompute the MinHash pass per side) and candIds (whose
+      // count both materializes the candidate table and supplies the
+      // measured-broadcast gate). Round-16: 5 sequential count()
+      // actions folded to 2 (guide §1.2 — driver round-trips are
+      // per-query fixed cost; the folded counts did the same work the
+      // consuming action now does while filling the same caches).
+      val sigs = sigTable(s, d)
       val docArrs = Tables.documents(s, d)
         .repartition(col("doc_id"))
         .select(col("doc_id"), tokenSet(col("text")).as("arr"))
@@ -4600,15 +4627,13 @@ object Extensions {
         .select(col("rep"), col("arr"),
           graft.functions.MinHashArr.minhashArr(col("arr"), "t:").as("mhs"))
         .filter(col("mhs").isNotNull)
-        .persist()
-      repTab.count() // band table + both calibration sides consume it
+        .persist() // band table + both calibration sides consume it
       val banded = bandsOf(repTab.select(col("rep"), col("mhs"))).persist()
-      banded.count()
+      banded.count() // self-join sides; also materializes repTab
       val cand = lshCandidates(banded)
         .filter(hex32(md5(concat_ws(":", col("rep_a"), col("rep_b"))))
           % CalSampleMod === 0)
         .persist()
-      cand.count()
       val candIds = cand.select(col("rep_a").as("rep"))
         .union(cand.select(col("rep_b").as("rep"))).distinct().persist()
       // MEASURED broadcast (the x86 IngestBcastClassCap discipline —
@@ -4618,7 +4643,8 @@ object Extensions {
       // corpus, and force-shipping every token array to the driver is
       // an OOM. One tiny count over the persisted id set decides;
       // over the cap the verify joins shuffle on rep instead
-      // (X73PlanSpec pins both branches bit-equal).
+      // (X73PlanSpec pins both branches bit-equal). This count is
+      // also the action that materializes cand and candIds.
       val nCandClasses = candIds.count()
       val candTab = repTab.join(candIds, "rep")
       def gated(side: DataFrame): DataFrame =
@@ -6651,14 +6677,19 @@ object Extensions {
       bat: DataFrame, jacThresholdPct: Long = 90L,
       bcastClassCap: Long = IngestBcastClassCap): DataFrame = {
     val sigOf = md5(array_join(col("arr"), " "))
+    // Round-16 action fold (guide §1.2): regC and batC keep their
+    // persists (two consumers each: a band side of the candidate
+    // join plus a verify side) but are NOT counted eagerly — inside
+    // the candidate job each is scanned exactly once (the band
+    // sides read disjoint caches), so the sigCounts action below
+    // materializes them race-free while doing the work the dropped
+    // counts did. batMembers lost its persist outright: it is a
+    // narrow projection consumed exactly once, by the final join.
     val regC = regClasses.persist()
-    regC.count()
     val batMembers = bat.withColumn("sig", sigOf)
-      .select(col("doc_id"), col("sig")).persist()
-    batMembers.count()
+      .select(col("doc_id"), col("sig"))
     val batC = bat.withColumn("sig", sigOf).select(col("sig"), col("arr"))
       .dropDuplicates("sig").persist()
-    batC.count()
     val regB = bandTableArr(regC.select(col("sig").as("rep"), col("arr")), "t:")
     val batB = bandTableArr(batC.select(col("sig").as("rep"), col("arr")), "t:")
     val joinCond = col("a.band") === col("b.band") &&
@@ -6669,7 +6700,6 @@ object Extensions {
     val cand = batB.as("a").join(regB.as("b"), joinCond)
       .select(col("a.rep").as("bsig"), col("b.rep").as("rsig"))
       .distinct().persist()
-    cand.count()
     // Verify sides restrict to classes that appear in a candidate
     // pair (x04's candidate-semi-join pattern). An UNCONDITIONAL
     // broadcast hint here is a scale bug: the batch side is
@@ -6687,7 +6717,9 @@ object Extensions {
     // candidate table (formerly two persisted distinct sides counted
     // by separate actions — round-15: the side sets are re-derived
     // from the cached candidates inside each verify join, so the
-    // extra persists bought nothing but two more driver round-trips)
+    // extra persists bought nothing but two more driver round-trips).
+    // Round-16: this is now the ONLY eager action of the whole
+    // ingest — it materializes cand and, transitively, regC and batC.
     val sigCounts = cand.agg(
       countDistinct(col("bsig")).as("na"),
       countDistinct(col("rsig")).as("nb")).head()
